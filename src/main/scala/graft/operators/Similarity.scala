@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GF
+
+/** Similarity search over an embedding column `array<float>` (north-star
+  * ops; BASELINE.json).
+  *
+  * - Brute-force cosine top-k: the correctness baseline. Queries are
+  *   broadcast; candidates stream — one pass over the big side, a
+  *   partial top-k per partition via window over (query, -sim).
+  * - LSH-bucketed ANN (random hyperplanes): the 100 TB path. Signatures
+  *   are deterministic (hyperplane signs derived from the portable
+  *   hash), so buckets — and therefore results — are reproducible by an
+  *   external oracle.
+  *
+  * All vector math uses zip_with/aggregate higher-order functions:
+  * codegen'd, no UDF, no driver collect.
+  */
+object Similarity {
+
+  /** Sum of element-wise products, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a.cast("array<double>"), lit(0.0), (acc, v) => acc + v * v))
+
+  /** Cosine similarity; null-safe on zero vectors. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
+
+  /** Brute-force cosine top-k: for each query vector, the k most similar
+    * candidates (excluding itself). Ranking uses the *rounded* similarity
+    * plus the candidate id as tie-break so results are stable across
+    * engines and runs. `queries` must be small (it is broadcast). */
+  def bruteForceKnn(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
+  /** Deterministic ±1 hyperplane component for (bit j, dimension d):
+    * sign of the portable hash of "j_d". */
+  private def planeSign(j: Int, d: Column): Column =
+    when(GF.hash32(concat(lit(s"${j}_"), d.cast("string"))) % 2 === 0, lit(1.0))
+      .otherwise(lit(-1.0))
+
+  /** Projection of a vector onto deterministic hyperplane j, as a
+    * *sequential* fold over dimensions (transform with index + aggregate)
+    * — no shuffle, and the FP summation order is pinned so external
+    * oracles reproduce the sign bit-for-bit. */
+  def planeProjection(vec: Column, j: Int): Column =
+    aggregate(
+      transform(vec.cast("array<double>"), (x, d) => x * planeSign(j, d)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Random-hyperplane LSH signature: an integer bucket from `nBits` sign
+    * bits of hyperplane projections. Pure per-row expression work —
+    * zero shuffles, fully codegen'd. */
+  def lshSignature(vectors: DataFrame, idCol: String, vecCol: String,
+      nBits: Int): DataFrame = {
+    val bucketExpr = (0 until nBits).map(j =>
+      when(planeProjection(col(vecCol), j) > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    vectors.select(col(idCol), bucketExpr.as("bucket"))
+  }
+
+  /** ANN via LSH buckets: exact cosine top-k *within* each query's
+    * bucket. Recall < 1 by construction; at scale, candidates shrink by
+    * ~2^nBits so the join is cheap and shuffles only on the bucket key. */
+  def lshKnn(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, nBits: Int, k: Int): DataFrame = {
+    val sig = lshSignature(vectors, idCol, vecCol, nBits)
+    val cand = vectors.join(sig, Seq(idCol))
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("bucket"))
+    val q = queries.join(sig, Seq(idCol))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
+    val scored = cand.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
+  /** Near-duplicate pairs by embedding cosine above a threshold, with the
+    * candidate space restricted by a blocking key (e.g. label or LSH
+    * bucket) so the self-join never goes quadratic. */
+  def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val l = vectors.select(col(blockCol).as("blk"), col(idCol).as("id1"),
+      col(vecCol).as("v1"))
+    val r = vectors.select(col(blockCol).as("blk"), col(idCol).as("id2"),
+      col(vecCol).as("v2"))
+    l.join(r, Seq("blk"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("sim", round(cosine(col("v1"), col("v2")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("blk"), col("id1"), col("id2"), col("sim"))
+  }
+}

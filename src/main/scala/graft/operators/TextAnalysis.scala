@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GF
+
+/** Text analysis for training-data pipelines (north-star ops): language
+  * identification, quality scoring, token counting, fingerprinting.
+  * Pure per-row expressions (plus one window for winnowing) — fully
+  * parallel, no shuffle except where stated.
+  */
+object TextAnalysis {
+
+  /** Small per-language stopword marker lists for the n-gram/stopword
+    * language-ID heuristic. Deliberately tiny and deterministic. */
+  val StopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "los", "y", "en", "que", "un"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "nicht"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "you"))
+
+  private def tokenMatches(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Language-ID: per-language stopword hit count over whitespace tokens;
+    * winner = max count, ties broken by language code ascending, docs
+    * with zero hits → "und" (undetermined). */
+  def langId(textCol: Column): Column = {
+    val toks = GF.wsTokens(lower(textCol))
+    // array_max over struct(score, -alphabetical_rank, lang): struct
+    // comparison is field-by-field, so the winner is the max score with
+    // ties resolved to the alphabetically-first language code.
+    val scored = StopwordsByLang.sortBy(_._1).zipWithIndex.map {
+      case ((lang, words), i) =>
+        struct(tokenMatches(toks, words).as("score"),
+          lit(-i).as("tiebreak"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Per-language stopword scores as explicit columns (for inspection /
+    * oracle queries). */
+  def langScores(textCol: Column): Seq[(String, Column)] = {
+    val toks = GF.wsTokens(lower(textCol))
+    StopwordsByLang.map { case (lang, words) =>
+      lang -> tokenMatches(toks, words).cast("long")
+    }
+  }
+
+  /** Quality signals: character/token counts, mean token length,
+    * punctuation / digit / stopword ratios, uppercase ratio. */
+  def qualitySignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = GF.wsTokens(t)
+    val nChars = length(t).cast("double")
+    val allStop = StopwordsByLang.flatMap(_._2).distinct
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("mean_token_len",
+        round(length(concat_ws("", toks)).cast("double") /
+          nullif(size(toks), lit(0)).cast("double"), 6))
+      .withColumn("punct_ratio",
+        round((nChars - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))) /
+          nullif(nChars, lit(0.0)), 6))
+      .withColumn("digit_ratio",
+        round((nChars - length(regexp_replace(t, "[0-9]", ""))) /
+          nullif(nChars, lit(0.0)), 6))
+      .withColumn("upper_ratio",
+        round((nChars - length(regexp_replace(t, "[A-Z]", ""))) /
+          nullif(nChars, lit(0.0)), 6))
+      .withColumn("stopword_ratio",
+        round(size(filter(GF.wsTokens(lower(t)),
+          w => w.isin(allStop.map(lit): _*))).cast("double") /
+          nullif(size(toks), lit(0)).cast("double"), 6))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with a
+    * sane stopword ratio, penalizes punctuation/digit noise. Fixed
+    * weights; deterministic; rounded for cross-engine comparison. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    qualitySignals(df, textCol).withColumn("quality_score",
+      round(
+        greatest(lit(0.0), least(lit(1.0),
+          lit(0.4) * least(col("n_tokens").cast("double") / 50.0, lit(1.0)) +
+            lit(0.4) * least(col("stopword_ratio") * 5.0, lit(1.0)) +
+            lit(0.2) * (lit(1.0) - least(col("punct_ratio") * 4.0, lit(1.0))))),
+        6))
+
+  /** Token counts: whitespace tokens and BPE-ish subword segments
+    * (letter runs / digit runs / single punctuation marks). */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("ws_tokens", size(GF.wsTokens(col(textCol))).cast("long"))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(col(textCol), lit(GF.BpeTokenRegex), lit(0)))
+          .cast("long"))
+
+  /** Whole-document fingerprint: 32-bit portable hash of the normalized
+    * text (rolling-hash analogue; content-defined identity). */
+  def docFingerprint(textCol: Column): Column =
+    GF.hash32(md5(Dedup.normalizeText(textCol)))
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash each
+    * w-token shingle, slide a window of `windowSize` hashes, keep each
+    * window's minimum — the classic local fingerprint set for near-dup /
+    * plagiarism detection. Returns (id, fingerprint) distinct rows.
+    * One explode + one window over (doc, position) + distinct. */
+  def winnowingFingerprints(docs: DataFrame, textCol: String, idCol: String,
+      shingleW: Int = 4, windowSize: Int = 4): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(GF.wsTokens(Dedup.normalizeText(col(textCol))))
+        .as(Seq("pos", "tok")))
+    val sh = toks
+      .withColumn("shingle",
+        concat_ws(" ", (0 until shingleW).map(o =>
+          lead(col("tok"), o).over(
+            Window.partitionBy(col(idCol)).orderBy(col("pos")))): _*))
+      .withColumn("n_toks",
+        count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .filter(col("pos") <= col("n_toks") - shingleW)
+      .withColumn("h", GF.hash32(col("shingle")))
+    val winMin = sh.withColumn("fingerprint",
+      min(col("h")).over(Window.partitionBy(col(idCol)).orderBy(col("pos"))
+        .rowsBetween(0, windowSize - 1)))
+      .filter(col("pos") <= col("n_toks") - shingleW - windowSize + 1)
+    winMin.select(col(idCol), col("fingerprint")).distinct()
+  }
+}

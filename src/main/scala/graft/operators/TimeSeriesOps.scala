@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Frequency
+
+/** Time-series operators (SURVEY §2.8 T1-T4 and §2.9 validation battery).
+  *
+  * All checks are phrased as *violation queries* over the long-form
+  * series table `(…, serie_id, indice_tiempo, valor)` — they return rows
+  * describing what's wrong instead of throwing, so one bad series never
+  * fails the job (per-distribution fault isolation, SURVEY §2.10). At
+  * 100 TB the windows partition by series key, so every check is one
+  * shuffle-by-key (or zero when the table is already laid out by key).
+  */
+object TimeSeriesOps {
+
+  private def w(keys: Seq[String]) =
+    Window.partitionBy(keys.map(col): _*).orderBy(col("indice_tiempo"))
+
+  /** T4 — monotonic/distinct index violations: per key, any period that
+    * is <= its predecessor (duplicates and out-of-order rows). */
+  def monotonicViolations(series: DataFrame,
+      keys: Seq[String] = Seq("serie_id")): DataFrame = {
+    val prev = lag(col("indice_tiempo"), 1).over(w(keys))
+    series
+      .withColumn("prev_tiempo", prev)
+      .filter(col("prev_tiempo").isNotNull &&
+        col("indice_tiempo") <= col("prev_tiempo"))
+  }
+
+  /** T3 — frequency conformance: per key, adjacent periods must differ by
+    * exactly one declared period. Returns gap rows with the observed gap
+    * size in periods. Months-based frequencies compare months_between;
+    * daily compares datediff. */
+  def frequencyGaps(series: DataFrame, freq: Frequency,
+      keys: Seq[String] = Seq("serie_id")): DataFrame = {
+    val prev = lag(col("indice_tiempo"), 1).over(w(keys))
+    val step: Column = freq.months match {
+      case Some(m) => months_between(col("indice_tiempo"), col("prev_tiempo")) / m
+      case None    => datediff(col("indice_tiempo"), col("prev_tiempo")).cast("double")
+    }
+    series
+      .withColumn("prev_tiempo", prev)
+      .withColumn("step_periods", step)
+      .filter(col("prev_tiempo").isNotNull && col("step_periods") =!= 1.0)
+  }
+
+  /** §2.9 battery — one pass over the long table producing a per-series
+    * summary with every validation verdict (non-empty, numeric values,
+    * distinct monotonic index, missing-data ratio). Single groupBy: one
+    * shuffle for the whole battery. */
+  def validationSummary(series: DataFrame,
+      keys: Seq[String] = Seq("serie_id"),
+      maxMissingRatio: Double = 0.5): DataFrame = {
+    val prevOk = lag(col("indice_tiempo"), 1).over(w(keys))
+    series
+      .withColumn("prev_tiempo", prevOk)
+      .withColumn("not_increasing",
+        when(col("prev_tiempo").isNotNull &&
+          col("indice_tiempo") <= col("prev_tiempo"), 1L).otherwise(0L))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("valor")).as("n_values"),
+        sum(col("not_increasing")).as("n_not_increasing"),
+        countDistinct(col("indice_tiempo")).as("n_periods"),
+        min(col("indice_tiempo")).as("first_period"),
+        max(col("indice_tiempo")).as("last_period"))
+      .withColumn("missing_ratio",
+        round(lit(1.0) - col("n_values") / col("n_rows"), 6))
+      .withColumn("is_monotonic", col("n_not_increasing") === 0)
+      .withColumn("is_distinct", col("n_periods") === col("n_rows"))
+      .withColumn("is_valid",
+        col("n_rows") > 0 && col("is_monotonic") && col("is_distinct") &&
+          col("missing_ratio") <= maxMissingRatio)
+  }
+
+  /** J1 — align series of one distribution on the time index: long form
+    * -> wide frame, one column per serie (the reference's pd.concat
+    * axis=1 outer-join, processors.py:139-140). `values` pins the pivot
+    * columns so the plan needs no extra distinct-collect job. */
+  def alignWide(series: DataFrame, serieIds: Seq[String]): DataFrame =
+    series.groupBy(col("indice_tiempo"))
+      .pivot("serie_id", serieIds)
+      .agg(first(col("valor")))
+      .orderBy(col("indice_tiempo"))
+
+  /** Complete-calendar view: left-join the observed series onto the full
+    * calendar generated from min..max at the declared frequency —
+    * `sequence()` does the generation inside codegen; missing periods
+    * surface as null `valor` (used for gap repair / resampling). */
+  def completeCalendar(series: DataFrame, freq: Frequency,
+      keys: Seq[String] = Seq("serie_id")): DataFrame = {
+    val bounds = series.groupBy(keys.map(col): _*)
+      .agg(min(col("indice_tiempo")).as("lo"), max(col("indice_tiempo")).as("hi"))
+    val calendar = bounds.select(
+      keys.map(col) :+
+        explode(expr(s"sequence(lo, hi, ${freq.intervalExpr})")).as("indice_tiempo"): _*)
+    calendar.join(series, keys :+ "indice_tiempo", "left")
+  }
+}

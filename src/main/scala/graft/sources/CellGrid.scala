@@ -1,0 +1,147 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GF
+import graft.model.Frequency
+
+/** S7 — coordinate-driven series extraction from a semi-structured sheet
+  * (SURVEY §2.1 S7, §2.8 T1/T2; reference processors.py:107-221,
+  * XLSERIES_PARAMS processors.py:83-102).
+  *
+  * The engine's representation of a workbook is a *cell grid* DataFrame
+  * `(sheet: string, row: int, col: int, value: string)` — 1-based
+  * coordinates, exactly one row per non-empty cell. Any workbook reader
+  * (XLSX, CSV-as-grid, test fixtures) lands into this shape; extraction
+  * is then pure declarative Spark:
+  *
+  *   grid --filter(col==c, row>=start)--> vertical slices
+  *        --join on row--> aligned long form (J1 without a pivot)
+  *
+  * Scale: one workbook is small, but a catalog run extracts thousands of
+  * workbooks; the grid carries a `sheet` key so all workbooks of a
+  * catalog can live in ONE DataFrame and be scraped in ONE pass — the
+  * per-file python loop of the reference becomes a single distributed
+  * join keyed by (sheet, row).
+  */
+object CellGrid {
+
+  /** Declared series to scrape: column coordinates already parsed.
+    * `headerCell`/`dataStartCell` as in the catalog field metadata. */
+  final case class SeriesSpec(serieId: String, headerCell: String,
+      dataStartCell: String)
+
+  private def colIdx(cell: String): Int = {
+    val letters = cell.takeWhile(_.isLetter).toUpperCase
+    letters.foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1))
+  }
+  private def rowIdx(cell: String): Int = cell.dropWhile(_.isLetter).toInt
+
+  /** Extract one distribution from a grid: the time index column plus N
+    * value series, aligned on sheet row number, returned in long form
+    * `(serie_id, indice_tiempo: date, valor: double)`.
+    *
+    * Time labels are parsed leniently (ISO date, year, year+period) —
+    * the composed-time fallback of the reference (processors.py:202-221)
+    * becomes a coalesce over parse attempts instead of a try/except.
+    * Rows whose time label fails to parse after `tableEnd` detection are
+    * dropped (T2 trim); callers can diff row bounds to emit the WARNING.
+    */
+  def scrapeDistribution(grid: DataFrame, sheet: String,
+      timeHeaderCell: String, timeDataStartCell: String, freq: Frequency,
+      series: Seq[SeriesSpec]): DataFrame = {
+
+    val timeCol = colIdx(timeDataStartCell)
+    val timeStart = rowIdx(timeDataStartCell)
+
+    val timeSlice = grid
+      .filter(col("sheet") === sheet && col("col") === timeCol &&
+        col("row") >= timeStart)
+      .select(col("row"), parseTimeLabel(col("value"), freq).as("indice_tiempo"))
+      .filter(col("indice_tiempo").isNotNull)
+
+    val valueSlices = series.map { s =>
+      val c = colIdx(s.dataStartCell)
+      val start = rowIdx(s.dataStartCell)
+      grid.filter(col("sheet") === sheet && col("col") === c &&
+          col("row") >= start)
+        .select(col("row"), lit(s.serieId).as("serie_id"),
+          GF.normalizeValue(col("value")).as("valor"))
+    }
+    val values = valueSlices.reduce(_ union _)
+
+    // Row-number equi-join aligns every series with the time index —
+    // the J1 "concat on datetime index" of the reference. The time side
+    // is one column of one sheet: broadcastable.
+    timeSlice.join(values, Seq("row"))
+      .select(col("serie_id"), col("indice_tiempo"), col("valor"))
+  }
+
+  /** Header-drift guard (validate_distribution_scraping,
+    * reference processors.py:147-148): the header cell content must match
+    * the declared serie id/title. Returns violation rows. */
+  def headerDrift(grid: DataFrame, sheet: String,
+      series: Seq[SeriesSpec]): DataFrame = {
+    val expected = series.map(s =>
+      (s.serieId, colIdx(s.headerCell), rowIdx(s.headerCell)))
+    val sparkSession = grid.sparkSession
+    import sparkSession.implicits._
+    val exp = expected.toDF("serie_id", "col", "row")
+    broadcast(exp).join(grid.filter(col("sheet") === sheet), Seq("col", "row"), "left")
+      .filter(col("value").isNull ||
+        GF.stripSpaces(col("value")) =!= col("serie_id"))
+      .select(col("serie_id"), col("col"), col("row"),
+        col("value").as("found"))
+  }
+
+  /** T1 — lenient time-label parse at a declared frequency.
+    * Tries, in order: ISO date; year-start for "YYYY"; "YYYY-Qn"/"YYYY Qn"
+    * quarter composition; "YYYY-Sn" semester composition; month label
+    * "YYYY-MM". This is the declarative analogue of the reference's
+    * composed-time retry (processors.py:202-221). */
+  def parseTimeLabel(v: Column, freq: Frequency): Column = {
+    val t = trim(v)
+    // every parse is regex-guarded so malformed labels yield null, not an
+    // ANSI-mode DateTimeException
+    val iso = when(t.rlike("^\\d{4}-\\d{2}-\\d{2}$"), to_date(t))
+    val year = when(t.rlike("^\\d{4}(\\.0)?$"),
+      to_date(concat(substring(t, 1, 4), lit("-01-01"))))
+    val yearMonth = when(t.rlike("^\\d{4}-\\d{2}$"),
+      to_date(concat(t, lit("-01"))))
+    val quarter = when(t.rlike("^\\d{4}[-\\s][Qq][1-4]$"),
+      to_date(concat(substring(t, 1, 4), lit("-"),
+        lpad(((substring(t, 7, 1).cast("int") - 1) * 3 + 1).cast("string"), 2, "0"),
+        lit("-01"))))
+    val semester = when(t.rlike("^\\d{4}[-\\s][Ss][12]$"),
+      to_date(concat(substring(t, 1, 4), lit("-"),
+        lpad(((substring(t, 7, 1).cast("int") - 1) * 6 + 1).cast("string"), 2, "0"),
+        lit("-01"))))
+    coalesce(iso, quarter, semester, yearMonth, year)
+  }
+
+  /** T2 — table-end detection: last grid row (>= dataStart) in the time
+    * column with a parseable date vs the last non-empty row. A mismatch
+    * is the reference's trim WARNING (base.py:165-182). */
+  def tableBounds(grid: DataFrame, sheet: String, timeDataStartCell: String,
+      freq: Frequency): DataFrame = {
+    val c = colIdx(timeDataStartCell)
+    val start = rowIdx(timeDataStartCell)
+    grid.filter(col("sheet") === sheet && col("col") === c && col("row") >= start)
+      .agg(
+        max(when(parseTimeLabel(col("value"), freq).isNotNull, col("row")))
+          .as("table_end"),
+        max(col("row")).as("end"))
+  }
+
+  /** Wide view of a scraped distribution: one row per period, one column
+    * per serie (the reference's output CSV shape, base.py:266-279). */
+  def toWide(longDf: DataFrame): DataFrame =
+    longDf.groupBy("indice_tiempo")
+      .pivot("serie_id")
+      .agg(first("valor"))
+      .orderBy("indice_tiempo")
+
+  /** S8 — workbook cache: each distinct grid is typically reused by many
+    * distributions of the same catalog; persist it once. */
+  def cached(grid: DataFrame): DataFrame = grid.cache()
+}
