@@ -83,10 +83,12 @@ object SparkEntry {
   }
 
   /** P9 — anti-join (skip-if-exists semantics): customers with no
-    * orders, by nation (broadcast dim join). */
+    * *urgent* orders, by nation (broadcast dim join). */
   private def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    t.customer.join(t.orders.select(col("o_custkey").as("c_custkey")),
+    t.customer.join(
+        t.orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")),
         Seq("c_custkey"), "left_anti")
       .join(broadcast(t.nation),
         col("c_nationkey") === col("n_nationkey"))
@@ -366,6 +368,134 @@ object SparkEntry {
   }
 
   // -------------------------------------------------------------------
+  // LLM-data-pipeline queries (north-star ops; BASELINE.json).
+  // -------------------------------------------------------------------
+
+  /** Exact dedup groups over a corpus with planted duplicates. */
+  private def qExactDedup(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val base = t.documents.select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    Dedup.exactDuplicateGroups(base.union(planted), "text", "doc_id")
+      .orderBy(col("keeper_id"))
+  }
+
+  /** MinHash + LSH banding: candidate near-dup pairs (k=8, 4 bands). */
+  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val sig = Dedup.minhashSignature(t.documents, "text", "doc_id", k = 8)
+    val pairs = Dedup.candidatePairs(Dedup.lshBuckets(sig, "doc_id", 8, 4),
+      "doc_id")
+    pairs.agg(count(lit(1)).as("n_pairs"),
+      coalesce(sum(col("id1") + col("id2")), lit(0L)).as("pair_checksum"))
+  }
+
+  /** n-gram Jaccard verification over blocked candidate pairs. */
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val d1 = t.documents.select(col("lang"), col("doc_id").as("id1"))
+    val d2 = t.documents.select(col("lang"), col("doc_id").as("id2"))
+    val pairs = d1.join(d2, Seq("lang"))
+      .filter(col("id2") > col("id1") && col("id2") <= col("id1") + 3)
+      .select(col("id1"), col("id2"))
+    Dedup.ngramJaccard(t.documents, pairs, "text", "doc_id")
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** 32-bit SimHash per document. */
+  private def qSimhash(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Dedup.simhash(t.documents, "text", "doc_id").orderBy(col("doc_id"))
+  }
+
+  /** Brute-force cosine top-5 for 8 query vectors. */
+  private def qKnnCosine(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Similarity.bruteForceKnn(
+        t.embeddings.filter(col("vec_id") < 8), t.embeddings,
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN top-5 (8 hyperplane bits) for 8 query vectors. */
+  private def qLshAnn(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Similarity.lshKnn(t.embeddings, t.embeddings.filter(col("vec_id") < 8),
+        "vec_id", "embedding", nBits = 8, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Language-ID: stopword scores + guess vs labeled lang. */
+  private def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val scored = TextAnalysis.langScores(col("text")).foldLeft(
+      t.documents.select(col("doc_id"), col("lang").as("lang_true"),
+        col("text"))) {
+      case (df, (lang, c)) => df.withColumn(s"score_$lang", c)
+    }
+    scored.withColumn("lang_guess", TextAnalysis.langId(col("text")))
+      .drop("text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: signals + composite score per document. */
+  private def qQuality(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    TextAnalysis.qualityScore(t.documents.select(col("doc_id"), col("text")),
+        "text")
+      .drop("text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace + BPE-ish subword counts. */
+  private def qTokenCounts(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    TextAnalysis.tokenCounts(t.documents.select(col("doc_id"), col("text")),
+        "text")
+      .drop("text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting: whole-doc hash + winnowing count. */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val fp = TextAnalysis.winnowingFingerprints(t.documents, "text", "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("fingerprint")).as("n_winnow"))
+    t.documents
+      .select(col("doc_id"),
+        TextAnalysis.docFingerprint(col("text")).as("doc_fp"))
+      .join(fp, Seq("doc_id"), "left")
+      .withColumn("n_winnow", coalesce(col("n_winnow"), lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked by label. */
+  private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Similarity.cosineNearDupPairs(t.embeddings, "vec_id", "embedding",
+        "label", threshold = 0.2)
+      .orderBy(col("blk"), col("id1"), col("id2"))
+  }
+
+  /** Multimodal plumbing: binary payload + stubbed decode + frame
+    * sampling (MultiModal). */
+  private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val df = MultiModal.sampleFrames(
+      MultiModal.frameIndexStub(
+        MultiModal.decodeImageMetaStub(
+          MultiModal.attachPayload(
+            t.documents.select(col("doc_id"), col("text")), "text"))),
+      every = 5)
+    df.select(col("doc_id"), col("payload_len"), col("width"), col("height"),
+        col("channels"), col("n_frames"), col("n_sampled"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
 
@@ -393,14 +523,66 @@ object SparkEntry {
     "q21_complete_calendar" -> (qCompleteCalendar _),
     "q22_scrape_grid" -> (qScrapeGrid _),
     "q23_scrape_wide" -> (qScrapeWide _),
+    "q30_exact_dedup" -> (qExactDedup _),
+    "q31_minhash_lsh" -> (qMinhashLsh _),
+    "q32_ngram_jaccard" -> (qNgramJaccard _),
+    "q33_simhash" -> (qSimhash _),
+    "q34_knn_cosine" -> (qKnnCosine _),
+    "q35_lsh_ann" -> (qLshAnn _),
+    "q36_langid" -> (qLangId _),
+    "q37_quality" -> (qQuality _),
+    "q38_token_counts" -> (qTokenCounts _),
+    "q39_fingerprint" -> (qFingerprint _),
+    "q40_embedding_near_dup" -> (qEmbeddingNearDup _),
+    "q41_multimodal" -> (qMultimodal _),
   )
 
   // -------------------------------------------------------------------
   // DuckDB oracles — same table names, same aliases, same rounding.
+  // Portable-hash and tokenization fragments are generated from the same
+  // Scala constants the operators use, so the two sides cannot drift.
   // -------------------------------------------------------------------
 
   private val missingTokensSqlList: String =
     GF.MissingTokens.map(t => "'" + t + "'").mkString("[", ", ", "]")
+
+  /** DuckDB equivalent of GF.hash32. */
+  private def hash32Sql(x: String): String =
+    s"CAST(('0x' || substr(md5($x), 1, 8)) AS BIGINT)"
+
+  /** DuckDB equivalent of Dedup.normalizeText over `text`. */
+  private val normTextSql: String =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  /** DuckDB equivalent of GF.wsTokens. */
+  private def wsTokensSql(x: String): String =
+    s"list_filter(string_split_regex($x, '\\s+'), t -> len(t) > 0)"
+
+  /** DuckDB equivalent of Similarity.cosine (sequential fold order). */
+  private def cosineSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_aggregate(list_transform(generate_series(1, len($a)), i -> $x[i]::DOUBLE * $y[i]::DOUBLE), 'sum')"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  /** Shared shingle CTE (3-gram shingles of normalized text), DuckDB
+    * equivalent of Dedup.shingles(n=3). */
+  private val shinglesCteSql: String =
+    s"""docs_norm AS (SELECT doc_id, $normTextSql AS norm FROM documents),
+       |toks AS (SELECT doc_id, ${wsTokensSql("norm")} AS arr FROM docs_norm),
+       |sh AS (SELECT doc_id, unnest(CASE WHEN len(arr) >= 3
+       |  THEN list_distinct(list_transform(generate_series(1, len(arr) - 2),
+       |       i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+       |  ELSE [array_to_string(arr, ' ')] END) AS shingle FROM toks)""".stripMargin
+
+  /** DuckDB equivalent of Similarity.planeProjection for bit j. */
+  private def planeProjSql(j: Int): String =
+    s"list_aggregate(list_transform(generate_series(1, len(embedding)), " +
+      s"i -> embedding[i]::DOUBLE * (CASE WHEN ${hash32Sql(s"'${j}_' || CAST(i - 1 AS VARCHAR)")} % 2 = 0 " +
+      s"THEN 1.0 ELSE -1.0 END)), 'sum')"
+
+  private def sqlStringList(xs: Seq[String]): String =
+    xs.map(x => "'" + x + "'").mkString("[", ", ", "]")
 
   private val scrapeGridSql: String =
     s"""grid AS (
@@ -490,7 +672,8 @@ object SparkEntry {
     "q05_anti_join" ->
       """SELECT n_name, count(*) AS n_customers
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  AND o.o_orderpriority = '1-URGENT')
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q06_star_revenue" ->
@@ -695,5 +878,208 @@ object SparkEntry {
          |  max(CASE WHEN serie_id = 's5' THEN valor END) AS s5,
          |  max(CASE WHEN serie_id = 's6' THEN valor END) AS s6
          |FROM long_form GROUP BY indice_tiempo ORDER BY indice_tiempo""".stripMargin,
+
+    "q30_exact_dedup" ->
+      s"""WITH docs2 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |h AS (SELECT md5($normTextSql) AS digest, doc_id FROM docs2)
+         |SELECT digest, count(*) AS group_size, min(doc_id) AS keeper_id
+         |FROM h GROUP BY digest HAVING count(*) > 1 ORDER BY keeper_id""".stripMargin,
+
+    "q31_minhash_lsh" -> {
+      val k = 8; val bands = 4; val r = k / bands
+      val mins = (0 until k).map(i =>
+        s"min((h * ${2 * i + 1} + ${101 * i + 17}) % ${GF.MinhashPrime}) AS mh$i")
+        .mkString(", ")
+      val bandSelects = (0 until bands).map { b =>
+        val slice = (b * r until (b + 1) * r)
+          .map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, md5($slice) AS bucket FROM sig"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $shinglesCteSql,
+         |hashed AS (SELECT doc_id, ${hash32Sql("shingle")} AS h FROM sh),
+         |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
+         |buckets AS (
+         |$bandSelects),
+         |pairs AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+         |  FROM buckets l JOIN buckets r
+         |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+         |SELECT count(*) AS n_pairs,
+         |  coalesce(sum(id1 + id2), 0) AS pair_checksum FROM pairs""".stripMargin
+    },
+
+    "q32_ngram_jaccard" ->
+      s"""WITH $shinglesCteSql,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT d1.doc_id AS id1, d2.doc_id AS id2
+         |  FROM documents d1 JOIN documents d2 ON d1.lang = d2.lang
+         |  AND d2.doc_id > d1.doc_id AND d2.doc_id <= d1.doc_id + 3),
+         |inter AS (SELECT p.id1, p.id2, count(*) AS n_inter
+         |  FROM pairs p
+         |  JOIN sh a ON a.doc_id = p.id1
+         |  JOIN sh b ON b.doc_id = p.id2 AND a.shingle = b.shingle
+         |  GROUP BY p.id1, p.id2)
+         |SELECT p.id1, p.id2,
+         |  round(CAST(coalesce(n_inter, 0) AS DOUBLE) /
+         |    (s1.n_sh + s2.n_sh - coalesce(n_inter, 0)), 6) AS jaccard
+         |FROM pairs p
+         |LEFT JOIN inter ON inter.id1 = p.id1 AND inter.id2 = p.id2
+         |JOIN sizes s1 ON s1.doc_id = p.id1
+         |JOIN sizes s2 ON s2.doc_id = p.id2
+         |ORDER BY p.id1, p.id2""".stripMargin,
+
+    "q33_simhash" ->
+      s"""WITH docs_norm AS (SELECT doc_id, $normTextSql AS norm FROM documents),
+         |t AS (SELECT doc_id, unnest(${wsTokensSql("norm")}) AS tok FROM docs_norm),
+         |h AS (SELECT doc_id, ${hash32Sql("tok")} AS h FROM t),
+         |bits AS (SELECT doc_id, b.bit,
+         |    sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
+         |  GROUP BY doc_id, b.bit)
+         |SELECT doc_id,
+         |  sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q34_knn_cosine" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, cand_id, round(${cosineSql("qv", "cv")}, 6) AS sim
+         |  FROM c, q WHERE query_id <> cand_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, cand_id, sim, "rank" FROM ranked WHERE "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin,
+
+    "q35_lsh_ann" -> {
+      val projs = (0 until 8).map(j => s"${planeProjSql(j)} AS p$j")
+        .mkString(",\n  ")
+      val bucket = (0 until 8)
+        .map(j => s"(CASE WHEN p$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sig AS (SELECT vec_id,
+         |  $projs
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, $bucket AS bucket FROM sig),
+         |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, b.bucket
+         |  FROM embeddings e JOIN b ON e.vec_id = b.vec_id WHERE e.vec_id < 8),
+         |c AS (SELECT e.vec_id AS cand_id, e.embedding AS cv, b.bucket
+         |  FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+         |scored AS (
+         |  SELECT query_id, cand_id, round(${cosineSql("qv", "cv")}, 6) AS sim
+         |  FROM c JOIN q USING (bucket) WHERE query_id <> cand_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, cand_id, sim, "rank" FROM ranked WHERE "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin
+    },
+
+    "q36_langid" -> {
+      val langs = TextAnalysis.StopwordsByLang.sortBy(_._1)
+      val scoreCols = TextAnalysis.StopwordsByLang.map { case (l, words) =>
+        s"len(list_filter(toks, w -> list_contains(${sqlStringList(words)}, w))) AS score_$l"
+      }.mkString(",\n  ")
+      val mx = langs.map(l => s"score_${l._1}").mkString("greatest(", ", ", ")")
+      val guess = langs.map { case (l, _) =>
+        s"WHEN score_$l = $mx THEN '$l'"
+      }.mkString("\n    ")
+      s"""WITH t AS (SELECT doc_id, lang AS lang_true,
+         |    ${wsTokensSql("lower(text)")} AS toks FROM documents),
+         |sc AS (SELECT doc_id, lang_true,
+         |  $scoreCols
+         |  FROM t)
+         |SELECT doc_id, lang_true, score_en, score_es, score_fr, score_de, score_zh,
+         |  CASE WHEN $mx = 0 THEN 'und'
+         |    $guess
+         |  END AS lang_guess
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "q37_quality" -> {
+      val allStop = sqlStringList(
+        TextAnalysis.StopwordsByLang.flatMap(_._2).distinct)
+      s"""WITH t AS (SELECT doc_id, text, length(text)::DOUBLE AS n_chars,
+         |    ${wsTokensSql("text")} AS toks,
+         |    ${wsTokensSql("lower(text)")} AS ltoks
+         |  FROM documents),
+         |sig AS (SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  round(length(array_to_string(toks, ''))::DOUBLE /
+         |    nullif(len(toks), 0)::DOUBLE, 6) AS mean_token_len,
+         |  round((n_chars - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) /
+         |    nullif(n_chars, 0.0), 6) AS punct_ratio,
+         |  round((n_chars - length(regexp_replace(text, '[0-9]', '', 'g'))) /
+         |    nullif(n_chars, 0.0), 6) AS digit_ratio,
+         |  round((n_chars - length(regexp_replace(text, '[A-Z]', '', 'g'))) /
+         |    nullif(n_chars, 0.0), 6) AS upper_ratio,
+         |  round(len(list_filter(ltoks, w -> list_contains($allStop, w)))::DOUBLE /
+         |    nullif(len(toks), 0)::DOUBLE, 6) AS stopword_ratio
+         |  FROM t)
+         |SELECT doc_id, n_tokens, mean_token_len, punct_ratio, digit_ratio,
+         |  upper_ratio, stopword_ratio,
+         |  round(greatest(0.0, least(1.0,
+         |    0.4 * least(n_tokens::DOUBLE / 50.0, 1.0) +
+         |    0.4 * least(stopword_ratio * 5.0, 1.0) +
+         |    0.2 * (1.0 - least(punct_ratio * 4.0, 1.0)))), 6) AS quality_score
+         |FROM sig ORDER BY doc_id""".stripMargin
+    },
+
+    "q38_token_counts" ->
+      s"""SELECT doc_id,
+         |  len(${wsTokensSql("text")}) AS ws_tokens,
+         |  len(regexp_extract_all(text, '${GF.BpeTokenRegex}')) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q39_fingerprint" ->
+      s"""WITH docs_norm AS (SELECT doc_id, $normTextSql AS norm FROM documents),
+         |t AS (SELECT doc_id,
+         |    unnest(${wsTokensSql("norm")}) AS tok,
+         |    unnest(generate_series(1, len(${wsTokensSql("norm")}))) AS pos1
+         |  FROM docs_norm),
+         |sh AS (SELECT doc_id, pos1,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_toks,
+         |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+         |      || ' ' || lead(tok, 3) OVER w AS shingle
+         |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos1)),
+         |h AS (SELECT doc_id, pos1, n_toks, ${hash32Sql("shingle")} AS h
+         |  FROM sh WHERE pos1 - 1 <= n_toks - 4),
+         |win AS (SELECT doc_id, pos1, n_toks, min(h) OVER
+         |    (PARTITION BY doc_id ORDER BY pos1
+         |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+         |  FROM h),
+         |fps AS (SELECT DISTINCT doc_id, fingerprint FROM win
+         |  WHERE pos1 - 1 <= n_toks - 7),
+         |cnt AS (SELECT doc_id, count(*) AS n_winnow FROM fps GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(('0x' || substr(md5(md5(d.norm)), 1, 8)) AS BIGINT) AS doc_fp,
+         |  coalesce(cnt.n_winnow, 0) AS n_winnow
+         |FROM docs_norm d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q40_embedding_near_dup" ->
+      s"""WITH l AS (SELECT label AS blk, vec_id AS id1, embedding AS v1 FROM embeddings),
+         |r AS (SELECT label AS blk, vec_id AS id2, embedding AS v2 FROM embeddings),
+         |p AS (SELECT blk, id1, id2, round(${cosineSql("v1", "v2")}, 6) AS sim
+         |  FROM l JOIN r USING (blk) WHERE id1 < id2)
+         |SELECT blk, id1, id2, sim FROM p WHERE sim >= 0.2
+         |ORDER BY blk, id1, id2""".stripMargin,
+
+    "q41_multimodal" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |meta AS (SELECT doc_id,
+        |  CAST(octet_length(unhex(hx)) AS BIGINT) AS payload_len,
+        |  CAST(('0x' || substr(hx, 1, 4)) AS BIGINT) % 1024 + 16 AS width,
+        |  CAST(('0x' || substr(hx, 5, 4)) AS BIGINT) % 1024 + 16 AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(('0x' || substr(hx, 9, 4)) AS BIGINT) % 30 + 1 AS n_frames
+        |  FROM m)
+        |SELECT doc_id, payload_len, width, height, channels, n_frames,
+        |  len(list_filter(generate_series(0, n_frames - 1), f -> f % 5 = 0))
+        |    AS n_sampled
+        |FROM meta ORDER BY doc_id""".stripMargin,
   )
 }
