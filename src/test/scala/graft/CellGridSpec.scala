@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Frequency
+import graft.operators.TimeSeriesOps
+import graft.sources.CellGrid
+
+class CellGridSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A tiny workbook: quarterly time labels in A, two series in B/C,
+    * headers in row 1, one missing token, one trailing junk row. */
+  private def grid = Seq(
+    ("data", 1, 1, "indice_tiempo"), ("data", 1, 2, "serie_a"),
+    ("data", 1, 3, "serie_b"),
+    ("data", 2, 1, "2020-Q1"), ("data", 2, 2, "1.5"), ("data", 2, 3, "10"),
+    ("data", 3, 1, "2020-Q2"), ("data", 3, 2, "s.d."), ("data", 3, 3, "20"),
+    ("data", 4, 1, "2020-Q3"), ("data", 4, 2, "3.25"), ("data", 4, 3, "30"),
+    ("data", 5, 1, "notes:"), ("data", 5, 2, "x"),
+  ).toDF("sheet", "row", "col", "value")
+
+  private val series = Seq(
+    CellGrid.SeriesSpec("serie_a", "B1", "B2"),
+    CellGrid.SeriesSpec("serie_b", "C1", "C2"))
+
+  test("scrapeDistribution extracts aligned long form (S7/T1/J1)") {
+    val long = CellGrid.scrapeDistribution(grid, "data", "A1", "A2",
+      Frequency.Quarterly, series)
+    val rows = long.collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, Option(r.get(2))))
+      .toSet
+    assert(rows == Set(
+      ("serie_a", "2020-01-01", Some(1.5)),
+      ("serie_a", "2020-04-01", None), // missing token normalized
+      ("serie_a", "2020-07-01", Some(3.25)),
+      ("serie_b", "2020-01-01", Some(10.0)),
+      ("serie_b", "2020-04-01", Some(20.0)),
+      ("serie_b", "2020-07-01", Some(30.0))))
+    // the junk row 5 ("notes:" unparseable) must be trimmed out
+    assert(long.count() == 6)
+  }
+
+  test("composed time labels parse: quarter, semester, month, year") {
+    val labels = Seq("2020-Q4", "2021 s2", "2021-07", "2019", "2020-02-29",
+      "garbage").toDF("v")
+    val parsed = labels
+      .select(CellGrid.parseTimeLabel(col("v"), Frequency.Quarterly))
+      .collect().map(r => Option(r.get(0)).map(_.toString))
+    assert(parsed.toSeq == Seq(Some("2020-10-01"), Some("2021-07-01"),
+      Some("2021-07-01"), Some("2019-01-01"), Some("2020-02-29"), None))
+  }
+
+  test("tableBounds flags the trim warning (T2)") {
+    val b = CellGrid.tableBounds(grid, "data", "A2", Frequency.Quarterly)
+      .head()
+    assert(b.getAs[Int]("table_end") == 4)
+    assert(b.getAs[Int]("end") == 5) // junk row -> WARNING in the report
+  }
+
+  test("headerDrift catches coordinate drift (validate_distribution_scraping)") {
+    val drifted = series :+ CellGrid.SeriesSpec("serie_zz", "D1", "D2")
+    val bad = CellGrid.headerDrift(grid, "data", drifted).collect()
+    assert(bad.map(_.getString(0)).toSet == Set("serie_zz"))
+  }
+
+  test("alignWide pivots long form back to the reference CSV shape (J1)") {
+    val long = CellGrid.scrapeDistribution(grid, "data", "A1", "A2",
+      Frequency.Quarterly, series)
+    val wide = TimeSeriesOps.alignWide(long, series.map(_.serieId))
+    assert(wide.columns.toSeq == Seq("indice_tiempo", "serie_a", "serie_b"))
+    assert(wide.count() == 3)
+    val q2 = wide.filter(col("indice_tiempo") === lit("2020-04-01")).head()
+    assert(q2.isNullAt(1) && q2.getDouble(2) == 20.0)
+  }
+}

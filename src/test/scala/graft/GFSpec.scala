@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GF
+import graft.model.{Frequency, Method}
+
+class GFSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cell coordinate row/col parsing (F4)") {
+    val df = Seq("A8", "BA37", "zz100", "bogus", "8A").toDF("c")
+      .select(col("c"), GF.cellRow(col("c")).as("row"),
+        GF.cellColIndex(col("c")).as("colIdx"))
+    val rows = df.collect().map(r =>
+      r.getString(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(rows("A8") == (Some(8), Some(1)))
+    assert(rows("BA37") == (Some(37), Some(53)))
+    assert(rows("zz100") == (Some(100), Some(702)))
+    assert(rows("bogus") == (None, None))
+    assert(rows("8A") == (None, None))
+  }
+
+  test("frequency map (F5) and ADT arithmetic") {
+    val codes = Seq("R/P1Y", "R/P6M", "R/P3M", "R/P1M", "R/P1D", "R/P1W")
+      .toDF("iso").select(GF.freqCode(col("iso"))).collect().map(r =>
+        Option(r.getString(0)))
+    assert(codes.toSeq == Seq(Some("Y"), Some("S"), Some("Q"), Some("M"),
+      Some("D"), None))
+    assert(Frequency.Semester.months.contains(6))
+    assert(Frequency.Daily.months.isEmpty)
+    assert(Frequency.fromIso("R/P6M").contains(Frequency.Semester))
+    assert(Frequency.fromCode("Q").contains(Frequency.Quarterly))
+    assert(Method.all.map(_.name) ==
+      Seq("csv_file", "text_file", "excel_file"))
+  }
+
+  test("missing-token normalization (F6)") {
+    val vals = Seq("1.5", " 2.25 ", "s.d.", "///", "", " ", "x", "junk",
+      "-3e2", null)
+      .toDF("v").select(GF.normalizeValue(col("v"))).collect()
+      .map(r => Option(r.get(0)))
+    assert(vals.toSeq == Seq(Some(1.5), Some(2.25), None, None, None, None,
+      None, None, Some(-300.0), None))
+  }
+
+  test("extension/basename/strip (F1-F3)") {
+    val r = Seq(("a b c", "http://h/p/file.XLSX"))
+      .toDF("t", "u")
+      .select(GF.stripSpaces(col("t")), GF.fileExtension(col("u")),
+        GF.basename(col("u")))
+      .head()
+    assert(r.getString(0) == "abc")
+    assert(r.getString(1) == "xlsx")
+    assert(r.getString(2) == "file.XLSX")
+  }
+
+  test("downloadURL rewrite (F7) and path assembly (F8)") {
+    val r = Seq(("/out/catalog/c/f.csv", "/elsewhere/f.csv"))
+      .toDF("in", "out")
+      .select(
+        GF.rewriteDownloadUrl(col("in"), "/out", "https://h"),
+        GF.rewriteDownloadUrl(col("out"), "/out", "https://h"),
+        GF.distributionPath(lit("c"), lit("d"), lit("d.1"), lit(null)))
+      .head()
+    assert(r.getString(0) == "https://h/catalog/c/f.csv")
+    assert(r.getString(1) == "")
+    assert(r.getString(2) ==
+      "catalog/c/dataset/d/distribution/d.1/download/d.1.csv")
+  }
+
+  test("portable hash32 is stable") {
+    // pinned value: int(md5('abc')[0:8], 16) — reproducible by any md5
+    val h = Seq("abc").toDF("s").select(GF.hash32(col("s"))).head().getLong(0)
+    assert(h == 2416005272L)
+  }
+}

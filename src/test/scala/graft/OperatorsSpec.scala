@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Dedup / similarity / text-analysis / multimodal operator semantics on
+  * tiny in-memory frames. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog today"), // casing dup
+    (3L, "The quick brown fox jumps over the lazy cat today"), // near-dup
+    (4L, "completely different content about spark engines and data"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup is case/punctuation-insensitive, keeps min id") {
+    val groups = Dedup.exactDuplicateGroups(docs, "text", "doc_id").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("group_size") == 2)
+    assert(groups.head.getAs[Long]("keeper_id") == 1L)
+    val kept = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("minhash: identical docs share the full signature, near-dups collide") {
+    val sig = Dedup.minhashSignature(docs, "text", "doc_id", k = 8)
+    val bySig = sig.collect().map(r => r.getAs[Long]("doc_id") ->
+      (0 until 8).map(i => r.getAs[Long](s"mh$i"))).toMap
+    assert(bySig(1L) == bySig(2L))
+    assert(bySig(1L) != bySig(4L))
+    val pairs = Dedup.candidatePairs(
+      Dedup.lshBuckets(sig, "doc_id", 8, 4), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("ngram jaccard: identical=1, near-dup in (0,1), disjoint=0") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id1", "id2")
+    val j = Dedup.ngramJaccard(docs, pairs, "text", "doc_id")
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0 && j((1L, 3L)) < 1)
+    assert(j((1L, 4L)) == 0.0)
+  }
+
+  test("simhash: hamming distance small for near-dups, large for unrelated") {
+    val sh = Dedup.simhash(docs, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) == 0)
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
+  }
+
+  test("cosine knn: self-similar vector ranks first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val knn = Similarity.bruteForceKnn(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 2)
+      .collect()
+    assert(knn.head.getAs[Long]("cand_id") == 1L)
+    assert(knn.head.getAs[Double]("sim") > 0.99)
+    assert(knn.length == 2)
+  }
+
+  test("lsh signature buckets identical vectors together") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-1.0f, -2.0f, -3.0f)))
+      .toDF("vec_id", "embedding")
+    val sig = Similarity.lshSignature(vecs, "vec_id", "embedding", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(1L))
+    assert(sig(0L) != sig(2L)) // opposite vector flips every plane sign
+  }
+
+  test("langId guesses by stopwords with deterministic ties") {
+    val t = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "el perro y la casa de los gatos"),
+      (3L, "zzz qqq www")) // no stopwords -> und
+      .toDF("doc_id", "text")
+    val out = t.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("g")).as[(Long, String)]
+      .collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "und")
+  }
+
+  test("quality score rewards stopword-rich prose, penalizes noise") {
+    val t = Seq(
+      (1L, "the cat and the dog of a house in the garden is that nice"),
+      (2L, "@@@ ### $$$ %%% ^^^ &&& *** ((( )))"))
+      .toDF("doc_id", "text")
+    val q = TextAnalysis.qualityScore(t, "text")
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(q(1L) > q(2L))
+  }
+
+  test("winnowing fingerprints overlap for overlapping docs") {
+    val t = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o p"),
+      (3L, "q r s t u v w x y z aa bb cc dd ee ff"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowingFingerprints(t, "text", "doc_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(fp(1L) == fp(2L))
+    assert((fp(1L) & fp(3L)).isEmpty)
+    assert(fp(1L).nonEmpty)
+  }
+
+  test("multimodal stub plumbing: payload, metadata, frame sampling") {
+    val df = MultiModal.sampleFrames(
+      MultiModal.frameIndexStub(
+        MultiModal.decodeImageMetaStub(
+          MultiModal.attachPayload(docs.limit(1), "text"))), 5)
+    val r = df.head()
+    assert(r.getAs[Long]("payload_len") == 16L)
+    assert(r.getAs[Array[Byte]]("payload").length == 16)
+    val w = r.getAs[Long]("width")
+    assert(w >= 16 && w < 1040)
+    val nf = r.getAs[Long]("n_frames")
+    val ns = r.getAs[Long]("n_sampled")
+    assert(ns == (nf + 4) / 5)
+  }
+}

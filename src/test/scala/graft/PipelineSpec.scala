@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.sources.CatalogReader
+
+/** End-to-end: fixture catalog JSON → manifest → processors → validation
+  * → single-file CSV sinks → report + indicators (SURVEY §3). */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val workDir = Files.createTempDirectory("graft-pipeline")
+
+  /** Materialize the fixture catalog with a real local CSV for the
+    * direct-download distribution 2.1. */
+  private lazy val catalogPath: String = {
+    val csv = workDir.resolve("monthly_src.csv")
+    Files.writeString(csv,
+      """indice_tiempo,valor_x,valor_y
+        |2020-01-01,1.5,10
+        |2020-02-01,2.5,s.d.
+        |2020-03-01,3.5,30
+        |""".stripMargin)
+    val raw = new String(Files.readAllBytes(Paths.get(
+      getClass.getResource("/fixture_catalog.json").toURI)))
+    val path = workDir.resolve("catalog.json")
+    Files.writeString(path, raw.replace("__CSV_PATH__", csv.toString))
+    path.toString
+  }
+
+  private lazy val wb1Grid = Seq(
+    ("data", 1, 1, "indice_tiempo"), ("data", 1, 2, "serie_a"),
+    ("data", 1, 3, "serie_b"),
+    ("data", 2, 1, "2020-Q1"), ("data", 2, 2, "1.0"), ("data", 2, 3, "4.0"),
+    ("data", 3, 1, "2020-Q2"), ("data", 3, 2, "2.0"), ("data", 3, 3, "5.0"),
+  ).toDF("sheet", "row", "col", "value")
+
+  test("catalog views: explode, P1 filter, P5 classify, P7 strip") {
+    val cat = CatalogReader.readJson(spark, catalogPath, "fixcat")
+    assert(CatalogReader.datasets(cat).count() == 2)
+    val dists = CatalogReader.distributions(cat)
+    assert(dists.count() == 4)
+    val ts = CatalogReader.timeSeriesDistributions(dists)
+    assert(ts.select("distribution_id").as[String].collect().toSet ==
+      Set("1.1", "1.2", "2.1")) // 2.2 has no time_index -> filtered (P1)
+    val methods = CatalogReader.withMethod(ts)
+      .select("distribution_id", "method").as[(String, String)]
+      .collect().toMap
+    assert(methods == Map("1.1" -> "excel_file", "1.2" -> "excel_file",
+      "2.1" -> "csv_file"))
+    val stripped = CatalogReader.stripScrapingMetadata(ts)
+    assert(!stripped.columns.contains("scrapingFileURL"))
+    val fields = CatalogReader.fields(cat)
+    assert(fields.filter(col("distribution_id") === "1.1").count() == 3)
+  }
+
+  test("pipeline run: OK csv + OK scrape + ERROR isolation + indicators") {
+    val out = workDir.resolve("out").toString
+    val result = Pipeline.run(spark, catalogPath, "fixcat", out,
+      grids = Map("http://example.org/src/wb1.xlsx" -> wb1Grid))
+    val report = result.report.collect()
+      .map(r => r.getAs[String]("distributionId") ->
+        r.getAs[String]("distribution_status")).toMap
+    assert(report == Map("1.1" -> "OK", "2.1" -> "OK", "1.2" -> "ERROR"))
+
+    // fault isolation: 1.2's missing grid never failed the run; report
+    // carries the error message
+    val err = result.report
+      .filter(col("distributionId") === "1.2").head()
+    assert(err.getAs[String]("message").contains("no grid"))
+
+    // K1 sink: exact fileName contract, ordered rows, header present
+    val csv = Paths.get(out,
+      "catalog/fixcat/dataset/2/distribution/2.1/download/monthly.csv")
+    assert(Files.exists(csv))
+    val lines = Files.readAllLines(csv)
+    assert(lines.get(0) == "indice_tiempo,valor_x,valor_y")
+    assert(lines.get(1).startsWith("2020-01-01,1.5,10.0"))
+    assert(lines.get(2) == "2020-02-01,2.5,\"\"" ||
+      lines.get(2) == "2020-02-01,2.5,") // missing token -> empty cell
+
+    // scraped distribution landed with its derived file name
+    assert(Files.exists(Paths.get(out,
+      "catalog/fixcat/dataset/1/distribution/1.1/download/1.1.csv")))
+
+    val ind = result.indicators.head()
+    assert(ind.getAs[Long]("distributions") == 3)
+    assert(ind.getAs[Long]("distributions_ok") == 2)
+    assert(ind.getAs[Long]("distributions_error") == 1)
+    assert(ind.getAs[Double]("distributions_percentage") == 66.667)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+/** Streams a batch of the events table through the streaming operators
+  * via a memory sink (no real-time dependency). */
+class StreamingSpec extends SparkSpec {
+
+  test("windowed counts over a streamed batch match the batch plan") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val batch = Tables(spark, sf()).events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    batch.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(EventStream.eventSchema)
+      .parquet(dir)
+    val q = EventStream.windowedCounts(stream, "6 hours", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("windowed")
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // append mode only emits *closed* windows (watermark passed); the
+    // batch equivalent restricted to those windows must agree.
+    val streamed = spark.table("windowed")
+    val maxEmitted = streamed.agg(max(col("window_start"))).head().get(0)
+    assert(streamed.count() > 0)
+    val batchEquivalent = EventStream.windowedCounts(batch, "6 hours", "1 hour")
+    val bMap = batchEquivalent.collect()
+      .map(r => (r.get(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    streamed.collect().foreach { r =>
+      val key = (r.get(0), r.getString(1))
+      assert(bMap(key) == ((r.getLong(2), r.getDouble(3))),
+        s"window $key disagrees with batch")
+    }
+    assert(maxEmitted != null)
+  }
+
+  test("sessionize keeps per-user custom state across a streamed batch") {
+    val dir = Files.createTempDirectory("graft-stream2").toString
+    val input = Tables(spark, sf()).events
+      .filter(col("user_id") < 3)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    input.write.mode("overwrite").parquet(dir)
+    val expected = input.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("tot"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    val stream = spark.readStream
+      .schema(EventStream.eventSchema).parquet(dir)
+    val q = EventStream.sessionize(spark, stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sessions")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val sessions = spark.table("sessions").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))).toMap
+    assert(sessions.keySet == Set(0L, 1L, 2L))
+    sessions.foreach { case (u, (n, tot)) =>
+      assert(n == expected(u)._1)
+      assert(math.abs(tot - expected(u)._2) < 1e-6)
+    }
+  }
+}
