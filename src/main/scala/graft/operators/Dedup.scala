@@ -41,49 +41,80 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Word n-gram shingles of the normalized text as an array column.
-    * transform over an index sequence + slice: stays in codegen. */
-  def shingles(textCol: Column, n: Int): Column = {
-    val toks = GF.wsTokens(normalizeText(textCol))
+  /** Word n-gram shingle array from an ALREADY-MATERIALIZED token array
+    * column. Element-indexed construction — O(tokens) per row, no
+    * slice-copy. The token array must live in its own projection: a
+    * lambda body referencing a composite expression (tokenize+normalize)
+    * defeats Catalyst's subexpression elimination and re-runs the
+    * regexes per element — measured 25× slower. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
-      array_distinct(transform(
+      transform(
         sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
       .otherwise(array(concat_ws(" ", toks)))
+
+  /** Exploded (id, shingle) rows: tokenize in one projection, shingle +
+    * explode in the next. `repartitionTo` spreads the CPU-bound regex
+    * work — byte-based input splits undercount tokenization cost, so a
+    * single small parquet file would otherwise pin one core. */
+  def shingleRows(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, repartitionTo: Int = 0): DataFrame = {
+    val base0 = docs.select(col(idCol), col(textCol))
+    val parts =
+      if (repartitionTo > 0) repartitionTo
+      else docs.sparkSession.sparkContext.defaultParallelism
+    val base = if (base0.rdd.getNumPartitions < parts)
+      base0.repartition(parts) else base0
+    base
+      .select(col(idCol),
+        GF.wsTokens(normalizeText(col(textCol))).as("toks"))
+      .select(col(idCol), explode(shinglesFromTokens(col("toks"), n))
+        .as("shingle"))
   }
 
   /** MinHash signature: k min-hash values over the shingle set, as k
     * columns `mh0..mh{k-1}`. One explode + one groupBy (single shuffle
-    * keyed by doc id; partial min aggregation on the map side). */
+    * keyed by doc id; partial min aggregation on the map side). The
+    * portable hash is computed ONCE per shingle; the k universal hashes
+    * are cheap arithmetic over it. */
   def minhashSignature(docs: DataFrame, textCol: String, idCol: String,
       k: Int, shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(shingles(col(textCol), shingleN)).as("shingle"))
+    val sh = shingleRows(docs, textCol, idCol, shingleN)
+      .select(col(idCol), GF.hash32(col("shingle")).as("h"))
     val aggs = (0 until k).map(i =>
-      min(GF.universalHash(col("shingle"), i)).as(s"mh$i"))
+      min((col("h") * lit(2L * i + 1) + lit(101L * i + 17))
+        % lit(GF.MinhashPrime)).as(s"mh$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: (band, bucket) pairs per doc; docs sharing a bucket in
     * any band are near-dup candidates. bucket = md5 of the band's
-    * signature slice. */
+    * signature slice. Emitted with ONE posexplode over an array of band
+    * structs — a single pass over the signature, not one select (and one
+    * recomputation of the signature lineage) per band. */
   def lshBuckets(signature: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val r = k / bands
-    val bandRows = (0 until bands).map { b =>
+    val bandStructs = (0 until bands).map { b =>
       val sigSlice = concat_ws("_",
         (b * r until (b + 1) * r).map(i => col(s"mh$i").cast("string")): _*)
-      signature.select(col(idCol), lit(b).as("band"),
-        md5(sigSlice).as("bucket"))
+      struct(lit(b).as("band"), md5(sigSlice).as("bucket"))
     }
-    bandRows.reduce(_ union _)
+    signature.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
   }
 
   /** Candidate pairs (id1 < id2) from LSH buckets, deduplicated across
-    * bands. The self-join shuffles on (band, bucket) — tiny keys. */
+    * bands. The buckets frame is cached first: the self-join references
+    * it twice and its lineage (shingle explode + signature agg) is the
+    * expensive part — the S8 "parse once, reuse" pattern. The join
+    * itself shuffles only (band, bucket) keys. */
   def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
-    val l = buckets.select(col("band"), col("bucket"), col(idCol).as("id1"))
-    val r = buckets.select(col("band"), col("bucket"), col(idCol).as("id2"))
+    val b = buckets.cache()
+    val l = b.select(col("band"), col("bucket"), col(idCol).as("id1"))
+    val r = b.select(col("band"), col("bucket"), col(idCol).as("id2"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
@@ -94,13 +125,16 @@ object Dedup {
     * never materializes a cross product. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String,
       idCol: String, n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("_id"),
-      explode(shingles(col(textCol), n)).as("shingle"))
+    val sh = shingleRows(docs, textCol, idCol, n).distinct()
+      .withColumnRenamed(idCol, "_id").cache()
     val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("n_sh"))
+    // shingle equality goes INTO the join keys (id2, shingle) — an
+    // equi-join producing only intersecting rows, never the
+    // pairs × |sh1| × |sh2| blow-up a post-join filter would cost.
+    val sh2 = sh.select(col("_id").as("id2"), col("shingle"))
     val inter = pairs
-      .join(sh.withColumnRenamed("_id", "id1").withColumnRenamed("shingle", "s1"), Seq("id1"))
-      .join(sh.withColumnRenamed("_id", "id2").withColumnRenamed("shingle", "s2"), Seq("id2"))
-      .filter(col("s1") === col("s2"))
+      .join(sh.withColumnRenamed("_id", "id1"), Seq("id1"))
+      .join(sh2, Seq("id2", "shingle"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_inter"))
     pairs
       .join(inter, Seq("id1", "id2"), "left")

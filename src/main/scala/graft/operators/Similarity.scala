@@ -40,10 +40,17 @@ object Similarity {
     * engines and runs. `queries` must be small (it is broadcast). */
   def bruteForceKnn(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    // norms are precomputed per side so each vector is normalized once,
+    // not once per (query, candidate) pair; numerically identical to
+    // inline cosine (same fold, same division).
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim",
+        round(dot(col("qv"), col("cv")) /
+          nullif(col("qn") * col("cn"), lit(0.0)), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id"))
     scored
@@ -53,44 +60,65 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplane component for (bit j, dimension d):
-    * sign of the portable hash of "j_d". */
-  private def planeSign(j: Int, d: Column): Column =
-    when(GF.hash32(concat(lit(s"${j}_"), d.cast("string"))) % 2 === 0, lit(1.0))
-      .otherwise(lit(-1.0))
+    * sign of the portable hash of "j_d". Computed ONCE in Scala (same
+    * md5 an external oracle computes in SQL) — the hot path multiplies
+    * against a literal array instead of hashing 64 strings per row. */
+  private def planeSigns(j: Int, dims: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dims).map { d =>
+      val hex = md.digest(s"${j}_$d".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+  }
 
   /** Projection of a vector onto deterministic hyperplane j, as a
-    * *sequential* fold over dimensions (transform with index + aggregate)
-    * — no shuffle, and the FP summation order is pinned so external
-    * oracles reproduce the sign bit-for-bit. */
-  def planeProjection(vec: Column, j: Int): Column =
+    * *sequential* fold over dimensions (zip_with + aggregate) — no
+    * shuffle, and the FP summation order is pinned so external oracles
+    * reproduce the sign bit-for-bit. */
+  def planeProjection(vec: Column, j: Int, dims: Int = 64): Column =
     aggregate(
-      transform(vec.cast("array<double>"), (x, d) => x * planeSign(j, d)),
+      zip_with(vec.cast("array<double>"),
+        typedLit(planeSigns(j, dims)), (x, s) => x * s),
       lit(0.0), (acc, v) => acc + v)
 
   /** Random-hyperplane LSH signature: an integer bucket from `nBits` sign
     * bits of hyperplane projections. Pure per-row expression work —
     * zero shuffles, fully codegen'd. */
-  def lshSignature(vectors: DataFrame, idCol: String, vecCol: String,
-      nBits: Int): DataFrame = {
-    val bucketExpr = (0 until nBits).map(j =>
-      when(planeProjection(col(vecCol), j) > 0, lit(1L << j)).otherwise(0L))
+  /** The bucket integer from `nBits` hyperplane sign bits. */
+  def lshBucketExpr(vec: Column, nBits: Int, dims: Int = 64): Column =
+    (0 until nBits).map(j =>
+      when(planeProjection(vec, j, dims) > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
-    vectors.select(col(idCol), bucketExpr.as("bucket"))
-  }
+
+  def lshSignature(vectors: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, dims: Int = 64): DataFrame =
+    vectors.select(col(idCol),
+      lshBucketExpr(col(vecCol), nBits, dims).as("bucket"))
 
   /** ANN via LSH buckets: exact cosine top-k *within* each query's
     * bucket. Recall < 1 by construction; at scale, candidates shrink by
     * ~2^nBits so the join is cheap and shuffles only on the bucket key. */
   def lshKnn(vectors: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, nBits: Int, k: Int): DataFrame = {
-    val sig = lshSignature(vectors, idCol, vecCol, nBits)
-    val cand = vectors.join(sig, Seq(idCol))
-      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("bucket"))
-    val q = queries.join(sig, Seq(idCol))
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
+      vecCol: String, nBits: Int, k: Int, dims: Int = 64): DataFrame = {
+    // signature computed once and cached: both join sides reference it,
+    // and it is tiny (id, bucket) relative to its lineage.
+    val withSig = vectors
+      .withColumn("bucket", lshBucketExpr(col(vecCol), nBits, dims))
+      .select(col(idCol), col(vecCol), col("bucket"),
+        norm(col(vecCol)).as("nrm"))
+      .cache()
+    val cand = withSig.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      col("bucket"), col("nrm").as("cn"))
+    val q = queries.select(col(idCol))
+      .join(withSig, Seq(idCol))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col("bucket"), col("nrm").as("qn"))
     val scored = cand.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim",
+        round(dot(col("qv"), col("cv")) /
+          nullif(col("qn") * col("cn"), lit(0.0)), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -103,13 +131,17 @@ object Similarity {
     * bucket) so the self-join never goes quadratic. */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
-    val l = vectors.select(col(blockCol).as("blk"), col(idCol).as("id1"),
-      col(vecCol).as("v1"))
-    val r = vectors.select(col(blockCol).as("blk"), col(idCol).as("id2"),
-      col(vecCol).as("v2"))
+    val normed = vectors.select(col(blockCol).as("blk"), col(idCol),
+      col(vecCol), norm(col(vecCol)).as("nrm")).cache()
+    val l = normed.select(col("blk"), col(idCol).as("id1"),
+      col(vecCol).as("v1"), col("nrm").as("n1"))
+    val r = normed.select(col("blk"), col(idCol).as("id2"),
+      col(vecCol).as("v2"), col("nrm").as("n2"))
     l.join(r, Seq("blk"))
       .filter(col("id1") < col("id2"))
-      .withColumn("sim", round(cosine(col("v1"), col("v2")), 6))
+      .withColumn("sim",
+        round(dot(col("v1"), col("v2")) /
+          nullif(col("n1") * col("n2"), lit(0.0)), 6))
       .filter(col("sim") >= threshold)
       .select(col("blk"), col("id1"), col("id2"), col("sim"))
   }

@@ -60,15 +60,19 @@ object CellGrid {
       .select(col("row"), parseTimeLabel(col("value"), freq).as("indice_tiempo"))
       .filter(col("indice_tiempo").isNotNull)
 
-    val valueSlices = series.map { s =>
-      val c = colIdx(s.dataStartCell)
-      val start = rowIdx(s.dataStartCell)
-      grid.filter(col("sheet") === sheet && col("col") === c &&
-          col("row") >= start)
-        .select(col("row"), lit(s.serieId).as("serie_id"),
-          GF.normalizeValue(col("value")).as("valor"))
-    }
-    val values = valueSlices.reduce(_ union _)
+    // ONE pass over the grid for all series: the per-series coordinate
+    // windows become a broadcast spec joined on column index — not one
+    // grid scan per series.
+    val sparkSession = grid.sparkSession
+    import sparkSession.implicits._
+    val spec = series.map(sp =>
+      (sp.serieId, colIdx(sp.dataStartCell), rowIdx(sp.dataStartCell)))
+      .toDF("serie_id", "series_col", "series_start")
+    val values = grid.filter(col("sheet") === sheet)
+      .join(broadcast(spec), col("col") === col("series_col") &&
+        col("row") >= col("series_start"))
+      .select(col("row"), col("serie_id"),
+        GF.normalizeValue(col("value")).as("valor"))
 
     // Row-number equi-join aligns every series with the time index —
     // the J1 "concat on datetime index" of the reference. The time side

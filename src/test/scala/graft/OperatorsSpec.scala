@@ -74,7 +74,7 @@ class OperatorsSpec extends SparkSpec {
       (0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
       (2L, Array(-1.0f, -2.0f, -3.0f)))
       .toDF("vec_id", "embedding")
-    val sig = Similarity.lshSignature(vecs, "vec_id", "embedding", 8)
+    val sig = Similarity.lshSignature(vecs, "vec_id", "embedding", 8, dims = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sig(0L) == sig(1L))
     assert(sig(0L) != sig(2L)) // opposite vector flips every plane sign
