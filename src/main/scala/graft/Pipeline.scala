@@ -2,10 +2,11 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.GF
 import graft.model.Frequency
 import graft.operators.{Reports, TimeSeriesOps}
 import graft.sinks.SingleFileCsv
-import graft.sources.{CatalogReader, CellGrid}
+import graft.sources.{CatalogReader, CatalogXlsx, CellGrid, Ingest}
 
 import scala.util.{Failure, Success, Try}
 
@@ -43,7 +44,8 @@ object Pipeline {
     */
   def run(spark: SparkSession, catalogPath: String, catalogId: String,
       outputDir: String, host: String = "https://example.org",
-      grids: Map[String, DataFrame] = Map.empty): RunResult = {
+      grids: Map[String, DataFrame] = Map.empty,
+      stagingDir: Option[String] = None): RunResult = {
     import spark.implicits._
 
     val catalog = CatalogReader.readJson(spark, catalogPath, catalogId)
@@ -64,6 +66,29 @@ object Pipeline {
 
     val fieldRows = fields.collect()
 
+    // S1/S2 + D2: land each distinct scraping source once into staging,
+    // then parse each workbook once into a cached grid (the S8 cache).
+    val landedGrids: Map[String, DataFrame] = stagingDir match {
+      case None => Map.empty
+      case Some(staging) =>
+        val urls = manifest.toSeq
+          .filter(m => m.getAs[String]("method") == "excel_file")
+          .flatMap(m => Option(m.getAs[String]("scrapingFileURL")))
+          .distinct
+        val ingestManifest = urls
+          .map(u => (u, s"$staging/${u.split('/').last}"))
+          .toDF("url", "target")
+        val landed = if (urls.isEmpty) Map.empty[String, String]
+          else Ingest.fetchAll(spark, ingestManifest)
+            .filter(col("status").isin("OK", "SKIPPED"))
+            .select(col("url"), col("target")).as[(String, String)]
+            .collect().toMap
+        landed.map { case (url, path) =>
+          url -> CellGrid.cached(CatalogXlsx.toGrid(spark, path))
+        }
+    }
+    val allGrids = landedGrids ++ grids
+
     val results = manifest.toSeq.map { m =>
       val cid = m.getAs[String]("catalog_id")
       val did = m.getAs[String]("dataset_id")
@@ -76,8 +101,10 @@ object Pipeline {
         val wide = m.getAs[String]("method") match {
           case "csv_file" =>
             readDistributionCsv(spark, m.getAs[String]("downloadURL"))
-          case "excel_file" | "text_file" =>
-            scrapeFromGrid(spark, m, fieldRows, grids)
+          case "excel_file" =>
+            scrapeFromGrid(spark, m, fieldRows, allGrids)
+          case "text_file" =>
+            readDistributionTxtFromStaging(spark, m, stagingDir)
           case other =>
             throw new IllegalArgumentException(s"no processor for $other")
         }
@@ -109,6 +136,17 @@ object Pipeline {
       Reports.indicators(datasetReport, report))
   }
 
+  /** S6 — TXT distribution from the staging dir (landed by the ingest
+    * stage) or directly from a local scrapingFileURL. */
+  private def readDistributionTxtFromStaging(spark: SparkSession,
+      m: org.apache.spark.sql.Row, stagingDir: Option[String]): DataFrame = {
+    val url = m.getAs[String]("scrapingFileURL")
+    val path = stagingDir.map(s => s"$s/${url.split('/').last}")
+      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .getOrElse(url)
+    Ingest.readDistributionTxt(spark, path)
+  }
+
   /** S5 — direct-download CSV distribution: header CSV with an
     * `indice_tiempo` date column and double series columns. */
   def readDistributionCsv(spark: SparkSession, path: String): DataFrame = {
@@ -116,8 +154,7 @@ object Pipeline {
     val valueCols = raw.columns.filter(_ != "indice_tiempo")
     raw.select(
       to_date(col("indice_tiempo")).as("indice_tiempo") +:
-        valueCols.map(c =>
-          graft.functions.GF.normalizeValue(col(c)).as(c)): _*)
+        valueCols.map(c => GF.normalizeValue(col(c)).as(c)): _*)
   }
 
   /** S7 — scrape one distribution from its workbook's cell grid using

@@ -25,6 +25,18 @@ object Reports {
       tieBreaks: Seq[String] = Seq()): DataFrame =
     report.orderBy(statusRank(col(statusCol)) +: tieBreaks.map(col): _*)
 
+  /** F9/K5 — mail subject for a stage report (reference
+    * base.py:863-871): "[env] Stage: catalog - DD/MM/YYYY HH:mm", with
+    * the "[env]" prefix omitted when env contains "prod". The mail send
+    * itself is a driver-side side effect outside the data plane. */
+  def mailSubject(stage: String, catalogId: String, env: String,
+      now: java.time.LocalDateTime = java.time.LocalDateTime.now()): String = {
+    val ts = now.format(
+      java.time.format.DateTimeFormatter.ofPattern("dd/MM/yyyy HH:mm"))
+    val base = s"$stage: $catalogId - $ts"
+    if (env != null && env.contains("prod")) base else s"[$env] $base"
+  }
+
   /** A1 — status counts: total / per-status conditional counts. */
   def statusCounts(report: DataFrame, statusCol: String): DataFrame =
     report.agg(

@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.model.Frequency
+import graft.operators.CatalogValidator
+import graft.sinks.CatalogJson
+import graft.sources.{CatalogReader, CatalogXlsx, CellGrid, Ingest, XlsxLite}
+
+/** XLSX catalog plane (S4/K3), catalog JSON sink + strip (K2/P7),
+  * catalog validation + harvest (P4), ingest (S1/S2/D2/P9), TXT (S6). */
+class CatalogPlaneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val workDir = Files.createTempDirectory("graft-catalog")
+
+  test("XlsxLite round-trips a 5-sheet catalog workbook (S4/K3)") {
+    val path = workDir.resolve("cat.xlsx").toString
+    XlsxLite.write(path, Seq(
+      "catalog" -> Seq(
+        Seq("catalog_identifier", "catalog_title"),
+        Seq("c1", "Catalog & Title")),
+      "dataset" -> Seq(
+        Seq("dataset_identifier", "dataset_title", "dataset_accrualPeriodicity"),
+        Seq("1", "DS One", "R/P3M"), Seq("2", "DS <Two>", "eventual")),
+      "distribution" -> Seq(
+        Seq("distribution_identifier", "distribution_downloadURL"),
+        Seq("1.1", "http://x/a.csv")),
+      "field" -> Seq(
+        Seq("field_id", "field_title", "field_scrapingIdentifierCell"),
+        Seq("serie a", "titulo a", "B1")),
+      "theme" -> Seq(
+        Seq("theme_id", "theme_label"), Seq("econ", "Economy"))))
+
+    val views = CatalogXlsx.readViews(spark, path)
+    assert(views.catalog.columns.toSeq == Seq("identifier", "title"))
+    assert(views.catalog.head().getString(1) == "Catalog & Title")
+    assert(views.datasets.count() == 2)
+    // F1: whitespace stripped from field ids/titles on load
+    val f = views.fields.head()
+    assert(f.getAs[String]("id") == "seriea")
+    assert(f.getAs[String]("title") == "tituloa")
+
+    // K3 inverse writes and re-reads identically
+    val out = workDir.resolve("out.xlsx").toString
+    CatalogXlsx.writeViews(out, views)
+    val again = CatalogXlsx.readViews(spark, out)
+    assert(again.datasets.collect().map(_.toSeq).toSet ==
+      views.datasets.collect().map(_.toSeq).toSet)
+  }
+
+  test("XLSX workbook feeds the S7 scrape via the cell grid") {
+    val path = workDir.resolve("series.xlsx").toString
+    XlsxLite.write(path, Seq("hoja" -> Seq(
+      Seq("indice_tiempo", "ventas"),
+      Seq("2021-01-01", "10.5"),
+      Seq("2021-02-01", "s.d."),
+      Seq("2021-03-01", "30"))))
+    val grid = CatalogXlsx.toGrid(spark, path)
+    val long = CellGrid.scrapeDistribution(grid, "hoja", "A1", "A2",
+      Frequency.Monthly, Seq(CellGrid.SeriesSpec("ventas", "B1", "B2")))
+    val vals = long.orderBy("indice_tiempo").collect()
+      .map(r => Option(r.get(2)))
+    assert(vals.toSeq == Seq(Some(10.5), None, Some(30.0)))
+  }
+
+  test("catalog JSON sink strips scraping keys (K2/P7)") {
+    val raw = new String(Files.readAllBytes(Paths.get(
+      getClass.getResource("/fixture_catalog.json").toURI)))
+    val src = workDir.resolve("cat.json")
+    Files.writeString(src, raw.replace("__CSV_PATH__", "/tmp/x.csv"))
+    val catalog = CatalogReader.readJson(spark, src.toString, "fixcat")
+    val stripped = CatalogJson.stripScrapingKeys(
+      CatalogJson.withDownloadUrls(catalog.drop("catalog_id"),
+        Map("1.1" -> "https://h/rewritten.csv")))
+    val target = workDir.resolve("data.json").toString
+    CatalogJson.write(stripped, target)
+    val out = Files.readString(Paths.get(target))
+    assert(!out.contains("scrapingFileURL"))
+    assert(!out.contains("scrapingIdentifierCell"))
+    assert(out.contains("https://h/rewritten.csv"))
+    assert(out.contains("\"identifier\":\"fixcat\""))
+  }
+
+  test("catalog validation finds violations; harvest keeps valid (P4)") {
+    val json = """{"identifier":"c2","title":"t","description":"d",
+      |"publisher":{"name":"p"},"superThemeTaxonomy":"http://x",
+      |"dataset":[
+      | {"identifier":"1","title":"ok","description":"d",
+      |  "publisher":{"name":"p"},"superTheme":["A"],
+      |  "accrualPeriodicity":"R/P1M","issued":"2020-01-01",
+      |  "distribution":[{"identifier":"1.1","title":"t","issued":"2020",
+      |    "field":[{"id":"f1","title":"ft1"}]}]},
+      | {"identifier":"2","title":"bad","description":"d",
+      |  "publisher":{"name":"p"},"superTheme":["A"],
+      |  "accrualPeriodicity":"whenever","issued":"2020-01-01",
+      |  "distribution":[{"identifier":"2.1","title":"t","issued":"2020",
+      |    "field":[{"id":"f1","title":"ft2"}]}]}
+      |]}""".stripMargin.replace("\n", "")
+    val p = workDir.resolve("val.json")
+    Files.writeString(p, json)
+    val catalog = CatalogReader.readJson(spark, p.toString, "c2")
+    val v = CatalogValidator.violations(spark, catalog)
+    val rules = v.select("rule").as[String].collect().toSet
+    assert(rules.contains("invalid accrualPeriodicity"))
+    assert(rules.contains("duplicate field id in catalog"))
+    val harvest = CatalogValidator.harvestableDatasets(spark, catalog)
+      .select("dataset_id").as[String].collect().toSet
+    assert(harvest == Set("1"))
+  }
+
+  test("ingest fetches distinct URLs with skip-if-exists (S1/S2/D2/P9)") {
+    val src = workDir.resolve("payload.bin")
+    Files.write(src, Array.fill[Byte](64)(7))
+    val staging = workDir.resolve("staging")
+    val manifest = Seq(
+      (s"file://$src", s"$staging/a.bin"),
+      (s"file://$src", s"$staging/a.bin"), // duplicate -> D2 dedup
+      ("file:///nonexistent/nope.bin", s"$staging/b.bin"))
+      .toDF("url", "target")
+    val r1 = Ingest.fetchAll(spark, manifest, tries = 2, retryDelayMs = 10)
+      .collect().map(r => r.getAs[String]("target") ->
+        r.getAs[String]("status")).toMap
+    assert(r1(s"$staging/a.bin") == "OK")
+    assert(r1(s"$staging/b.bin") == "ERROR")
+    assert(Files.size(Paths.get(s"$staging/a.bin")) == 64)
+    // P9: second run skips the landed file
+    val r2 = Ingest.fetchAll(spark, manifest, tries = 1, retryDelayMs = 10)
+      .collect().map(r => r.getAs[String]("target") ->
+        r.getAs[String]("status")).toMap
+    assert(r2(s"$staging/a.bin") == "SKIPPED")
+  }
+
+  test("TXT distribution scan with delimiter (S6)") {
+    val txt = workDir.resolve("d.txt")
+    Files.writeString(txt,
+      "indice_tiempo;v1;v2\n2020-01-01;1,5;x\n2020-02-01;2;3\n"
+        .replace("1,5", "1.5"))
+    val df = Ingest.readDistributionTxt(spark, txt.toString, ";")
+    val rows = df.orderBy("indice_tiempo").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getDate(0).toString == "2020-01-01")
+    assert(rows(0).getDouble(1) == 1.5)
+    assert(rows(0).isNullAt(2)) // "x" is a missing token
+  }
+}
