@@ -367,6 +367,40 @@ object SparkEntry {
     headers.union(body)
   }
 
+  /** Window sessionization: lag + flag + running sum + per-session agg
+    * (TimeSeriesOps.sessionize; 30-minute gap). */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    TimeSeriesOps.sessionize(t.events, "user_id", "ts", "value",
+        gapMicros = 1800L * 1000000L)
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** Rollup aggregation (engine extension beyond the reference's flat
+    * groupBys): subtotals + grand total in one pass. */
+  private def qRollup(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.orders
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+  }
+
+  /** Sketch aggregation: HLL approx distinct next to the exact count.
+    * No SQL oracle — HLL implementations differ across engines; the
+    * driver records a rows-only check (per the contract). */
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // -------------------------------------------------------------------
   // LLM-data-pipeline queries (north-star ops; BASELINE.json).
   // -------------------------------------------------------------------
@@ -523,6 +557,9 @@ object SparkEntry {
     "q21_complete_calendar" -> (qCompleteCalendar _),
     "q22_scrape_grid" -> (qScrapeGrid _),
     "q23_scrape_wide" -> (qScrapeWide _),
+    "q24_sessionize" -> (qSessionize _),
+    "q25_rollup" -> (qRollup _),
+    "q26_approx_distinct" -> (qApproxDistinct _),
     "q30_exact_dedup" -> (qExactDedup _),
     "q31_minhash_lsh" -> (qMinhashLsh _),
     "q32_ngram_jaccard" -> (qNgramJaccard _),
@@ -878,6 +915,28 @@ object SparkEntry {
          |  max(CASE WHEN serie_id = 's5' THEN valor END) AS s5,
          |  max(CASE WHEN serie_id = 's6' THEN valor END) AS s6
          |FROM long_form GROUP BY indice_tiempo ORDER BY indice_tiempo""".stripMargin,
+
+    "q24_sessionize" ->
+      """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
+        |lagged AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |    AS prev_us FROM e),
+        |flagged AS (SELECT *, CASE WHEN prev_us IS NULL
+        |    OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM lagged),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS UNBOUNDED PRECEDING) AS session_idx FROM flagged)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value,
+        |  min(us) AS start_us, max(us) AS end_us
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q25_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
 
     "q30_exact_dedup" ->
       s"""WITH docs2 AS (

@@ -87,6 +87,30 @@ object TimeSeriesOps {
       .agg(first(col("valor")))
       .orderBy(col("indice_tiempo"))
 
+  /** Batch sessionization: assign events to sessions per key using a
+    * gap threshold — the classic lag + conditional-flag + running-sum
+    * window composition, then one aggregate per (key, session). Two
+    * stages over data partitioned by the same key: a single shuffle.
+    * (The incremental form is EventStream.sessionize.) */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, gapMicros: Long): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("us"))
+    val run = byKey.rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .withColumn("us", unix_micros(col(tsCol)))
+      .withColumn("prev_us", lag(col("us"), 1).over(byKey))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(run))
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 2).as("sum_value"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"))
+  }
+
   /** Complete-calendar view: left-join the observed series onto the full
     * calendar generated from min..max at the declared frequency —
     * `sequence()` does the generation inside codegen; missing periods

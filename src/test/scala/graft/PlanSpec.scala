@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits: the properties that make these queries scale —
+  * filter/column pushdown into parquet, broadcast joins for dims,
+  * whole-stage codegen — asserted so a regression fails the build, not
+  * a cluster. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushed filter:\n$p")
+    // only the needed columns are read
+    assert(p.contains("l_returnflag") && !p.contains("l_suppkey"),
+      s"column pruning failed:\n$p")
+  }
+
+  test("q06: star joins broadcast the dimension side") {
+    val p = plan("q06_star_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in star join:\n$p")
+  }
+
+  test("q04: semi join is a real LeftSemi") {
+    val p = plan("q04_semi_join")
+    assert(p.contains("LeftSemi"), s"semi join lost:\n$p")
+  }
+
+  test("q05: anti join pushes the priority filter into the orders scan") {
+    val p = plan("q05_anti_join")
+    assert(p.contains("LeftAnti"), s"anti join lost:\n$p")
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      s"priority filter not pushed:\n$p")
+  }
+
+  test("hot queries run inside whole-stage codegen") {
+    // the adaptive plan only shows codegen nodes once executed
+    for (q <- Seq("q01_pricing_summary", "q06_star_revenue", "q33_simhash",
+      "q37_quality")) {
+      val df = SparkEntry.queries(q)(spark, sf("sf0.001"))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // WholeStageCodegen stages render as "*(n) " markers
+      assert(p.contains("*("), s"$q fell out of codegen:\n$p")
+    }
+  }
+
+  test("q31 minhash plan has partial aggregation before the shuffle") {
+    val p = plan("q31_minhash_lsh")
+    // partial min on the map side: HashAggregate appears with
+    // partial_min before the exchange
+    assert(p.contains("partial_min") || p.contains("Partial"),
+      s"no partial aggregation:\n$p")
+  }
+}
