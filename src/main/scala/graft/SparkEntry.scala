@@ -464,11 +464,9 @@ object SparkEntry {
   /** Language-ID: stopword scores + guess vs labeled lang. */
   private def qLangId(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    val scored = TextAnalysis.langScores(col("text")).foldLeft(
+    val scored = TextAnalysis.withLangScores(
       t.documents.select(col("doc_id"), col("lang").as("lang_true"),
-        col("text"))) {
-      case (df, (lang, c)) => df.withColumn(s"score_$lang", c)
-    }
+        col("text")), "text")
     scored.withColumn("lang_guess", TextAnalysis.langId(col("text")))
       .drop("text")
       .orderBy(col("doc_id"))

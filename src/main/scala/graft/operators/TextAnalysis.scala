@@ -50,14 +50,30 @@ object TextAnalysis {
     }
   }
 
+  /** Adds one `score_<lang>` column per language, tokenizing once. */
+  def withLangScores(df: DataFrame, textCol: String): DataFrame = {
+    val scored = StopwordsByLang.foldLeft(
+      df.withColumn("__ltoks", GF.wsTokens(lower(col(textCol))))) {
+      case (acc, (lang, words)) =>
+        acc.withColumn(s"score_$lang",
+          tokenMatches(col("__ltoks"), words).cast("long"))
+    }
+    scored.drop("__ltoks")
+  }
+
   /** Quality signals: character/token counts, mean token length,
-    * punctuation / digit / stopword ratios, uppercase ratio. */
+    * punctuation / digit / stopword ratios, uppercase ratio.
+    * Token arrays are materialized once in their own projection —
+    * repeated tokenization per signal column would re-run the regexes
+    * (Catalyst does not CSE across lambda boundaries). */
   def qualitySignals(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = GF.wsTokens(t)
+    val toks = col("__toks")
     val nChars = length(t).cast("double")
     val allStop = StopwordsByLang.flatMap(_._2).distinct
-    df.withColumn("n_tokens", size(toks).cast("long"))
+    df.withColumn("__toks", GF.wsTokens(t))
+      .withColumn("__ltoks", GF.wsTokens(lower(t)))
+      .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("mean_token_len",
         round(length(concat_ws("", toks)).cast("double") /
           nullif(size(toks), lit(0)).cast("double"), 6))
@@ -71,9 +87,10 @@ object TextAnalysis {
         round((nChars - length(regexp_replace(t, "[A-Z]", ""))) /
           nullif(nChars, lit(0.0)), 6))
       .withColumn("stopword_ratio",
-        round(size(filter(GF.wsTokens(lower(t)),
+        round(size(filter(col("__ltoks"),
           w => w.isin(allStop.map(lit): _*))).cast("double") /
           nullif(size(toks), lit(0)).cast("double"), 6))
+      .drop("__toks", "__ltoks")
   }
 
   /** Composite quality score in [0,1]: rewards mid-length docs with a

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.GF
+import graft.model.Frequency
+
+/** Property tests (SURVEY §5 engine test plan): normalization,
+  * coordinate parsing and frequency arithmetic hold over generated
+  * inputs, evaluated through real Catalyst expressions. Uses raw
+  * ScalaCheck generators with fixed seeds (the scalatest bridge module
+  * is not on the offline classpath). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int, seed: Long = 42L): Seq[T] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private def evalNormalize(inputs: Seq[String]): Seq[Option[Double]] =
+    inputs.toDF("v").select(GF.normalizeValue(col("v")))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      .toSeq
+
+  test("every missing token normalizes to null, padded or not") {
+    val padded = for {
+      t <- Gen.oneOf(GF.MissingTokens)
+      l <- Gen.choose(0, 3); r <- Gen.choose(0, 3)
+    } yield (" " * l) + t + (" " * r)
+    val tokens = samples(padded, 100)
+    assert(tokens.size == 100)
+    assert(evalNormalize(tokens).forall(_.isEmpty))
+  }
+
+  test("numeric strings survive normalization with their value") {
+    val nums = Gen.chooseNum(-1e9, 1e9).map(v => math.rint(v * 100) / 100)
+    val vs = samples(nums, 100)
+    val got = evalNormalize(vs.map(_.toString))
+    assert(got == vs.map(Some(_)))
+  }
+
+  test("cell coordinates round-trip through parse (GF + native exprs)") {
+    val coords = for {
+      colIdx <- Gen.choose(1, 800)
+      row <- Gen.choose(1, 99999)
+    } yield (colIdx, row)
+    def letters(i: Int): String = {
+      var n = i; val sb = new StringBuilder
+      while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+      sb.toString
+    }
+    val cs = samples(coords, 200)
+    val strs = cs.map { case (c, r) => s"${letters(c)}$r" }
+    val viaGf = strs.toDF("c")
+      .select(GF.cellRow(col("c")), GF.cellColIndex(col("c")))
+      .collect().map(r => (r.getInt(1), r.getInt(0))).toSeq
+    assert(viaGf == cs)
+    // the native codegen expressions agree with the HOF composition
+    GraftExtensions.register(spark)
+    strs.toDF("c").createOrReplaceTempView("prop_coords")
+    val viaNative = spark.sql(
+      "SELECT graft_cell_col(c), graft_cell_row(c) FROM prop_coords")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(viaNative == cs)
+  }
+
+  test("frequency gap detection is exact on punctured regular series") {
+    val cases = for {
+      freq <- Gen.oneOf(Frequency.Annual, Frequency.Semester,
+        Frequency.Quarterly, Frequency.Monthly)
+      n <- Gen.choose(6, 30)
+      holes <- Gen.someOf(2 until n - 1)
+    } yield (freq, n, holes.toSet)
+    samples(cases, 25).foreach { case (freq, n, holes) =>
+      val base = java.time.LocalDate.of(2000, 1, 1)
+      val m = freq.months.get
+      val dates = (0 until n).filterNot(holes)
+        .map(i => java.sql.Date.valueOf(base.plusMonths(i.toLong * m)))
+      val df = dates.map(("s", _)).toDF("serie_id", "indice_tiempo")
+        .withColumn("valor", lit(1.0))
+      val gaps = operators.TimeSeriesOps.frequencyGaps(df, freq).count()
+      // adjacent surviving pairs with at least one hole between them
+      val kept = (0 until n).filterNot(holes)
+      val expected = kept.zip(kept.tail).count { case (a, b) => b - a > 1 }
+      assert(gaps == expected,
+        s"freq=$freq n=$n holes=$holes: got $gaps want $expected")
+    }
+  }
+}
