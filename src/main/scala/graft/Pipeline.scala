@@ -45,7 +45,8 @@ object Pipeline {
   def run(spark: SparkSession, catalogPath: String, catalogId: String,
       outputDir: String, host: String = "https://example.org",
       grids: Map[String, DataFrame] = Map.empty,
-      stagingDir: Option[String] = None): RunResult = {
+      stagingDir: Option[String] = None,
+      replace: Boolean = true): RunResult = {
     import spark.implicits._
 
     val catalog = CatalogReader.readJson(spark, catalogPath, catalogId)
@@ -97,7 +98,12 @@ object Pipeline {
         .getOrElse(s"$disId.csv")
       val outPath = s"$outputDir/catalog/$cid/dataset/$did/" +
         s"distribution/$disId/download/$fileName"
-      Try {
+      // P9 skip/replace gate (reference base.py:155-163): an existing
+      // output short-circuits the whole distribution unless --replace
+      if (!replace &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(outPath))) {
+        DistributionResult(cid, did, disId, "SKIPPED", "exists", outPath, 0L)
+      } else Try {
         val wide = m.getAs[String]("method") match {
           case "csv_file" =>
             readDistributionCsv(spark, m.getAs[String]("downloadURL"))

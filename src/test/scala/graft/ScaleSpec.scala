@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** Scale-path mechanics: salted aggregation equivalence and bucketed
+  * co-located joins (shuffle elimination visible in the plan). */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregate equals the direct aggregate on skewed data") {
+    // 90% of rows share one hot key
+    val df = (1 to 20000).map { i =>
+      (if (i % 10 == 0) s"key_${i % 7}" else "hot_key", i.toLong, i * 0.5)
+    }.toDF("k", "row_id", "v")
+    val direct = df.groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sum_value"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val salted = Skew.saltedSumCount(df, Seq("k"), "v", "row_id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, (n, s)) =>
+      assert(n == direct(k)._1)
+      assert(math.abs(s - direct(k)._2) < 1e-6)
+    }
+  }
+
+  test("bucketed tables join without an exchange on the bucket key") {
+    val series = (1 to 5000)
+      .map(i => (s"serie_${i % 50}", i, i * 1.0))
+      .toDF("serie_id", "seq", "valor")
+    series.write.mode("overwrite")
+      .bucketBy(8, "serie_id").sortBy("serie_id")
+      .saveAsTable("bucketed_series_a")
+    series.write.mode("overwrite")
+      .bucketBy(8, "serie_id")
+      .saveAsTable("bucketed_series_b")
+    val joined = spark.table("bucketed_series_a").groupBy($"serie_id")
+      .agg(sum($"valor").as("sa"))
+      .join(
+        spark.table("bucketed_series_b").groupBy($"serie_id")
+          .agg(sum($"valor").as("sb")),
+        Seq("serie_id"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // both aggregations and the join reuse the bucket layout: the plan
+    // has no shuffle Exchange (broadcast exchanges would be fine)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS bucketed_series_a")
+    spark.sql("DROP TABLE IF EXISTS bucketed_series_b")
+  }
+
+  test("pipeline skip/replace gate (P9) leaves existing outputs alone") {
+    val dir = Files.createTempDirectory("graft-p9")
+    val csv = dir.resolve("src.csv")
+    Files.writeString(csv,
+      "indice_tiempo,v\n2020-01-01,1\n2020-02-01,2\n")
+    val cat = dir.resolve("cat.json")
+    Files.writeString(cat,
+      s"""{"identifier":"p9","title":"t","description":"d",
+         |"publisher":{"name":"p"},"superThemeTaxonomy":"http://x",
+         |"dataset":[{"identifier":"1","title":"ds","description":"d",
+         |"publisher":{"name":"p"},"superTheme":["A"],
+         |"accrualPeriodicity":"R/P1M","issued":"2020-01-01",
+         |"distribution":[{"identifier":"1.1","title":"t",
+         |"issued":"2020-01-01","fileName":"out.csv",
+         |"downloadURL":"$csv","field":[
+         |{"title":"indice_tiempo","type":"date",
+         | "specialType":"time_index","specialTypeDetail":"R/P1M"},
+         |{"id":"v","title":"v","type":"number"}]}]}]}"""
+        .stripMargin.replace("\n", ""))
+    val out = dir.resolve("out").toString
+    val first = Pipeline.run(spark, cat.toString, "p9", out)
+    assert(first.report.head().getAs[String]("distribution_status") == "OK")
+    val target = java.nio.file.Paths.get(out,
+      "catalog/p9/dataset/1/distribution/1.1/download/out.csv")
+    val mtime = Files.getLastModifiedTime(target)
+    val second = Pipeline.run(spark, cat.toString, "p9", out,
+      replace = false)
+    assert(second.report.head()
+      .getAs[String]("distribution_status") == "SKIPPED")
+    assert(Files.getLastModifiedTime(target) == mtime)
+  }
+}
