@@ -512,6 +512,15 @@ object SparkEntry {
       .orderBy(col("blk"), col("id1"), col("id2"))
   }
 
+  /** IVF ANN: label-seeded coarse quantizer, search within the query's
+    * cell only (Similarity.ivfKnn). */
+  private def qIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Similarity.ivfKnn(t.embeddings, t.embeddings.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "label", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Multimodal plumbing: binary payload + stubbed decode + frame
     * sampling (MultiModal). */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -570,6 +579,7 @@ object SparkEntry {
     "q39_fingerprint" -> (qFingerprint _),
     "q40_embedding_near_dup" -> (qEmbeddingNearDup _),
     "q41_multimodal" -> (qMultimodal _),
+    "q42_ivf_ann" -> (qIvfAnn _),
   )
 
   // -------------------------------------------------------------------
@@ -1124,6 +1134,35 @@ object SparkEntry {
          |  FROM l JOIN r USING (blk) WHERE id1 < id2)
          |SELECT blk, id1, id2, sim FROM p WHERE sim >= 0.2
          |ORDER BY blk, id1, id2""".stripMargin,
+
+    "q42_ivf_ann" ->
+      s"""WITH dims AS (
+         |  SELECT label AS cell, unnest(embedding)::DOUBLE AS x,
+         |         unnest(generate_series(1, len(embedding))) AS d
+         |  FROM embeddings),
+         |cd AS (SELECT cell, d, round(avg(x), 4) AS c
+         |  FROM dims GROUP BY cell, d),
+         |cent AS (SELECT cell, list(c ORDER BY d) AS centroid
+         |  FROM cd GROUP BY cell),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    round(${cosineSql("e.embedding", "c.centroid")}, 6) AS csim
+         |  FROM embeddings e CROSS JOIN cent c),
+         |best AS (SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |  FROM assign),
+         |asg AS (SELECT vec_id, embedding, cell FROM best WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, cell
+         |  FROM asg WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv, cell FROM asg),
+         |scored AS (
+         |  SELECT query_id, cand_id, round(${cosineSql("qv", "cv")}, 6) AS sim
+         |  FROM c JOIN q USING (cell) WHERE query_id <> cand_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, cand_id, sim, "rank" FROM ranked WHERE "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin,
 
     "q41_multimodal" ->
       """WITH m AS (SELECT doc_id, md5(text) AS hx FROM documents),

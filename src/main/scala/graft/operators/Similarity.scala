@@ -126,6 +126,63 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
+    * its nearest centroid ("cell"); a query searches only its cell's
+    * posting list — the classic IVF-flat structure. At 100 TB the
+    * posting lists are the partition layout: probing one cell touches
+    * 1/nCells of the data and shuffles nothing (cell is the key).
+    *
+    * The quantizer here derives centroids from a seed column (e.g. a
+    * label or a previous clustering's assignment): centroid = per-cell
+    * dimension means rounded to 4 decimals. Rounding makes assignment
+    * reproducible across engines (an external oracle recomputes the
+    * exact same centroids) — a production deployment would load k-means
+    * centroids the same way.
+    */
+  def ivfKnn(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, k: Int, dims: Int = 64): DataFrame = {
+    // centroids: mean per (cell, dimension), rounded — tiny frame
+    val dimsExploded = vectors.select(col(cellCol).as("cell"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+    val centroids = dimsExploded.groupBy(col("cell"), col("d"))
+      .agg(round(avg(col("x")), 4).as("c"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
+      .select(col("cell"), transform(col("dc"), s => s.getField("c"))
+        .as("centroid"))
+      .cache()
+
+    // assignment: nearest centroid by cosine (deterministic tie-break on
+    // cell id); one broadcast join + per-row fold, no shuffle
+    def assigned(df: DataFrame, id: String, vec: String): DataFrame = {
+      val scored = df.select(col(id), col(vec))
+        .crossJoin(broadcast(centroids))
+        .withColumn("csim", round(cosine(col(vec), col("centroid")), 6))
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("csim").desc, col("cell"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col(id), col(vec), col("cell"))
+    }
+
+    val cand = assigned(vectors, idCol, vecCol)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("cell"),
+        norm(col(vecCol)).as("cn"))
+    val q = assigned(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"),
+        norm(col(vecCol)).as("qn"))
+    val scored = cand.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim",
+        round(dot(col("qv"), col("cv")) /
+          nullif(col("qn") * col("cn"), lit(0.0)), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
   /** Near-duplicate pairs by embedding cosine above a threshold, with the
     * candidate space restricted by a blocking key (e.g. label or LSH
     * bucket) so the self-join never goes quadratic. */
