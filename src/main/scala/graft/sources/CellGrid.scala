@@ -81,6 +81,63 @@ object CellGrid {
       .select(col("serie_id"), col("indice_tiempo"), col("valor"))
   }
 
+  /** Batch spec for [[scrapeAll]]: one row per series across ALL
+    * distributions/workbooks. */
+  final case class BatchSeriesSpec(distributionId: String, serieId: String,
+      sheet: String, dataStartCell: String,
+      timeDataStartCell: String, freqCode: String)
+
+  /** ONE-PASS scrape of every distribution of every workbook: the specs
+    * become a broadcast table joined against the combined grid — the
+    * shape that survives thousands of workbooks (the reference's
+    * per-file loop becomes two distributed joins over a single grid
+    * DataFrame keyed by sheet).
+    *
+    * Grid must carry globally-unique sheet names (prefix per workbook).
+    * Returns long form `(distribution_id, serie_id, indice_tiempo,
+    * valor)` for the whole batch.
+    */
+  def scrapeAll(grid: DataFrame, specs: Seq[BatchSeriesSpec]): DataFrame = {
+    val sparkSession = grid.sparkSession
+    import sparkSession.implicits._
+
+    // per-(distribution, sheet) time slice spec
+    val timeSpecs = specs
+      .map(s => (s.distributionId, s.sheet, colIdx(s.timeDataStartCell),
+        rowIdx(s.timeDataStartCell), s.freqCode))
+      .distinct
+      .toDF("distribution_id", "sheet", "time_col", "time_start", "freq")
+    val valueSpecs = specs
+      .map(s => (s.distributionId, s.serieId, s.sheet,
+        colIdx(s.dataStartCell), rowIdx(s.dataStartCell)))
+      .toDF("distribution_id", "serie_id", "sheet", "series_col",
+        "series_start")
+
+    // frequency only drives label parsing; parse leniently for all
+    // (parseTimeLabel already coalesces every supported label shape)
+    val timeSlices = grid
+      .join(broadcast(timeSpecs), grid("sheet") === timeSpecs("sheet") &&
+        col("col") === col("time_col") && col("row") >= col("time_start"))
+      .select(col("distribution_id"), timeSpecs("sheet").as("s"),
+        col("row"),
+        parseTimeLabel(col("value"), graft.model.Frequency.Monthly)
+          .as("indice_tiempo"))
+      .filter(col("indice_tiempo").isNotNull)
+
+    val valueSlices = grid
+      .join(broadcast(valueSpecs), grid("sheet") === valueSpecs("sheet") &&
+        col("col") === col("series_col") && col("row") >= col("series_start"))
+      .select(col("distribution_id").as("d2"), valueSpecs("sheet").as("s2"),
+        col("row").as("r2"), col("serie_id"),
+        GF.normalizeValue(col("value")).as("valor"))
+
+    timeSlices.join(valueSlices,
+        col("distribution_id") === col("d2") && col("s") === col("s2") &&
+          col("row") === col("r2"))
+      .select(col("distribution_id"), col("serie_id"),
+        col("indice_tiempo"), col("valor"))
+  }
+
   /** Header-drift guard (validate_distribution_scraping,
     * reference processors.py:147-148): the header cell content must match
     * the declared serie id/title. Returns violation rows. */

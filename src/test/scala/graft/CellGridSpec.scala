@@ -63,6 +63,31 @@ class CellGridSpec extends SparkSpec {
     assert(bad.map(_.getString(0)).toSet == Set("serie_zz"))
   }
 
+  test("scrapeAll extracts every distribution of a multi-workbook grid in one pass") {
+    // two workbooks, unique sheet keys, different shapes
+    val multi = Seq(
+      ("wb1!data", 1, 1, "indice_tiempo"), ("wb1!data", 1, 2, "a"),
+      ("wb1!data", 2, 1, "2020-Q1"), ("wb1!data", 2, 2, "1.5"),
+      ("wb1!data", 3, 1, "2020-Q2"), ("wb1!data", 3, 2, "2.5"),
+      ("wb2!hoja", 1, 3, "indice_tiempo"), ("wb2!hoja", 1, 4, "b"),
+      ("wb2!hoja", 2, 3, "2021-01"), ("wb2!hoja", 2, 4, "10"),
+      ("wb2!hoja", 3, 3, "2021-02"), ("wb2!hoja", 3, 4, "s.d."),
+    ).toDF("sheet", "row", "col", "value")
+    val specs = Seq(
+      CellGrid.BatchSeriesSpec("d1", "a", "wb1!data", "B2", "A2", "Q"),
+      CellGrid.BatchSeriesSpec("d2", "b", "wb2!hoja", "D2", "C2", "M"))
+    val out = CellGrid.scrapeAll(multi, specs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString,
+        Option(r.get(3))))
+      .toSet
+    assert(out == Set(
+      ("d1", "a", "2020-01-01", Some(1.5)),
+      ("d1", "a", "2020-04-01", Some(2.5)),
+      ("d2", "b", "2021-01-01", Some(10.0)),
+      ("d2", "b", "2021-02-01", None)))
+  }
+
   test("alignWide pivots long form back to the reference CSV shape (J1)") {
     val long = CellGrid.scrapeDistribution(grid, "data", "A1", "A2",
       Frequency.Quarterly, series)
