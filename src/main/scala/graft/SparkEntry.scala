@@ -864,7 +864,8 @@ object SparkEntry {
         |      AS prev_tiempo
         |  FROM holed)
         |SELECT serie_id, prev_tiempo, indice_tiempo,
-        |  date_diff('month', prev_tiempo, indice_tiempo) AS gap_periods
+        |  CAST(date_diff('month', prev_tiempo, indice_tiempo) AS INT)
+        |    AS gap_periods
         |FROM lagged
         |WHERE prev_tiempo IS NOT NULL
         |  AND date_diff('month', prev_tiempo, indice_tiempo) <> 1
@@ -931,8 +932,8 @@ object SparkEntry {
         |flagged AS (SELECT *, CASE WHEN prev_us IS NULL
         |    OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
         |  FROM lagged),
-        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
-        |    ROWS UNBOUNDED PRECEDING) AS session_idx FROM flagged)
+        |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM flagged)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value,
         |  min(us) AS start_us, max(us) AS end_us
@@ -974,7 +975,8 @@ object SparkEntry {
          |  FROM buckets l JOIN buckets r
          |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
          |SELECT count(*) AS n_pairs,
-         |  coalesce(sum(id1 + id2), 0) AS pair_checksum FROM pairs""".stripMargin
+         |  CAST(coalesce(sum(id1 + id2), 0) AS BIGINT) AS pair_checksum
+         |FROM pairs""".stripMargin
     },
 
     "q32_ngram_jaccard" ->
@@ -1006,7 +1008,8 @@ object SparkEntry {
          |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
          |  GROUP BY doc_id, b.bit)
          |SELECT doc_id,
-         |  sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+         |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+         |    AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q34_knn_cosine" ->
@@ -1018,7 +1021,8 @@ object SparkEntry {
          |ranked AS (SELECT *, row_number() OVER
          |    (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS "rank"
          |  FROM scored)
-         |SELECT query_id, cand_id, sim, "rank" FROM ranked WHERE "rank" <= 5
+         |SELECT query_id, cand_id, sim, CAST("rank" AS INT) AS "rank"
+         |FROM ranked WHERE "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
 
     "q35_lsh_ann" -> {
@@ -1041,7 +1045,8 @@ object SparkEntry {
          |ranked AS (SELECT *, row_number() OVER
          |    (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS "rank"
          |  FROM scored)
-         |SELECT query_id, cand_id, sim, "rank" FROM ranked WHERE "rank" <= 5
+         |SELECT query_id, cand_id, sim, CAST("rank" AS INT) AS "rank"
+         |FROM ranked WHERE "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin
     },
 
@@ -1161,7 +1166,8 @@ object SparkEntry {
          |ranked AS (SELECT *, row_number() OVER
          |    (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS "rank"
          |  FROM scored)
-         |SELECT query_id, cand_id, sim, "rank" FROM ranked WHERE "rank" <= 5
+         |SELECT query_id, cand_id, sim, CAST("rank" AS INT) AS "rank"
+         |FROM ranked WHERE "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
 
     "q41_multimodal" ->

@@ -58,6 +58,14 @@ def main() -> int:
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             failures += 1
             continue
+        kind_mismatch = [
+            (c, g[c].dtype, w[c].dtype) for c in g.columns
+            if g[c].dtype.kind != w[c].dtype.kind
+        ]
+        if kind_mismatch:
+            print(f"FAIL {name}: dtype-kind mismatch {kind_mismatch}")
+            failures += 1
+            continue
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False,
                                           check_exact=True)
