@@ -63,6 +63,49 @@ class FullFlowSpec extends SparkSpec {
     assert(Files.exists(dir.resolve("staging/fuente.xlsx")))
   }
 
+  test("xlsx-catalog ETL end-to-end (S4 -> S7 -> K1)") {
+    val dir = Files.createTempDirectory("graft-xcat")
+    val wb = dir.resolve("fuente2.xlsx").toString
+    XlsxLite.write(wb, Seq("datos" -> Seq(
+      Seq("indice_tiempo", "empleo"),
+      Seq("2022-01", "95.5"),
+      Seq("2022-02", "96"),
+      Seq("2022-03", "///"))))
+    val catXlsx = dir.resolve("catalog.xlsx").toString
+    XlsxLite.write(catXlsx, Seq(
+      "catalog" -> Seq(
+        Seq("catalog_identifier", "catalog_title"),
+        Seq("xcat", "XLSX catalog")),
+      "dataset" -> Seq(
+        Seq("dataset_identifier", "dataset_title", "dataset_accrualPeriodicity"),
+        Seq("3", "ds3", "R/P1M")),
+      "distribution" -> Seq(
+        Seq("distribution_dataset_identifier", "distribution_identifier",
+          "distribution_title", "distribution_scrapingFileURL",
+          "distribution_scrapingFileSheet", "distribution_fileName"),
+        Seq("3", "3.1", "mensual", s"file://$wb", "datos", "mensual.csv")),
+      "field" -> Seq(
+        Seq("field_distribution_identifier", "field_id", "field_title",
+          "field_specialType", "field_specialTypeDetail",
+          "field_scrapingIdentifierCell", "field_scrapingDataStartCell"),
+        Seq("3.1", null, "indice_tiempo", "time_index", "R/P1M", "A1", "A2"),
+        Seq("3.1", "empleo", "empleo", null, null, "B1", "B2")),
+      "theme" -> Seq(Seq("theme_id", "theme_label"))))
+
+    val out = dir.resolve("out").toString
+    val result = Pipeline.runXlsx(spark, catXlsx, "xcat", out,
+      stagingDir = Some(dir.resolve("staging").toString))
+    val row = result.report.head()
+    assert(row.getAs[String]("distribution_status") == "OK",
+      row.getAs[String]("message"))
+    val csv = Paths.get(out,
+      "catalog/xcat/dataset/3/distribution/3.1/download/mensual.csv")
+    val lines = Files.readAllLines(csv)
+    assert(lines.get(0) == "indice_tiempo,empleo")
+    assert(lines.get(1) == "2022-01-01,95.5")
+    assert(lines.get(3) == "2022-03-01,\"\"" || lines.get(3) == "2022-03-01,")
+  }
+
   test("mail subject formatting (F9)") {
     val now = java.time.LocalDateTime.of(2026, 8, 12, 9, 30)
     assert(Reports.mailSubject("Scraping", "sspm", "staging", now) ==
