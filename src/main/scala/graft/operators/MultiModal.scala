@@ -53,4 +53,42 @@ object MultiModal {
     df.withColumn("sampled_frames",
         filter(col("frame_ids"), f => f % every === 0))
       .withColumn("n_sampled", size(col("sampled_frames")).cast("long"))
+
+  /** Decoded-and-resized record emitted by the batched decode stage. */
+  final case class DecodedImage(doc_id: Long, width: Long, height: Long,
+      resized_w: Long, resized_h: Long, thumb_bytes: Long)
+
+  /** Batched decode + resize over partitions — the Scala analogue of a
+    * `mapInPandas` stage: rows stream per partition, are grouped into
+    * fixed-size batches, and each batch goes through ONE stubbed
+    * vectorized-codec call (real codecs amortize setup per batch, which
+    * is exactly why the batch shape matters at 100 TB). The decode body
+    * is a deterministic STUB (no codecs in this container); swapping in
+    * a real decoder changes only `decodeBatch`, not the plumbing.
+    *
+    * Input needs (doc_id, payload, width, height) — see
+    * [[decodeImageMetaStub]]. Resize clamps the long edge to `maxEdge`
+    * preserving aspect ratio.
+    */
+  def decodeResizeBatched(df: DataFrame, maxEdge: Long = 256,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // STUB of a vectorized codec call: one invocation per batch.
+    def decodeBatch(batch: Seq[(Long, Array[Byte], Long, Long)]): Seq[DecodedImage] =
+      batch.map { case (id, payload, w, h) =>
+        val scale = math.min(1.0, maxEdge.toDouble / math.max(w, h))
+        val rw = math.max(1L, math.round(w * scale))
+        val rh = math.max(1L, math.round(h * scale))
+        // fake thumbnail size derived from payload + target dims
+        DecodedImage(id, w, h, rw, rh, rw * rh * 3 + payload.length)
+      }
+
+    df.select(col("doc_id").cast("long"), col("payload"),
+        col("width").cast("long"), col("height").cast("long"))
+      .as[(Long, Array[Byte], Long, Long)]
+      .mapPartitions(_.grouped(batchSize).flatMap(g => decodeBatch(g.toSeq)))
+      .toDF()
+  }
 }

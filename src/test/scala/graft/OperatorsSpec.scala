@@ -118,6 +118,21 @@ class OperatorsSpec extends SparkSpec {
     assert(fp(1L).nonEmpty)
   }
 
+  test("batched decode/resize keeps aspect ratio and covers all rows") {
+    val meta = MultiModal.decodeImageMetaStub(
+      MultiModal.attachPayload(docs, "text"))
+    val out = MultiModal.decodeResizeBatched(meta, maxEdge = 100,
+      batchSize = 2).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
+      val (rw, rh) = (r.getAs[Long]("resized_w"), r.getAs[Long]("resized_h"))
+      assert(math.max(rw, rh) <= 100)
+      if (math.max(w, h) <= 100) assert(rw == w && rh == h)
+      assert(r.getAs[Long]("thumb_bytes") > 0)
+    }
+  }
+
   test("multimodal stub plumbing: payload, metadata, frame sampling") {
     val df = MultiModal.sampleFrames(
       MultiModal.frameIndexStub(
