@@ -512,6 +512,14 @@ object SparkEntry {
       .orderBy(col("blk"), col("id1"), col("id2"))
   }
 
+  /** Repetition quality signals: duplicate 3-gram ratio + top-word
+    * share (TextAnalysis.repetitionSignals). */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    TextAnalysis.repetitionSignals(t.documents, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** IVF ANN: label-seeded coarse quantizer, search within the query's
     * cell only (Similarity.ivfKnn). */
   private def qIvfAnn(s: SparkSession, dir: String): DataFrame = {
@@ -580,6 +588,7 @@ object SparkEntry {
     "q40_embedding_near_dup" -> (qEmbeddingNearDup _),
     "q41_multimodal" -> (qMultimodal _),
     "q42_ivf_ann" -> (qIvfAnn _),
+    "q43_repetition" -> (qRepetition _),
   )
 
   // -------------------------------------------------------------------
@@ -1169,6 +1178,34 @@ object SparkEntry {
          |SELECT query_id, cand_id, sim, CAST("rank" AS INT) AS "rank"
          |FROM ranked WHERE "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
+
+    "q43_repetition" ->
+      s"""WITH $shinglesCteSql,
+         |gram_raw AS (
+         |  SELECT toks.doc_id,
+         |    CASE WHEN len(arr) >= 3 THEN len(arr) - 2 ELSE 1 END AS n_grams
+         |  FROM toks),
+         |gram_distinct AS (
+         |  SELECT doc_id, count(DISTINCT shingle) AS n_distinct_grams
+         |  FROM sh GROUP BY doc_id),
+         |grams AS (
+         |  SELECT r.doc_id, r.n_grams, d.n_distinct_grams,
+         |    round(1.0 - CAST(d.n_distinct_grams AS DOUBLE) / r.n_grams, 6)
+         |      AS dup_gram_ratio
+         |  FROM gram_raw r JOIN gram_distinct d ON r.doc_id = d.doc_id),
+         |words AS (
+         |  SELECT doc_id, unnest(arr) AS tok FROM toks),
+         |wc AS (SELECT doc_id, tok, count(*) AS c FROM words
+         |  GROUP BY doc_id, tok),
+         |tw AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_count,
+         |    CAST(sum(c) AS BIGINT) AS n_words
+         |  FROM wc GROUP BY doc_id)
+         |SELECT g.doc_id, CAST(g.n_grams AS BIGINT) AS n_grams,
+         |  g.dup_gram_ratio, tw.top_word_count, tw.n_words,
+         |  round(CAST(tw.top_word_count AS DOUBLE) / tw.n_words, 6)
+         |    AS top_word_ratio
+         |FROM grams g JOIN tw ON g.doc_id = tw.doc_id
+         |ORDER BY g.doc_id""".stripMargin,
 
     "q41_multimodal" ->
       """WITH m AS (SELECT doc_id, md5(text) AS hx FROM documents),

@@ -105,6 +105,33 @@ object TextAnalysis {
             lit(0.2) * (lit(1.0) - least(col("punct_ratio") * 4.0, lit(1.0))))),
         6))
 
+  /** Repetition signals (Gopher-rule style): fraction of duplicated
+    * word 3-grams and the share of the single most frequent token —
+    * high values flag boilerplate / degenerate generations. One explode
+    * + two grouped aggregations keyed by doc: two narrow shuffles. */
+  def repetitionSignals(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val sh = Dedup.shingleRows(docs, textCol, idCol, 3)
+    val gramStats = sh.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("shingle")).as("n_distinct_grams"))
+      .withColumn("dup_gram_ratio",
+        round(lit(1.0) - col("n_distinct_grams").cast("double") /
+          col("n_grams"), 6))
+    val toks = docs.select(col(idCol),
+        GF.wsTokens(Dedup.normalizeText(col(textCol))).as("toks"))
+      .select(col(idCol), explode(col("toks")).as("tok"))
+    val topWord = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("top_word_count"), sum(col("c")).as("n_words"))
+      .withColumn("top_word_ratio",
+        round(col("top_word_count").cast("double") / col("n_words"), 6))
+    gramStats.join(topWord, Seq(idCol))
+      .select(col(idCol), col("n_grams"), col("dup_gram_ratio"),
+        col("top_word_count"), col("n_words"), col("top_word_ratio"))
+  }
+
   /** Token counts: whitespace tokens and BPE-ish subword segments
     * (letter runs / digit runs / single punctuation marks). */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame =
