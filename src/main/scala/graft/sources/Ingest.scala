@@ -59,9 +59,22 @@ object Ingest {
         } finally in.close()
         return FetchResult(url, target, "OK", "", Files.size(targetPath))
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an InterruptedException (task kill) or a
+        // JVM-fatal error must not be swallowed into an ERROR row —
+        // retrying/sleeping after those would delay task cancellation.
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          return FetchResult(url, target, "ERROR",
+            s"interrupted: ${e.toString.take(280)}", 0L)
+        case scala.util.control.NonFatal(e) =>
           lastError = e
-          if (attempt < tries) Thread.sleep(retryDelayMs)
+          if (attempt < tries)
+            try Thread.sleep(retryDelayMs)
+            catch { case ie: InterruptedException =>
+              Thread.currentThread().interrupt()
+              return FetchResult(url, target, "ERROR",
+                s"interrupted: ${ie.toString.take(280)}", 0L)
+            }
       }
     }
     FetchResult(url, target, "ERROR",

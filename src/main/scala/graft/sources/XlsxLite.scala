@@ -24,6 +24,19 @@ object XlsxLite {
 
   final case class Cell(sheet: String, row: Int, col: Int, value: String)
 
+  /** Hardened StAX factory shared by every part reader. Workbooks come
+    * from catalog-declared REMOTE urls, so the parser must not honor
+    * DTDs or external entities — XXE would let a malicious workbook
+    * read local files into cell values (which flow into published
+    * CSVs), SSRF, or blow up via entity expansion. */
+  private val xmlFactory: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
+      java.lang.Boolean.FALSE)
+    f
+  }
+
   // ---------------------------------------------------------------- read
 
   /** Read every sheet into cells (1-based row/col). Driver-side: catalog
@@ -48,22 +61,34 @@ object XlsxLite {
 
   def rowIndex(ref: String): Int = ref.dropWhile(_.isLetter).toInt
 
+  /** Shared-string table. Concatenates ALL `<t>` runs of each `<si>`
+    * (rich-text entries split one logical string across runs) while
+    * skipping phonetic `<rPh>` annotations, which are display hints,
+    * not cell content. */
   private def readSharedStrings(zip: ZipFile): IndexedSeq[String] = {
     val entry = zip.getEntry("xl/sharedStrings.xml")
     if (entry == null) return IndexedSeq.empty
-    val r = XMLInputFactory.newInstance()
-      .createXMLStreamReader(zip.getInputStream(entry))
+    val r = xmlFactory.createXMLStreamReader(zip.getInputStream(entry))
     val out = mutable.ArrayBuffer[String]()
     val sb = new StringBuilder
-    var inSi = false
+    var inT = false
+    var phDepth = 0
     while (r.hasNext) {
       r.next() match {
-        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" =>
-          inSi = true; sb.clear()
-        case XMLStreamConstants.CHARACTERS if inSi =>
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "si" => sb.clear()
+          case "rPh" => phDepth += 1
+          case "t" if phDepth == 0 => inT = true
+          case _ =>
+        }
+        case XMLStreamConstants.CHARACTERS if inT && phDepth == 0 =>
           sb.append(r.getText)
-        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
-          inSi = false; out += sb.toString
+        case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+          case "si" => out += sb.toString
+          case "rPh" => phDepth -= 1
+          case "t" => inT = false
+          case _ =>
+        }
         case _ =>
       }
     }
@@ -76,8 +101,7 @@ object XlsxLite {
       val entry = zip.getEntry("xl/_rels/workbook.xml.rels")
       if (entry == null) Map.empty
       else {
-        val r = XMLInputFactory.newInstance()
-          .createXMLStreamReader(zip.getInputStream(entry))
+        val r = xmlFactory.createXMLStreamReader(zip.getInputStream(entry))
         val m = mutable.Map[String, String]()
         while (r.hasNext) {
           if (r.next() == XMLStreamConstants.START_ELEMENT &&
@@ -94,8 +118,7 @@ object XlsxLite {
     }
     val wb = zip.getEntry("xl/workbook.xml")
     if (wb == null) return Seq.empty
-    val r = XMLInputFactory.newInstance()
-      .createXMLStreamReader(zip.getInputStream(wb))
+    val r = xmlFactory.createXMLStreamReader(zip.getInputStream(wb))
     val out = mutable.ArrayBuffer[(String, String)]()
     while (r.hasNext) {
       if (r.next() == XMLStreamConstants.START_ELEMENT &&
@@ -110,35 +133,55 @@ object XlsxLite {
     out.toSeq
   }
 
+  /** Worksheet cells. Emits on `</c>` so rich inline strings with
+    * several `<r><t>` runs keep ALL runs (phonetic `<rPh>` text is
+    * skipped); a malformed shared-string index degrades to an empty
+    * value instead of throwing. */
   private def readSheet(in: InputStream, sheet: String,
       shared: IndexedSeq[String]): Seq[Cell] = {
-    val r = XMLInputFactory.newInstance().createXMLStreamReader(in)
+    val r = xmlFactory.createXMLStreamReader(in)
     val out = mutable.ArrayBuffer[Cell]()
     var ref: String = null
     var cellType: String = null
     var inV = false
-    val sb = new StringBuilder
+    var inT = false
+    var phDepth = 0
+    var sawContent = false
+    val vb = new StringBuilder // <v> numeric / shared-index payload
+    val tb = new StringBuilder // concatenated <t> runs (inline strings)
     while (r.hasNext) {
       r.next() match {
-        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "c" =>
-          ref = r.getAttributeValue(null, "r")
-          cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
-        case XMLStreamConstants.START_ELEMENT
-          if r.getLocalName == "v" || r.getLocalName == "t" =>
-          inV = true; sb.clear()
-        case XMLStreamConstants.CHARACTERS if inV => sb.append(r.getText)
-        case XMLStreamConstants.END_ELEMENT
-          if r.getLocalName == "v" || r.getLocalName == "t" =>
-          inV = false
-          if (ref != null) {
-            val raw = sb.toString
-            val value = cellType match {
-              case "s" => shared.lift(raw.trim.toInt).getOrElse("")
-              case _   => raw
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "c" =>
+            ref = r.getAttributeValue(null, "r")
+            cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+            vb.clear(); tb.clear(); sawContent = false
+          case "v" => inV = true; sawContent = true
+          case "rPh" => phDepth += 1
+          case "t" if phDepth == 0 => inT = true; sawContent = true
+          case _ =>
+        }
+        case XMLStreamConstants.CHARACTERS =>
+          if (inV) vb.append(r.getText)
+          else if (inT && phDepth == 0) tb.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+          case "v" => inV = false
+          case "rPh" => phDepth -= 1
+          case "t" => inT = false
+          case "c" =>
+            if (ref != null && sawContent) {
+              val value = cellType match {
+                case "s" =>
+                  scala.util.Try(vb.toString.trim.toInt).toOption
+                    .flatMap(shared.lift).getOrElse("")
+                case "inlineStr" => tb.toString
+                case _ => if (vb.nonEmpty) vb.toString else tb.toString
+              }
+              out += Cell(sheet, rowIndex(ref), colIndex(ref), value)
             }
-            out += Cell(sheet, rowIndex(ref), colIndex(ref), value)
             ref = null
-          }
+          case _ =>
+        }
         case _ =>
       }
     }

@@ -53,10 +53,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q31 minhash plan has partial aggregation before the shuffle") {
-    val p = plan("q31_minhash_lsh")
-    // partial min on the map side: HashAggregate appears with
-    // partial_min before the exchange
+  test("minhash signature plan has partial aggregation before the shuffle") {
+    // q31's end-to-end plan now materializes the bucket frame through a
+    // lazy localCheckpoint (cache hygiene), which hides upstream lineage
+    // behind a LogicalRDD — so assert the map-side partial min on the
+    // signature frame itself, where the aggregation lives.
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val sig = graft.operators.Dedup.minhashSignature(docs, "text", "doc_id", 8)
+    val p = sig.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("partial_min") || p.contains("Partial"),
       s"no partial aggregation:\n$p")
   }
