@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GF
 import graft.model.Frequency
@@ -14,17 +15,24 @@ import scala.util.{Failure, Success, Try}
   *
   *   catalog (JSON S3 or 5-sheet XLSX S4) → TS manifest w/ method (P1/P5)
   *   → ingest stage (S1/S2, D2 dedup, S8 workbook-grid cache)
-  *   → per-distribution processing (S5 CSV / S6 TXT / S7 grid scrape)
-  *   → validation battery (§2.9, violations-as-data)
+  *   → BATCHED scrape of every excel distribution (S7 via
+  *     CellGrid.scrapeAll: all workbooks in one grid, two broadcast
+  *     joins) + per-item CSV/TXT reads (S5/S6)
+  *   → validation battery (§2.9: per-serie summary, frequency
+  *     conformance, header drift — each ONE job for the whole catalog)
   *   → ordered single-file CSV sink (K1)
   *   → status reports + indicators (A1-A3, O1)
   *
-  * Fault isolation (§2.10): each distribution is wrapped in Try; a
-  * failure becomes an ERROR report row with the exception repr, never a
-  * job abort — the reference's try/except per distribution, kept as
-  * data. Distribution-level parallelism is Spark-job-level here (each
-  * distribution's plan is independent); on a cluster, thousands of
-  * distributions pipeline through the scheduler concurrently.
+  * Fault isolation (§2.10): spec assembly and the final write of each
+  * distribution are wrapped in Try; a failure becomes an ERROR report
+  * row with the exception repr, never a job abort — the reference's
+  * try/except per distribution, kept as data.
+  *
+  * Scale shape: the driver loop of the reference (one python iteration
+  * per distribution, reference base.py:155-207) becomes O(1) Spark jobs
+  * for scrape + validation regardless of distribution count, plus one
+  * (tiny, checkpoint-backed) write job per output file — the only
+  * per-distribution cost left is the K1 exact-filename sink itself.
   */
 object Pipeline {
 
@@ -121,6 +129,20 @@ object Pipeline {
     process(spark, manifest, fields, outputDir, grids, stagingDir, replace)
   }
 
+  /** One excel distribution with its validated, parsed scrape spec. */
+  private final case class ExcelPrep(m: ManifestEntry, url: String,
+      sheet: String, freq: Frequency, timeDataStartCell: String,
+      series: Seq[CellGrid.SeriesSpec], headerCells: Seq[(String, String)])
+
+  private val CellRef = "^[A-Za-z]+[0-9]+$".r
+
+  private def requireCell(disId: String, what: String, cell: String): String =
+    cell match {
+      case CellRef() => cell
+      case other => throw new IllegalArgumentException(
+        s"$disId: bad $what cell '$other'")
+    }
+
   /** The shared processing core. */
   def process(spark: SparkSession, manifest: Seq[ManifestEntry],
       fields: Seq[FieldEntry], outputDir: String,
@@ -150,34 +172,202 @@ object Pipeline {
     }
     val allGrids = landedGrids ++ grids
 
-    val results = manifest.map { m =>
+    def outPathOf(m: ManifestEntry): String = {
       val fileName = m.fileName.getOrElse(s"${m.distributionId}.csv")
-      val outPath = s"$outputDir/catalog/${m.catalogId}/dataset/" +
+      s"$outputDir/catalog/${m.catalogId}/dataset/" +
         s"${m.datasetId}/distribution/${m.distributionId}/download/$fileName"
-      // P9 skip/replace gate (reference base.py:155-163): an existing
-      // output short-circuits the whole distribution unless --replace
-      if (!replace &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get(outPath))) {
-        DistributionResult(m.catalogId, m.datasetId, m.distributionId,
-          "SKIPPED", "exists", outPath, 0L)
-      } else Try {
+    }
+
+    // P9 skip/replace gate (reference base.py:155-163): an existing
+    // output short-circuits the whole distribution unless --replace
+    val (toSkip, active) = manifest.partition(m => !replace &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(outPathOf(m))))
+    val skippedResults = toSkip.map(m =>
+      DistributionResult(m.catalogId, m.datasetId, m.distributionId,
+        "SKIPPED", "exists", outPathOf(m), 0L))
+
+    val (excelItems, directItems) =
+      active.partition(_.method.contains("excel_file"))
+
+    // ---- spec assembly per excel distribution; failures isolate here
+    val preps: Seq[Either[DistributionResult, ExcelPrep]] =
+      excelItems.map { m =>
+        Try {
+          val url = m.scrapingFileURL.getOrElse(
+            throw new IllegalArgumentException(
+              s"${m.distributionId} has no scrapingFileURL"))
+          if (!allGrids.contains(url))
+            throw new IllegalArgumentException(s"no grid for $url")
+          val myFields = fields.filter(_.distributionId == m.distributionId)
+          val timeField = myFields
+            .find(_.specialType.contains("time_index"))
+            .getOrElse(throw new IllegalArgumentException(
+              s"${m.distributionId} has no time_index field"))
+          val freq = timeField.specialTypeDetail.flatMap(Frequency.fromIso)
+            .getOrElse(Frequency.Monthly)
+          val series = myFields.filter(_.specialType.isEmpty).map(f =>
+            CellGrid.SeriesSpec(f.fieldTitle.getOrElse(""),
+              f.identifierCell.getOrElse(""),
+              requireCell(m.distributionId, "dataStart",
+                f.dataStartCell.getOrElse(""))))
+          val headers = myFields
+            .flatMap(f => f.identifierCell.filter(CellRef.matches)
+              .map(c => (f.fieldTitle.getOrElse(""), c)))
+          ExcelPrep(m, url, m.scrapingFileSheet.getOrElse(""), freq,
+            requireCell(m.distributionId, "timeDataStart",
+              timeField.dataStartCell.getOrElse("")),
+            series, headers)
+        }.toEither.left.map(e =>
+          DistributionResult(m.catalogId, m.datasetId, m.distributionId,
+            "ERROR", e.toString.take(500), outPathOf(m), 0L))
+      }
+    val prepErrors = preps.collect { case Left(r) => r }
+    val okPreps = preps.collect { case Right(p) => p }
+
+    // ---- the batch core: ONE combined grid, ONE scrape, ONE job per
+    // validation family — none of it scales with distribution count
+    val excelResults: Seq[DistributionResult] =
+      if (okPreps.isEmpty) Seq.empty
+      else {
+        // globally-unique sheet key: url NUL sheet (NUL can't occur in
+        // either part)
+        def sheetKey(url: String, sheet: String) = url + "\u0000" + sheet
+        val combined = okPreps.map(_.url).distinct.sorted
+          .map(u => allGrids(u).select(
+            concat(lit(u), lit("\u0000"), col("sheet")).as("sheet"),
+            col("row"), col("col"), col("value")))
+          .reduce(_.unionByName(_))
+        val specs = okPreps.flatMap(p => p.series.map(sp =>
+          CellGrid.BatchSeriesSpec(p.m.distributionId, sp.serieId,
+            sheetKey(p.url, p.sheet), sp.dataStartCell,
+            p.timeDataStartCell, p.freq.code)))
+        // materialized once (lazily), reused by every job below and by
+        // every per-distribution write; GC-released after the run
+        val batchLong = CellGrid.scrapeAll(combined, specs)
+          .localCheckpoint(false)
+
+        // §2.9 per-serie battery — ONE job for the whole catalog
+        val summary = TimeSeriesOps.validationSummary(batchLong,
+            keys = Seq("distribution_id", "serie_id")).collect()
+          .map(r => (r.getAs[String]("distribution_id"),
+            r.getAs[String]("serie_id")) -> r).toMap
+
+        // T3 frequency conformance at each distribution's DECLARED
+        // frequency — one windowed pass, one job
+        val freqSpec = okPreps
+          .map(p => (p.m.distributionId, p.freq.months.getOrElse(0)))
+          .toDF("distribution_id", "freq_months")
+        val gapW = Window
+          .partitionBy(col("distribution_id"), col("serie_id"))
+          .orderBy(col("indice_tiempo"))
+        val gapCounts: Map[String, Long] = batchLong
+          .join(broadcast(freqSpec), Seq("distribution_id"))
+          .withColumn("prev", lag(col("indice_tiempo"), 1).over(gapW))
+          .withColumn("step", when(col("freq_months") > 0,
+            months_between(col("indice_tiempo"), col("prev")) /
+              col("freq_months"))
+            .otherwise(datediff(col("indice_tiempo"), col("prev"))
+              .cast("double")))
+          .filter(col("prev").isNotNull && col("step") =!= 1.0)
+          .groupBy(col("distribution_id"))
+          .agg(count(lit(1)).as("n_gaps"))
+          .collect()
+          .map(r => r.getAs[String]("distribution_id") ->
+            r.getAs[Long]("n_gaps")).toMap
+
+        // V2 header drift — ONE broadcast join for every header cell of
+        // every distribution (processors.py:147-148)
+        val driftSpecs = okPreps.flatMap(p => p.headerCells.map {
+          case (title, cell) =>
+            (p.m.distributionId, title, sheetKey(p.url, p.sheet), cell) })
+        val drifts: Map[String, Seq[String]] =
+          CellGrid.headerDriftAll(combined, driftSpecs).collect()
+            .groupBy(_.getAs[String]("distribution_id"))
+            .map { case (d, rows) => d -> rows.toSeq.map(r =>
+              s"${r.getAs[String]("serie_id")}<>" +
+                s"'${Option(r.getAs[String]("found")).getOrElse("")}'") }
+
+        // distinct periods per distribution = the wide row count
+        val periodCounts: Map[String, Long] = batchLong
+          .groupBy(col("distribution_id"))
+          .agg(countDistinct(col("indice_tiempo")).as("n")).collect()
+          .map(r => r.getAs[String]("distribution_id") ->
+            r.getAs[Long]("n")).toMap
+
+        okPreps.map { p =>
+          val d = p.m.distributionId
+          val outPath = outPathOf(p.m)
+          Try {
+            val n = periodCounts.getOrElse(d, 0L)
+            if (n == 0) throw new IllegalStateException(
+              s"$d: empty distribution")
+            val errors = Seq.newBuilder[String]
+            val warnings = Seq.newBuilder[String]
+            p.series.foreach { sp =>
+              summary.get((d, sp.serieId)) match {
+                case None => errors += s"${sp.serieId}: no data scraped"
+                case Some(r) =>
+                  if (!r.getAs[Boolean]("is_distinct") ||
+                    !r.getAs[Boolean]("is_monotonic"))
+                    errors += s"${sp.serieId}: duplicate or " +
+                      "non-monotonic time index"
+                  // missing ratio vs the distribution's period count
+                  // (absent cells produce no long rows at all)
+                  val miss = 1.0 - r.getAs[Long]("n_values").toDouble / n
+                  if (miss > 0.5)
+                    errors += f"${sp.serieId}: missing ratio $miss%.3f > 0.5"
+              }
+            }
+            gapCounts.get(d).foreach(g =>
+              warnings += s"$g frequency gap(s) vs ${p.freq.iso}")
+            drifts.get(d).foreach(ds =>
+              warnings += s"header drift: ${ds.mkString(", ")}")
+            val errs = errors.result()
+            if (errs.nonEmpty)
+              DistributionResult(p.m.catalogId, p.m.datasetId, d,
+                "ERROR", errs.mkString("; ").take(500), outPath, 0L)
+            else {
+              val slice = batchLong
+                .filter(col("distribution_id") === d)
+                .select(col("serie_id"), col("indice_tiempo"), col("valor"))
+              val wide = TimeSeriesOps.alignWide(slice,
+                p.series.map(_.serieId), ordered = false)
+              SingleFileCsv.write(wide, outPath,
+                sortBy = Seq("indice_tiempo"))
+              val warns = warnings.result()
+              DistributionResult(p.m.catalogId, p.m.datasetId, d,
+                if (warns.nonEmpty) "WARNING" else "OK",
+                warns.mkString("; ").take(500), outPath, n)
+            }
+          } match {
+            case Success(r) => r
+            case Failure(e) =>
+              DistributionResult(p.m.catalogId, p.m.datasetId, d,
+                "ERROR", e.toString.take(500), outPath, 0L)
+          }
+        }
+      }
+
+    // ---- per-item path for direct CSV / TXT distributions
+    val directResults = directItems.map { m =>
+      val outPath = outPathOf(m)
+      Try {
         val wide = m.method match {
           case Some("csv_file") =>
             readDistributionCsv(spark, m.downloadURL.get)
-          case Some("excel_file") =>
-            scrapeFromGrid(spark, m, fields, allGrids)
           case Some("text_file") =>
             readDistributionTxtFromStaging(spark, m, stagingDir)
           case other =>
             throw new IllegalArgumentException(s"no processor for $other")
         }
-        val ordered = wide.orderBy(col("indice_tiempo"))
-        val n = ordered.count()
-        if (n == 0) throw new IllegalStateException("empty distribution")
-        validate(spark, ordered, m.distributionId)
-        SingleFileCsv.write(ordered, outPath)
+        val freq = fields.filter(_.distributionId == m.distributionId)
+          .find(_.specialType.contains("time_index"))
+          .flatMap(_.specialTypeDetail).flatMap(Frequency.fromIso)
+        val (n, warnings) = validateWide(wide, m.distributionId, freq)
+        SingleFileCsv.write(wide, outPath, sortBy = Seq("indice_tiempo"))
         DistributionResult(m.catalogId, m.datasetId, m.distributionId,
-          "OK", "", outPath, n)
+          if (warnings.nonEmpty) "WARNING" else "OK",
+          warnings.mkString("; ").take(500), outPath, n)
       } match {
         case Success(r) => r
         case Failure(e) =>
@@ -185,6 +375,9 @@ object Pipeline {
             "ERROR", e.toString.take(500), outPath, 0L)
       }
     }
+
+    val results =
+      skippedResults ++ prepErrors ++ excelResults ++ directResults
 
     val report = results.toDF()
       .withColumnRenamed("status", "distribution_status")
@@ -221,47 +414,55 @@ object Pipeline {
         valueCols.map(c => GF.normalizeValue(col(c)).as(c)): _*)
   }
 
-  /** S7 — scrape one distribution from its workbook's cell grid using
-    * the field metadata coordinates, then align wide (J1). */
-  private def scrapeFromGrid(spark: SparkSession, m: ManifestEntry,
-      fields: Seq[FieldEntry], grids: Map[String, DataFrame]): DataFrame = {
-    val url = m.scrapingFileURL.getOrElse(
-      throw new IllegalArgumentException(
-        s"${m.distributionId} has no scrapingFileURL"))
-    val sheet = m.scrapingFileSheet.getOrElse("")
-    val grid = grids.getOrElse(url,
-      throw new IllegalArgumentException(s"no grid for $url"))
-    val myFields = fields.filter(_.distributionId == m.distributionId)
-    val timeField = myFields
-      .find(_.specialType.contains("time_index"))
-      .getOrElse(throw new IllegalArgumentException(
-        s"${m.distributionId} has no time_index field"))
-    val freq = timeField.specialTypeDetail
-      .flatMap(Frequency.fromIso).getOrElse(Frequency.Monthly)
-    val series = myFields
-      .filter(_.specialType.isEmpty)
-      .map(f => CellGrid.SeriesSpec(
-        f.fieldTitle.getOrElse(""),
-        f.identifierCell.getOrElse(""),
-        f.dataStartCell.getOrElse("")))
-    val long = CellGrid.scrapeDistribution(grid, sheet,
-      timeField.identifierCell.getOrElse(""),
-      timeField.dataStartCell.getOrElse(""), freq, series)
-    TimeSeriesOps.alignWide(long, series.map(_.serieId))
-  }
-
-  /** §2.9 — validation battery over the wide frame; throws (caught by
-    * the per-distribution Try) on a hard violation. */
-  private def validate(spark: SparkSession, wide: DataFrame,
-      disId: String): Unit = {
-    val agg = wide.agg(
+  /** §2.9 — the validation battery for a WIDE frame (direct CSV/TXT
+    * path), in ONE aggregation job: row counts, null/duplicate time
+    * index, per-column missing ratio, and frequency conformance at the
+    * declared frequency. Hard violations throw (caught by the per-item
+    * Try → ERROR row); soft ones return as WARNING messages — the
+    * reference's warning/error split (base.py:165-207). */
+  private def validateWide(wide: DataFrame, disId: String,
+      freq: Option[Frequency]): (Long, Seq[String]) = {
+    val valueCols = wide.columns.filter(_ != "indice_tiempo").toSeq
+    // one distribution = one small frame; the single-partition window
+    // is the per-item path only (the excel batch path windows by key)
+    val w = Window.orderBy(col("indice_tiempo"))
+    val step: Column = freq.flatMap(_.months) match {
+      case Some(mo) =>
+        months_between(col("indice_tiempo"), col("prev")) / mo
+      case None =>
+        datediff(col("indice_tiempo"), col("prev")).cast("double")
+    }
+    val gapAgg =
+      if (freq.isDefined)
+        sum(when(col("prev").isNotNull && step =!= 1.0, 1L).otherwise(0L))
+          .as("n_gaps")
+      else lit(0L).as("n_gaps")
+    val aggCols = Seq(
       count(lit(1)).as("n"),
       countDistinct(col("indice_tiempo")).as("n_distinct"),
-      count(when(col("indice_tiempo").isNull, 1)).as("n_null_time"))
-      .head()
-    if (agg.getAs[Long]("n_null_time") > 0)
+      count(when(col("indice_tiempo").isNull, 1)).as("n_null_time"),
+      gapAgg) ++
+      valueCols.zipWithIndex.map { case (c, i) =>
+        count(col(c)).as(s"nv_$i") }
+    val row = wide
+      .withColumn("prev", lag(col("indice_tiempo"), 1).over(w))
+      .agg(aggCols.head, aggCols.tail: _*).head()
+    val n = row.getAs[Long]("n")
+    if (n == 0)
+      throw new IllegalStateException(s"$disId: empty distribution")
+    if (row.getAs[Long]("n_null_time") > 0)
       throw new IllegalStateException(s"$disId: null time index")
-    if (agg.getAs[Long]("n_distinct") != agg.getAs[Long]("n"))
+    if (row.getAs[Long]("n_distinct") != n)
       throw new IllegalStateException(s"$disId: duplicate time index")
+    valueCols.zipWithIndex.foreach { case (c, i) =>
+      val miss = 1.0 - row.getAs[Long](s"nv_$i").toDouble / n
+      if (miss > 0.5) throw new IllegalStateException(
+        f"$disId: $c missing ratio $miss%.3f > 0.5")
+    }
+    val warnings = Seq.newBuilder[String]
+    val gaps = row.getAs[Long]("n_gaps")
+    if (gaps > 0)
+      warnings += s"$gaps frequency gap(s) vs ${freq.map(_.iso).getOrElse("")}"
+    (n, warnings.result())
   }
 }

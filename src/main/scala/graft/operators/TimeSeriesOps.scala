@@ -81,11 +81,15 @@ object TimeSeriesOps {
     * -> wide frame, one column per serie (the reference's pd.concat
     * axis=1 outer-join, processors.py:139-140). `values` pins the pivot
     * columns so the plan needs no extra distinct-collect job. */
-  def alignWide(series: DataFrame, serieIds: Seq[String]): DataFrame =
-    series.groupBy(col("indice_tiempo"))
+  def alignWide(series: DataFrame, serieIds: Seq[String],
+      ordered: Boolean = true): DataFrame = {
+    val wide = series.groupBy(col("indice_tiempo"))
       .pivot("serie_id", serieIds)
       .agg(first(col("valor")))
-      .orderBy(col("indice_tiempo"))
+    // `ordered = false` lets single-file sinks sort within the coalesced
+    // partition instead of paying a range-sampling job + shuffle
+    if (ordered) wide.orderBy(col("indice_tiempo")) else wide
+  }
 
   /** Batch sessionization: assign events to sessions per key using a
     * gap threshold — the classic lag + conditional-flag + running-sum

@@ -17,14 +17,25 @@ import scala.jdk.CollectionConverters._
   */
 object SingleFileCsv {
 
-  /** Write `df` (already ordered) as a single CSV file at `target`,
-    * header included, UTF-8, ISO date format — the reference's output
-    * contract. Returns the final path. */
-  def write(df: DataFrame, target: String): Path = {
+  /** Write `df` as a single CSV file at `target`, header included,
+    * UTF-8, ISO date format — the reference's output contract. Returns
+    * the final path.
+    *
+    * `sortBy` orders rows WITHIN the single coalesced partition
+    * (O2 time-index order) — a global `orderBy` before a 1-file write
+    * would pay a range-partitioner sampling job plus a shuffle for an
+    * ordering the coalesce makes trivial anyway. */
+  def write(df: DataFrame, target: String,
+      sortBy: Seq[String] = Seq.empty): Path = {
     val targetPath = Paths.get(target)
     val tmpDir = targetPath.getParent.resolve(
       s".${targetPath.getFileName}.spark-tmp")
-    df.coalesce(1)
+    val one = df.coalesce(1)
+    val ordered =
+      if (sortBy.nonEmpty)
+        one.sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
+      else one
+    ordered
       .write.mode("overwrite")
       .option("header", "true")
       .option("dateFormat", "yyyy-MM-dd")

@@ -155,6 +155,24 @@ object CellGrid {
         col("value").as("found"))
   }
 
+  /** V2 batched — header drift for every declared header of every
+    * distribution in ONE broadcast join over the combined grid (the
+    * per-sheet [[headerDrift]] is the single-workbook form). Specs are
+    * `(distributionId, serieId, sheet, headerCell)`. */
+  def headerDriftAll(grid: DataFrame,
+      specs: Seq[(String, String, String, String)]): DataFrame = {
+    val sparkSession = grid.sparkSession
+    import sparkSession.implicits._
+    val exp = specs.map { case (d, s, sheet, cell) =>
+      (d, s, sheet, colIdx(cell), rowIdx(cell)) }
+      .toDF("distribution_id", "serie_id", "sheet", "col", "row")
+    broadcast(exp).join(grid, Seq("sheet", "col", "row"), "left")
+      .filter(col("value").isNull ||
+        GF.stripSpaces(col("value")) =!= col("serie_id"))
+      .select(col("distribution_id"), col("serie_id"), col("col"),
+        col("row"), col("value").as("found"))
+  }
+
   /** T1 — lenient time-label parse at a declared frequency.
     * Tries, in order: ISO date; year-start for "YYYY"; "YYYY-Qn"/"YYYY Qn"
     * quarter composition; "YYYY-Sn" semester composition; month label

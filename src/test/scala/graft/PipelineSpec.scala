@@ -89,4 +89,61 @@ class PipelineSpec extends SparkSpec {
     assert(ind.getAs[Long]("distributions_error") == 1)
     assert(ind.getAs[Double]("distributions_percentage") == 66.667)
   }
+
+  test("batch scrape: spark-job count stays O(1) + one write per item") {
+    // N distributions over one shared workbook — the scrape/validation
+    // job count must NOT scale with N (only the K1 writes do).
+    val n = 6
+    val grid = (1 to n).flatMap { d =>
+      Seq((s"hoja$d", 1, 1, "indice_tiempo"), (s"hoja$d", 1, 2, s"s$d")) ++
+        (2 to 13).flatMap(r => Seq(
+          (s"hoja$d", r, 1, f"2021-${r - 1}%02d"),
+          (s"hoja$d", r, 2, s"$r.5")))
+    }.toDF("sheet", "row", "col", "value")
+    val manifest = (1 to n).map(d => Pipeline.ManifestEntry(
+      "jobcat", "1", s"1.$d", Some("excel_file"), None,
+      Some("mem://wb"), Some(s"hoja$d"), None))
+    val fields = (1 to n).flatMap(d => Seq(
+      Pipeline.FieldEntry(s"1.$d", Some("indice_tiempo"),
+        Some("time_index"), Some("R/P1M"), Some("A1"), Some("A2")),
+      Pipeline.FieldEntry(s"1.$d", Some(s"s$d"), None, None,
+        Some("B1"), Some("B2"))))
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        sites.add(js.stageInfos.map(_.name).mkString("|").take(120))
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out = workDir.resolve("jobcount").toString
+    // AQE materializes every shuffle stage as its own "job", which
+    // inflates the count ~4x and hides the scaling signal; one action =
+    // one job without it.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val result = Pipeline.process(spark, manifest, fields, out,
+        Map("mem://wb" -> grid), None, replace = true)
+      val statuses = result.report.collect()
+        .map(_.getAs[String]("distribution_status")).toSeq
+      assert(statuses.count(_ == "OK") == n, statuses)
+      Thread.sleep(1000) // let the async listener bus drain
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    // constant part ≈ 11 (4 validation collects + broadcast builds +
+    // report collects); per distribution: exactly ONE write job. The
+    // old per-item loop cost ≥ 3 full lineage jobs per distribution
+    // (≥ 18 + report jobs for n=6), so n + 12 cleanly separates the
+    // batch design from any per-item regression.
+    assert(jobs.get() <= n + 12,
+      s"job count ${jobs.get()} suggests per-distribution scrape jobs:\n" +
+        sites.toArray.mkString("\n"))
+  }
 }
