@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GF
 import graft.model.Frequency
-import graft.operators.{Reports, TimeSeriesOps}
-import graft.sinks.SingleFileCsv
+import graft.operators.{CatalogValidator, Reports, TimeSeriesOps}
+import graft.sinks.{ReportXlsx, SingleFileCsv}
 import graft.sources.{CatalogReader, CatalogXlsx, CellGrid, Ingest}
 
 import scala.util.{Failure, Success, Try}
@@ -60,7 +60,8 @@ object Pipeline {
       outputDir: String, host: String = "https://example.org",
       grids: Map[String, DataFrame] = Map.empty,
       stagingDir: Option[String] = None,
-      replace: Boolean = true): RunResult = {
+      replace: Boolean = true,
+      download: Ingest.DownloadConfig = Ingest.DownloadConfig()): RunResult = {
     val catalog = CatalogReader.readJson(spark, catalogPath, catalogId)
     val distributions = CatalogReader.withMethod(
       CatalogReader.timeSeriesDistributions(
@@ -84,7 +85,15 @@ object Pipeline {
         Option(f.getAs[String]("specialTypeDetail")),
         Option(f.getAs[String]("scrapingIdentifierCell")),
         Option(f.getAs[String]("scrapingDataStartCell"))))
-    process(spark, manifest, fields, outputDir, grids, stagingDir, replace)
+    // K4 extraction-stage artifacts (base.py:434-451): the catalog error
+    // report + the harvestable-datasets report
+    val reportsDir = s"$outputDir/reportes/$catalogId"
+    ReportXlsx.writeErrorsReport(
+      CatalogValidator.violations(spark, catalog), reportsDir)
+    ReportXlsx.writeDatasetsCompleteReport(
+      CatalogValidator.harvestableDatasets(spark, catalog), reportsDir)
+    process(spark, manifest, fields, outputDir, grids, stagingDir, replace,
+      download)
   }
 
   /** Process a 5-sheet XLSX catalog (S4 path) — same semantics, the
@@ -92,7 +101,8 @@ object Pipeline {
   def runXlsx(spark: SparkSession, xlsxPath: String, catalogId: String,
       outputDir: String, grids: Map[String, DataFrame] = Map.empty,
       stagingDir: Option[String] = None,
-      replace: Boolean = true): RunResult = {
+      replace: Boolean = true,
+      download: Ingest.DownloadConfig = Ingest.DownloadConfig()): RunResult = {
     val views = CatalogXlsx.readViews(spark, xlsxPath)
     def opt(r: org.apache.spark.sql.Row, c: String): Option[String] =
       if (r.schema.fieldNames.contains(c)) Option(r.getAs[String](c)) else None
@@ -126,7 +136,8 @@ object Pipeline {
           opt(d, "scrapingFileSheet"), opt(d, "fileName")))
       }
     }
-    process(spark, manifest, fields, outputDir, grids, stagingDir, replace)
+    process(spark, manifest, fields, outputDir, grids, stagingDir, replace,
+      download)
   }
 
   /** One excel distribution with its validated, parsed scrape spec. */
@@ -147,7 +158,8 @@ object Pipeline {
   def process(spark: SparkSession, manifest: Seq[ManifestEntry],
       fields: Seq[FieldEntry], outputDir: String,
       grids: Map[String, DataFrame], stagingDir: Option[String],
-      replace: Boolean): RunResult = {
+      replace: Boolean,
+      download: Ingest.DownloadConfig = Ingest.DownloadConfig()): RunResult = {
     import spark.implicits._
 
     // S1/S2 + D2: land each distinct scraping source once into staging,
@@ -162,7 +174,7 @@ object Pipeline {
           .map(u => (u, s"$staging/${u.split('/').last}"))
           .toDF("url", "target")
         val landed = if (urls.isEmpty) Map.empty[String, String]
-          else Ingest.fetchAll(spark, ingestManifest)
+          else Ingest.fetchAllConfigured(spark, ingestManifest, download)
             .filter(col("status").isin("OK", "SKIPPED"))
             .select(col("url"), col("target")).as[(String, String)]
             .collect().toMap
@@ -378,6 +390,31 @@ object Pipeline {
 
     val results =
       skippedResults ++ prepErrors ++ excelResults ++ directResults
+
+    // K4 scraping-stage artifacts (exact names + column sets,
+    // base.py:43-55,873-915): reporte-datasets.xlsx and
+    // reporte-distributions.xlsx under reportes/<catalogId>/
+    manifest.headOption.foreach { first =>
+      val reportsDir = s"$outputDir/reportes/${first.catalogId}"
+      val datasetRows = results.groupBy(_.datasetId).toSeq.sortBy(_._1)
+        .map { case (ds, rs) =>
+          ds -> (if (rs.exists(_.status == "ERROR")) "ERROR" else "OK") }
+      val manifestById = manifest.map(m => m.distributionId -> m).toMap
+      val timeCoordById = fields
+        .filter(_.specialType.contains("time_index"))
+        .map(f => f.distributionId -> f.dataStartCell.getOrElse("")).toMap
+      val distRows = results.map { r =>
+        val m = manifestById.get(r.distributionId)
+        ReportXlsx.DistributionReportRow(r.datasetId, r.distributionId,
+          r.status, r.message,
+          m.flatMap(x => x.scrapingFileURL.orElse(x.downloadURL))
+            .getOrElse(""),
+          m.flatMap(_.scrapingFileSheet).getOrElse(""),
+          timeCoordById.getOrElse(r.distributionId, ""))
+      }
+      ReportXlsx.writeDatasetsReport(datasetRows, reportsDir)
+      ReportXlsx.writeDistributionsReport(distRows, reportsDir)
+    }
 
     val report = results.toDF()
       .withColumnRenamed("status", "distribution_status")

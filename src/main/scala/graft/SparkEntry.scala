@@ -341,6 +341,43 @@ object SparkEntry {
     * 200 data rows; col 1 = "YYYY-MM" month labels (T1 composed parse),
     * cols 2..6 = decimal strings with the reference's missing tokens
     * (F6) every 13th cell. Header row 1 carries serie ids. */
+  /** T1 multi-cell composed time: year markers written once per block in
+    * the time column, roman quarter labels on the data rows — the
+    * xlseries `time_composed=True` layout (reference
+    * processors.py:211-221). The scrape forward-fills the year and
+    * composes it with the period label. */
+  private def qComposedTime(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val grid = composedFixtureGrid(t)
+    CellGrid.scrapeDistribution(grid, "comp", "A1", "A2",
+        Frequency.Quarterly, Seq(CellGrid.SeriesSpec("v2", "B1", "B2")))
+      .orderBy(col("indice_tiempo"))
+  }
+
+  /** Composed-time fixture: 20 year blocks of 5 rows each — a year
+    * marker row ("2000"...) followed by 4 quarter rows ("I".."IV") with
+    * values only on quarter rows. */
+  private def composedFixtureGrid(t: Tables): DataFrame = {
+    val e = t.events.filter(col("event_id") < 100)
+    val hdr = t.events.filter(col("event_id") < 2).select(
+      lit("comp").as("sheet"), lit(1).as("row"),
+      (col("event_id") + 1).cast("int").as("col"),
+      when(col("event_id") === 0, lit("indice_tiempo"))
+        .otherwise(lit("v2")).as("value"))
+    val w = col("event_id") % 5
+    val timeCells = e.select(lit("comp").as("sheet"),
+      (col("event_id") + 2).cast("int").as("row"), lit(1).as("col"),
+      when(w === 0,
+        (floor(col("event_id") / 5) + 2000).cast("int").cast("string"))
+        .otherwise(element_at(
+          array(lit("I"), lit("II"), lit("III"), lit("IV")),
+          w.cast("int"))).as("value"))
+    val valueCells = e.filter(w =!= 0).select(lit("comp").as("sheet"),
+      (col("event_id") + 2).cast("int").as("row"), lit(2).as("col"),
+      col("value").cast("decimal(12,2)").cast("string").as("value"))
+    hdr.union(timeCells).union(valueCells)
+  }
+
   private def scrapeFixtureGrid(t: Tables): DataFrame = {
     val e = t.events.filter(col("event_id") < 1000)
     val headers = t.events.filter(col("event_id") < 6)
@@ -578,6 +615,7 @@ object SparkEntry {
     "q21_complete_calendar" -> (qCompleteCalendar _),
     "q22_scrape_grid" -> (qScrapeGrid _),
     "q23_scrape_wide" -> (qScrapeWide _),
+    "q27_composed_time" -> (qComposedTime _),
     "q24_sessionize" -> (qSessionize _),
     "q25_rollup" -> (qRollup _),
     "q26_approx_distinct" -> (qApproxDistinct _),
@@ -939,6 +977,43 @@ object SparkEntry {
          |  max(CASE WHEN serie_id = 's5' THEN valor END) AS s5,
          |  max(CASE WHEN serie_id = 's6' THEN valor END) AS s6
          |FROM long_form GROUP BY indice_tiempo ORDER BY indice_tiempo""".stripMargin,
+
+    "q27_composed_time" ->
+      s"""WITH grid AS (
+         |  SELECT CAST(event_id + 2 AS INT) AS row, 1 AS col,
+         |    CASE WHEN event_id % 5 = 0
+         |         THEN CAST(CAST(event_id // 5 + 2000 AS INT) AS VARCHAR)
+         |         ELSE ['I','II','III','IV'][CAST(event_id % 5 AS INT)]
+         |    END AS value
+         |  FROM events WHERE event_id < 100
+         |  UNION ALL
+         |  SELECT CAST(event_id + 2 AS INT), 2,
+         |    CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR)
+         |  FROM events WHERE event_id < 100 AND event_id % 5 <> 0
+         |),
+         |tm0 AS (
+         |  SELECT row, value,
+         |    last_value(CASE WHEN regexp_matches(trim(value), '^\\d{4}$$')
+         |        THEN trim(value) END IGNORE NULLS)
+         |      OVER (ORDER BY row ROWS BETWEEN UNBOUNDED PRECEDING
+         |        AND CURRENT ROW) AS yr
+         |  FROM grid WHERE col = 1 AND row >= 2),
+         |tm AS (
+         |  SELECT row, CASE trim(value)
+         |    WHEN 'I' THEN make_date(CAST(yr AS INT), 1, 1)
+         |    WHEN 'II' THEN make_date(CAST(yr AS INT), 4, 1)
+         |    WHEN 'III' THEN make_date(CAST(yr AS INT), 7, 1)
+         |    WHEN 'IV' THEN make_date(CAST(yr AS INT), 10, 1) END
+         |    AS indice_tiempo
+         |  FROM tm0),
+         |vals AS (
+         |  SELECT row, 'v2' AS serie_id,
+         |    TRY_CAST(trim(value) AS DOUBLE) AS valor
+         |  FROM grid WHERE col = 2 AND row >= 2)
+         |SELECT serie_id, indice_tiempo, valor
+         |FROM tm JOIN vals USING (row)
+         |WHERE indice_tiempo IS NOT NULL
+         |ORDER BY indice_tiempo""".stripMargin,
 
     "q24_sessionize" ->
       """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),

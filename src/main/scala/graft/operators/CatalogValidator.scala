@@ -18,6 +18,19 @@ object CatalogValidator {
   private val AccrualPattern =
     "^(R/P\\d+(\\.\\d+)?[YMWD]|R/PT\\d+[HMS]|eventual)$"
 
+  /** draft-04 `format: email` (catalog.json:14-21, dataset.json:18-29). */
+  private val EmailPattern = "^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$"
+
+  /** draft-04 `format: uri` — absolute URI with a scheme
+    * (catalog.json:30, dataset.json:75-81, distribution.json:9-16). */
+  private val UriPattern = "^[a-zA-Z][a-zA-Z0-9+.\\-]*:\\S+$"
+
+  /** `temporalOrNull` ISO interval (mixed-types.json:35-41): two ISO
+    * date(/time)s joined by '/'. */
+  private val TemporalPattern =
+    "^\\d{4}-\\d{2}-\\d{2}(T\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?)?(([+-]\\d{2}:\\d{2})|Z)?" +
+      "/\\d{4}-\\d{2}-\\d{2}(T\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?)?(([+-]\\d{2}:\\d{2})|Z)?$"
+
   /** Violation rows `(level, identifier, rule)` for the whole catalog
     * document. */
   def violations(spark: SparkSession, catalog: DataFrame): DataFrame = {
@@ -67,8 +80,82 @@ object CatalogValidator {
           .as("identifier"),
         lit("duplicate field title in distribution").as("rule"))
 
+    // --- format depth (email / uri / temporal / theme references) ---
+    def nonEmpty(c: org.apache.spark.sql.Column) =
+      c.isNotNull && length(c) > 0
+    def violation(df: DataFrame, level: String, idCol: String,
+        cond: org.apache.spark.sql.Column, rule: String): DataFrame =
+      df.filter(cond).select(lit(level).as("level"),
+        col(idCol).cast("string").as("identifier"), lit(rule).as("rule"))
+
+    val emailChecks = Seq(
+      violation(catalog, "catalog", "catalog_id",
+        nonEmpty(col("publisher.mbox")) &&
+          !col("publisher.mbox").rlike(EmailPattern),
+        "invalid email: publisher.mbox"),
+      violation(datasets, "dataset", "dataset_id",
+        nonEmpty(col("publisher.mbox")) &&
+          !col("publisher.mbox").rlike(EmailPattern),
+        "invalid email: publisher.mbox"),
+      violation(datasets, "dataset", "dataset_id",
+        nonEmpty(col("contactPoint.hasEmail")) &&
+          !col("contactPoint.hasEmail").rlike(EmailPattern),
+        "invalid email: contactPoint.hasEmail"))
+
+    val uriChecks = Seq(
+      violation(catalog, "catalog", "catalog_id",
+        nonEmpty(col("superThemeTaxonomy")) &&
+          !col("superThemeTaxonomy").rlike(UriPattern),
+        "invalid uri: superThemeTaxonomy"),
+      violation(datasets, "dataset", "dataset_id",
+        nonEmpty(col("landingPage")) &&
+          !col("landingPage").rlike(UriPattern),
+        "invalid uri: landingPage"),
+      violation(distributions, "distribution", "distribution_id",
+        nonEmpty(col("downloadURL")) &&
+          !col("downloadURL").rlike(UriPattern),
+        "invalid uri: downloadURL"),
+      violation(distributions, "distribution", "distribution_id",
+        nonEmpty(col("accessURL")) &&
+          !col("accessURL").rlike(UriPattern),
+        "invalid uri: accessURL"))
+
+    // temporalOrNull: the interval must match the pattern AND parse to
+    // start <= end (interval semantics, mixed-types.json:35-41)
+    val temporalStart = to_date(regexp_extract(col("temporal"),
+      "^(\\d{4}-\\d{2}-\\d{2})", 1))
+    val temporalEnd = to_date(regexp_extract(col("temporal"),
+      "/(\\d{4}-\\d{2}-\\d{2})", 1))
+    val temporalChecks = Seq(
+      violation(datasets, "dataset", "dataset_id",
+        nonEmpty(col("temporal")) &&
+          !col("temporal").rlike(TemporalPattern),
+        "invalid temporal interval"),
+      violation(datasets, "dataset", "dataset_id",
+        nonEmpty(col("temporal")) &&
+          col("temporal").rlike(TemporalPattern) &&
+          temporalStart > temporalEnd,
+        "temporal interval start after end"))
+
+    // dataset.theme values must reference themeTaxonomy ids
+    // (theme.json + pydatajson's taxonomy check)
+    val themeIds = catalog.select(col("catalog_id"),
+        explode_outer(col("themeTaxonomy")).as("th"))
+      .select(col("catalog_id"), col("th.id").as("theme_ref"))
+    val themeRefs = datasets
+      .select(col("catalog_id"), col("dataset_id"),
+        explode(col("theme")).as("theme_ref"))
+    val badThemeRefs = themeRefs
+      .join(themeIds, Seq("catalog_id", "theme_ref"), "left_anti")
+      .select(lit("dataset").as("level"),
+        col("dataset_id").cast("string").as("identifier"),
+        concat(lit("theme not in themeTaxonomy: "), col("theme_ref"))
+          .as("rule"))
+
     (catalogReq ++ datasetReq ++ distributionReq ++
-      Seq(accrual, dupIds, dupTitles)).reduce(_ union _)
+      Seq(accrual, dupIds, dupTitles) ++
+      emailChecks ++ uriChecks ++ temporalChecks ++
+      Seq(badThemeRefs)).reduce(_ union _)
   }
 
   /** P4 — harvest filter: the datasets view restricted to datasets with

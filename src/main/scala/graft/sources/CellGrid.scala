@@ -54,10 +54,24 @@ object CellGrid {
     val timeCol = colIdx(timeDataStartCell)
     val timeStart = rowIdx(timeDataStartCell)
 
+    // single-cell labels parse directly; multi-cell composed time
+    // forward-fills sparse year markers down the (small, single-column)
+    // slice and composes them with period labels — the xlseries
+    // time_composed=True path as one coalesce instead of a try/except
+    val fillW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("row"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val timeSlice = grid
       .filter(col("sheet") === sheet && col("col") === timeCol &&
         col("row") >= timeStart)
-      .select(col("row"), parseTimeLabel(col("value"), freq).as("indice_tiempo"))
+      .select(col("row"), col("value"))
+      .withColumn("yr_filled",
+        last(yearMarker(col("value")), ignoreNulls = true).over(fillW))
+      .select(col("row"),
+        coalesce(
+          parseTimeLabel(col("value"), freq),
+          parseComposedLabel(col("value"), col("yr_filled"),
+            lit(freq.code))).as("indice_tiempo"))
       .filter(col("indice_tiempo").isNotNull)
 
     // ONE pass over the grid for all series: the per-series coordinate
@@ -113,14 +127,25 @@ object CellGrid {
       .toDF("distribution_id", "serie_id", "sheet", "series_col",
         "series_start")
 
-    // frequency only drives label parsing; parse leniently for all
-    // (parseTimeLabel already coalesces every supported label shape)
+    // single-cell labels parse leniently for all; composed time fills
+    // year markers forward within each distribution's time column (one
+    // narrow window keyed by distribution) and composes with the
+    // spec-declared frequency
+    val fillW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("distribution_id"))
+      .orderBy(col("row"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val timeSlices = grid
       .join(broadcast(timeSpecs), grid("sheet") === timeSpecs("sheet") &&
         col("col") === col("time_col") && col("row") >= col("time_start"))
       .select(col("distribution_id"), timeSpecs("sheet").as("s"),
-        col("row"),
-        parseTimeLabel(col("value"), graft.model.Frequency.Monthly)
+        col("row"), col("value"), col("freq"))
+      .withColumn("yr_filled",
+        last(yearMarker(col("value")), ignoreNulls = true).over(fillW))
+      .select(col("distribution_id"), col("s"), col("row"),
+        coalesce(
+          parseTimeLabel(col("value"), graft.model.Frequency.Monthly),
+          parseComposedLabel(col("value"), col("yr_filled"), col("freq")))
           .as("indice_tiempo"))
       .filter(col("indice_tiempo").isNotNull)
 
@@ -171,6 +196,60 @@ object CellGrid {
         GF.stripSpaces(col("value")) =!= col("serie_id"))
       .select(col("distribution_id"), col("serie_id"), col("col"),
         col("row"), col("value").as("found"))
+  }
+
+  /** T1 — MULTI-CELL composed time (the reference's xlseries
+    * `time_composed=True` path, processors.py:211-221): real ministry
+    * workbooks write the year once (its own row, or a separate column)
+    * and only a period label ("I".."IV", "1er trim.", "Ene", "S2") on
+    * each data row. The year is forward-filled down rows; the period
+    * label contributes the starting month at the declared frequency.
+    *
+    * `yearFilled` is the forward-filled 4-digit year (see
+    * [[yearMarker]] + a running `last(..., ignoreNulls)` window);
+    * `freqCode` the Frequency.code column ("Q"/"S"/"M"/...). Returns
+    * null when the label is not a period label — callers coalesce with
+    * [[parseTimeLabel]], which IS the reference's try-composed/fallback
+    * collapsed into one expression. */
+  def parseComposedLabel(v: Column, yearFilled: Column,
+      freqCode: Column): Column = {
+    val t = upper(trim(v))
+    // quarter number (1-4) from roman, "Qn", "n", or "1er trim." forms
+    val quarter = coalesce(
+      when(freqCode === "Q" && t.rlike("^(IV|III|II|I)$"),
+        when(t === "I", 1).when(t === "II", 2).when(t === "III", 3)
+          .otherwise(4)),
+      when(t.rlike("^Q[1-4]$"), substring(t, 2, 1).cast("int")),
+      when(freqCode === "Q" && t.rlike("^[1-4]$"), t.cast("int")),
+      when(t.rlike("^[1-4](ER|DO|ER\\.|TO|º|°)?\\.?\\s*TRIM.*$"),
+        substring(t, 1, 1).cast("int")))
+    val semester = coalesce(
+      when(freqCode === "S" && t.rlike("^(II|I)$"),
+        when(t === "I", 1).otherwise(2)),
+      when(t.rlike("^S[1-2]$"), substring(t, 2, 1).cast("int")),
+      when(freqCode === "S" && t.rlike("^[1-2]$"), t.cast("int")),
+      when(t.rlike("^[1-2](ER|DO)?\\.?\\s*SEM.*$"),
+        substring(t, 1, 1).cast("int")))
+    val monthNames = Seq("ENE", "FEB", "MAR", "ABR", "MAY", "JUN",
+      "JUL", "AGO", "SEP", "OCT", "NOV", "DIC")
+    val month = coalesce(
+      when(freqCode === "M" && t.rlike("^(0?[1-9]|1[0-2])$"),
+        t.cast("int")) +:
+        monthNames.zipWithIndex.map { case (m3, i) =>
+          val alias = if (m3 == "SEP") substring(t, 1, 3) === "SET"
+                      else lit(false)
+          when(substring(t, 1, 3) === m3 || alias, lit(i + 1)) }: _*)
+    val startMonth = coalesce(
+      (quarter - 1) * 3 + 1, (semester - 1) * 6 + 1, month)
+    make_date(yearFilled.cast("int"), startMonth, lit(1))
+  }
+
+  /** The 4-digit year of a year-marker label ("2019", "2019.0"), else
+    * null — the sparse column that gets forward-filled for composed
+    * time. */
+  def yearMarker(v: Column): Column = {
+    val m = regexp_extract(trim(v), "^(\\d{4})(\\.0)?$", 1)
+    when(m =!= "", m)
   }
 
   /** T1 — lenient time-label parse at a declared frequency.

@@ -22,16 +22,52 @@ object Ingest {
   final case class FetchResult(url: String, target: String, status: String,
       message: String, bytes: Long)
 
+  /** Per-catalog download settings (reference download.py:13-50 params
+    * `tries` / `retry_delay` / `try_timeout` / `proxies` / `verify`,
+    * merged from config_downloads.yaml via
+    * `ConfigYaml.downloadConfig`). */
+  final case class DownloadConfig(tries: Int = 3, retryDelayMs: Long = 1000L,
+      timeoutMs: Int = 30000, proxyHost: Option[String] = None,
+      proxyPort: Int = 0, verifyTls: Boolean = true)
+
+  object DownloadConfig {
+    /** From a merged config_downloads subsection. Seconds in the file
+      * (as in the reference), millis here; `proxies.http(s)` hosts in
+      * `host:port` or URL form. */
+    def fromParams(params: Map[String, String]): DownloadConfig = {
+      def secsToMs(key: String): Option[Long] =
+        params.get(key).flatMap(_.toDoubleOption).map(s => (s * 1000).toLong)
+      val proxy = params.get("proxies.https").orElse(params.get("proxies.http"))
+        .map(_.replaceFirst("^[a-z]+://", ""))
+      DownloadConfig(
+        tries = params.get("tries").flatMap(_.toIntOption).getOrElse(3),
+        retryDelayMs = secsToMs("retry_delay").getOrElse(1000L),
+        timeoutMs = secsToMs("try_timeout").map(_.toInt).getOrElse(30000),
+        proxyHost = proxy.map(_.split(':').head).filter(_.nonEmpty),
+        proxyPort = proxy.flatMap(_.split(':').lift(1))
+          .flatMap(_.toIntOption).getOrElse(8080),
+        verifyTls = !params.get("verify").exists(v =>
+          v.equalsIgnoreCase("false") || v.equalsIgnoreCase("no")))
+    }
+  }
+
   /** Fetch every distinct (url, target) row. Columns required: `url`,
     * `target`. Returns one FetchResult row per distinct pair. */
   def fetchAll(spark: SparkSession, manifest: DataFrame,
       tries: Int = 3, retryDelayMs: Long = 1000L, timeoutMs: Int = 30000,
-      replace: Boolean = false): DataFrame = {
+      replace: Boolean = false): DataFrame =
+    fetchAllConfigured(spark, manifest,
+      DownloadConfig(tries, retryDelayMs, timeoutMs), replace)
+
+  /** fetchAll with the full per-catalog download configuration. */
+  def fetchAllConfigured(spark: SparkSession, manifest: DataFrame,
+      cfg: DownloadConfig, replace: Boolean = false): DataFrame = {
     import spark.implicits._
     manifest.select(col("url"), col("target")).distinct()
       .as[(String, String)]
       .mapPartitions(_.map { case (url, target) =>
-        fetchOne(url, target, tries, retryDelayMs, timeoutMs, replace)
+        fetchOne(url, target, cfg.tries, cfg.retryDelayMs, cfg.timeoutMs,
+          replace, cfg)
       })
       .toDF()
   }
@@ -39,7 +75,8 @@ object Ingest {
   /** One URL -> file, with bounded retries. file:// and http(s)://
     * both supported (file for tests / local lakes). */
   def fetchOne(url: String, target: String, tries: Int,
-      retryDelayMs: Long, timeoutMs: Int, replace: Boolean): FetchResult = {
+      retryDelayMs: Long, timeoutMs: Int, replace: Boolean,
+      cfg: DownloadConfig = DownloadConfig()): FetchResult = {
     val targetPath = Paths.get(target)
     if (!replace && Files.exists(targetPath))
       return FetchResult(url, target, "SKIPPED", "exists",
@@ -50,7 +87,7 @@ object Ingest {
       attempt += 1
       try {
         Files.createDirectories(targetPath.getParent)
-        val in = open(url, timeoutMs)
+        val in = open(url, timeoutMs, cfg)
         try {
           val tmp = targetPath.resolveSibling(
             targetPath.getFileName.toString + ".part")
@@ -81,9 +118,25 @@ object Ingest {
       Option(lastError).map(_.toString.take(300)).getOrElse(""), 0L)
   }
 
-  private def open(url: String, timeoutMs: Int): InputStream = {
+  private def open(url: String, timeoutMs: Int,
+      cfg: DownloadConfig): InputStream = {
     val u = new URI(url).toURL
-    u.openConnection() match {
+    val conn = cfg.proxyHost match {
+      case Some(host) => u.openConnection(new java.net.Proxy(
+        java.net.Proxy.Type.HTTP,
+        new java.net.InetSocketAddress(host, cfg.proxyPort)))
+      case None => u.openConnection()
+    }
+    conn match {
+      case h: javax.net.ssl.HttpsURLConnection if !cfg.verifyTls =>
+        // mirror of the reference's verify=False (download.py:33-37):
+        // per-connection only, never the JVM default
+        h.setSSLSocketFactory(trustAllContext.getSocketFactory)
+        h.setHostnameVerifier((_, _) => true)
+        h.setConnectTimeout(timeoutMs)
+        h.setReadTimeout(timeoutMs)
+        h.setInstanceFollowRedirects(true)
+        h.getInputStream
       case h: HttpURLConnection =>
         h.setConnectTimeout(timeoutMs)
         h.setReadTimeout(timeoutMs)
@@ -93,6 +146,20 @@ object Ingest {
         other.setConnectTimeout(timeoutMs)
         other.getInputStream
     }
+  }
+
+  private lazy val trustAllContext: javax.net.ssl.SSLContext = {
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, Array[javax.net.ssl.TrustManager](
+      new javax.net.ssl.X509TrustManager {
+        def checkClientTrusted(c: Array[java.security.cert.X509Certificate],
+            t: String): Unit = ()
+        def checkServerTrusted(c: Array[java.security.cert.X509Certificate],
+            t: String): Unit = ()
+        def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+          Array.empty
+      }), null)
+    ctx
   }
 
   /** S6 — TXT distribution scan: delimited text with a header line, an

@@ -109,6 +109,55 @@ class CatalogPlaneSpec extends SparkSpec {
     assert(harvest == Set("1"))
   }
 
+  test("schema depth: email/uri formats, temporal interval, theme refs") {
+    val json = """{"identifier":"c3","title":"t","description":"d",
+      |"publisher":{"name":"p","mbox":"not-an-email"},
+      |"superThemeTaxonomy":"no scheme here",
+      |"themeTaxonomy":[{"id":"econ","label":"Economy"}],
+      |"dataset":[
+      | {"identifier":"1","title":"ok","description":"d",
+      |  "publisher":{"name":"p","mbox":"ana@example.org"},
+      |  "superTheme":["A"],"theme":["econ"],
+      |  "accrualPeriodicity":"R/P1M","issued":"2020-01-01",
+      |  "temporal":"2019-01-01/2020-12-31",
+      |  "landingPage":"https://example.org/ds1",
+      |  "distribution":[{"identifier":"1.1","title":"t","issued":"2020",
+      |    "downloadURL":"https://example.org/x.csv",
+      |    "field":[{"id":"f1","title":"ft1"}]}]},
+      | {"identifier":"2","title":"bad","description":"d",
+      |  "publisher":{"name":"p","mbox":"broken at example"},
+      |  "superTheme":["A"],"theme":["missing_theme"],
+      |  "accrualPeriodicity":"R/P1M","issued":"2020-01-01",
+      |  "temporal":"2021-01-01/2019-12-31",
+      |  "landingPage":"not a uri",
+      |  "contactPoint":{"fn":"x","hasEmail":"alsobroken"},
+      |  "distribution":[{"identifier":"2.1","title":"t","issued":"2020",
+      |    "downloadURL":"bare/path.csv",
+      |    "field":[{"id":"f2","title":"ft2"}]}]}
+      |]}""".stripMargin.replace("\n", "")
+    val p = workDir.resolve("val3.json")
+    Files.writeString(p, json)
+    val catalog = CatalogReader.readJson(spark, p.toString, "c3")
+    val v = CatalogValidator.violations(spark, catalog)
+      .select("level", "identifier", "rule")
+      .as[(String, String, String)].collect().toSet
+    // catalog-level formats
+    assert(v.contains(("catalog", "c3", "invalid email: publisher.mbox")))
+    assert(v.contains(("catalog", "c3", "invalid uri: superThemeTaxonomy")))
+    // dataset 2 carries every violation; dataset 1 none of them
+    assert(v.contains(("dataset", "2", "invalid email: publisher.mbox")))
+    assert(v.contains(("dataset", "2", "invalid email: contactPoint.hasEmail")))
+    assert(v.contains(("dataset", "2", "invalid uri: landingPage")))
+    assert(v.contains(("dataset", "2", "temporal interval start after end")))
+    assert(v.contains(("dataset", "2", "theme not in themeTaxonomy: missing_theme")))
+    assert(v.contains(("distribution", "2.1", "invalid uri: downloadURL")))
+    assert(!v.exists { case (_, id, rule) =>
+      id == "1" && (rule.startsWith("invalid") || rule.startsWith("temporal") ||
+        rule.startsWith("theme")) })
+    // malformed interval (pattern violation) reported separately
+    assert(!v.contains(("dataset", "1", "invalid temporal interval")))
+  }
+
   test("ingest fetches distinct URLs with skip-if-exists (S1/S2/D2/P9)") {
     val src = workDir.resolve("payload.bin")
     Files.write(src, Array.fill[Byte](64)(7))

@@ -50,6 +50,52 @@ class CellGridSpec extends SparkSpec {
       Some("2021-07-01"), Some("2019-01-01"), Some("2020-02-29"), None))
   }
 
+  test("multi-cell composed time: year markers + period labels (T1)") {
+    // the xlseries time_composed=True layout: year once per block in the
+    // time column, roman quarter labels on the data rows
+    val composed = Seq(
+      ("c", 1, 1, "indice_tiempo"), ("c", 1, 2, "pib"),
+      ("c", 2, 1, "2019"),
+      ("c", 3, 1, "I"), ("c", 3, 2, "1.0"),
+      ("c", 4, 1, "II"), ("c", 4, 2, "2.0"),
+      ("c", 5, 1, "III"), ("c", 5, 2, "3.0"),
+      ("c", 6, 1, "IV"), ("c", 6, 2, "4.0"),
+      ("c", 7, 1, "2020"),
+      ("c", 8, 1, "1er trim."), ("c", 8, 2, "5.0"),
+      ("c", 9, 1, "Q2"), ("c", 9, 2, "6.0"),
+    ).toDF("sheet", "row", "col", "value")
+    val long = CellGrid.scrapeDistribution(composed, "c", "A1", "A2",
+      Frequency.Quarterly, Seq(CellGrid.SeriesSpec("pib", "B1", "B2")))
+    val rows = long.collect()
+      .map(r => (r.getDate(1).toString, r.getDouble(2))).toSet
+    assert(rows == Set(
+      ("2019-01-01", 1.0), ("2019-04-01", 2.0), ("2019-07-01", 3.0),
+      ("2019-10-01", 4.0), ("2020-01-01", 5.0), ("2020-04-01", 6.0)))
+  }
+
+  test("composed-time fallback: plain single-cell labels still win") {
+    // a sheet with ordinary labels must parse identically with the
+    // composed machinery active (the reference's TimeIsNotComposed
+    // fallback, collapsed into a coalesce)
+    val long = CellGrid.scrapeDistribution(grid, "data", "A1", "A2",
+      Frequency.Quarterly, series)
+    assert(long.filter(col("serie_id") === "serie_b").count() == 3)
+    // and semester/month composed labels at their frequencies
+    val sem = Seq(("s", 1, 1, "t"), ("s", 2, 1, "2018"),
+      ("s", 3, 1, "1er sem"), ("s", 3, 2, "7.0"),
+      ("s", 4, 1, "II"), ("s", 4, 2, "8.0"),
+      ("s", 5, 1, "Ene"), ("s", 5, 3, "9.0"),
+    ).toDF("sheet", "row", "col", "value")
+    val sLong = CellGrid.scrapeDistribution(sem, "s", "A1", "A2",
+      Frequency.Semester, Seq(CellGrid.SeriesSpec("x", "B1", "B2")))
+    assert(sLong.collect().map(r => (r.getDate(1).toString, r.getDouble(2)))
+      .toSet == Set(("2018-01-01", 7.0), ("2018-07-01", 8.0)))
+    val mLong = CellGrid.scrapeDistribution(sem, "s", "A1", "A2",
+      Frequency.Monthly, Seq(CellGrid.SeriesSpec("y", "C1", "C2")))
+    assert(mLong.collect().map(r => (r.getDate(1).toString, r.getDouble(2)))
+      .toSet == Set(("2018-01-01", 9.0)))
+  }
+
   test("tableBounds flags the trim warning (T2)") {
     val b = CellGrid.tableBounds(grid, "data", "A2", Frequency.Quarterly)
       .head()

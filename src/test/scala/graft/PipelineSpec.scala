@@ -90,6 +90,42 @@ class PipelineSpec extends SparkSpec {
     assert(ind.getAs[Double]("distributions_percentage") == 66.667)
   }
 
+  test("named report artifacts with exact column sets (K4)") {
+    import graft.sources.XlsxLite
+    val out = workDir.resolve("outreports").toString
+    Pipeline.run(spark, catalogPath, "fixcat", out,
+      grids = Map("http://example.org/src/wb1.xlsx" -> wb1Grid))
+    val dir = s"$out/reportes/fixcat"
+
+    // scraping stage: reporte-datasets.xlsx (2 cols, base.py:873-884)
+    val ds = XlsxLite.toRows(XlsxLite.read(
+      s"$dir/${graft.sinks.ReportXlsx.DatasetsReportName}"))
+    assert(ds.head == Seq("dataset_identifier", "dataset_status"))
+    assert(ds.tail.map(r => (r(0), r(1))).toSet ==
+      Set(("1", "ERROR"), ("2", "OK"))) // 1.2 failed -> dataset 1 ERROR
+
+    // reporte-distributions.xlsx (7 cols, ERROR first, base.py:886-915)
+    val dist = XlsxLite.toRows(XlsxLite.read(
+      s"$dir/${graft.sinks.ReportXlsx.DistributionsReportName}"))
+    assert(dist.head == Seq("dataset_identifier", "distribution_identifier",
+      "distribution_status", "distribution_note", "distribution_source",
+      "distribution_sheet", "time_index_coord"))
+    assert(dist(1)(2) == "ERROR") // categorical sort: ERROR < WARNING < OK
+    val byId = dist.tail.map(r => r(1) -> r).toMap
+    assert(byId("1.1")(5) == "data" && byId("1.1")(6) == "A2")
+    assert(byId("1.1")(4) == "http://example.org/src/wb1.xlsx")
+
+    // extraction stage: errors + harvestable datasets
+    val err = XlsxLite.toRows(XlsxLite.read(
+      s"$dir/${graft.sinks.ReportXlsx.ErrorsReportName}"))
+    assert(err.head == Seq("level", "identifier", "rule"))
+    val comp = XlsxLite.toRows(XlsxLite.read(
+      s"$dir/${graft.sinks.ReportXlsx.DatasetsCompleteReportName}"))
+    assert(comp.head.take(1) == Seq("dataset_identifier") &&
+      comp.head.last == "harvest")
+    assert(comp.tail.forall(_.last == "valid"))
+  }
+
   test("batch scrape: spark-job count stays O(1) + one write per item") {
     // N distributions over one shared workbook — the scrape/validation
     // job count must NOT scale with N (only the K1 writes do).
