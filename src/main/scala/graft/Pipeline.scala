@@ -368,7 +368,7 @@ object Pipeline {
           case Some("csv_file") =>
             readDistributionCsv(spark, m.downloadURL.get)
           case Some("text_file") =>
-            readDistributionTxtFromStaging(spark, m, stagingDir)
+            readDistributionTxtFromStaging(spark, m, fields, stagingDir)
           case other =>
             throw new IllegalArgumentException(s"no processor for $other")
         }
@@ -433,12 +433,21 @@ object Pipeline {
   /** S6 — TXT distribution from the staging dir (landed by the ingest
     * stage) or directly from a local scrapingFileURL. */
   private def readDistributionTxtFromStaging(spark: SparkSession,
-      m: ManifestEntry, stagingDir: Option[String]): DataFrame = {
+      m: ManifestEntry, fields: Seq[FieldEntry],
+      stagingDir: Option[String]): DataFrame = {
     val url = m.scrapingFileURL.get
     val path = stagingDir.map(s => s"$s/${url.split('/').last}")
       .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
       .getOrElse(url)
-    Ingest.readDistributionTxt(spark, path)
+    // field-metadata-driven parsing (load_ts_distribution semantics,
+    // processors.py:51-80): time column by declared title, declared
+    // series in declaration order
+    val myFields = fields.filter(_.distributionId == m.distributionId)
+    Ingest.readDistributionTxt(spark, path,
+      timeFieldTitle = myFields.find(_.specialType.contains("time_index"))
+        .flatMap(_.fieldTitle).getOrElse("indice_tiempo"),
+      declaredSeries = myFields.filter(_.specialType.isEmpty)
+        .flatMap(_.fieldTitle))
   }
 
   /** S5 — direct-download CSV distribution: header CSV with an

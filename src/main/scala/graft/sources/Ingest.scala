@@ -162,18 +162,41 @@ object Ingest {
     ctx
   }
 
-  /** S6 — TXT distribution scan: delimited text with a header line, an
-    * `indice_tiempo` column and numeric series columns (reference
-    * TXTProcessor). Same normalization battery as the CSV path. */
+  /** S6 — TXT distribution scan: delimited text with a header line
+    * (reference TXTProcessor delegating to `load_ts_distribution`,
+    * processors.py:51-80 — FIELD-METADATA-driven parsing). The time
+    * column is located by the declared time_index field title (not a
+    * hardcoded name), declared series are selected in declaration
+    * order, and the delimiter is sniffed from the header line when not
+    * given. Same normalization battery as the CSV path. */
   def readDistributionTxt(spark: SparkSession, path: String,
-      delimiter: String = ","): DataFrame = {
+      delimiter: String = "", timeFieldTitle: String = "indice_tiempo",
+      declaredSeries: Seq[String] = Seq.empty): DataFrame = {
+    val sep =
+      if (delimiter.nonEmpty) delimiter
+      else sniffDelimiter(spark, path)
     val raw = spark.read
-      .option("header", "true").option("sep", delimiter)
+      .option("header", "true").option("sep", sep)
       .csv(path)
-    val valueCols = raw.columns.filter(_ != "indice_tiempo")
+    val timeCol =
+      if (raw.columns.contains(timeFieldTitle)) timeFieldTitle
+      else "indice_tiempo"
+    val valueCols =
+      if (declaredSeries.nonEmpty) declaredSeries.filter(raw.columns.contains)
+      else raw.columns.filterNot(_ == timeCol).toSeq
     raw.select(
-      to_date(col("indice_tiempo")).as("indice_tiempo") +:
+      to_date(col(timeCol)).as("indice_tiempo") +:
         valueCols.map(c =>
           graft.functions.GF.normalizeValue(col(c)).as(c)): _*)
+  }
+
+  /** Pick the candidate delimiter that splits the header line into the
+    * most cells — pandas-style sniffing for the reference's mixed
+    * TXT sources. */
+  private def sniffDelimiter(spark: SparkSession, path: String): String = {
+    val header = scala.util.Try(
+      spark.read.textFile(path).first()).getOrElse("")
+    Seq(",", ";", "\t", "|")
+      .maxBy(d => header.split(java.util.regex.Pattern.quote(d), -1).length)
   }
 }

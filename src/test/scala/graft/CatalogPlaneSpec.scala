@@ -191,5 +191,18 @@ class CatalogPlaneSpec extends SparkSpec {
     assert(rows(0).getDate(0).toString == "2020-01-01")
     assert(rows(0).getDouble(1) == 1.5)
     assert(rows(0).isNullAt(2)) // "x" is a missing token
+
+    // delimiter sniffing + field-metadata-driven layout
+    // (load_ts_distribution semantics, processors.py:51-80): time column
+    // by declared title, declared series selected in declaration order
+    val txt2 = workDir.resolve("d2.txt")
+    Files.writeString(txt2,
+      "fecha\tjunk\tpib\n2021-01-01\tzzz\t7.5\n2021-02-01\tzzz\t8\n")
+    val df2 = Ingest.readDistributionTxt(spark, txt2.toString,
+      timeFieldTitle = "fecha", declaredSeries = Seq("pib"))
+    assert(df2.columns.toSeq == Seq("indice_tiempo", "pib"))
+    val r2 = df2.orderBy("indice_tiempo").collect()
+    assert(r2(0).getDate(0).toString == "2021-01-01" &&
+      r2(0).getDouble(1) == 7.5)
   }
 }
