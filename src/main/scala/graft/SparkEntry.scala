@@ -587,6 +587,37 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicate clusters: LSH candidate pairs → connected components →
+    * per-cluster sizes (Dedup.duplicateClusters — the "keep one per
+    * cluster" completion of the dedup story). */
+  private def qDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val sig = Dedup.minhashSignature(t.documents, "text", "doc_id", k = 8)
+    val pairs = Dedup.candidatePairs(
+      Dedup.lshBuckets(sig, "doc_id", k = 8, bands = 4), "doc_id")
+    Dedup.duplicateClusters(pairs)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Deterministic hash-based train/val/test split: counts per
+    * (language, split) — stable across runs/engines/cluster sizes
+    * (Sampling.withSplit). */
+  private def qSplit(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Sampling.withSplit(t.documents, "doc_id")
+      .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  /** Corpus TF-IDF top terms per language
+    * (TextAnalysis.tfidfTopTerms). */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    TextAnalysis.tfidfTopTerms(t.documents, "text", "lang", "doc_id", k = 5)
+      .orderBy(col("lang"), col("rank"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -633,6 +664,9 @@ object SparkEntry {
     "q41_multimodal" -> (qMultimodal _),
     "q42_ivf_ann" -> (qIvfAnn _),
     "q43_repetition" -> (qRepetition _),
+    "q44_dup_clusters" -> (qDupClusters _),
+    "q45_hash_split" -> (qSplit _),
+    "q46_tfidf" -> (qTfidf _),
   )
 
   // -------------------------------------------------------------------
@@ -672,6 +706,29 @@ object SparkEntry {
        |  THEN list_distinct(list_transform(generate_series(1, len(arr) - 2),
        |       i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
        |  ELSE [array_to_string(arr, ' ')] END) AS shingle FROM toks)""".stripMargin
+
+  /** Shared minhash-LSH candidate-pair CTE chain (ends at `pairs`);
+    * reused by q31 and the q44 duplicate-cluster closure. Generated
+    * from the SAME Scala constants Dedup uses. */
+  private val lshPairsCteSql: String = {
+    val k = 8; val bands = 4; val r = k / bands
+    val mins = (0 until k).map(i =>
+      s"min((h * ${2 * i + 1} + ${101 * i + 17}) % ${GF.MinhashPrime}) AS mh$i")
+      .mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val slice = (b * r until (b + 1) * r)
+        .map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, md5($slice) AS bucket FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""$shinglesCteSql,
+       |hashed AS (SELECT doc_id, ${hash32Sql("shingle")} AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
+       |buckets AS (
+       |$bandSelects),
+       |pairs AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+       |  FROM buckets l JOIN buckets r
+       |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)""".stripMargin
+  }
 
   /** DuckDB equivalent of Similarity.planeProjection for bit j. */
   private def planeProjSql(j: Int): String =
@@ -1046,28 +1103,11 @@ object SparkEntry {
          |SELECT digest, count(*) AS group_size, min(doc_id) AS keeper_id
          |FROM h GROUP BY digest HAVING count(*) > 1 ORDER BY keeper_id""".stripMargin,
 
-    "q31_minhash_lsh" -> {
-      val k = 8; val bands = 4; val r = k / bands
-      val mins = (0 until k).map(i =>
-        s"min((h * ${2 * i + 1} + ${101 * i + 17}) % ${GF.MinhashPrime}) AS mh$i")
-        .mkString(", ")
-      val bandSelects = (0 until bands).map { b =>
-        val slice = (b * r until (b + 1) * r)
-          .map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '_' || ")
-        s"SELECT doc_id, $b AS band, md5($slice) AS bucket FROM sig"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH $shinglesCteSql,
-         |hashed AS (SELECT doc_id, ${hash32Sql("shingle")} AS h FROM sh),
-         |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
-         |buckets AS (
-         |$bandSelects),
-         |pairs AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-         |  FROM buckets l JOIN buckets r
-         |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+    "q31_minhash_lsh" ->
+      s"""WITH $lshPairsCteSql
          |SELECT count(*) AS n_pairs,
          |  CAST(coalesce(sum(id1 + id2), 0) AS BIGINT) AS pair_checksum
-         |FROM pairs""".stripMargin
-    },
+         |FROM pairs""".stripMargin,
 
     "q32_ngram_jaccard" ->
       s"""WITH $shinglesCteSql,
@@ -1311,5 +1351,48 @@ object SparkEntry {
         |  len(list_filter(generate_series(0, n_frames - 1), f -> f % 5 = 0))
         |    AS n_sampled
         |FROM meta ORDER BY doc_id""".stripMargin,
+
+    "q44_dup_clusters" ->
+      s"""WITH RECURSIVE $lshPairsCteSql,
+         |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION SELECT id2 AS a, id1 AS b FROM pairs),
+         |closure(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a),
+         |labels AS (SELECT a AS id, min(b) AS cluster
+         |  FROM closure GROUP BY a)
+         |SELECT cluster, count(*) AS n_members
+         |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "q45_hash_split" ->
+      s"""WITH b AS (SELECT lang,
+         |    ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |  FROM documents),
+         |s AS (SELECT lang, CASE WHEN bucket < 80 THEN 'train'
+         |    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b)
+         |SELECT lang, split, count(*) AS n
+         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "q46_tfidf" ->
+      s"""WITH words AS (
+         |  SELECT lang, doc_id,
+         |    unnest(${wsTokensSql(normTextSql)}) AS tok
+         |  FROM documents),
+         |nd AS (SELECT lang, count(DISTINCT doc_id) AS n_docs
+         |  FROM documents GROUP BY lang),
+         |agg AS (SELECT lang, tok, count(*) AS tf,
+         |    count(DISTINCT doc_id) AS df
+         |  FROM words GROUP BY lang, tok),
+         |scored AS (SELECT a.lang, a.tok, a.tf, a.df,
+         |    round(a.tf * ln(CAST(n.n_docs AS DOUBLE) / a.df), 6) AS tfidf
+         |  FROM agg a JOIN nd n ON a.lang = n.lang),
+         |ranked AS (SELECT *, row_number() OVER
+         |    (PARTITION BY lang ORDER BY tfidf DESC, tok) AS "rank"
+         |  FROM scored)
+         |SELECT lang, tok, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df AS BIGINT) AS df, tfidf, CAST("rank" AS INT) AS "rank"
+         |FROM ranked WHERE "rank" <= 5
+         |ORDER BY lang, "rank"""".stripMargin,
   )
 }

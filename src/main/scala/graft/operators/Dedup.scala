@@ -158,6 +158,47 @@ object Dedup {
           (col("n1") + col("n2") - col("n_inter")), 6))
   }
 
+  /** Duplicate clusters: connected components over candidate/duplicate
+    * pairs, labeling every member with the MIN doc id of its component —
+    * the step that turns pairwise near-dup hits into "keep one per
+    * cluster" decisions.
+    *
+    * Min-label propagation iterated to fixpoint: each round is one
+    * join + one partial-aggregatable min-groupBy over (id, label) pairs
+    * — the pair set is the (tiny, LSH-bounded) output of candidate
+    * generation, never the corpus. Rounds needed = component diameter;
+    * near-dup clusters are shallow (stars/cliques), so convergence is
+    * 2-3 rounds in practice. Each round locally checkpoints so lineage
+    * stays flat (the standard iterative-algorithm discipline). Result is
+    * deterministic at fixpoint regardless of round count. */
+  def duplicateClusters(pairs: DataFrame, idCol1: String = "id1",
+      idCol2: String = "id2", maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
+      .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
+      .distinct()
+      .localCheckpoint(false)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(false)
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .select(col("a").as("id"), col("label"))
+      val updated = labels.union(neighborLabels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(false)
+      converged = updated
+        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster")
+  }
+
   /** 32-bit SimHash per doc: per token-bit contribution ±count, bit j of
     * the hash set when the summed contribution is positive. Two narrow
     * shuffles (doc×bit, then doc). */

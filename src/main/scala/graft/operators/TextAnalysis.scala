@@ -145,6 +145,32 @@ object TextAnalysis {
   def docFingerprint(textCol: Column): Column =
     GF.hash32(md5(Dedup.normalizeText(textCol)))
 
+  /** Corpus TF-IDF: top-k terms per language scored tf·ln(N/df).
+    * One explode, two partial-aggregatable groupBys keyed by
+    * (lang, token), then a top-k window over the (tiny) per-language
+    * term frame — never over documents. Ranking uses the ROUNDED score
+    * with the token as tie-break so results are engine-stable. */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, langCol: String,
+      idCol: String, k: Int = 5): DataFrame = {
+    val toks = docs.select(col(langCol).as("lang"), col(idCol).as("_id"),
+      explode(GF.wsTokens(Dedup.normalizeText(col(textCol)))).as("tok"))
+    val nDocs = docs.groupBy(col(langCol).as("lang"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    // tf and df in ONE pass over the exploded tokens (count-distinct
+    // plans as a two-phase partial aggregate) — no double lineage
+    val scored = toks.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("_id")).as("df"))
+      .join(broadcast(nDocs), Seq("lang"))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("tok"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash each
     * w-token shingle, slide a window of `windowSize` hashes, keep each
     * window's minimum — the classic local fingerprint set for near-dup /

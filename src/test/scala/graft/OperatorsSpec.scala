@@ -147,4 +147,31 @@ class OperatorsSpec extends SparkSpec {
     val ns = r.getAs[Long]("n_sampled")
     assert(ns == (nf + 4) / 5)
   }
+
+  test("duplicateClusters: min-label connected components over pairs") {
+    import spark.implicits._
+    // two components: a 4-chain {1,2,3,4} and a pair {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id1", "id2")
+    val clusters = graft.operators.Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("hash split is deterministic, stratified-stable, and complete") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val a = graft.operators.Sampling.withSplit(docs, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val b = graft.operators.Sampling.withSplit(docs, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(a == b) // identical across runs (no rand())
+    assert(a.values.sum == 500)
+    // ~80/10/10 within loose tolerance
+    assert(a("train") > 350 && a("val") > 20 && a("test") > 20)
+    val sample = graft.operators.Sampling
+      .deterministicSample(docs, "doc_id", 10).count()
+    assert(sample > 10 && sample < 200)
+  }
 }
