@@ -61,7 +61,8 @@ object Pipeline {
       grids: Map[String, DataFrame] = Map.empty,
       stagingDir: Option[String] = None,
       replace: Boolean = true,
-      download: Ingest.DownloadConfig = Ingest.DownloadConfig()): RunResult = {
+      download: Ingest.DownloadConfig = Ingest.DownloadConfig(),
+      interactive: Boolean = false): RunResult = {
     val catalog = CatalogReader.readJson(spark, catalogPath, catalogId)
     val distributions = CatalogReader.withMethod(
       CatalogReader.timeSeriesDistributions(
@@ -93,7 +94,7 @@ object Pipeline {
     ReportXlsx.writeDatasetsCompleteReport(
       CatalogValidator.harvestableDatasets(spark, catalog), reportsDir)
     process(spark, manifest, fields, outputDir, grids, stagingDir, replace,
-      download)
+      download, interactive)
   }
 
   /** Process a 5-sheet XLSX catalog (S4 path) — same semantics, the
@@ -102,7 +103,8 @@ object Pipeline {
       outputDir: String, grids: Map[String, DataFrame] = Map.empty,
       stagingDir: Option[String] = None,
       replace: Boolean = true,
-      download: Ingest.DownloadConfig = Ingest.DownloadConfig()): RunResult = {
+      download: Ingest.DownloadConfig = Ingest.DownloadConfig(),
+      interactive: Boolean = false): RunResult = {
     val views = CatalogXlsx.readViews(spark, xlsxPath)
     def opt(r: org.apache.spark.sql.Row, c: String): Option[String] =
       if (r.schema.fieldNames.contains(c)) Option(r.getAs[String](c)) else None
@@ -137,7 +139,7 @@ object Pipeline {
       }
     }
     process(spark, manifest, fields, outputDir, grids, stagingDir, replace,
-      download)
+      download, interactive)
   }
 
   /** One excel distribution with its validated, parsed scrape spec. */
@@ -159,7 +161,8 @@ object Pipeline {
       fields: Seq[FieldEntry], outputDir: String,
       grids: Map[String, DataFrame], stagingDir: Option[String],
       replace: Boolean,
-      download: Ingest.DownloadConfig = Ingest.DownloadConfig()): RunResult = {
+      download: Ingest.DownloadConfig = Ingest.DownloadConfig(),
+      interactive: Boolean = false): RunResult = {
     import spark.implicits._
 
     // S1/S2 + D2: land each distinct scraping source once into staging,
@@ -173,8 +176,12 @@ object Pipeline {
         val ingestManifest = urls
           .map(u => (u, s"$staging/${u.split('/').last}"))
           .toDF("url", "target")
+        // --interactive reuses already-staged files instead of
+        // re-downloading (reference base.py:917-925); a normal run
+        // always fetches fresh sources
         val landed = if (urls.isEmpty) Map.empty[String, String]
-          else Ingest.fetchAllConfigured(spark, ingestManifest, download)
+          else Ingest.fetchAllConfigured(spark, ingestManifest, download,
+              replace = !interactive)
             .filter(col("status").isin("OK", "SKIPPED"))
             .select(col("url"), col("target")).as[(String, String)]
             .collect().toMap

@@ -140,8 +140,12 @@ object Similarity {
     * exact same centroids) — a production deployment would load k-means
     * centroids the same way.
     */
+  /** `nProbe` > 1 widens the QUERY side to its best-n cells (recall
+    * knob); candidate vectors always live in exactly one posting list,
+    * as in IVF-flat. */
   def ivfKnn(vectors: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, cellCol: String, k: Int, dims: Int = 64): DataFrame = {
+      vecCol: String, cellCol: String, k: Int, dims: Int = 64,
+      nProbe: Int = 1): DataFrame = {
     // centroids: mean per (cell, dimension), rounded — partial-aggregatable
     // avg over the posexploded dims, then ONE row holding every centroid
     // (sorted by cell id) so assignment below is a per-row array fold.
@@ -181,10 +185,35 @@ object Similarity {
         .select(col(id), col(vec), col("best").getField("cell").as("cell"))
     }
 
+    // top-nProbe cells per query: sort the scored array by
+    // (csim desc, cell asc) and take the first n — still zero-shuffle
+    def assignedTopN(df: DataFrame, id: String, vec: String,
+        n: Int): DataFrame = {
+      df.select(col(id), col(vec), norm(col(vec)).as("vnrm"))
+        .crossJoin(broadcast(centArr))
+        .withColumn("scored", transform(col("cents"), c =>
+          struct(
+            round(dot(col(vec), c.getField("centroid")) /
+              nullif(col("vnrm") * c.getField("cnrm"), lit(0.0)), 6)
+              .as("csim"),
+            c.getField("cell").as("cell"))))
+        .withColumn("top", slice(array_sort(col("scored"), (l, r) =>
+          when(l.getField("csim") > r.getField("csim"), -1)
+            .when(l.getField("csim") < r.getField("csim"), 1)
+            .when(l.getField("cell") < r.getField("cell"), -1)
+            .when(l.getField("cell") > r.getField("cell"), 1)
+            .otherwise(0)), 1, n))
+        .select(col(id), col(vec), explode(col("top")).as("probe"))
+        .select(col(id), col(vec), col("probe").getField("cell").as("cell"))
+    }
+
     val cand = assigned(vectors, idCol, vecCol)
       .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("cell"),
         norm(col(vecCol)).as("cn"))
-    val q = assigned(queries, idCol, vecCol)
+    val qAssigned =
+      if (nProbe <= 1) assigned(queries, idCol, vecCol)
+      else assignedTopN(queries, idCol, vecCol, nProbe)
+    val q = qAssigned
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"),
         norm(col(vecCol)).as("qn"))
     val scored = cand.join(broadcast(q), Seq("cell"))

@@ -148,6 +148,23 @@ class OperatorsSpec extends SparkSpec {
     assert(ns == (nf + 4) / 5)
   }
 
+  test("ivf nProbe > 1 recovers at least the single-probe hits") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 4)
+    val exact = graft.operators.Similarity.bruteForceKnn(queries, emb,
+        "vec_id", "embedding", k = 3)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nProbe: Int): Int =
+      graft.operators.Similarity.ivfKnn(emb, queries, "vec_id",
+          "embedding", "label", k = 3, nProbe = nProbe)
+        .select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r2 >= r1, s"nProbe=2 recall $r2 < nProbe=1 recall $r1")
+  }
+
   test("duplicateClusters: min-label connected components over pairs") {
     import spark.implicits._
     // two components: a 4-chain {1,2,3,4} and a pair {10,11}
