@@ -53,6 +53,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q42 ivf assignment stays window-free (fold argmax regression guard)") {
+    // the old implementation ranked the rows x centroids cross product
+    // with row_number — a full shuffle+sort. The fold argmax must keep
+    // the assignment stage free of Window nodes; only the final
+    // per-query top-k may window (over the tiny candidate frame).
+    val p = plan("q42_ivf_ann")
+    // formatted output names each node twice (tree + detail header);
+    // count detail headers only. WindowGroupLimit nodes are the rank<=k
+    // pushdown, not a window compute — excluded by the \b…$ match.
+    val windows = p.linesIterator
+      .count(_.matches("^\\(\\d+\\) Window$"))
+    assert(windows <= 1, s"unexpected extra Window nodes:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("Broadcast"),
+      s"centroid array not broadcast:\n$p")
+  }
+
+  test("q45 hash split is pure expression work before one aggregation") {
+    val p = plan("q45_hash_split")
+    assert(!p.contains("Window"), s"split should not window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"split should not join:\n$p")
+  }
+
   test("minhash signature plan has partial aggregation before the shuffle") {
     // q31's end-to-end plan now materializes the bucket frame through a
     // lazy localCheckpoint (cache hygiene), which hides upstream lineage

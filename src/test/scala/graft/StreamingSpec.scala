@@ -70,4 +70,33 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(tot - expected(u)._2) < 1e-6)
     }
   }
+
+  test("streaming dedup keeps first occurrence per content digest") {
+    val dir = Files.createTempDirectory("graft-stream3").toString
+    // duplicate texts across distinct event rows: event_type repeats
+    val input = Tables(spark, sf()).events
+      .filter(col("event_id") < 200)
+      .select(col("event_id"), col("ts"),
+        col("event_type").as("text"))
+    input.write.mode("overwrite").parquet(dir)
+    val nDistinct = input
+      .select(graft.operators.Dedup.normalizeText(col("text"))).distinct()
+      .count()
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStream.streamingDedup(stream, "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    assert(spark.table("deduped").count() == nDistinct)
+  }
 }
