@@ -62,7 +62,8 @@ object Pipeline {
       stagingDir: Option[String] = None,
       replace: Boolean = true,
       download: Ingest.DownloadConfig = Ingest.DownloadConfig(),
-      interactive: Boolean = false): RunResult = {
+      interactive: Boolean = false,
+      distributionIdFilter: Option[String] = None): RunResult = {
     val catalog = CatalogReader.readJson(spark, catalogPath, catalogId)
     val distributions = CatalogReader.withMethod(
       CatalogReader.timeSeriesDistributions(
@@ -94,7 +95,7 @@ object Pipeline {
     ReportXlsx.writeDatasetsCompleteReport(
       CatalogValidator.harvestableDatasets(spark, catalog), reportsDir)
     process(spark, manifest, fields, outputDir, grids, stagingDir, replace,
-      download, interactive)
+      download, interactive, distributionIdFilter)
   }
 
   /** Process a 5-sheet XLSX catalog (S4 path) — same semantics, the
@@ -104,7 +105,8 @@ object Pipeline {
       stagingDir: Option[String] = None,
       replace: Boolean = true,
       download: Ingest.DownloadConfig = Ingest.DownloadConfig(),
-      interactive: Boolean = false): RunResult = {
+      interactive: Boolean = false,
+      distributionIdFilter: Option[String] = None): RunResult = {
     val views = CatalogXlsx.readViews(spark, xlsxPath)
     def opt(r: org.apache.spark.sql.Row, c: String): Option[String] =
       if (r.schema.fieldNames.contains(c)) Option(r.getAs[String](c)) else None
@@ -139,7 +141,7 @@ object Pipeline {
       }
     }
     process(spark, manifest, fields, outputDir, grids, stagingDir, replace,
-      download, interactive)
+      download, interactive, distributionIdFilter)
   }
 
   /** One excel distribution with its validated, parsed scrape spec. */
@@ -162,15 +164,23 @@ object Pipeline {
       grids: Map[String, DataFrame], stagingDir: Option[String],
       replace: Boolean,
       download: Ingest.DownloadConfig = Ingest.DownloadConfig(),
-      interactive: Boolean = false): RunResult = {
+      interactive: Boolean = false,
+      distributionIdFilter: Option[String] = None): RunResult = {
     import spark.implicits._
+    // reference --distribution-id-filter (main.py:62-66): restrict the
+    // run to one distribution id when given
+    val manifest0 = manifest
+    val manifestF = distributionIdFilter match {
+      case Some(id) => manifest0.filter(_.distributionId == id)
+      case None => manifest0
+    }
 
     // S1/S2 + D2: land each distinct scraping source once into staging,
     // then parse each workbook once into a cached grid (the S8 cache).
     val landedGrids: Map[String, DataFrame] = stagingDir match {
       case None => Map.empty
       case Some(staging) =>
-        val urls = manifest
+        val urls = manifestF
           .filter(_.method.contains("excel_file"))
           .flatMap(_.scrapingFileURL).distinct
         val ingestManifest = urls
@@ -199,7 +209,7 @@ object Pipeline {
 
     // P9 skip/replace gate (reference base.py:155-163): an existing
     // output short-circuits the whole distribution unless --replace
-    val (toSkip, active) = manifest.partition(m => !replace &&
+    val (toSkip, active) = manifestF.partition(m => !replace &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(outPathOf(m))))
     val skippedResults = toSkip.map(m =>
       DistributionResult(m.catalogId, m.datasetId, m.distributionId,
@@ -401,12 +411,12 @@ object Pipeline {
     // K4 scraping-stage artifacts (exact names + column sets,
     // base.py:43-55,873-915): reporte-datasets.xlsx and
     // reporte-distributions.xlsx under reportes/<catalogId>/
-    manifest.headOption.foreach { first =>
+    manifestF.headOption.foreach { first =>
       val reportsDir = s"$outputDir/reportes/${first.catalogId}"
       val datasetRows = results.groupBy(_.datasetId).toSeq.sortBy(_._1)
         .map { case (ds, rs) =>
           ds -> (if (rs.exists(_.status == "ERROR")) "ERROR" else "OK") }
-      val manifestById = manifest.map(m => m.distributionId -> m).toMap
+      val manifestById = manifestF.map(m => m.distributionId -> m).toMap
       val timeCoordById = fields
         .filter(_.specialType.contains("time_index"))
         .map(f => f.distributionId -> f.dataStartCell.getOrElse("")).toMap
