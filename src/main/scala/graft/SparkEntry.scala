@@ -618,6 +618,46 @@ object SparkEntry {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** PII scrubbing: per-doc counts of redacted entities + a hash of the
+    * scrubbed text (TextAnalysis.redactPii). */
+  private def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    // salt the synthetic corpus with PII-bearing suffixes so the
+    // redaction has something to bite on, deterministically per doc
+    val salted = t.documents.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"),
+            lit("@example.org now"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" see https://example.org/d/"), col("doc_id")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" from 10.0.0.1"))
+          .otherwise(lit(""))).as("text"))
+    salted.select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit(TextAnalysis.EmailPattern), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("text"),
+          lit(TextAnalysis.UrlPattern), lit(0))).as("n_url"),
+        md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"))
+      .select(col("doc_id"), col("n_email").cast("long").as("n_email"),
+        col("n_url").cast("long").as("n_url"), col("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination: shingle-overlap ratio of each corpus
+    * doc against the benchmark set (docs 0-19), flagged at 0.5
+    * (TextAnalysis.decontaminationRatios). */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val benchmark = t.documents.filter(col("doc_id") < 20)
+    val corpus = t.documents.filter(col("doc_id") >= 20)
+    TextAnalysis.decontaminationRatios(corpus, benchmark, "text", "doc_id")
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        col("overlap_ratio"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -667,6 +707,8 @@ object SparkEntry {
     "q44_dup_clusters" -> (qDupClusters _),
     "q45_hash_split" -> (qSplit _),
     "q46_tfidf" -> (qTfidf _),
+    "q47_pii_redact" -> (qPiiRedact _),
+    "q48_decontaminate" -> (qDecontaminate _),
   )
 
   // -------------------------------------------------------------------
@@ -1394,5 +1436,44 @@ object SparkEntry {
          |  CAST(df AS BIGINT) AS df, tfidf, CAST("rank" AS INT) AS "rank"
          |FROM ranked WHERE "rank" <= 5
          |ORDER BY lang, "rank"""".stripMargin,
+
+    "q47_pii_redact" ->
+      s"""WITH salted AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+         |      CAST(doc_id AS VARCHAR) || '@example.org now' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' see https://example.org/d/' ||
+         |      CAST(doc_id AS VARCHAR) ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.0.1' ELSE '' END
+         |    AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${TextAnalysis.EmailPattern}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${TextAnalysis.UrlPattern}')) AS BIGINT) AS n_url,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.UrlPattern}', '<URL>', 'g'),
+         |    '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g')) AS redacted_md5
+         |FROM salted ORDER BY doc_id""".stripMargin,
+
+    "q48_decontaminate" ->
+      s"""WITH $shinglesCteSql,
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+         |corpus AS (SELECT DISTINCT doc_id, shingle FROM sh
+         |  WHERE doc_id >= 20),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM corpus
+         |  GROUP BY doc_id),
+         |hits AS (SELECT c.doc_id, count(*) AS n_hit
+         |  FROM corpus c JOIN bench b USING (shingle) GROUP BY c.doc_id)
+         |SELECT s.doc_id, CAST(s.n_sh AS BIGINT) AS n_sh,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_sh, 6)
+         |    AS overlap_ratio,
+         |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_sh, 6) >= 0.5
+         |    AS contaminated
+         |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
   )
 }

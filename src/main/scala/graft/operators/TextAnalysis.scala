@@ -145,6 +145,44 @@ object TextAnalysis {
   def docFingerprint(textCol: Column): Column =
     GF.hash32(md5(Dedup.normalizeText(textCol)))
 
+  /** PII patterns: deliberately simple expressions valid in BOTH Java
+    * regex and RE2 so engines agree byte-for-byte. URL first (may
+    * contain '@'), then email, then IPv4. */
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing for published corpora: URLs, e-mail addresses and
+    * IPv4 literals replaced with typed markers. Pure per-row regex —
+    * zero shuffle, codegen'd. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Benchmark decontamination: per-document ratio of its n-gram
+    * shingles that appear in the benchmark set (test-set leakage
+    * check). The benchmark shingle set is DISTINCT and tiny relative to
+    * the corpus — the join broadcasts; the corpus side is one shingle
+    * explode + one doc-keyed count, never a cross product. */
+  def decontaminationRatios(docs: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val docSh = Dedup.shingleRows(docs, textCol, idCol, n).distinct()
+    val benchSh = Dedup.shingleRows(benchmark, textCol, idCol, n)
+      .select(col("shingle")).distinct()
+    val sizes = docSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val hits = docSh.join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    sizes.join(hits, Seq(idCol), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("overlap_ratio",
+        round(col("n_hit").cast("double") / col("n_sh"), 6))
+      .withColumn("contaminated", col("overlap_ratio") >= threshold)
+  }
+
   /** Corpus TF-IDF: top-k terms per language scored tf·ln(N/df).
     * One explode, two partial-aggregatable groupBys keyed by
     * (lang, token), then a top-k window over the (tiny) per-language

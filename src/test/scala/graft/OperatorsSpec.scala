@@ -165,6 +165,37 @@ class OperatorsSpec extends SparkSpec {
     assert(r2 >= r1, s"nProbe=2 recall $r2 < nProbe=1 recall $r1")
   }
 
+  test("PII redaction replaces urls, emails and IPv4 with markers") {
+    import spark.implicits._
+    val df = Seq(
+      ("write to ana.b+x@example.org or see https://x.org/p?a=1 from 192.168.0.7",
+        "<EMAIL>", "<URL>", "<IP>"),
+      ("no pii here", "no", "pii", "here"))
+      .toDF("text", "e", "u", "i")
+    val out = df.select(
+      graft.operators.TextAnalysis.redactPii(col("text")).as("r"))
+      .as[String].collect()
+    assert(out(0) == "write to <EMAIL> or see <URL> from <IP>")
+    assert(out(1) == "no pii here")
+  }
+
+  test("decontamination flags docs copied from the benchmark set") {
+    import spark.implicits._
+    val benchmark = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // full copy
+      (11L, "completely unrelated words about spark plans today"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis
+      .decontaminationRatios(corpus, benchmark, "text", "doc_id")
+      .select("doc_id", "overlap_ratio", "contaminated")
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getBoolean(2))))
+      .toMap
+    assert(r(10L) == ((1.0, true)))
+    assert(r(11L) == ((0.0, false)))
+  }
+
   test("duplicateClusters: min-label connected components over pairs") {
     import spark.implicits._
     // two components: a 4-chain {1,2,3,4} and a pair {10,11}
