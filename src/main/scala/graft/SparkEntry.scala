@@ -378,6 +378,36 @@ object SparkEntry {
     hdr.union(timeCells).union(valueCells)
   }
 
+  /** Two-column composed time (year column | period column, the
+    * xlseries composed_headers_coord layout): year markers in col A,
+    * roman quarters in col B (the time column), values in col C. */
+  private def qComposedTwoCol(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val e = t.events.filter(col("event_id") < 100)
+    val w = col("event_id") % 5
+    val hdr = t.events.filter(col("event_id") < 3).select(
+      lit("comp2").as("sheet"), lit(1).as("row"),
+      (col("event_id") + 1).cast("int").as("col"),
+      when(col("event_id") === 0, lit("anio"))
+        .when(col("event_id") === 1, lit("indice_tiempo"))
+        .otherwise(lit("v3")).as("value"))
+    val yearCells = e.filter(w === 0).select(lit("comp2").as("sheet"),
+      (col("event_id") + 2).cast("int").as("row"), lit(1).as("col"),
+      (floor(col("event_id") / 5) + 2000).cast("int").cast("string")
+        .as("value"))
+    val periodCells = e.filter(w =!= 0).select(lit("comp2").as("sheet"),
+      (col("event_id") + 2).cast("int").as("row"), lit(2).as("col"),
+      element_at(array(lit("I"), lit("II"), lit("III"), lit("IV")),
+        w.cast("int")).as("value"))
+    val valueCells = e.filter(w =!= 0).select(lit("comp2").as("sheet"),
+      (col("event_id") + 2).cast("int").as("row"), lit(3).as("col"),
+      col("value").cast("decimal(12,2)").cast("string").as("value"))
+    val grid = hdr.union(yearCells).union(periodCells).union(valueCells)
+    CellGrid.scrapeDistribution(grid, "comp2", "B1", "B2",
+        Frequency.Quarterly, Seq(CellGrid.SeriesSpec("v3", "C1", "C2")))
+      .orderBy(col("indice_tiempo"))
+  }
+
   private def scrapeFixtureGrid(t: Tables): DataFrame = {
     val e = t.events.filter(col("event_id") < 1000)
     val headers = t.events.filter(col("event_id") < 6)
@@ -687,6 +717,7 @@ object SparkEntry {
     "q22_scrape_grid" -> (qScrapeGrid _),
     "q23_scrape_wide" -> (qScrapeWide _),
     "q27_composed_time" -> (qComposedTime _),
+    "q28_composed_two_col" -> (qComposedTwoCol _),
     "q24_sessionize" -> (qSessionize _),
     "q25_rollup" -> (qRollup _),
     "q26_approx_distinct" -> (qApproxDistinct _),
@@ -1109,6 +1140,52 @@ object SparkEntry {
          |  SELECT row, 'v2' AS serie_id,
          |    TRY_CAST(trim(value) AS DOUBLE) AS valor
          |  FROM grid WHERE col = 2 AND row >= 2)
+         |SELECT serie_id, indice_tiempo, valor
+         |FROM tm JOIN vals USING (row)
+         |WHERE indice_tiempo IS NOT NULL
+         |ORDER BY indice_tiempo""".stripMargin,
+
+    "q28_composed_two_col" ->
+      s"""WITH grid AS (
+         |  SELECT CAST(event_id + 2 AS INT) AS row, 1 AS col,
+         |    CAST(CAST(event_id // 5 + 2000 AS INT) AS VARCHAR) AS value
+         |  FROM events WHERE event_id < 100 AND event_id % 5 = 0
+         |  UNION ALL
+         |  SELECT CAST(event_id + 2 AS INT), 2,
+         |    ['I','II','III','IV'][CAST(event_id % 5 AS INT)]
+         |  FROM events WHERE event_id < 100 AND event_id % 5 <> 0
+         |  UNION ALL
+         |  SELECT CAST(event_id + 2 AS INT), 3,
+         |    CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR)
+         |  FROM events WHERE event_id < 100 AND event_id % 5 <> 0
+         |),
+         |rows_ AS (
+         |  SELECT row,
+         |    max(CASE WHEN col = 2 THEN value END) AS v,
+         |    max(CASE WHEN col = 1 THEN value END) AS lv
+         |  FROM grid WHERE row >= 2 AND col IN (1, 2) GROUP BY row),
+         |tm0 AS (
+         |  SELECT row, v,
+         |    last_value(CASE
+         |        WHEN v IS NOT NULL AND regexp_matches(trim(v), '^\\d{4}$$')
+         |          THEN trim(v)
+         |        WHEN lv IS NOT NULL AND regexp_matches(trim(lv), '^\\d{4}$$')
+         |          THEN trim(lv) END IGNORE NULLS)
+         |      OVER (ORDER BY row ROWS BETWEEN UNBOUNDED PRECEDING
+         |        AND CURRENT ROW) AS yr
+         |  FROM rows_),
+         |tm AS (
+         |  SELECT row, CASE trim(v)
+         |    WHEN 'I' THEN make_date(CAST(yr AS INT), 1, 1)
+         |    WHEN 'II' THEN make_date(CAST(yr AS INT), 4, 1)
+         |    WHEN 'III' THEN make_date(CAST(yr AS INT), 7, 1)
+         |    WHEN 'IV' THEN make_date(CAST(yr AS INT), 10, 1) END
+         |    AS indice_tiempo
+         |  FROM tm0),
+         |vals AS (
+         |  SELECT row, 'v3' AS serie_id,
+         |    TRY_CAST(trim(value) AS DOUBLE) AS valor
+         |  FROM grid WHERE col = 3 AND row >= 2)
          |SELECT serie_id, indice_tiempo, valor
          |FROM tm JOIN vals USING (row)
          |WHERE indice_tiempo IS NOT NULL

@@ -55,18 +55,26 @@ object CellGrid {
     val timeStart = rowIdx(timeDataStartCell)
 
     // single-cell labels parse directly; multi-cell composed time
-    // forward-fills sparse year markers down the (small, single-column)
-    // slice and composes them with period labels — the xlseries
-    // time_composed=True path as one coalesce instead of a try/except
+    // forward-fills sparse year markers down the slice and composes
+    // them with period labels — the xlseries time_composed=True path as
+    // one coalesce instead of a try/except. Year markers may live in
+    // the time column itself ("2019" on its own row) OR one column to
+    // its left (the two-column year|period layout); both are read in
+    // the same pass via a per-row conditional aggregate.
     val fillW = org.apache.spark.sql.expressions.Window
       .orderBy(col("row"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val timeSlice = grid
-      .filter(col("sheet") === sheet && col("col") === timeCol &&
-        col("row") >= timeStart)
-      .select(col("row"), col("value"))
+      .filter(col("sheet") === sheet && col("row") >= timeStart &&
+        (col("col") === timeCol || col("col") === timeCol - 1))
+      .groupBy(col("row"))
+      .agg(
+        max(when(col("col") === timeCol, col("value"))).as("value"),
+        max(when(col("col") === timeCol - 1, col("value")))
+          .as("left_value"))
       .withColumn("yr_filled",
-        last(yearMarker(col("value")), ignoreNulls = true).over(fillW))
+        last(coalesce(yearMarker(col("value")),
+          yearMarker(col("left_value"))), ignoreNulls = true).over(fillW))
       .select(col("row"),
         coalesce(
           parseTimeLabel(col("value"), freq),
@@ -137,11 +145,20 @@ object CellGrid {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val timeSlices = grid
       .join(broadcast(timeSpecs), grid("sheet") === timeSpecs("sheet") &&
-        col("col") === col("time_col") && col("row") >= col("time_start"))
-      .select(col("distribution_id"), timeSpecs("sheet").as("s"),
-        col("row"), col("value"), col("freq"))
+        (col("col") === col("time_col") ||
+          col("col") === col("time_col") - 1) &&
+        col("row") >= col("time_start"))
+      .groupBy(col("distribution_id"), timeSpecs("sheet").as("s"),
+        col("row"))
+      .agg(
+        max(when(col("col") === col("time_col"), col("value")))
+          .as("value"),
+        max(when(col("col") === col("time_col") - 1, col("value")))
+          .as("left_value"),
+        first(col("freq")).as("freq"))
       .withColumn("yr_filled",
-        last(yearMarker(col("value")), ignoreNulls = true).over(fillW))
+        last(coalesce(yearMarker(col("value")),
+          yearMarker(col("left_value"))), ignoreNulls = true).over(fillW))
       .select(col("distribution_id"), col("s"), col("row"),
         coalesce(
           parseTimeLabel(col("value"), graft.model.Frequency.Monthly),

@@ -73,6 +73,23 @@ class CellGridSpec extends SparkSpec {
       ("2019-10-01", 4.0), ("2020-01-01", 5.0), ("2020-04-01", 6.0)))
   }
 
+  test("two-column composed time: year column left of the period column") {
+    val composed = Seq(
+      ("c2", 1, 1, "anio"), ("c2", 1, 2, "indice_tiempo"), ("c2", 1, 3, "x"),
+      ("c2", 2, 1, "2019"), ("c2", 2, 2, "I"), ("c2", 2, 3, "1.0"),
+      ("c2", 3, 2, "II"), ("c2", 3, 3, "2.0"),
+      ("c2", 4, 1, "2020"), ("c2", 4, 2, "I"), ("c2", 4, 3, "3.0"),
+      ("c2", 5, 2, "II"), ("c2", 5, 3, "4.0"),
+    ).toDF("sheet", "row", "col", "value")
+    val long = CellGrid.scrapeDistribution(composed, "c2", "B1", "B2",
+      Frequency.Quarterly, Seq(CellGrid.SeriesSpec("x", "C1", "C2")))
+    val rows = long.collect()
+      .map(r => (r.getDate(1).toString, r.getDouble(2))).toSet
+    assert(rows == Set(
+      ("2019-01-01", 1.0), ("2019-04-01", 2.0),
+      ("2020-01-01", 3.0), ("2020-04-01", 4.0)))
+  }
+
   test("composed-time fallback: plain single-cell labels still win") {
     // a sheet with ordinary labels must parse identically with the
     // composed machinery active (the reference's TimeIsNotComposed
