@@ -54,11 +54,11 @@ object Bench {
     System.gc()
     val results = selected.map {
       case (name, fn) =>
-        val df = try fn(spark, sfDir) catch { case _: Throwable => null }
-        // time ONLY the execution — plan construction, cache cleanup and
-        // the proactive GC stay outside the measured window
+        // time construction + execution together (iterative operators
+        // like q44 legitimately run jobs while the frame is built);
+        // cache cleanup and the proactive GC stay outside the window
         val t0 = System.nanoTime()
-        try { if (df != null) df.count() }
+        try { fn(spark, sfDir).count() }
         catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sqlContext.clearCache()

@@ -32,4 +32,36 @@ object SeriesLake {
     * the whole lake. */
   def forCatalog(spark: SparkSession, path: String, catalogId: String): DataFrame =
     read(spark, path).filter(col("catalog_id") === catalogId)
+
+  /** Small-file compaction for one lake partition. Incremental ETL
+    * appends a few files per run; over months a partition accumulates
+    * thousands of tiny parquet files and scan parallelism degrades into
+    * task-scheduling + footer-read overhead. Rewrites the partition
+    * into ceil(bytes / targetFileBytes) files via a temp directory +
+    * rename swap, all through the Hadoop FileSystem API (works on
+    * local, HDFS, or object-store committers alike). Returns the new
+    * file count. */
+  def compactCatalog(spark: SparkSession, path: String, catalogId: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val partDir = new HPath(s"$path/catalog_id=$catalogId")
+    val fs = FileSystem.get(partDir.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(partDir)) return 0
+    val bytes = fs.listStatus(partDir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new HPath(s"$path/.compact-$catalogId.tmp")
+    fs.delete(tmp, true)
+    // read the single partition directly (no catalog_id column inside)
+    spark.read.parquet(partDir.toString)
+      .repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // swap: drop the committer's marker, replace the partition dir
+    fs.delete(new HPath(tmp, "_SUCCESS"), false)
+    fs.delete(partDir, true)
+    fs.rename(tmp, partDir)
+    n
+  }
 }

@@ -28,6 +28,31 @@ class LakeSpec extends SparkSpec {
       s"partition pruning not applied:\n$p")
   }
 
+  test("compaction rewrites a fragmented partition, data intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+      .toString
+    val series = (1L to 2000L).map(i =>
+      ("c1", "1", "1.1", s"s${i % 4}", java.sql.Date.valueOf("2020-01-01"),
+        i.toDouble))
+      .toDF("catalog_id", "dataset_id", "distribution_id", "serie_id",
+        "indice_tiempo", "valor")
+    // fragment the partition the way incremental runs do
+    series.repartition(24).write.mode("overwrite")
+      .partitionBy("catalog_id").parquet(dir)
+    def files() = new java.io.File(s"$dir/catalog_id=c1")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files() >= 20)
+    val before = SeriesLake.forCatalog(spark, dir, "c1")
+      .agg(org.apache.spark.sql.functions.sum("valor")).head().getDouble(0)
+    val n = SeriesLake.compactCatalog(spark, dir, "c1")
+    assert(n == 1 && files() == 1)
+    val after = SeriesLake.forCatalog(spark, dir, "c1")
+      .agg(org.apache.spark.sql.functions.sum("valor")).head().getDouble(0)
+    assert(before == after)
+    assert(SeriesLake.compactCatalog(spark, dir, "missing") == 0)
+  }
+
   test("K4 report XLSX sink round-trips the report") {
     val dir = Files.createTempDirectory("graft-k4")
     val report = Seq(
