@@ -270,10 +270,22 @@ object Pipeline {
           CellGrid.BatchSeriesSpec(p.m.distributionId, sp.serieId,
             sheetKey(p.url, p.sheet), sp.dataStartCell,
             p.timeDataStartCell, p.freq.code)))
-        // materialized once (lazily), reused by every job below and by
-        // every per-distribution write; GC-released after the run
-        val batchLong = CellGrid.scrapeAll(combined, specs)
-          .localCheckpoint(false)
+        // the batch long form is staged ONCE as parquet partitioned by
+        // distribution: the validation jobs below scan it columnar, and
+        // each per-distribution write reads ONLY its pruned partition —
+        // an in-memory checkpoint would make every write re-scan the
+        // whole catalog's blocks (O(N × catalog) at 20k distributions).
+        val stagePath = s"$outputDir/.graft-batch-long"
+        CellGrid.scrapeAll(combined, specs)
+          .write.mode("overwrite").partitionBy("distribution_id")
+          .parquet(stagePath)
+        // partition values are distribution IDs like "1.1" — keep them
+        // strings (type inference would read them back as doubles)
+        val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        val infWas = spark.conf.get(infKey, "true")
+        val batchLong =
+          try { spark.conf.set(infKey, "false"); spark.read.parquet(stagePath) }
+          finally spark.conf.set(infKey, infWas)
 
         // §2.9 per-serie battery — ONE job for the whole catalog
         val summary = TimeSeriesOps.validationSummary(batchLong,
@@ -323,7 +335,7 @@ object Pipeline {
           .map(r => r.getAs[String]("distribution_id") ->
             r.getAs[Long]("n")).toMap
 
-        okPreps.map { p =>
+        val batchResults = okPreps.map { p =>
           val d = p.m.distributionId
           val outPath = outPathOf(p.m)
           Try {
@@ -375,6 +387,12 @@ object Pipeline {
                 "ERROR", e.toString.take(500), outPath, 0L)
           }
         }
+        // every action is complete — drop the staging partition tree
+        val hp = new org.apache.hadoop.fs.Path(stagePath)
+        org.apache.hadoop.fs.FileSystem
+          .get(hp.toUri, spark.sparkContext.hadoopConfiguration)
+          .delete(hp, true)
+        batchResults
       }
 
     // ---- per-item path for direct CSV / TXT distributions

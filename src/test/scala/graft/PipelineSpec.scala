@@ -173,12 +173,13 @@ class PipelineSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       spark.sparkContext.removeSparkListener(listener)
     }
-    // constant part ≈ 11 (4 validation collects + broadcast builds +
-    // report collects); per distribution: exactly ONE write job. The
-    // old per-item loop cost ≥ 3 full lineage jobs per distribution
-    // (≥ 18 + report jobs for n=6), so n + 12 cleanly separates the
+    // constant part ≈ 13 (staging write + listing, 4 validation
+    // collects, broadcast builds, report collects); per distribution:
+    // exactly ONE write job over its pruned staging partition. The old
+    // per-item loop cost ≥ 3 full lineage jobs per distribution
+    // (≥ 18 + report jobs for n=6), so n + 14 cleanly separates the
     // batch design from any per-item regression.
-    assert(jobs.get() <= n + 12,
+    assert(jobs.get() <= n + 14,
       s"job count ${jobs.get()} suggests per-distribution scrape jobs:\n" +
         sites.toArray.mkString("\n"))
   }
