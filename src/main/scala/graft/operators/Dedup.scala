@@ -180,6 +180,10 @@ object Dedup {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(false)
+    // labels only ever DECREASE, so the label sum strictly decreases
+    // until fixpoint — one cheap aggregate per round replaces a
+    // join-based change detection.
+    var prevSum: Option[Long] = None
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
@@ -189,10 +193,10 @@ object Dedup {
       val updated = labels.union(neighborLabels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(false)
-      converged = updated
-        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old"))
-        .isEmpty
+      val s = Option(updated.agg(sum(col("label"))).head().get(0))
+        .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       labels = updated
       i += 1
     }
