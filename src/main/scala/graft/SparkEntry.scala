@@ -617,6 +617,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Portable KMV distinct sketch: approx distinct users per event type
+    * — unlike HLL (q26, engine-specific), the k-minimum-values estimate
+    * over the portable hash is reproducible by ANY engine, so this one
+    * hash-matches the oracle (Sketches.kmvDistinct). */
+  private def qKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Sketches.kmvDistinct(t.events, "event_type", "user_id", k = 64)
+      .orderBy(col("event_type"))
+  }
+
   /** Duplicate clusters: LSH candidate pairs → connected components →
     * per-cluster sizes (Dedup.duplicateClusters — the "keep one per
     * cluster" completion of the dedup story). */
@@ -718,6 +728,7 @@ object SparkEntry {
     "q23_scrape_wide" -> (qScrapeWide _),
     "q27_composed_time" -> (qComposedTime _),
     "q28_composed_two_col" -> (qComposedTwoCol _),
+    "q29_kmv_distinct" -> (qKmvDistinct _),
     "q24_sessionize" -> (qSessionize _),
     "q25_rollup" -> (qRollup _),
     "q26_approx_distinct" -> (qApproxDistinct _),
@@ -1190,6 +1201,21 @@ object SparkEntry {
          |FROM tm JOIN vals USING (row)
          |WHERE indice_tiempo IS NOT NULL
          |ORDER BY indice_tiempo""".stripMargin,
+
+    "q29_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    ${hash32Sql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h, row_number() OVER
+         |    (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+         |t AS (SELECT event_type, count(*) AS n_seen, max(h) AS kth_min
+         |  FROM r WHERE rn <= 64 GROUP BY event_type)
+         |SELECT event_type,
+         |  CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
+         |       ELSE round((64 - 1) * 4294967296.0 / kth_min, 2)
+         |  END AS approx_distinct,
+         |  CAST(n_seen AS BIGINT) AS n_seen
+         |FROM t ORDER BY event_type""".stripMargin,
 
     "q24_sessionize" ->
       """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),

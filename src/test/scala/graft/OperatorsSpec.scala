@@ -165,6 +165,17 @@ class OperatorsSpec extends SparkSpec {
     assert(r2 >= r1, s"nProbe=2 recall $r2 < nProbe=1 recall $r1")
   }
 
+  test("KMV sketch: exact below k, within ~25% above k") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (if (i <= 40) "small" else "big", i))
+      .toDF("g", "v")
+    val r = graft.operators.Sketches.kmvDistinct(df, "g", "v", k = 64)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("small") == 40.0) // < k -> exact
+    val est = r("big")         // 4960 distinct values
+    assert(est > 4960 * 0.75 && est < 4960 * 1.25, s"estimate $est")
+  }
+
   test("PII redaction replaces urls, emails and IPv4 with markers") {
     import spark.implicits._
     val df = Seq(
