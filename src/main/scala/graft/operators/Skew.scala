@@ -35,4 +35,24 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__n")).as("n"), sum(col("__s")).as("sum_value"))
   }
+
+  /** Salted equi-join for a hot-keyed FACT against a small-but-not-
+    * broadcastable dimension: the fact side salts each row into one of
+    * `saltBuckets` sub-keys, the dimension side replicates each row
+    * once per bucket (explode of a literal range — dimension size ×
+    * buckets stays modest), and the join runs on (key, salt) so a hot
+    * key spreads over `saltBuckets` reducers instead of one. Result
+    * equals `fact.join(dim, keys)`. AQE's skew-join handles most of
+    * this at runtime; the explicit form is for engines/pipelines where
+    * AQE is off or the skew is known up front. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      entropyCol: String, saltBuckets: Int = 16): DataFrame = {
+    val saltedFact = fact
+      .withColumn("__salt", salt(col(entropyCol), saltBuckets))
+    val replicatedDim = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedFact
+      .join(replicatedDim, keys :+ "__salt")
+      .drop("__salt")
+  }
 }

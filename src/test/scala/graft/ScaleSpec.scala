@@ -28,6 +28,28 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("salted join equals the direct join on skewed data") {
+    val fact = (1 to 20000).map { i =>
+      (if (i % 10 == 0) s"key_${i % 7}" else "hot_key", i.toLong, i * 1.0)
+    }.toDF("k", "row_id", "v")
+    val dim = (Seq("hot_key") ++ (0 to 6).map(i => s"key_$i"))
+      .zipWithIndex.map { case (k, i) => (k, s"label_$i") }
+      .toDF("k", "label")
+    val direct = fact.join(dim, Seq("k"))
+      .groupBy($"label").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val salted = Skew.saltedJoin(fact, dim, Seq("k"), "row_id")
+      .groupBy($"label").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, (n, s)) =>
+      assert(n == direct(k)._1)
+      assert(math.abs(s - direct(k)._2) < 1e-6)
+    }
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val series = (1 to 5000)
       .map(i => (s"serie_${i % 50}", i, i * 1.0))
