@@ -69,6 +69,19 @@ class PlanSpec extends SparkSpec {
       s"centroid array not broadcast:\n$p")
   }
 
+  test("q29 kmv: rank<=k is pushed down as a WindowGroupLimit") {
+    // the sketch must never materialize a full per-group rank — Spark's
+    // limit pushdown keeps only k rows per group before the final agg
+    val p = plan("q29_kmv_distinct")
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
+  }
+
+  test("q46 tfidf aggregates partially before the shuffle") {
+    val p = plan("q46_tfidf")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"no partial aggregation:\n$p")
+  }
+
   test("q45 hash split is pure expression work before one aggregation") {
     val p = plan("q45_hash_split")
     assert(!p.contains("Window"), s"split should not window:\n$p")
