@@ -253,11 +253,47 @@ object Pipeline {
     val prepErrors = preps.collect { case Left(r) => r }
     val okPreps = preps.collect { case Right(p) => p }
 
+    // per-distribution scrape — the FALLBACK path when the batch core
+    // fails at execution time (one unreadable workbook must degrade to
+    // that workbook's ERROR rows, never abort the catalog — the
+    // reference's per-distribution try/except, base.py:155-207)
+    def scrapeOneFallback(p: ExcelPrep): DistributionResult = {
+      val d = p.m.distributionId
+      val outPath = outPathOf(p.m)
+      Try {
+        val grid = allGrids(p.url)
+        val long = CellGrid.scrapeDistribution(grid, p.sheet,
+          p.timeDataStartCell, p.timeDataStartCell, p.freq, p.series)
+        val wide = TimeSeriesOps.alignWide(long,
+          p.series.map(_.serieId), ordered = false)
+        val (n, warnings0) = validateWide(wide, d, Some(p.freq))
+        val drift = CellGrid.headerDrift(grid, p.sheet, p.series)
+          .collect().toSeq.map(r =>
+            s"${r.getAs[String]("serie_id")}<>" +
+              s"'${Option(r.getAs[String]("found")).getOrElse("")}'")
+        val warnings = warnings0 ++
+          (if (drift.nonEmpty) Seq(s"header drift: ${drift.mkString(", ")}")
+           else Seq.empty)
+        SingleFileCsv.write(wide, outPath, sortBy = Seq("indice_tiempo"))
+        DistributionResult(p.m.catalogId, p.m.datasetId, d,
+          if (warnings.nonEmpty) "WARNING" else "OK",
+          warnings.mkString("; ").take(500), outPath, n)
+      } match {
+        case Success(r) => r
+        case Failure(e) =>
+          DistributionResult(p.m.catalogId, p.m.datasetId, d,
+            "ERROR", e.toString.take(500), outPath, 0L)
+      }
+    }
+
     // ---- the batch core: ONE combined grid, ONE scrape, ONE job per
-    // validation family — none of it scales with distribution count
+    // validation family — none of it scales with distribution count.
+    // Wrapped in Try (ADVICE r2): a batch-stage failure (e.g. a grid
+    // that errors at execution time) falls back to per-distribution
+    // scrapes so one bad workbook cannot take down the whole run.
     val excelResults: Seq[DistributionResult] =
       if (okPreps.isEmpty) Seq.empty
-      else {
+      else Try {
         // globally-unique sheet key: url NUL sheet (NUL can't occur in
         // either part)
         def sheetKey(url: String, sheet: String) = url + "\u0000" + sheet
@@ -393,6 +429,14 @@ object Pipeline {
           .get(hp.toUri, spark.sparkContext.hadoopConfiguration)
           .delete(hp, true)
         batchResults
+      } match {
+        case Success(rs) => rs
+        case Failure(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "batch excel core failed " +
+              s"(${e.toString.take(200)}); falling back to " +
+              "per-distribution scrapes")
+          okPreps.map(scrapeOneFallback)
       }
 
     // ---- per-item path for direct CSV / TXT distributions
@@ -505,8 +549,10 @@ object Pipeline {
       freq: Option[Frequency]): (Long, Seq[String]) = {
     val valueCols = wide.columns.filter(_ != "indice_tiempo").toSeq
     // one distribution = one small frame; the single-partition window
-    // is the per-item path only (the excel batch path windows by key)
-    val w = Window.orderBy(col("indice_tiempo"))
+    // is the per-item path only (the excel batch path windows by key).
+    // A constant partition key keeps WindowExec's partition spec
+    // non-empty (no global-window warning) with identical semantics.
+    val w = Window.partitionBy(col("_p")).orderBy(col("indice_tiempo"))
     val step: Column = freq.flatMap(_.months) match {
       case Some(mo) =>
         months_between(col("indice_tiempo"), col("prev")) / mo
@@ -526,6 +572,7 @@ object Pipeline {
       valueCols.zipWithIndex.map { case (c, i) =>
         count(col(c)).as(s"nv_$i") }
     val row = wide
+      .withColumn("_p", lit(0))
       .withColumn("prev", lag(col("indice_tiempo"), 1).over(w))
       .agg(aggCols.head, aggCols.tail: _*).head()
     val n = row.getAs[Long]("n")

@@ -58,10 +58,26 @@ object SeriesLake {
     spark.read.parquet(partDir.toString)
       .repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    // swap: drop the committer's marker, replace the partition dir
+    // swap: drop the committer's marker, then move the live dir aside
+    // BEFORE moving tmp into place — the original data survives any
+    // single failure (a crash between the renames leaves the partition
+    // recoverable from the .bak dir; nothing is deleted until the new
+    // data is live). Every rename result is checked: a false return
+    // (e.g. object-store rename refusal) aborts loudly instead of
+    // silently reporting success with the partition gone.
     fs.delete(new HPath(tmp, "_SUCCESS"), false)
-    fs.delete(partDir, true)
-    fs.rename(tmp, partDir)
+    val backup = new HPath(s"$path/.compact-$catalogId.bak")
+    fs.delete(backup, true)
+    if (!fs.rename(partDir, backup))
+      sys.error(s"compactCatalog: failed to move $partDir aside to $backup; " +
+        "partition left untouched")
+    if (!fs.rename(tmp, partDir)) {
+      // roll back so the live partition is never left missing
+      fs.rename(backup, partDir)
+      sys.error(s"compactCatalog: failed to move $tmp into place at $partDir; " +
+        "original partition restored")
+    }
+    fs.delete(backup, true)
     n
   }
 }

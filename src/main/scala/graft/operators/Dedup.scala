@@ -172,7 +172,7 @@ object Dedup {
     * stays flat (the standard iterative-algorithm discipline). Result is
     * deterministic at fixpoint regardless of round count. */
   def duplicateClusters(pairs: DataFrame, idCol1: String = "id1",
-      idCol2: String = "id2", maxIter: Int = 10): DataFrame = {
+      idCol2: String = "id2", maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
       .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
       .distinct()
@@ -200,6 +200,15 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // exiting via the round cap rather than the fixpoint check means a
+    // component with diameter > maxIter-1 got SPLIT into several labels
+    // — never silent (ADVICE r2): the caller either raises maxIter or
+    // treats the result as approximate.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"duplicateClusters stopped at maxIter=$maxIter without reaching " +
+          "the label fixpoint; long-chain components may carry multiple " +
+          "cluster labels — raise maxIter for exact connected components")
     labels.withColumnRenamed("label", "cluster")
   }
 

@@ -61,13 +61,18 @@ object CellGrid {
     // the time column itself ("2019" on its own row) OR one column to
     // its left (the two-column year|period layout); both are read in
     // the same pass via a per-row conditional aggregate.
+    // partitioned by sheet — constant after the filter above, so the
+    // fill is semantically global over this slice, but WindowExec gets
+    // a partition spec (one sheet's time column is a few thousand rows;
+    // the batch path, scrapeAll, partitions by distribution)
     val fillW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sheet"))
       .orderBy(col("row"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val timeSlice = grid
       .filter(col("sheet") === sheet && col("row") >= timeStart &&
         (col("col") === timeCol || col("col") === timeCol - 1))
-      .groupBy(col("row"))
+      .groupBy(col("sheet"), col("row"))
       .agg(
         max(when(col("col") === timeCol, col("value"))).as("value"),
         max(when(col("col") === timeCol - 1, col("value")))

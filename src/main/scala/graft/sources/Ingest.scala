@@ -63,6 +63,13 @@ object Ingest {
   def fetchAllConfigured(spark: SparkSession, manifest: DataFrame,
       cfg: DownloadConfig, replace: Boolean = false): DataFrame = {
     import spark.implicits._
+    // mirror of urllib3's InsecureRequestWarning: a verify:false config
+    // must never ship silently (ADVICE r2) — one line per fetchAll call.
+    if (!cfg.verifyTls)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "TLS certificate verification DISABLED for this catalog's " +
+          "downloads (config verify:false) — connections are exposed to " +
+          "man-in-the-middle interception")
     manifest.select(col("url"), col("target")).distinct()
       .as[(String, String)]
       .mapPartitions(_.map { case (url, target) =>

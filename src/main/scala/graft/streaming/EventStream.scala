@@ -38,17 +38,20 @@ object EventStream {
 
   /** Streaming exact dedup: first occurrence of each content digest
     * wins, duplicates within the watermark horizon are dropped —
-    * `dropDuplicates` keyed by the digest keeps ONLY the 16-byte key in
-    * the state store (never the payload), and the watermark bounds
-    * state size, the property that matters when the stream is a
-    * crawler firehose. The incremental form of Dedup.exactDedup. */
+    * `dropDuplicatesWithinWatermark` keyed by the digest keeps ONLY the
+    * 16-byte key in the state store (never the payload) and, unlike
+    * plain `dropDuplicates("digest")` (which never evicts state when
+    * the event-time column is not part of the key), expires each key
+    * once the watermark passes its first-seen event time — so state
+    * stays bounded on a crawler firehose. The incremental form of
+    * Dedup.exactDedup. */
   def streamingDedup(docs: DataFrame, textCol: String,
       tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
     docs
       .withColumn("digest",
         md5(graft.operators.Dedup.normalizeText(col(textCol))))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("digest")
+      .dropDuplicatesWithinWatermark("digest")
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -183,4 +183,55 @@ class PipelineSpec extends SparkSpec {
       s"job count ${jobs.get()} suggests per-distribution scrape jobs:\n" +
         sites.toArray.mkString("\n"))
   }
+
+  test("batch-stage failure degrades to per-distribution fallback") {
+    // One workbook whose grid PLANS fine but FAILS at execution time
+    // (its parquet files vanish after the DataFrame is built). The
+    // batched excel core unions it with a healthy workbook, so the
+    // batch scrape job dies — the run must fall back to per-
+    // distribution scrapes: healthy workbook OK, broken workbook ERROR,
+    // never an aborted catalog (reference's per-item try/except).
+    val okGrid = (Seq(("okh", 1, 1, "indice_tiempo"), ("okh", 1, 2, "sA")) ++
+      (2 to 13).flatMap(r => Seq(
+        ("okh", r, 1, f"2021-${r - 1}%02d"),
+        ("okh", r, 2, s"$r.5")))).toDF("sheet", "row", "col", "value")
+
+    val pdir = workDir.resolve("brokengrid")
+    Seq(("bad", 1, 1, "indice_tiempo"), ("bad", 1, 2, "sB"),
+      ("bad", 2, 1, "2021-01"), ("bad", 2, 2, "1.0"))
+      .toDF("sheet", "row", "col", "value")
+      .write.mode("overwrite").parquet(pdir.toString)
+    val broken = spark.read.parquet(pdir.toString) // listing captured now
+    // remove the data files: any execution over `broken` now throws
+    Files.walk(pdir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+
+    val manifest = Seq(
+      Pipeline.ManifestEntry("fbcat", "1", "1.1", Some("excel_file"), None,
+        Some("mem://ok"), Some("okh"), None),
+      Pipeline.ManifestEntry("fbcat", "1", "1.2", Some("excel_file"), None,
+        Some("mem://broken"), Some("bad"), None))
+    val fields = Seq(
+      Pipeline.FieldEntry("1.1", Some("indice_tiempo"), Some("time_index"),
+        Some("R/P1M"), Some("A1"), Some("A2")),
+      Pipeline.FieldEntry("1.1", Some("sA"), None, None, Some("B1"),
+        Some("B2")),
+      Pipeline.FieldEntry("1.2", Some("indice_tiempo"), Some("time_index"),
+        Some("R/P1M"), Some("A1"), Some("A2")),
+      Pipeline.FieldEntry("1.2", Some("sB"), None, None, Some("B1"),
+        Some("B2")))
+
+    val out = workDir.resolve("fallback").toString
+    val result = Pipeline.process(spark, manifest, fields, out,
+      Map("mem://ok" -> okGrid, "mem://broken" -> broken), None,
+      replace = true)
+    val statuses = result.report.collect()
+      .map(r => r.getAs[String]("distributionId") ->
+        r.getAs[String]("distribution_status")).toMap
+    assert(statuses("1.1") == "OK", statuses)
+    assert(statuses("1.2") == "ERROR", statuses)
+    // the healthy distribution's CSV actually landed via the fallback
+    assert(Files.exists(Paths.get(out,
+      "catalog/fbcat/dataset/1/distribution/1.1/download/1.1.csv")))
+  }
 }
