@@ -37,26 +37,26 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    // Warmup: run every query once untimed. Each distinct plan shape
-    // pays whole-stage-codegen compilation + JIT on first execution;
-    // the timed pass below then measures steady-state throughput.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    selected.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
-
-    // drop warmup caches so each timed query starts cold w.r.t. cached
-    // intermediates (Spark's CacheManager matches canonicalized plans,
-    // so a warm cache would otherwise serve the timed pass the answer);
-    // GC the warmup garbage NOW so no collector pause lands inside a
-    // timed query (concurrent via -XX:+ExplicitGCInvokesConcurrent).
-    spark.sqlContext.clearCache()
-    System.gc()
     val results = selected.map {
       case (name, fn) =>
+        // Warm THIS query immediately before timing it. A single global
+        // warmup pass is defeated by the 100-entry generated-class cache
+        // (spark.sql.codegen.cache.maxEntries): 48 queries' codegen
+        // units evict each other, so by the timed pass every stage
+        // recompiles — q06 measured 12s inside the full suite vs 1.2s
+        // in a 6-query run, pure compilation noise. Warm-then-time per
+        // query measures steady-state execution whatever the suite size.
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        // drop warmup caches so the timed run starts cold w.r.t. cached
+        // intermediates (the CacheManager matches canonicalized plans, so
+        // a warm cache would otherwise serve the timed pass the answer);
+        // GC the warmup garbage NOW so no collector pause lands inside
+        // the timed window (concurrent via ExplicitGCInvokesConcurrent).
+        spark.sqlContext.clearCache()
+        System.gc()
         // time construction + execution together (iterative operators
-        // like q44 legitimately run jobs while the frame is built);
-        // cache cleanup and the proactive GC stay outside the window
+        // like q44 legitimately run jobs while the frame is built)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case _: Throwable => -1L }
