@@ -698,6 +698,36 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Stratified deterministic sampling: per-language keep rates (en is
+    * over-represented in the synthetic corpus, zh up-weighted) — the
+    * training-mixture constructor (Sampling.withStratifiedFlag). */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Sampling.withStratifiedFlag(t.documents, "lang", "doc_id",
+        Map("en" -> 0.2, "zh" -> 0.5), defaultRate = 0.35)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  /** Chunk-level (line/paragraph-style) exact dedup with reassembly
+    * (Dedup.chunkDedup): per-doc chunk counts + digest of the
+    * deduplicated text. */
+  private def qChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Dedup.chunkDedup(t.documents, "text", "doc_id", chunkTokens = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus composition stats per language: count, mean and exact
+    * p50/p90/p99 of document length (TextAnalysis.corpusStats). */
+  private def qCorpusStats(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    TextAnalysis.corpusStats(t.documents, "lang", "n_chars")
+      .orderBy(col("lang"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -751,6 +781,9 @@ object SparkEntry {
     "q46_tfidf" -> (qTfidf _),
     "q47_pii_redact" -> (qPiiRedact _),
     "q48_decontaminate" -> (qDecontaminate _),
+    "q49_stratified_sample" -> (qStratifiedSample _),
+    "q50_chunk_dedup" -> (qChunkDedup _),
+    "q51_corpus_stats" -> (qCorpusStats _),
   )
 
   // -------------------------------------------------------------------
@@ -1578,5 +1611,46 @@ object SparkEntry {
          |    AS contaminated
          |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
          |ORDER BY s.doc_id""".stripMargin,
+
+    "q49_stratified_sample" ->
+      s"""WITH b AS (SELECT lang,
+         |    CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 5000
+         |      ELSE 3500 END AS thr,
+         |    ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sampled
+         |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q50_chunk_dedup" ->
+      s"""WITH docs_norm AS (SELECT doc_id, $normTextSql AS norm
+         |  FROM documents),
+         |t AS (SELECT doc_id, ${wsTokensSql("norm")} AS arr FROM docs_norm),
+         |ch0 AS (SELECT doc_id, unnest(list_transform(generate_series(1,
+         |    greatest(1, CAST(ceil(len(arr) / 8.0) AS BIGINT))),
+         |    i -> struct_pack(idx := i,
+         |      chunk := array_to_string(arr[((i-1)*8+1):(i*8)], ' '))))
+         |    AS s
+         |  FROM t),
+         |ch AS (SELECT doc_id, s.idx AS chunk_idx, s.chunk AS chunk
+         |  FROM ch0),
+         |ranked AS (SELECT *, row_number() OVER
+         |    (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM ch)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+         |    ORDER BY chunk_idx), '')) AS dedup_md5
+         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q51_corpus_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  round(avg(n_chars), 4) AS mean_len,
+         |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+         |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
+         |  round(quantile_cont(n_chars, 0.99), 4) AS p99
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

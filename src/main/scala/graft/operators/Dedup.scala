@@ -158,6 +158,47 @@ object Dedup {
           (col("n1") + col("n2") - col("n_inter")), 6))
   }
 
+  /** Chunk-level exact dedup — the line/paragraph dedup of web-corpus
+    * pipelines (CCNet-style), over fixed `chunkTokens`-token chunks
+    * (the synthetic corpus has no sentence boundaries): each document
+    * splits into consecutive chunks; a chunk that already occurred
+    * earlier in the corpus (first occurrence = min (doc, idx)) is
+    * dropped everywhere else; survivors reassemble in document order.
+    * Returns per doc: `n_chunks`, `n_kept`, `dedup_md5` of the
+    * reassembled text.
+    *
+    * Scale shape: one narrow explode; winners via ONE digest-keyed
+    * groupBy (partial-aggregatable min over a tiny struct — never a
+    * window over chunk text); one digest-keyed join to flag rows; one
+    * doc-keyed agg to reassemble. Chunk text crosses the wire once. */
+  def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 8): DataFrame = {
+    val toks = docs.select(col(idCol).as("_id"),
+      GF.wsTokens(normalizeText(col(textCol))).as("toks"))
+    val nChunks = greatest(lit(1),
+      ceil(size(col("toks")) / lit(chunkTokens.toDouble)).cast("int"))
+    val chunks = toks
+      .select(col("_id"),
+        posexplode(transform(sequence(lit(1), nChunks),
+          i => concat_ws(" ",
+            slice(col("toks"), (i - 1) * chunkTokens + 1,
+              lit(chunkTokens))))))
+      .select(col("_id"), col("pos").as("chunk_idx"), col("col").as("chunk"))
+      .withColumn("digest", md5(col("chunk")))
+    val winners = chunks.groupBy(col("digest"))
+      .agg(min(struct(col("_id"), col("chunk_idx"))).as("w"))
+    chunks.join(winners, Seq("digest"))
+      .withColumn("kept",
+        struct(col("_id"), col("chunk_idx")) === col("w"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws(" ", transform(array_sort(collect_list(
+          when(col("kept"), struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk")))).as("dedup_md5"))
+      .withColumnRenamed("_id", idCol)
+  }
+
   /** Duplicate clusters: connected components over candidate/duplicate
     * pairs, labeling every member with the MIN doc id of its component —
     * the step that turns pairwise near-dup hits into "keep one per

@@ -36,4 +36,41 @@ object Sampling {
     * replay-safe). */
   def deterministicSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(pctBucket(col(idCol)) < pct)
+
+  /** Fine hash bucket in [0, 10000) — basis-point resolution for
+    * stratified rates like 3.75%. */
+  def bpBucket(id: Column): Column =
+    pmod(GF.hash32(id.cast("string")), lit(10000))
+
+  /** Stratified deterministic sampling — the training-mixture
+    * constructor: each stratum (language, source, quality band …) keeps
+    * its own fraction of rows, hash-gated per id so the sample is
+    * stable across runs and engines. Rates are per-stratum fractions in
+    * [0, 1]; strata absent from the map fall back to `defaultRate`.
+    *
+    * The rate table rides a broadcast join (a dozen strata, never a
+    * shuffle of the fact side); the gate itself is one codegen'd
+    * comparison per row. Adds boolean `sampled`; `stratifiedSample`
+    * filters to the kept rows. */
+  def withStratifiedFlag(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be fractions in [0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateDf = rates.toSeq.sortBy(_._1)
+      .map { case (s, r) => (s, math.round(r * 10000).toInt) }
+      .toDF(strataCol, "_thr_bp")
+    df.join(broadcast(rateDf), Seq(strataCol), "left")
+      .withColumn("_thr_bp", coalesce(col("_thr_bp"),
+        lit(math.round(defaultRate * 10000).toInt)))
+      .withColumn("sampled", bpBucket(col(idCol)) < col("_thr_bp"))
+      .drop("_thr_bp")
+  }
+
+  /** The kept rows of [[withStratifiedFlag]]. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame =
+    withStratifiedFlag(df, strataCol, idCol, rates, defaultRate)
+      .filter(col("sampled")).drop("sampled")
 }

@@ -234,4 +234,28 @@ object TextAnalysis {
       .filter(col("pos") <= col("n_toks") - shingleW - windowSize + 1)
     winMin.select(col(idCol), col("fingerprint")).distinct()
   }
+
+  /** Corpus composition stats per stratum: document count, mean length,
+    * and length percentiles — the mixture report a training-data
+    * pipeline reads before setting sampling rates.
+    *
+    * `exact = true` uses `percentile` (linear interpolation — the same
+    * definition as SQL `quantile_cont`, engine-portable, but the
+    * aggregate buffers each group's values: right for per-stratum
+    * reports where strata are few and this oracle check). At 100 TB
+    * with high-cardinality strata, pass `exact = false` for
+    * `approx_percentile` (t-digest-style sketch, fixed memory,
+    * partial-aggregatable). */
+  def corpusStats(docs: DataFrame, strataCol: String, lenCol: String,
+      exact: Boolean = true): DataFrame = {
+    def pct(p: Double): Column =
+      if (exact) percentile(col(lenCol), lit(p))
+      else approx_percentile(col(lenCol), lit(p), lit(10000)).cast("double")
+    docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col(lenCol)), 4).as("mean_len"),
+        round(pct(0.5), 4).as("p50"),
+        round(pct(0.9), 4).as("p90"),
+        round(pct(0.99), 4).as("p99"))
+  }
 }

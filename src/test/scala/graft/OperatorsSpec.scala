@@ -233,4 +233,70 @@ class OperatorsSpec extends SparkSpec {
       .deterministicSample(docs, "doc_id", 10).count()
     assert(sample > 10 && sample < 200)
   }
+
+  test("stratified sample: per-stratum rates, default fallback, stable") {
+    import spark.implicits._
+    val docs = (1L to 600L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "fr"))
+      .toDF("doc_id", "lang")
+    val flagged = graft.operators.Sampling.withStratifiedFlag(
+      docs, "lang", "doc_id", Map("en" -> 0.1, "zh" -> 0.9), 0.5)
+    val byLang = flagged.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(col("sampled"), 1L)
+          .otherwise(0L)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // 200 docs per stratum; hash-gated rates land near targets
+    assert(byLang("en") < 60, byLang)           // ~20 expected
+    assert(byLang("zh") > 140, byLang)          // ~180 expected
+    assert(byLang("fr") > 60 && byLang("fr") < 140, byLang) // ~100
+    // row count preserved, kept set identical across runs
+    assert(flagged.count() == 600)
+    val kept1 = graft.operators.Sampling.stratifiedSample(
+      docs, "lang", "doc_id", Map("en" -> 0.1, "zh" -> 0.9), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val kept2 = graft.operators.Sampling.stratifiedSample(
+      docs, "lang", "doc_id", Map("en" -> 0.1, "zh" -> 0.9), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept1 == kept2)
+  }
+
+  test("chunkDedup: first occurrence survives, later repeats drop") {
+    import spark.implicits._
+    // doc 1: chunks A B; doc 2: chunk A (dup of doc 1's first chunk) + C
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val c = (1 to 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq((1L, s"$a $b"), (2L, s"$a $c"), (3L, c))
+      .toDF("doc_id", "text")
+    val r = graft.operators.Dedup.chunkDedup(docs, "text", "doc_id")
+      .as[(Long, Long, Long, String)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r(1L) == ((2L, 2L)))  // both chunks first occurrences
+    assert(r(2L) == ((2L, 1L)))  // chunk A deduped away, C kept
+    assert(r(3L) == ((1L, 0L)))  // C already kept by doc 2
+    // reassembly digest: doc 2's surviving text is exactly chunk c
+    val md5s = graft.operators.Dedup.chunkDedup(docs, "text", "doc_id")
+      .select("doc_id", "dedup_md5").as[(Long, String)].collect().toMap
+    val cMd5 = docs.sparkSession.sql(
+      s"SELECT md5('$c')").collect()(0).getString(0)
+    assert(md5s(2L) == cMd5)
+  }
+
+  test("corpusStats: exact percentiles interpolate like quantile_cont") {
+    import spark.implicits._
+    val docs = (1L to 101L).map(i => (i, "en", i * 10))
+      .toDF("doc_id", "lang", "n_chars")
+    val r = graft.operators.TextAnalysis
+      .corpusStats(docs, "lang", "n_chars").collect()(0)
+    assert(r.getAs[Long]("n_docs") == 101L)
+    assert(r.getAs[Double]("p50") == 510.0)   // exact mid element
+    assert(r.getAs[Double]("p90") == 910.0)   // 0.9*(101-1)=90 -> exact
+    assert(r.getAs[Double]("p99") == 1000.0)  // 0.99*100=99 -> exact
+    assert(r.getAs[Double]("mean_len") == 510.0)
+    // approx path stays within sketch tolerance and the same schema
+    val ap = graft.operators.TextAnalysis
+      .corpusStats(docs, "lang", "n_chars", exact = false).collect()(0)
+    assert(math.abs(ap.getAs[Double]("p50") - 510.0) <= 20.0)
+  }
 }
