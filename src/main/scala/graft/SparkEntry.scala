@@ -728,6 +728,33 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Curation funnel with first-failing-rule attribution over a corpus
+    * with planted duplicates: per (language, reason) counts
+    * (Curation.funnel). */
+  private def qCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val base = t.documents.select(col("doc_id"), col("lang"), col("text"))
+    val planted = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+        col("text"))
+    Curation.funnel(base.union(planted), "text", "doc_id")
+      .groupBy(col("lang"), col("reason"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("reason"))
+  }
+
+  /** Sequence packing into 512-token context windows per source shard:
+    * per-bin fill report (Packing.packBins / binStats). */
+  private def qPack(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val docs = t.documents.select(col("source"), col("doc_id"),
+      size(GF.wsTokens(col("text"))).cast("long").as("n_tokens"))
+    val packed = Packing.packBins(docs, "source", "doc_id", "n_tokens",
+      capacity = 512L)
+    Packing.binStats(packed, "source", "n_tokens", capacity = 512L)
+      .orderBy(col("source"), col("bin"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -784,6 +811,8 @@ object SparkEntry {
     "q49_stratified_sample" -> (qStratifiedSample _),
     "q50_chunk_dedup" -> (qChunkDedup _),
     "q51_corpus_stats" -> (qCorpusStats _),
+    "q52_curation_funnel" -> (qCurationFunnel _),
+    "q53_pack" -> (qPack _),
   )
 
   // -------------------------------------------------------------------
@@ -1652,5 +1681,57 @@ object SparkEntry {
          |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
          |  round(quantile_cont(n_chars, 0.99), 4) AS p99
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q52_curation_funnel" -> {
+      val allStop = sqlStringList(
+        TextAnalysis.StopwordsByLang.flatMap(_._2).distinct)
+      s"""WITH corpus AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, lang, text FROM documents
+         |  WHERE doc_id % 10 = 0),
+         |d AS (SELECT *, md5($normTextSql) AS digest FROM corpus),
+         |k AS (SELECT digest, min(doc_id) AS keeper FROM d
+         |  GROUP BY digest),
+         |t AS (SELECT d.doc_id, d.lang, d.text, k.keeper,
+         |    length(d.text)::DOUBLE AS n_chars,
+         |    ${wsTokensSql("d.text")} AS toks,
+         |    ${wsTokensSql("lower(d.text)")} AS ltoks
+         |  FROM d JOIN k USING (digest)),
+         |sig AS (SELECT doc_id, lang, keeper, len(toks) AS n_tokens,
+         |  round((n_chars - length(regexp_replace(text,
+         |    '[^A-Za-z0-9\\s]', '', 'g'))) / nullif(n_chars, 0.0), 6)
+         |    AS punct_ratio,
+         |  round(len(list_filter(ltoks,
+         |    w -> list_contains($allStop, w)))::DOUBLE /
+         |    nullif(len(toks), 0)::DOUBLE, 6) AS stopword_ratio
+         |  FROM t),
+         |r AS (SELECT lang,
+         |  CASE WHEN doc_id <> keeper THEN 'duplicate'
+         |    WHEN n_tokens < 20 THEN 'too_short'
+         |    WHEN round(greatest(0.0, least(1.0,
+         |      0.4 * least(n_tokens::DOUBLE / 50.0, 1.0) +
+         |      0.4 * least(stopword_ratio * 5.0, 1.0) +
+         |      0.2 * (1.0 - least(punct_ratio * 4.0, 1.0)))), 6) < 0.55
+         |      THEN 'low_quality'
+         |    ELSE 'kept' END AS reason
+         |  FROM sig)
+         |SELECT lang, reason, count(*) AS n
+         |FROM r GROUP BY lang, reason ORDER BY lang, reason""".stripMargin
+    },
+
+    "q53_pack" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |    len(${wsTokensSql("text")}) AS n_tokens FROM documents),
+         |c AS (SELECT source, doc_id, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+         |      - n_tokens AS cum
+         |  FROM t),
+         |b AS (SELECT source, cum // 512 AS bin, n_tokens FROM c)
+         |SELECT source, CAST(bin AS BIGINT) AS bin,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+         |  round(sum(n_tokens)::DOUBLE / 512, 6) AS fill_ratio
+         |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
   )
 }

@@ -299,4 +299,53 @@ class OperatorsSpec extends SparkSpec {
       .corpusStats(docs, "lang", "n_chars", exact = false).collect()(0)
     assert(math.abs(ap.getAs[Double]("p50") - 510.0) <= 20.0)
   }
+
+  test("curation funnel: first failing rule wins, curate keeps survivors") {
+    import spark.implicits._
+    val longGood = (("the of and a to in is it that for " * 6).trim)
+    val docs = Seq(
+      (1L, longGood),            // kept
+      (2L, longGood),            // duplicate of 1 -> 'duplicate'
+      (3L, "the of and"),        // 3 tokens -> 'too_short'
+      (4L, ("zx qv wk jn " * 8).trim)) // long, no stopwords -> low_quality
+      .toDF("doc_id", "text")
+    val reasons = graft.operators.Curation
+      .funnel(docs, "text", "doc_id", minTokens = 5, minQuality = 0.55)
+      .select("doc_id", "reason").as[(Long, String)].collect().toMap
+    assert(reasons == Map(1L -> "kept", 2L -> "duplicate",
+      3L -> "too_short", 4L -> "low_quality"), reasons)
+    // duplicate wins over too_short: a short doc that is ALSO a dup
+    val docs2 = docs.union(Seq((5L, "the of and")).toDF("doc_id", "text"))
+    val r2 = graft.operators.Curation
+      .funnel(docs2, "text", "doc_id", minTokens = 5, minQuality = 0.55)
+      .select("doc_id", "reason").as[(Long, String)].collect().toMap
+    assert(r2(5L) == "duplicate" && r2(3L) == "too_short")
+    val kept = graft.operators.Curation
+      .curate(docs, "text", "doc_id", minTokens = 5, minQuality = 0.55)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("packing: streaming bins respect order, straddlers stay behind") {
+    import spark.implicits._
+    // shard A: tokens 60+60 fill bin 0 (cap 100 -> second doc straddles
+    // and stays in bin 0 because its EXCLUSIVE cumsum 60 < 100);
+    // third doc starts at cum 120 -> bin 1
+    val docs = Seq(("A", 1L, 60L), ("A", 2L, 60L), ("A", 3L, 10L),
+      ("B", 1L, 250L), ("B", 2L, 10L))
+      .toDF("source", "doc_id", "n_tokens")
+    val packed = graft.operators.Packing
+      .packBins(docs, "source", "doc_id", "n_tokens", capacity = 100L)
+      .select("source", "doc_id", "bin").as[(String, Long, Long)]
+      .collect().map(x => (x._1, x._2) -> x._3).toMap
+    assert(packed == Map(("A", 1L) -> 0L, ("A", 2L) -> 0L,
+      ("A", 3L) -> 1L, ("B", 1L) -> 0L, ("B", 2L) -> 2L), packed)
+    val stats = graft.operators.Packing
+      .binStats(graft.operators.Packing.packBins(docs, "source", "doc_id",
+        "n_tokens", 100L), "source", "n_tokens", 100L)
+      .select("source", "bin", "n_docs", "bin_tokens")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(stats == Set(("A", 0L, 2L, 120L), ("A", 1L, 1L, 10L),
+      ("B", 0L, 1L, 250L), ("B", 2L, 1L, 10L)), stats)
+  }
 }
