@@ -89,6 +89,32 @@ class PlanSpec extends SparkSpec {
       s"split should not join:\n$p")
   }
 
+  test("q49 stratified sample broadcasts the rate table, never shuffles facts") {
+    val p = plan("q49_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"), s"rate table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"fact side shuffled for the rate join:\n$p")
+  }
+
+  test("q50 chunk dedup wins by partial-agg min, never a window over text") {
+    val p = plan("q50_chunk_dedup")
+    assert(!p.linesIterator.exists(_.matches("^\\(\\d+\\) Window$")),
+      s"window over chunk text:\n$p")
+    assert(p.contains("partial_min") || p.contains("Partial"),
+      s"winner min not partially aggregated:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("q53 packing windows per shard with a partition spec") {
+    val p = plan("q53_pack")
+    // the running sum must be a partitioned window (source shard), and
+    // the only join-free shuffle keys are the shard column
+    assert(p.linesIterator.exists(_.matches("^\\(\\d+\\) Window$")),
+      s"packing lost its window:\n$p")
+    assert(p.contains("partitionspec") || p.contains("source"),
+      s"window not partitioned by shard:\n$p")
+  }
+
   test("minhash signature plan has partial aggregation before the shuffle") {
     // q31's end-to-end plan now materializes the bucket frame through a
     // lazy localCheckpoint (cache hygiene), which hides upstream lineage
