@@ -143,79 +143,77 @@ object Similarity {
   /** `nProbe` > 1 widens the QUERY side to its best-n cells (recall
     * knob); candidate vectors always live in exactly one posting list,
     * as in IVF-flat. */
-  def ivfKnn(vectors: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, cellCol: String, k: Int, dims: Int = 64,
-      nProbe: Int = 1): DataFrame = {
-    // centroids: mean per (cell, dimension), rounded — partial-aggregatable
-    // avg over the posexploded dims, then ONE row holding every centroid
-    // (sorted by cell id) so assignment below is a per-row array fold.
-    val dimsExploded = vectors.select(col(cellCol).as("cell"),
-      posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
-    val centArr = dimsExploded.groupBy(col("cell"), col("d"))
+  /** Per-cell centroid rows `(cell, centroid, cnrm)`: mean per
+    * (cell, dimension), rounded to 4 decimals — partial-aggregatable
+    * avg over the posexploded dims. Rounding makes assignment
+    * reproducible across engines. */
+  private def centroidRows(vectors: DataFrame, vecCol: String,
+      cellCol: String): DataFrame =
+    vectors.select(col(cellCol).as("cell"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d"))
       .agg(round(avg(col("x")), 4).as("c"))
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
       .select(col("cell"),
-        transform(col("dc"), s => s.getField("c")).as("centroid"))
-      .agg(array_sort(collect_list(struct(col("cell"),
-        col("centroid"), norm(col("centroid")).as("cnrm")))).as("cents"))
+        transform(col("dc"), s => s.getField("c")).as("centroid"),
+        norm(transform(col("dc"), s => s.getField("c"))).as("cnrm"))
+
+  /** ONE row holding every centroid (sorted by cell id) so assignment
+    * is a per-row array fold against a broadcast literal. */
+  private def toCentArr(rows: DataFrame): DataFrame =
+    rows.agg(array_sort(collect_list(struct(col("cell"),
+        col("centroid"), col("cnrm")))).as("cents"))
       .localCheckpoint(false)
-    val cellType = vectors.schema(cellCol).dataType
 
-    // assignment: nearest centroid by rounded cosine, ties to the LOWEST
-    // cell id — a strictly-greater fold over the cell-ordered centroid
-    // array. Zero shuffle: one broadcast-nested-loop join against the
-    // single centroid row, then pure codegen'd expression work per row
-    // (the old row_number-window argmax shuffled N×nCells rows).
-    def assigned(df: DataFrame, id: String, vec: String): DataFrame = {
-      df.select(col(id), col(vec), norm(col(vec)).as("vnrm"))
-        .crossJoin(broadcast(centArr))
-        // materialize scored structs in their own projection so the
-        // cosine fold runs once per centroid, not per fold-step
-        .withColumn("scored", transform(col("cents"), c =>
-          struct(
-            round(dot(col(vec), c.getField("centroid")) /
-              nullif(col("vnrm") * c.getField("cnrm"), lit(0.0)), 6)
-              .as("csim"),
-            c.getField("cell").as("cell"))))
-        .withColumn("best", aggregate(col("scored"),
-          struct(lit(-2.0).as("csim"), lit(null).cast(cellType).as("cell")),
-          (acc, x) =>
-            when(x.getField("csim") > acc.getField("csim"), x).otherwise(acc)))
-        .select(col(id), col(vec), col("best").getField("cell").as("cell"))
-    }
+  /** Scored (csim, cell) structs per centroid, materialized in their
+    * own projection so the cosine fold runs once per centroid, not per
+    * fold-step. */
+  private def scoredCells(vec: String): Column =
+    transform(col("cents"), c =>
+      struct(
+        round(dot(col(vec), c.getField("centroid")) /
+          nullif(col("vnrm") * c.getField("cnrm"), lit(0.0)), 6)
+          .as("csim"),
+        c.getField("cell").as("cell")))
 
-    // top-nProbe cells per query: sort the scored array by
-    // (csim desc, cell asc) and take the first n — still zero-shuffle
-    def assignedTopN(df: DataFrame, id: String, vec: String,
-        n: Int): DataFrame = {
-      df.select(col(id), col(vec), norm(col(vec)).as("vnrm"))
-        .crossJoin(broadcast(centArr))
-        .withColumn("scored", transform(col("cents"), c =>
-          struct(
-            round(dot(col(vec), c.getField("centroid")) /
-              nullif(col("vnrm") * c.getField("cnrm"), lit(0.0)), 6)
-              .as("csim"),
-            c.getField("cell").as("cell"))))
-        .withColumn("top", slice(array_sort(col("scored"), (l, r) =>
-          when(l.getField("csim") > r.getField("csim"), -1)
-            .when(l.getField("csim") < r.getField("csim"), 1)
-            .when(l.getField("cell") < r.getField("cell"), -1)
-            .when(l.getField("cell") > r.getField("cell"), 1)
-            .otherwise(0)), 1, n))
-        .select(col(id), col(vec), explode(col("top")).as("probe"))
-        .select(col(id), col(vec), col("probe").getField("cell").as("cell"))
-    }
+  /** Assignment: nearest centroid by rounded cosine, ties to the LOWEST
+    * cell id — a strictly-greater fold over the cell-ordered centroid
+    * array. Zero shuffle: one broadcast-nested-loop join against the
+    * single centroid row, then pure codegen'd expression work per row
+    * (the old row_number-window argmax shuffled N×nCells rows). */
+  private def assignCells(df: DataFrame, id: String, vec: String,
+      centArr: DataFrame,
+      cellType: org.apache.spark.sql.types.DataType): DataFrame =
+    df.select(col(id), col(vec), norm(col(vec)).as("vnrm"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("scored", scoredCells(vec))
+      .withColumn("best", aggregate(col("scored"),
+        struct(lit(-2.0).as("csim"), lit(null).cast(cellType).as("cell")),
+        (acc, x) =>
+          when(x.getField("csim") > acc.getField("csim"), x).otherwise(acc)))
+      .select(col(id), col(vec), col("best").getField("cell").as("cell"))
 
-    val cand = assigned(vectors, idCol, vecCol)
-      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("cell"),
-        norm(col(vecCol)).as("cn"))
-    val qAssigned =
-      if (nProbe <= 1) assigned(queries, idCol, vecCol)
-      else assignedTopN(queries, idCol, vecCol, nProbe)
-    val q = qAssigned
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"),
-        norm(col(vecCol)).as("qn"))
+  /** Top-nProbe cells per query: sort the scored array by
+    * (csim desc, cell asc) and take the first n — still zero-shuffle. */
+  private def assignTopN(df: DataFrame, id: String, vec: String,
+      centArr: DataFrame, n: Int): DataFrame =
+    df.select(col(id), col(vec), norm(col(vec)).as("vnrm"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("scored", scoredCells(vec))
+      .withColumn("top", slice(array_sort(col("scored"), (l, r) =>
+        when(l.getField("csim") > r.getField("csim"), -1)
+          .when(l.getField("csim") < r.getField("csim"), 1)
+          .when(l.getField("cell") < r.getField("cell"), -1)
+          .when(l.getField("cell") > r.getField("cell"), 1)
+          .otherwise(0)), 1, n))
+      .select(col(id), col(vec), explode(col("top")).as("probe"))
+      .select(col(id), col(vec), col("probe").getField("cell").as("cell"))
+
+  /** Exact cosine top-k of broadcast queries against cell-matched
+    * candidates (the scoring tail shared by every IVF entry point). */
+  private def ivfScoreTopK(cand: DataFrame, q: DataFrame,
+      k: Int): DataFrame = {
     val scored = cand.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("sim",
@@ -226,6 +224,67 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
+  def ivfKnn(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, k: Int, dims: Int = 64,
+      nProbe: Int = 1): DataFrame = {
+    val centArr = toCentArr(centroidRows(vectors, vecCol, cellCol))
+    val cellType = vectors.schema(cellCol).dataType
+    val cand = assignCells(vectors, idCol, vecCol, centArr, cellType)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("cell"),
+        norm(col(vecCol)).as("cn"))
+    val qAssigned =
+      if (nProbe <= 1) assignCells(queries, idCol, vecCol, centArr, cellType)
+      else assignTopN(queries, idCol, vecCol, centArr, nProbe)
+    val q = qAssigned
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"),
+        norm(col(vecCol)).as("qn"))
+    ivfScoreTopK(cand, q, k)
+  }
+
+  /** Persist an IVF-flat index: the posting lists become the DISK
+    * layout — vectors parquet-partitioned by their assigned cell, plus
+    * a centroid sidecar. At 100 TB this is the difference between an
+    * ANN query scanning the corpus and reading 1/nCells of it: a probe
+    * is a partition-pruned read of its cell directories (asserted in
+    * ScaleSpec), the same pruning contract as SeriesLake. Norms are
+    * precomputed at build time so probes skip the fold. */
+  def writeIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, path: String): Unit = {
+    val cents = centroidRows(vectors, vecCol, cellCol)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val centArr = toCentArr(cents)
+    val cellType = vectors.schema(cellCol).dataType
+    assignCells(vectors, idCol, vecCol, centArr, cellType)
+      .withColumn("nrm", norm(col(vecCol)))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/postings")
+  }
+
+  /** ANN against a persisted IVF index: assign the (small, broadcast)
+    * query set with the stored centroids, then read ONLY the probed
+    * posting-list partitions. The probed-cell collect is metadata-plane
+    * (queries are small by the same contract that lets them broadcast). */
+  def ivfKnnFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 1): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val centArr = toCentArr(cents)
+    val cellType = cents.schema("cell").dataType
+    val qAssigned =
+      if (nProbe <= 1) assignCells(queries, idCol, vecCol, centArr, cellType)
+      else assignTopN(queries, idCol, vecCol, centArr, nProbe)
+    val q = qAssigned
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"),
+        norm(col(vecCol)).as("qn"))
+      .localCheckpoint(false)
+    val probed = q.select(col("cell")).distinct().collect().map(_.get(0))
+    val cand = spark.read.parquet(s"$path/postings")
+      .filter(col("cell").isin(probed: _*))
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("cell"),
+        col("nrm").as("cn"))
+    ivfScoreTopK(cand, q, k)
   }
 
   /** Near-duplicate pairs by embedding cosine above a threshold, with the

@@ -76,6 +76,32 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bucketed_series_b")
   }
 
+  test("IVF index: persisted probes match in-memory ANN and prune partitions") {
+    val dir = Files.createTempDirectory("graft-ivf").toString
+    val vectors = Tables(spark, sf()).embeddings
+    graft.operators.Similarity.writeIvfIndex(vectors, "vec_id",
+      "embedding", "label", dir)
+    // posting lists are the physical layout: one dir per cell
+    assert(new java.io.File(s"$dir/postings").listFiles()
+      .exists(_.getName.startsWith("cell=")))
+
+    val queries = vectors.filter(col("vec_id") < 8)
+    val fromIndex = graft.operators.Similarity.ivfKnnFromIndex(spark, dir,
+      queries, "vec_id", "embedding", k = 5)
+    val inMemory = graft.operators.Similarity.ivfKnn(vectors, queries,
+      "vec_id", "embedding", "label", k = 5)
+    val a = fromIndex.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val b = inMemory.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(a == b, s"index probe diverged: ${a.diff(b)} vs ${b.diff(a)}")
+
+    // the probe reads ONLY its cells: partition pruning in the plan
+    val p = fromIndex.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"posting-list pruning not applied:\n$p")
+  }
+
   test("pipeline skip/replace gate (P9) leaves existing outputs alone") {
     val dir = Files.createTempDirectory("graft-p9")
     val csv = dir.resolve("src.csv")

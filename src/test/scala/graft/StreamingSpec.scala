@@ -99,4 +99,48 @@ class StreamingSpec extends SparkSpec {
 
     assert(spark.table("deduped").count() == nDistinct)
   }
+
+  test("streaming dedup evicts digest state once the watermark passes") {
+    // the property the plain dropDuplicates("digest") variant LACKED:
+    // with the event-time column absent from the key set, its state
+    // never expired. dropDuplicatesWithinWatermark must (a) dedup
+    // within the watermark horizon, (b) evict the digest afterwards so
+    // the same content is re-admitted — bounded state on a firehose.
+    val dir = Files.createTempDirectory("graft-stream4").toString
+    import spark.implicits._
+    def writeRows(xs: (Long, String, String)*): Unit =
+      xs.toSeq.toDF("event_id", "s", "text")
+        .select(col("event_id"), to_timestamp(col("s")).as("ts"),
+          col("text"))
+        .write.mode("append").parquet(dir)
+    writeRows((1L, "2024-01-01 10:00:00", "dup text"),
+      (2L, "2024-01-01 10:00:01", "dup text"))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStream.streamingDedup(stream, "text") // 1 hour watermark
+      .writeStream.outputMode("append")
+      .format("memory").queryName("evict")
+      .start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark to 12:00, past the duplicate's
+      // 10:00 + 1 h expiry -> its digest state must be dropped
+      writeRows((3L, "2024-01-01 13:00:00", "other"))
+      q.processAllAvailable()
+      // same content again, above the watermark: re-admitted
+      writeRows((4L, "2024-01-01 12:30:00", "dup text"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("evict")
+    assert(out.count() == 3, out.collect().mkString("\n"))
+    assert(out.filter(col("text") === "dup text").count() == 2)
+  }
 }
