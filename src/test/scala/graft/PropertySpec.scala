@@ -87,4 +87,55 @@ class PropertySpec extends SparkSpec {
         s"freq=$freq n=$n holes=$holes: got $gaps want $expected")
     }
   }
+
+  test("packing invariants: bins contiguous, every bin starts below capacity") {
+    val cases = for {
+      n <- Gen.choose(1, 40)
+      toks <- Gen.listOfN(n, Gen.choose(1L, 300L))
+      cap <- Gen.oneOf(100L, 256L, 1000L)
+    } yield (toks, cap)
+    samples(cases, 20).foreach { case (toks, cap) =>
+      val df = toks.zipWithIndex
+        .map { case (t, i) => ("s", i.toLong, t) }
+        .toDF("source", "doc_id", "n_tokens")
+      val packed = operators.Packing
+        .packBins(df, "source", "doc_id", "n_tokens", cap)
+        .orderBy("doc_id")
+        .select("doc_id", "n_tokens", "bin")
+        .as[(Long, Long, Long)].collect()
+      // bins are non-decreasing in stream order and start at 0
+      assert(packed.head._3 == 0L)
+      packed.sliding(2).foreach { case Array(a, b) =>
+        assert(b._3 >= a._3, s"bins decreased: $a -> $b (cap=$cap)")
+      case _ => ()
+      }
+      // each doc's bin equals exclusive-cumsum div capacity (closed form)
+      var cum = 0L
+      packed.foreach { case (id, t, bin) =>
+        assert(bin == cum / cap, s"doc $id: bin $bin != ${cum / cap}")
+        cum += t
+      }
+    }
+  }
+
+  test("chunkDedup conservation: kept chunks == distinct chunks in corpus") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val cases = for {
+      nDocs <- Gen.choose(1, 8)
+      texts <- Gen.listOfN(nDocs,
+        Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" "))))
+    } yield texts
+    samples(cases, 15).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val r = operators.Dedup.chunkDedup(docs, "text", "doc_id")
+        .agg(sum("n_chunks"), sum("n_kept")).as[(Long, Long)].head()
+      // every chunk appears exactly once among the kept set
+      val allChunks = texts.map(t =>
+        t.split("\\s+").filter(_.nonEmpty).grouped(8).map(_.mkString(" ")).toSeq)
+      assert(r._1 == allChunks.map(_.size).sum.toLong)
+      assert(r._2 == allChunks.flatten.distinct.size.toLong,
+        s"kept ${r._2} != distinct ${allChunks.flatten.distinct.size}")
+    }
+  }
 }
