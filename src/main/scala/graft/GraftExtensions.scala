@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CellColIndexExpr, CellRowExpr}
+import graft.functions.{CellColIndexExpr, CellRowExpr, VecDotExpr, VecNormExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Enable with
@@ -35,7 +35,17 @@ object GraftExtensions {
     (FunctionIdentifier("graft_cell_col"),
       info("graft_cell_col",
         "graft_cell_col(coord) - 1-based column index ('BA37' -> 53)"),
-      (children: Seq[Expression]) => CellColIndexExpr(children.head)))
+      (children: Seq[Expression]) => CellColIndexExpr(children.head)),
+    (FunctionIdentifier("graft_vec_dot"),
+      info("graft_vec_dot",
+        "graft_vec_dot(a, b) - dot product of two float/double arrays " +
+          "(sequential double fold, allocation-free)"),
+      (children: Seq[Expression]) =>
+        VecDotExpr(children.head, children(1))),
+    (FunctionIdentifier("graft_vec_norm"),
+      info("graft_vec_norm",
+        "graft_vec_norm(a) - euclidean norm of a float/double array"),
+      (children: Seq[Expression]) => VecNormExpr(children.head)))
 
   /** Install the functions on an ALREADY-RUNNING session (withExtensions
     * only applies to sessions built after it). */

@@ -21,13 +21,33 @@ import graft.functions.GF
   */
 object Similarity {
 
-  /** Sum of element-wise products, computed in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Sum of element-wise products, computed in double. Runs on the
+    * native allocation-free `VecDotExpr`: the same sequential fold as
+    * the zip_with+aggregate composition (bit-identical results — the
+    * DuckDB oracles still hash-match) without materializing an
+    * intermediate product array per evaluated pair, and exposed to
+    * plain SQL as `graft_vec_dot`. */
+  def dot(a: Column, b: Column): Column = {
+    graft.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_vec_dot", a, b)
+  }
+
+  def norm(a: Column): Column = {
+    graft.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_vec_norm", a)
+  }
+
+  /** The higher-order-function forms (kept as executable documentation
+    * of the fold order the native expressions reproduce, and asserted
+    * bit-equal in ExtensionsSpec). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column =
+  def normHof(a: Column): Column =
     sqrt(aggregate(a.cast("array<double>"), lit(0.0), (acc, v) => acc + v * v))
 
   /** Cosine similarity; null-safe on zero vectors. */
@@ -77,10 +97,7 @@ object Similarity {
     * shuffle, and the FP summation order is pinned so external oracles
     * reproduce the sign bit-for-bit. */
   def planeProjection(vec: Column, j: Int, dims: Int = 64): Column =
-    aggregate(
-      zip_with(vec.cast("array<double>"),
-        typedLit(planeSigns(j, dims)), (x, s) => x * s),
-      lit(0.0), (acc, v) => acc + v)
+    dot(vec, typedLit(planeSigns(j, dims)))
 
   /** Random-hyperplane LSH signature: an integer bucket from `nBits` sign
     * bits of hyperplane projections. Pure per-row expression work —

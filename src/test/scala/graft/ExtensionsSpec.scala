@@ -41,4 +41,35 @@ class ExtensionsSpec extends AnyFunSuite {
         |FROM coords""".stripMargin).head()
     assert(out.getLong(0) > 0 && out.getLong(1) > 0)
   }
+
+  test("graft_vec_dot/norm match the HOF fold bit-for-bit, null-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // pseudo-random float vectors: the native loop must reproduce the
+    // zip_with+aggregate sequential fold EXACTLY (no reassociation)
+    val vecs = (1 to 200).map { i =>
+      (i.toLong, (0 until 64).map(d =>
+        (((i * 31 + d * 7) % 97) - 48) / 13.0f).toArray)
+    }.toDF("id", "v")
+    val paired = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.id") < col("b.id")).limit(500)
+      .select(col("a.v").as("va"), col("b.v").as("vb"))
+    val diff = paired.select(
+      graft.operators.Similarity.dot(col("va"), col("vb")).as("nat"),
+      graft.operators.Similarity.dotHof(col("va"), col("vb")).as("hof"),
+      graft.operators.Similarity.norm(col("va")).as("natn"),
+      graft.operators.Similarity.normHof(col("va")).as("hofn"))
+      .filter(col("nat") =!= col("hof") || col("natn") =!= col("hofn"))
+      .count()
+    assert(diff == 0, "native fold diverged from the HOF fold")
+
+    // null semantics: null array, length mismatch, null element
+    val r = spark.sql(
+      """SELECT graft_vec_dot(CAST(null AS ARRAY<DOUBLE>), array(1.0d)) a,
+        |  graft_vec_dot(array(1.0d), array(1.0d, 2.0d)) b,
+        |  graft_vec_dot(array(1.0d, CAST(null AS DOUBLE)), array(1.0d, 2.0d)) c,
+        |  graft_vec_norm(array(3.0d, 4.0d)) n""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getDouble(3) == 5.0)
+  }
 }
