@@ -37,6 +37,22 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // Drop everything a finished query run left in the storage layer.
+    // clearCache() empties the CacheManager but NOT localCheckpoint
+    // blocks: those are persistent RDDs released only when the GC
+    // collects the frame AND the async ContextCleaner gets around to it.
+    // Across 50+ queries the lag let checkpoint blocks from earlier
+    // queries pile up in the block manager and push later checkpoint
+    // writes into eviction/disk (q32 measured 10.4s in-suite vs 2.3s
+    // isolated, round 3). Unpersisting every registered persistent RDD
+    // synchronously (blocking=true) resets storage between queries.
+    def resetStorage(): Unit = {
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
     spark.range(1000000).selectExpr("sum(id)").collect()
     val results = selected.map {
       case (name, fn) =>
@@ -48,27 +64,30 @@ object Bench {
         // in a 6-query run, pure compilation noise. Warm-then-time per
         // query measures steady-state execution whatever the suite size.
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
-        // drop warmup caches so the timed run starts cold w.r.t. cached
-        // intermediates (the CacheManager matches canonicalized plans, so
-        // a warm cache would otherwise serve the timed pass the answer);
-        // GC the warmup garbage NOW so no collector pause lands inside
-        // the timed window (concurrent via ExplicitGCInvokesConcurrent).
-        spark.sqlContext.clearCache()
-        System.gc()
+        // drop warmup caches/checkpoints so the timed run starts cold
+        // w.r.t. cached intermediates and an empty block manager; GC the
+        // warmup garbage NOW so no collector pause lands inside the
+        // timed window (concurrent via ExplicitGCInvokesConcurrent).
+        resetStorage()
         // time construction + execution together (iterative operators
         // like q44 legitimately run jobs while the frame is built)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
+        // a query that throws is recorded as an error marker, never as a
+        // plausible wall time (round-3 verdict: no silent swallowing)
+        val err = try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(e.toString.take(200)) }
         val dt = (System.nanoTime() - t0) / 1e9
-        spark.sqlContext.clearCache()
-        System.gc()
-        name -> dt
+        resetStorage()
+        (name, dt, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

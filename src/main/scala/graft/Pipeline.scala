@@ -267,17 +267,27 @@ object Pipeline {
         val wide = TimeSeriesOps.alignWide(long,
           p.series.map(_.serieId), ordered = false)
         val (n, warnings0) = validateWide(wide, d, Some(p.freq))
+        // T2 — the reference's trim WARNING (base.py:165-182): the time
+        // column keeps non-empty rows past the last detected date
+        val b = CellGrid.tableBounds(grid, p.sheet, p.timeDataStartCell,
+          p.freq).head()
+        val trimWarning = trimMessage(
+          if (b.isNullAt(0)) None else Some(b.getInt(0)),
+          if (b.isNullAt(1)) None else Some(b.getInt(1)),
+          p.timeDataStartCell)
         val drift = CellGrid.headerDrift(grid, p.sheet, p.series)
           .collect().toSeq.map(r =>
             s"${r.getAs[String]("serie_id")}<>" +
               s"'${Option(r.getAs[String]("found")).getOrElse("")}'")
-        val warnings = warnings0 ++
+        val warnings = trimWarning.toSeq ++ warnings0 ++
           (if (drift.nonEmpty) Seq(s"header drift: ${drift.mkString(", ")}")
            else Seq.empty)
+        val existed = java.nio.file.Files
+          .exists(java.nio.file.Paths.get(outPath))
         SingleFileCsv.write(wide, outPath, sortBy = Seq("indice_tiempo"))
         DistributionResult(p.m.catalogId, p.m.datasetId, d,
           if (warnings.nonEmpty) "WARNING" else "OK",
-          warnings.mkString("; ").take(500), outPath, n)
+          noteOf(warnings, existed, replace), outPath, n)
       } match {
         case Success(r) => r
         case Failure(e) =>
@@ -285,6 +295,30 @@ object Pipeline {
             "ERROR", e.toString.take(500), outPath, 0L)
       }
     }
+
+    // T2 WARNING text (reference base.py:165-182: "la distribución
+    // termina en la fila N, pero no se detectó fecha en la fila M"),
+    // naming the time-index cell the way the reference reports its
+    // coordinate alongside the row numbers
+    def trimMessage(detectedEnd: Option[Int], tableEnd: Option[Int],
+        timeCell: String): Option[String] = (detectedEnd, tableEnd) match {
+      case (Some(de), Some(te)) if te > de => Some(
+        s"table ends at row $te but no date detected at row ${de + 1} " +
+          s"(time index cell $timeCell)")
+      case (None, Some(te)) => Some(
+        s"table ends at row $te but no date detected at all " +
+          s"(time index cell $timeCell)")
+      case _ => None
+    }
+
+    // "Replaced" note (reference base.py:183-191): an OK distribution
+    // whose existing output was overwritten under --replace reports
+    // note=Replaced; warnings take precedence (the reference's elif)
+    def noteOf(warnings: Seq[String], existed: Boolean,
+        replace: Boolean): String =
+      if (warnings.nonEmpty) warnings.mkString("; ").take(500)
+      else if (existed && replace) "Replaced"
+      else ""
 
     // ---- the batch core: ONE combined grid, ONE scrape, ONE job per
     // validation family — none of it scales with distribution count.
@@ -364,6 +398,18 @@ object Pipeline {
               s"${r.getAs[String]("serie_id")}<>" +
                 s"'${Option(r.getAs[String]("found")).getOrElse("")}'") }
 
+        // T2 table-end trim bounds — ONE job for the whole catalog
+        // (base.py:165-182); composed labels count as detected, so a
+        // composed-time sheet never false-warns
+        val bounds: Map[String, (Option[Int], Option[Int])] =
+          CellGrid.tableBoundsAll(combined, okPreps.map(p =>
+              (p.m.distributionId, sheetKey(p.url, p.sheet),
+                p.timeDataStartCell, p.freq.code)).distinct)
+            .collect()
+            .map(r => r.getAs[String]("distribution_id") -> (
+              (if (r.isNullAt(1)) None else Some(r.getInt(1))),
+              (if (r.isNullAt(2)) None else Some(r.getInt(2))))).toMap
+
         // distinct periods per distribution = the wide row count
         val periodCounts: Map[String, Long] = batchLong
           .groupBy(col("distribution_id"))
@@ -395,6 +441,9 @@ object Pipeline {
                     errors += f"${sp.serieId}: missing ratio $miss%.3f > 0.5"
               }
             }
+            bounds.get(d).foreach { case (de, te) =>
+              trimMessage(de, te, p.timeDataStartCell)
+                .foreach(warnings += _) }
             gapCounts.get(d).foreach(g =>
               warnings += s"$g frequency gap(s) vs ${p.freq.iso}")
             drifts.get(d).foreach(ds =>
@@ -409,12 +458,14 @@ object Pipeline {
                 .select(col("serie_id"), col("indice_tiempo"), col("valor"))
               val wide = TimeSeriesOps.alignWide(slice,
                 p.series.map(_.serieId), ordered = false)
+              val existed = java.nio.file.Files
+                .exists(java.nio.file.Paths.get(outPath))
               SingleFileCsv.write(wide, outPath,
                 sortBy = Seq("indice_tiempo"))
               val warns = warnings.result()
               DistributionResult(p.m.catalogId, p.m.datasetId, d,
                 if (warns.nonEmpty) "WARNING" else "OK",
-                warns.mkString("; ").take(500), outPath, n)
+                noteOf(warns, existed, replace), outPath, n)
             }
           } match {
             case Success(r) => r
@@ -455,10 +506,12 @@ object Pipeline {
           .find(_.specialType.contains("time_index"))
           .flatMap(_.specialTypeDetail).flatMap(Frequency.fromIso)
         val (n, warnings) = validateWide(wide, m.distributionId, freq)
+        val existed = java.nio.file.Files
+          .exists(java.nio.file.Paths.get(outPath))
         SingleFileCsv.write(wide, outPath, sortBy = Seq("indice_tiempo"))
         DistributionResult(m.catalogId, m.datasetId, m.distributionId,
           if (warnings.nonEmpty) "WARNING" else "OK",
-          warnings.mkString("; ").take(500), outPath, n)
+          noteOf(warnings, existed, replace), outPath, n)
       } match {
         case Success(r) => r
         case Failure(e) =>

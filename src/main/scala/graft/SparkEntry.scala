@@ -460,11 +460,19 @@ object SparkEntry {
     * driver records a rows-only check (per the contract). */
   private def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
+    // the HLL estimate itself differs across engines, so the PORTABLE
+    // contract is its accuracy bound: the oracle asserts TRUE, and a
+    // Spark-side HLL drifting past ±5% of exact flips the column to
+    // false → hash mismatch → gate failure. exact_parts and n_rows
+    // compare value-for-value.
     t.lineitem.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * 0.05).as("approx_within_5pct"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -600,6 +608,18 @@ object SparkEntry {
     Similarity.ivfKnn(t.embeddings, t.embeddings.filter(col("vec_id") < 8),
         "vec_id", "embedding", "label", k = 5)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Label-free IVF build: Lloyd's k-means over the embeddings with a
+    * deterministic hash seed and rounded centroids
+    * (Similarity.kmeansCells) — the quantizer a production corpus
+    * without labels feeds into writeIvfIndex. */
+  private def qKmeansCells(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Similarity.kmeansCells(t.embeddings, "vec_id", "embedding",
+        k = 4, iters = 2)
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
   }
 
   /** Multimodal plumbing: binary payload + stubbed decode + frame
@@ -813,6 +833,7 @@ object SparkEntry {
     "q51_corpus_stats" -> (qCorpusStats _),
     "q52_curation_funnel" -> (qCurationFunnel _),
     "q53_pack" -> (qPack _),
+    "q54_kmeans_cells" -> (qKmeansCells _),
   )
 
   // -------------------------------------------------------------------
@@ -884,6 +905,34 @@ object SparkEntry {
 
   private def sqlStringList(xs: Seq[String]): String =
     xs.map(x => "'" + x + "'").mkString("[", ", ", "]")
+
+  /** DuckDB replay of Similarity.kmeansCells: same seed hash (portable
+    * md5-prefix, mod k), same 4-dp centroid rounding, same 6-dp cosine
+    * with lowest-cell tie-break — one CTE pair per Lloyd iteration,
+    * generated from the SAME k/iters constants the query uses. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val seed = s"asg0 AS (SELECT vec_id, embedding, " +
+      s"CAST(${hash32Sql("CAST(vec_id AS VARCHAR)")} % $k AS INT) AS cell " +
+      "FROM embeddings)"
+    val steps = (1 to iters).map { i =>
+      s"""cd$i AS (SELECT cell, d, round(avg(x), 4) AS c FROM (
+         |    SELECT cell, unnest(embedding)::DOUBLE AS x,
+         |           unnest(generate_series(1, len(embedding))) AS d
+         |    FROM asg${i - 1}) GROUP BY cell, d),
+         |cent$i AS (SELECT cell, list(c ORDER BY d) AS centroid
+         |  FROM cd$i GROUP BY cell),
+         |sc$i AS (SELECT e.vec_id, e.embedding, c.cell,
+         |    round(${cosineSql("e.embedding", "c.centroid")}, 6) AS csim
+         |  FROM embeddings e CROSS JOIN cent$i c),
+         |asg$i AS (SELECT vec_id, embedding, cell FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |    FROM sc$i) WHERE rn = 1)""".stripMargin
+    }
+    s"WITH $seed,\n${steps.mkString(",\n")}\n" +
+      s"SELECT vec_id, CAST(cell AS INT) AS cell FROM asg$iters\n" +
+      "ORDER BY vec_id"
+  }
 
   private val scrapeGridSql: String =
     s"""grid AS (
@@ -1301,6 +1350,16 @@ object SparkEntry {
         |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
 
+    // the HLL value is engine-specific, so the oracle pins the portable
+    // columns and asserts the ±5% accuracy bound the Spark side computes
+    // from its own estimate (a drifting HLL flips the boolean → hash
+    // mismatch)
+    "q26_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  count(*) AS n_rows, TRUE AS approx_within_5pct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q30_exact_dedup" ->
       s"""WITH docs2 AS (
          |  SELECT doc_id, text FROM documents
@@ -1516,6 +1575,10 @@ object SparkEntry {
          |SELECT query_id, cand_id, sim, CAST("rank" AS INT) AS "rank"
          |FROM ranked WHERE "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
+
+    // same k/iters constants as qKmeansCells — the SQL is generated,
+    // so the two sides cannot drift
+    "q54_kmeans_cells" -> kmeansOracleSql(k = 4, iters = 2),
 
     "q43_repetition" ->
       s"""WITH $shinglesCteSql,

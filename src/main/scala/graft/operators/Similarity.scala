@@ -243,6 +243,32 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
+  /** Label-free coarse quantizer: Lloyd's k-means expressed entirely as
+    * DataFrame aggregations — no label column, no MLlib, no driver-side
+    * vectors. Seeding is deterministic (cell = portable 32-bit hash of
+    * the id, mod k) and every iteration re-uses the IVF machinery:
+    * centroids = per-cell dimension means rounded to 4 decimals
+    * ([[centroidRows]] — one partial-aggregatable job), assignment =
+    * zero-shuffle broadcast-literal cosine fold ([[assignCells]]).
+    * Deterministic seed + rounded centroids + rounded-cosine
+    * lowest-cell tie-break make every iteration reproducible across
+    * engines (the q54 DuckDB oracle replays it move for move).
+    *
+    * Scale: per iteration ONE shuffle (the centroid partial-agg, k×dims
+    * rows out) + a map-only assignment pass — no per-point driver work,
+    * so iterations cost O(scan), independent of k beyond the broadcast
+    * literal. Returns `(idCol, vecCol, cell: int)`. */
+  def kmeansCells(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val seeded = vectors.select(col(idCol), col(vecCol),
+      (GF.hash32(col(idCol).cast("string")) % k).cast("int").as("cell"))
+    (1 to iters).foldLeft(seeded) { (assigned, _) =>
+      val centArr = toCentArr(centroidRows(assigned, vecCol, "cell"))
+      assignCells(vectors.select(col(idCol), col(vecCol)), idCol, vecCol,
+        centArr, org.apache.spark.sql.types.IntegerType)
+    }
+  }
+
   def ivfKnn(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, cellCol: String, k: Int, dims: Int = 64,
       nProbe: Int = 1): DataFrame = {

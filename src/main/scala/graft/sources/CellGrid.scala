@@ -50,41 +50,8 @@ object CellGrid {
   def scrapeDistribution(grid: DataFrame, sheet: String,
       timeHeaderCell: String, timeDataStartCell: String, freq: Frequency,
       series: Seq[SeriesSpec]): DataFrame = {
-
-    val timeCol = colIdx(timeDataStartCell)
-    val timeStart = rowIdx(timeDataStartCell)
-
-    // single-cell labels parse directly; multi-cell composed time
-    // forward-fills sparse year markers down the slice and composes
-    // them with period labels — the xlseries time_composed=True path as
-    // one coalesce instead of a try/except. Year markers may live in
-    // the time column itself ("2019" on its own row) OR one column to
-    // its left (the two-column year|period layout); both are read in
-    // the same pass via a per-row conditional aggregate.
-    // partitioned by sheet — constant after the filter above, so the
-    // fill is semantically global over this slice, but WindowExec gets
-    // a partition spec (one sheet's time column is a few thousand rows;
-    // the batch path, scrapeAll, partitions by distribution)
-    val fillW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("sheet"))
-      .orderBy(col("row"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val timeSlice = grid
-      .filter(col("sheet") === sheet && col("row") >= timeStart &&
-        (col("col") === timeCol || col("col") === timeCol - 1))
-      .groupBy(col("sheet"), col("row"))
-      .agg(
-        max(when(col("col") === timeCol, col("value"))).as("value"),
-        max(when(col("col") === timeCol - 1, col("value")))
-          .as("left_value"))
-      .withColumn("yr_filled",
-        last(coalesce(yearMarker(col("value")),
-          yearMarker(col("left_value"))), ignoreNulls = true).over(fillW))
-      .select(col("row"),
-        coalesce(
-          parseTimeLabel(col("value"), freq),
-          parseComposedLabel(col("value"), col("yr_filled"),
-            lit(freq.code))).as("indice_tiempo"))
+    val timeSlice = timeSlice1(grid, sheet, timeDataStartCell, freq)
+      .select(col("row"), col("indice_tiempo"))
       .filter(col("indice_tiempo").isNotNull)
 
     // ONE pass over the grid for all series: the per-series coordinate
@@ -108,6 +75,48 @@ object CellGrid {
       .select(col("serie_id"), col("indice_tiempo"), col("valor"))
   }
 
+  /** One sheet's time column, UNFILTERED: `(row, value, indice_tiempo)`
+    * where `value` is the raw time-column cell (null when the row only
+    * has a year marker one column left) and `indice_tiempo` the parsed
+    * date or null. Single-cell labels parse directly; multi-cell
+    * composed time forward-fills sparse year markers down the slice and
+    * composes them with period labels — the xlseries time_composed=True
+    * path as one coalesce instead of a try/except. Year markers may
+    * live in the time column itself ("2019" on its own row) OR one
+    * column to its left (the two-column year|period layout); both are
+    * read in the same pass via a per-row conditional aggregate.
+    * Shared by [[scrapeDistribution]] (which keeps parsed rows) and
+    * [[tableBounds]] (which diffs parsed vs non-empty bounds — T2). */
+  private def timeSlice1(grid: DataFrame, sheet: String,
+      timeDataStartCell: String, freq: Frequency): DataFrame = {
+    val timeCol = colIdx(timeDataStartCell)
+    val timeStart = rowIdx(timeDataStartCell)
+    // partitioned by sheet — constant after the filter, so the fill is
+    // semantically global over this slice, but WindowExec gets a
+    // partition spec (one sheet's time column is a few thousand rows;
+    // the batch path, scrapeAll, partitions by distribution)
+    val fillW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sheet"))
+      .orderBy(col("row"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid
+      .filter(col("sheet") === sheet && col("row") >= timeStart &&
+        (col("col") === timeCol || col("col") === timeCol - 1))
+      .groupBy(col("sheet"), col("row"))
+      .agg(
+        max(when(col("col") === timeCol, col("value"))).as("value"),
+        max(when(col("col") === timeCol - 1, col("value")))
+          .as("left_value"))
+      .withColumn("yr_filled",
+        last(coalesce(yearMarker(col("value")),
+          yearMarker(col("left_value"))), ignoreNulls = true).over(fillW))
+      .select(col("row"), col("value"),
+        coalesce(
+          parseTimeLabel(col("value"), freq),
+          parseComposedLabel(col("value"), col("yr_filled"),
+            freq.code)).as("indice_tiempo"))
+  }
+
   /** Batch spec for [[scrapeAll]]: one row per series across ALL
     * distributions/workbooks. */
   final case class BatchSeriesSpec(distributionId: String, serieId: String,
@@ -128,27 +137,54 @@ object CellGrid {
     val sparkSession = grid.sparkSession
     import sparkSession.implicits._
 
-    // per-(distribution, sheet) time slice spec
-    val timeSpecs = specs
-      .map(s => (s.distributionId, s.sheet, colIdx(s.timeDataStartCell),
-        rowIdx(s.timeDataStartCell), s.freqCode))
-      .distinct
-      .toDF("distribution_id", "sheet", "time_col", "time_start", "freq")
+    val timeSlices =
+      timeSliceAll(grid, specs.map(s =>
+        (s.distributionId, s.sheet, s.timeDataStartCell, s.freqCode)))
+      .select(col("distribution_id"), col("s"), col("row"),
+        col("indice_tiempo"))
+      .filter(col("indice_tiempo").isNotNull)
+
     val valueSpecs = specs
       .map(s => (s.distributionId, s.serieId, s.sheet,
         colIdx(s.dataStartCell), rowIdx(s.dataStartCell)))
       .toDF("distribution_id", "serie_id", "sheet", "series_col",
         "series_start")
 
-    // single-cell labels parse leniently for all; composed time fills
-    // year markers forward within each distribution's time column (one
-    // narrow window keyed by distribution) and composes with the
-    // spec-declared frequency
+    val valueSlices = grid
+      .join(broadcast(valueSpecs), grid("sheet") === valueSpecs("sheet") &&
+        col("col") === col("series_col") && col("row") >= col("series_start"))
+      .select(col("distribution_id").as("d2"), valueSpecs("sheet").as("s2"),
+        col("row").as("r2"), col("serie_id"),
+        GF.normalizeValue(col("value")).as("valor"))
+
+    timeSlices.join(valueSlices,
+        col("distribution_id") === col("d2") && col("s") === col("s2") &&
+          col("row") === col("r2"))
+      .select(col("distribution_id"), col("serie_id"),
+        col("indice_tiempo"), col("valor"))
+  }
+
+  /** Every distribution's time column in ONE pass over the combined
+    * grid, UNFILTERED: `(distribution_id, s, row, value,
+    * indice_tiempo)`. Specs are `(distributionId, sheet,
+    * timeDataStartCell, freqCode)`. Single-cell labels parse leniently;
+    * composed time fills year markers forward within each
+    * distribution's time column (one narrow window keyed by
+    * distribution) and composes with the spec-declared frequency. */
+  private def timeSliceAll(grid: DataFrame,
+      specs: Seq[(String, String, String, String)]): DataFrame = {
+    val sparkSession = grid.sparkSession
+    import sparkSession.implicits._
+    val timeSpecs = specs
+      .map { case (d, sheet, cell, freq) =>
+        (d, sheet, colIdx(cell), rowIdx(cell), freq) }
+      .distinct
+      .toDF("distribution_id", "sheet", "time_col", "time_start", "freq")
     val fillW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("distribution_id"))
       .orderBy(col("row"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val timeSlices = grid
+    grid
       .join(broadcast(timeSpecs), grid("sheet") === timeSpecs("sheet") &&
         (col("col") === col("time_col") ||
           col("col") === col("time_col") - 1) &&
@@ -164,26 +200,28 @@ object CellGrid {
       .withColumn("yr_filled",
         last(coalesce(yearMarker(col("value")),
           yearMarker(col("left_value"))), ignoreNulls = true).over(fillW))
-      .select(col("distribution_id"), col("s"), col("row"),
+      .select(col("distribution_id"), col("s"), col("row"), col("value"),
         coalesce(
           parseTimeLabel(col("value"), graft.model.Frequency.Monthly),
           parseComposedLabel(col("value"), col("yr_filled"), col("freq")))
           .as("indice_tiempo"))
-      .filter(col("indice_tiempo").isNotNull)
-
-    val valueSlices = grid
-      .join(broadcast(valueSpecs), grid("sheet") === valueSpecs("sheet") &&
-        col("col") === col("series_col") && col("row") >= col("series_start"))
-      .select(col("distribution_id").as("d2"), valueSpecs("sheet").as("s2"),
-        col("row").as("r2"), col("serie_id"),
-        GF.normalizeValue(col("value")).as("valor"))
-
-    timeSlices.join(valueSlices,
-        col("distribution_id") === col("d2") && col("s") === col("s2") &&
-          col("row") === col("r2"))
-      .select(col("distribution_id"), col("serie_id"),
-        col("indice_tiempo"), col("valor"))
   }
+
+  /** T2 batched — table-end bounds for EVERY distribution in ONE job
+    * over the combined grid: `table_end` = last non-empty row of the
+    * time column, `detected_end` = last row whose label parsed to a
+    * date (composed labels included — a composed sheet must not
+    * false-warn). `table_end > detected_end` is the reference's trim
+    * WARNING, "la distribución termina en la fila N pero no se detectó
+    * fecha" (base.py:165-182). Specs as in [[timeSliceAll]]. */
+  def tableBoundsAll(grid: DataFrame,
+      specs: Seq[(String, String, String, String)]): DataFrame =
+    timeSliceAll(grid, specs)
+      .groupBy(col("distribution_id"))
+      .agg(
+        max(when(col("indice_tiempo").isNotNull, col("row")))
+          .as("detected_end"),
+        max(when(col("value").isNotNull, col("row"))).as("table_end"))
 
   /** Header-drift guard (validate_distribution_scraping,
     * reference processors.py:147-148): the header cell content must match
@@ -234,28 +272,43 @@ object CellGrid {
     * [[parseTimeLabel]], which IS the reference's try-composed/fallback
     * collapsed into one expression. */
   def parseComposedLabel(v: Column, yearFilled: Column,
-      freqCode: Column): Column = {
+      freqCode: Column): Column =
+    composedLabel(v, yearFilled, code => freqCode === lit(code))
+
+  /** Statically-known frequency variant: the freq gates resolve to
+    * boolean literals at plan-build time instead of a column
+    * comparison — `lit(freq.code) === "Q"` would make Column log a
+    * "trivially true equals predicate" WARN on every plan build (both
+    * sides are the same literal node, Column.checkTrivialPredicate).
+    * The batch path keeps the Column overload (a real spec column
+    * against a literal never trips the check). */
+  def parseComposedLabel(v: Column, yearFilled: Column,
+      freqCode: String): Column =
+    composedLabel(v, yearFilled, code => lit(freqCode == code))
+
+  private def composedLabel(v: Column, yearFilled: Column,
+      isFreq: String => Column): Column = {
     val t = upper(trim(v))
     // quarter number (1-4) from roman, "Qn", "n", or "1er trim." forms
     val quarter = coalesce(
-      when(freqCode === "Q" && t.rlike("^(IV|III|II|I)$"),
+      when(isFreq("Q") && t.rlike("^(IV|III|II|I)$"),
         when(t === "I", 1).when(t === "II", 2).when(t === "III", 3)
           .otherwise(4)),
       when(t.rlike("^Q[1-4]$"), substring(t, 2, 1).cast("int")),
-      when(freqCode === "Q" && t.rlike("^[1-4]$"), t.cast("int")),
+      when(isFreq("Q") && t.rlike("^[1-4]$"), t.cast("int")),
       when(t.rlike("^[1-4](ER|DO|ER\\.|TO|º|°)?\\.?\\s*TRIM.*$"),
         substring(t, 1, 1).cast("int")))
     val semester = coalesce(
-      when(freqCode === "S" && t.rlike("^(II|I)$"),
+      when(isFreq("S") && t.rlike("^(II|I)$"),
         when(t === "I", 1).otherwise(2)),
       when(t.rlike("^S[1-2]$"), substring(t, 2, 1).cast("int")),
-      when(freqCode === "S" && t.rlike("^[1-2]$"), t.cast("int")),
+      when(isFreq("S") && t.rlike("^[1-2]$"), t.cast("int")),
       when(t.rlike("^[1-2](ER|DO)?\\.?\\s*SEM.*$"),
         substring(t, 1, 1).cast("int")))
     val monthNames = Seq("ENE", "FEB", "MAR", "ABR", "MAY", "JUN",
       "JUL", "AGO", "SEP", "OCT", "NOV", "DIC")
     val month = coalesce(
-      when(freqCode === "M" && t.rlike("^(0?[1-9]|1[0-2])$"),
+      when(isFreq("M") && t.rlike("^(0?[1-9]|1[0-2])$"),
         t.cast("int")) +:
         monthNames.zipWithIndex.map { case (m3, i) =>
           val alias = if (m3 == "SEP") substring(t, 1, 3) === "SET"
@@ -299,19 +352,18 @@ object CellGrid {
     coalesce(iso, quarter, semester, yearMonth, year)
   }
 
-  /** T2 — table-end detection: last grid row (>= dataStart) in the time
-    * column with a parseable date vs the last non-empty row. A mismatch
-    * is the reference's trim WARNING (base.py:165-182). */
+  /** T2 — table-end detection for ONE sheet: `detected_end` = last grid
+    * row (>= dataStart) in the time column whose label parsed to a date
+    * (single-cell OR composed), `table_end` = last non-empty row.
+    * `table_end > detected_end` is the reference's trim WARNING
+    * (base.py:165-182); the batch form is [[tableBoundsAll]]. */
   def tableBounds(grid: DataFrame, sheet: String, timeDataStartCell: String,
-      freq: Frequency): DataFrame = {
-    val c = colIdx(timeDataStartCell)
-    val start = rowIdx(timeDataStartCell)
-    grid.filter(col("sheet") === sheet && col("col") === c && col("row") >= start)
+      freq: Frequency): DataFrame =
+    timeSlice1(grid, sheet, timeDataStartCell, freq)
       .agg(
-        max(when(parseTimeLabel(col("value"), freq).isNotNull, col("row")))
-          .as("table_end"),
-        max(col("row")).as("end"))
-  }
+        max(when(col("indice_tiempo").isNotNull, col("row")))
+          .as("detected_end"),
+        max(when(col("value").isNotNull, col("row"))).as("table_end"))
 
   /** Wide view of a scraped distribution: one row per period, one column
     * per serie (the reference's output CSV shape, base.py:266-279). */

@@ -116,8 +116,8 @@ class CellGridSpec extends SparkSpec {
   test("tableBounds flags the trim warning (T2)") {
     val b = CellGrid.tableBounds(grid, "data", "A2", Frequency.Quarterly)
       .head()
-    assert(b.getAs[Int]("table_end") == 4)
-    assert(b.getAs[Int]("end") == 5) // junk row -> WARNING in the report
+    assert(b.getAs[Int]("detected_end") == 4)
+    assert(b.getAs[Int]("table_end") == 5) // junk row -> WARNING in the report
   }
 
   test("headerDrift catches coordinate drift (validate_distribution_scraping)") {

@@ -15,6 +15,14 @@ class OperatorsSpec extends SparkSpec {
     (4L, "completely different content about spark engines and data"),
   ).toDF("doc_id", "text")
 
+  test("q26: HLL approx stays within ±5% of exact (the oracle's bound)") {
+    val rows = SparkEntry.queries("q26_approx_distinct")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("approx_within_5pct")),
+      rows.mkString(", "))
+  }
+
   test("exact dedup is case/punctuation-insensitive, keeps min id") {
     val groups = Dedup.exactDuplicateGroups(docs, "text", "doc_id").collect()
     assert(groups.length == 1)

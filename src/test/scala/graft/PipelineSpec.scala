@@ -173,15 +173,60 @@ class PipelineSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       spark.sparkContext.removeSparkListener(listener)
     }
-    // constant part ≈ 13 (staging write + listing, 4 validation
-    // collects, broadcast builds, report collects); per distribution:
-    // exactly ONE write job over its pruned staging partition. The old
-    // per-item loop cost ≥ 3 full lineage jobs per distribution
-    // (≥ 18 + report jobs for n=6), so n + 14 cleanly separates the
-    // batch design from any per-item regression.
-    assert(jobs.get() <= n + 14,
+    // constant part ≈ 14 (staging write + listing, 5 validation
+    // collects incl. the T2 bounds job, broadcast builds, report
+    // collects); per distribution: exactly ONE write job over its
+    // pruned staging partition. The old per-item loop cost ≥ 3 full
+    // lineage jobs per distribution (≥ 18 + report jobs for n=6), so
+    // n + 15 cleanly separates the batch design from any per-item
+    // regression.
+    assert(jobs.get() <= n + 15,
       s"job count ${jobs.get()} suggests per-distribution scrape jobs:\n" +
         sites.toArray.mkString("\n"))
+  }
+
+  test("T2 trim warning reaches the report (batch path) + Replaced note") {
+    // a footer row past the last parseable date in the time column —
+    // the reference's "la distribución termina en la fila N, pero no se
+    // detectó fecha" WARNING (base.py:165-182)
+    val grid = (Seq(("h", 1, 1, "indice_tiempo"), ("h", 1, 2, "sT")) ++
+      (2 to 7).flatMap(r => Seq(
+        ("h", r, 1, f"2021-${r - 1}%02d"), ("h", r, 2, s"$r.5"))) :+
+      (("h", 9, 1, "fuente: INDEC"))) // non-date footer, rows 8 empty
+      .toDF("sheet", "row", "col", "value")
+    val manifest = Seq(Pipeline.ManifestEntry("trimcat", "1", "1.1",
+      Some("excel_file"), None, Some("mem://trim"), Some("h"), None))
+    val fields = Seq(
+      Pipeline.FieldEntry("1.1", Some("indice_tiempo"), Some("time_index"),
+        Some("R/P1M"), Some("A1"), Some("A2")),
+      Pipeline.FieldEntry("1.1", Some("sT"), None, None, Some("B1"),
+        Some("B2")))
+    val out = workDir.resolve("trim").toString
+    val result = Pipeline.process(spark, manifest, fields, out,
+      Map("mem://trim" -> grid), None, replace = true)
+    val row = result.report.head()
+    assert(row.getAs[String]("distribution_status") == "WARNING")
+    val msg = row.getAs[String]("message")
+    assert(msg.contains("table ends at row 9") &&
+      msg.contains("no date detected at row 8") &&
+      msg.contains("A2"), msg)
+
+    // second run over the existing output under replace=true: a clean
+    // grid reports OK with note=Replaced (base.py:183-191) — warnings
+    // take precedence, so the trim catalog still says WARNING
+    val clean = (Seq(("h", 1, 1, "indice_tiempo"), ("h", 1, 2, "sT")) ++
+      (2 to 7).flatMap(r => Seq(
+        ("h", r, 1, f"2021-${r - 1}%02d"), ("h", r, 2, s"$r.5"))))
+      .toDF("sheet", "row", "col", "value")
+    val out2 = workDir.resolve("replaced").toString
+    def runClean() = Pipeline.process(spark, manifest, fields, out2,
+      Map("mem://trim" -> clean), None, replace = true)
+    val first = runClean().report.head()
+    assert(first.getAs[String]("distribution_status") == "OK" &&
+      first.getAs[String]("message") == "")
+    val second = runClean().report.head()
+    assert(second.getAs[String]("distribution_status") == "OK" &&
+      second.getAs[String]("message") == "Replaced")
   }
 
   test("batch-stage failure degrades to per-distribution fallback") {

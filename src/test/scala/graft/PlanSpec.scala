@@ -115,6 +115,24 @@ class PlanSpec extends SparkSpec {
       s"window not partitioned by shard:\n$p")
   }
 
+  test("composed-time parse builds no trivially-true equals predicate") {
+    // lit(freq.code) === "Q" logs Spark's "trivially true equals
+    // predicate" WARN on every plan build and is the exact pattern that
+    // silently becomes a cross join if the literal ever turns into a
+    // shared attribute — parseComposedLabel must never construct
+    // EqualTo over two identical expressions (it uses <=> on literals,
+    // which Catalyst constant-folds)
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    for (name <- Seq("q22_scrape_grid", "q27_composed_time",
+        "q28_composed_two_col")) {
+      val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      val trivial = df.queryExecution.analyzed.expressions.flatMap(_.collect {
+        case e @ EqualTo(l, r) if l == r => e
+      })
+      assert(trivial.isEmpty, s"$name builds trivially-true EqualTo: $trivial")
+    }
+  }
+
   test("minhash signature plan has partial aggregation before the shuffle") {
     // q31's end-to-end plan now materializes the bucket frame through a
     // lazy localCheckpoint (cache hygiene), which hides upstream lineage

@@ -102,6 +102,33 @@ class ScaleSpec extends SparkSpec {
       s"posting-list pruning not applied:\n$p")
   }
 
+  test("k-means IVF: label-free index build, probes prune partitions") {
+    // a production corpus has no label column — the quantizer must come
+    // from the data alone (Similarity.kmeansCells), then feed the same
+    // writeIvfIndex/probe machinery
+    val dir = Files.createTempDirectory("graft-ivf-km").toString
+    val vectors = Tables(spark, sf()).embeddings.drop("label")
+    val clustered = graft.operators.Similarity.kmeansCells(
+      vectors, "vec_id", "embedding", k = 4, iters = 2)
+    // every vector got exactly one cell in [0, k)
+    assert(clustered.count() == vectors.count())
+    val cells = clustered.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cells.nonEmpty && cells.forall(c => c >= 0 && c < 4), cells)
+
+    graft.operators.Similarity.writeIvfIndex(clustered, "vec_id",
+      "embedding", "cell", dir)
+    assert(new java.io.File(s"$dir/postings").listFiles()
+      .exists(_.getName.startsWith("cell=")))
+    val queries = vectors.filter(col("vec_id") < 4)
+    val knn = graft.operators.Similarity.ivfKnnFromIndex(spark, dir,
+      queries, "vec_id", "embedding", k = 3)
+    assert(knn.count() > 0)
+    val p = knn.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"posting-list pruning not applied:\n$p")
+  }
+
   test("pipeline skip/replace gate (P9) leaves existing outputs alone") {
     val dir = Files.createTempDirectory("graft-p9")
     val csv = dir.resolve("src.csv")
