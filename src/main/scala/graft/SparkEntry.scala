@@ -455,9 +455,7 @@ object SparkEntry {
         col("o_orderstatus").asc_nulls_first)
   }
 
-  /** Sketch aggregation: HLL approx distinct next to the exact count.
-    * No SQL oracle — HLL implementations differ across engines; the
-    * driver records a rows-only check (per the contract). */
+  /** Sketch aggregation: HLL approx distinct next to the exact count. */
   private def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     // the HLL estimate itself differs across engines, so the PORTABLE

@@ -60,6 +60,97 @@ object EventStream {
   final case class SessionOut(user_id: Long, n_events: Long,
       total_value: Double)
 
+  final case class OpenSession(start: Long, last: Long, n: Long,
+      total: Double)
+  final case class ClosedSession(user_id: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** TRUE event-time session windows: the incremental form of batch
+    * q24_sessionize. A session is a maximal run of a user's events with
+    * inter-event gaps <= `gapMs`; a session CLOSES — and is emitted,
+    * Append mode — either when a later event arrives past the gap, or
+    * when the watermark passes `last_event + gap` (EventTimeTimeout on
+    * the open-session state). Thus results match the batch window
+    * computation exactly for every session the watermark has sealed,
+    * and state is one small struct per ACTIVE user — bounded by the
+    * timeout, never by stream length.
+    *
+    * Within a micro-batch the user's events are sorted by (ts,
+    * event_id) before folding, so intra-batch disorder inside the
+    * watermark horizon cannot split a session. If an open session's
+    * timeout is already behind the current watermark (a quiet user in a
+    * busy stream), it closes in the same invocation rather than calling
+    * setTimeoutTimestamp into the past. */
+  def sessionWindows(spark: SparkSession, events: DataFrame,
+      gapUs: Long = 1800L * 1000000L,
+      watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    // session bookkeeping in MICROSECONDS (Timestamp.getTime would
+    // truncate to ms and disagree with the batch µs gap comparison on
+    // sub-ms data), rounding HALF_UP like Spark's round()
+    def usOf(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    def closedOf(u: Long, s: OpenSession): ClosedSession =
+      ClosedSession(u, tsOf(s.start), tsOf(s.last), s.n,
+        BigDecimal(s.total)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(closedOf(userId, s))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+            val closed = List.newBuilder[ClosedSession]
+            var open = state.getOption
+            sorted.foreach { e =>
+              val t = usOf(e.ts)
+              open = open match {
+                case Some(s) if t - s.last <= gapUs =>
+                  Some(OpenSession(s.start, math.max(s.last, t), s.n + 1,
+                    s.total + e.value))
+                case Some(s) =>
+                  closed += closedOf(userId, s)
+                  Some(OpenSession(t, t, 1L, e.value))
+                case None =>
+                  Some(OpenSession(t, t, 1L, e.value))
+              }
+            }
+            open match {
+              // a quiet user whose timeout is already behind the
+              // watermark closes NOW — setTimeoutTimestamp into the
+              // past would throw, and any event that could still have
+              // extended this session is below the watermark (dropped)
+              case Some(s) if (s.last + gapUs) / 1000L <=
+                  state.getCurrentWatermarkMs() =>
+                closed += closedOf(userId, s)
+                if (state.exists) state.remove()
+              case Some(s) =>
+                state.update(s)
+                // ceil to ms so the timeout never fires before last+gap
+                state.setTimeoutTimestamp(
+                  Math.addExact(s.last + gapUs, 999L) / 1000L)
+              case None => ()
+            }
+            closed.result().iterator
+          }
+      }.toDF()
+  }
+
   /** Per-user running session state via mapGroupsWithState — the
     * engine's custom-state extension point. Each micro-batch emits the
     * updated per-user aggregate (Update output mode); state survives

@@ -71,6 +71,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("event-time session windows match batch sessionization once sealed") {
+    // the incremental form of q24: sessions closed by gap or watermark
+    // timeout must equal the batch window computation row for row
+    val dir = Files.createTempDirectory("graft-stream5").toString
+    import spark.implicits._
+    val input = Tables(spark, sf()).events
+      .filter(col("user_id") < 5)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    input.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(EventStream.eventSchema).parquet(dir)
+    val q = EventStream.sessionWindows(spark, stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sesswin")
+      .start()
+    try {
+      q.processAllAvailable()
+      // a far-future flush event advances the watermark past every open
+      // session's timeout, sealing them all
+      val far = input.agg(max(col("ts"))).head()
+        .getTimestamp(0).getTime + 86400000L
+      Seq((999999L, new java.sql.Timestamp(far), 999999L, "view", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def usOf(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val streamed = spark.table("sesswin")
+      .filter(col("user_id") < 5).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        usOf(r.getAs[java.sql.Timestamp]("session_start")),
+        usOf(r.getAs[java.sql.Timestamp]("session_end")),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    val batch = SparkEntry.queries("q24_sessionize")(spark, sf())
+      .filter(col("user_id") < 5).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value"))).toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed.diff(batch)}; batch-only: ${batch.diff(streamed)}")
+  }
+
   test("streaming dedup keeps first occurrence per content digest") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     // duplicate texts across distinct event rows: event_type repeats
