@@ -620,6 +620,20 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** Product quantization + ADC search (Similarity.pqTrain/pqEncode/
+    * pqSearch): 4 subspaces × 8 sub-centroids trained per-subspace by
+    * the deterministic k-means, candidates scored by code lookup. */
+  private def qPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val books = Similarity.pqTrain(t.embeddings, "vec_id", "embedding",
+      m = 4, k = 8, iters = 1, dims = 64)
+    val codes = Similarity.pqEncode(t.embeddings, "vec_id", "embedding",
+      books)
+    Similarity.pqSearch(codes, t.embeddings.filter(col("vec_id") < 4),
+        "vec_id", "embedding", books, topK = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Multimodal plumbing: binary payload + stubbed decode + frame
     * sampling (MultiModal). */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -832,6 +846,7 @@ object SparkEntry {
     "q52_curation_funnel" -> (qCurationFunnel _),
     "q53_pack" -> (qPack _),
     "q54_kmeans_cells" -> (qKmeansCells _),
+    "q55_pq_adc" -> (qPqAdc _),
   )
 
   // -------------------------------------------------------------------
@@ -903,6 +918,74 @@ object SparkEntry {
 
   private def sqlStringList(xs: Seq[String]): String =
     xs.map(x => "'" + x + "'").mkString("[", ", ", "]")
+
+  /** DuckDB replay of the full PQ pipeline (pqTrain + pqEncode +
+    * pqSearch): per subspace, a hash-seeded Lloyd chain on the vector
+    * slice, a re-estimated codebook, code assignment — then ADC
+    * scoring as an ORDER BY s sum of per-subspace contributions (the
+    * same sequential fold order as the Spark zip_with/aggregate).
+    * Generated from the SAME m/k/iters/dims constants as the query. */
+  private def pqOracleSql(m: Int, k: Int, iters: Int, dims: Int,
+      topK: Int, maxQ: Int): String = {
+    val sub = dims / m
+    def dotSql(a: String, b: String): String =
+      s"list_aggregate(list_transform(generate_series(1, len($a)), " +
+        s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE), 'sum')"
+    def centOf(src: String): String =
+      s"""(SELECT cell, list(c ORDER BY d) AS centroid FROM (
+         |    SELECT cell, d, round(avg(x), 4) AS c FROM (
+         |      SELECT cell, unnest(sv)::DOUBLE AS x,
+         |             unnest(generate_series(1, len(sv))) AS d FROM $src)
+         |    GROUP BY cell, d) GROUP BY cell)""".stripMargin
+    def assignOf(book: String, s: Int): String =
+      s"""(SELECT vec_id, sv, cell FROM (
+         |    SELECT t.vec_id, t.sv, b.cell,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY round(${cosineSql("t.sv", "b.centroid")}, 6)
+         |          DESC NULLS LAST, b.cell) AS rn
+         |    FROM sl$s t, $book b) WHERE rn = 1)""".stripMargin
+    val perSub = (0 until m).map { s =>
+      val lloyd = (1 to iters).map(i =>
+        s"c${s}_$i AS ${centOf(s"a${s}_${i - 1}")},\n" +
+          s"a${s}_$i AS ${assignOf(s"c${s}_$i", s)}").mkString(",\n")
+      s"""sl$s AS (SELECT vec_id,
+         |    embedding[${s * sub + 1}:${(s + 1) * sub}] AS sv
+         |  FROM embeddings),
+         |a${s}_0 AS (SELECT vec_id, sv,
+         |    CAST(${hash32Sql("CAST(vec_id AS VARCHAR)")} % $k AS INT)
+         |      AS cell FROM sl$s),
+         |$lloyd,
+         |bk$s AS ${centOf(s"a${s}_$iters")},
+         |en$s AS ${assignOf(s"bk$s", s)},
+         |ct$s AS (SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+         |    $s AS s, ${dotSql("q.sv", "b.centroid")} AS pdot,
+         |    ${dotSql("b.centroid", "b.centroid")} AS cn2
+         |  FROM sl$s q, en$s e, bk$s b
+         |  WHERE e.cell = b.cell AND q.vec_id < $maxQ)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 until m).map(s => s"SELECT * FROM ct$s")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $perSub,
+       |contribs AS (
+       |$unions),
+       |agg AS (SELECT query_id, cand_id,
+       |    list_aggregate(list(pdot ORDER BY s), 'sum') AS adc,
+       |    sqrt(list_aggregate(list(cn2 ORDER BY s), 'sum')) AS recn
+       |  FROM contribs GROUP BY query_id, cand_id),
+       |qn AS (SELECT vec_id AS query_id,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS qn
+       |  FROM embeddings WHERE vec_id < $maxQ),
+       |scored AS (SELECT a.query_id, a.cand_id,
+       |    round(a.adc / NULLIF(q.qn * a.recn, 0), 6) AS sim_adc
+       |  FROM agg a JOIN qn q USING (query_id)
+       |  WHERE a.query_id <> a.cand_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY sim_adc DESC, cand_id)
+       |      AS "rank" FROM scored)
+       |SELECT query_id, cand_id, sim_adc, CAST("rank" AS INT) AS "rank"
+       |FROM ranked WHERE "rank" <= $topK
+       |ORDER BY query_id, "rank"""".stripMargin
+  }
 
   /** DuckDB replay of Similarity.kmeansCells: same seed hash (portable
     * md5-prefix, mod k), same 4-dp centroid rounding, same 6-dp cosine
@@ -1577,6 +1660,10 @@ object SparkEntry {
     // same k/iters constants as qKmeansCells — the SQL is generated,
     // so the two sides cannot drift
     "q54_kmeans_cells" -> kmeansOracleSql(k = 4, iters = 2),
+
+    // same m/k/iters/dims constants as qPqAdc
+    "q55_pq_adc" ->
+      pqOracleSql(m = 4, k = 8, iters = 1, dims = 64, topK = 5, maxQ = 4),
 
     "q43_repetition" ->
       s"""WITH $shinglesCteSql,

@@ -330,6 +330,164 @@ object Similarity {
     ivfScoreTopK(cand, q, k)
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (IVF-PQ, the ANN memory-scale path): vectors
+  // compress to m 8-bit-ish codes — at dims=64 doubles that is ~32×
+  // less candidate data to scan — and queries score candidates by
+  // asymmetric distance (ADC): a per-query lookup table of
+  // query-subvector × sub-centroid dot products, summed by code. The
+  // whole pipeline is deterministic (hash-seeded k-means per subspace,
+  // 4-dp centroids, 6-dp sims, lowest-cell ties), so an external engine
+  // replays it exactly (q55 oracle).
+  // ------------------------------------------------------------------
+
+  /** Per-subspace codebook: `cells(c) = (centroid, cnormSq)`, densely
+    * indexed 0..k-1 (empty cells hold zero vectors, which can never win
+    * an assignment — their cosine is null). cnormSq is the SEQUENTIAL
+    * sum of squares (the fold an oracle reproduces), not norm². */
+  final case class PqBook(sub: Int,
+      cells: IndexedSeq[(Seq[Double], Double)])
+
+  /** Per-(sub, cell) centroid rows over the exploded slice frame —
+    * the multi-subspace form of [[centroidRows]], still one
+    * partial-aggregatable shuffle for ALL subspaces together. */
+  private def centroidRowsBySub(df: DataFrame, vecCol: String): DataFrame =
+    df.select(col("sub"), col("cell"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .groupBy(col("sub"), col("cell"), col("d"))
+      .agg(round(avg(col("x")), 4).as("c"))
+      .groupBy(col("sub"), col("cell"))
+      .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
+      .select(col("sub"), col("cell"),
+        transform(col("dc"), s => s.getField("c")).as("centroid"),
+        norm(transform(col("dc"), s => s.getField("c"))).as("cnrm"))
+
+  /** One row PER SUBSPACE holding its cell-ordered centroid array (the
+    * multi-subspace [[toCentArr]]); broadcast-joined on `sub`. */
+  private def centArrBySub(rows: DataFrame): DataFrame =
+    rows.groupBy(col("sub"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("centroid"),
+        col("cnrm")))).as("cents"))
+      .localCheckpoint(false)
+
+  private def assignSubCells(sliced: DataFrame, idCol: String,
+      cents: DataFrame): DataFrame =
+    sliced.withColumn("vnrm", norm(col("sv")))
+      .join(broadcast(cents), Seq("sub"))
+      .withColumn("scored", scoredCells("sv"))
+      .withColumn("best", aggregate(col("scored"),
+        struct(lit(-2.0).as("csim"),
+          lit(null).cast("int").as("cell")),
+        (acc, x) =>
+          when(x.getField("csim") > acc.getField("csim"), x).otherwise(acc)))
+      .select(col(idCol), col("sub"), col("sv"),
+        col("best").getField("cell").as("cell"))
+
+  /** Train m codebooks: ALL subspaces run through ONE keyed Lloyd loop
+    * — the vector explodes to m (sub, slice) rows, each iteration is a
+    * single (sub, cell, dim) partial aggregation plus a broadcast-join
+    * assignment fold, so training costs one scan per iteration
+    * regardless of m (not m separate chains). Per-subspace math is
+    * identical to [[kmeansCells]] on the slice: same hash seed, 4-dp
+    * centroids, 6-dp-cosine lowest-cell assignment — the q55 oracle
+    * replays it per subspace. Centroids are re-estimated from the
+    * final assignment; the collected books are metadata-plane (m×k×sub
+    * doubles) and become broadcast literals in encode/search. */
+  def pqTrain(vectors: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int, dims: Int): Seq[PqBook] = {
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val sub = dims / m
+    val sliced = vectors.select(col(idCol),
+      posexplode(array((0 until m).map(s =>
+        slice(col(vecCol).cast("array<double>"), s * sub + 1, sub)): _*))
+        .as(Seq("sub", "sv")))
+    val seeded = sliced.withColumn("cell",
+      (GF.hash32(col(idCol).cast("string")) % k).cast("int"))
+    val assigned = (1 to iters).foldLeft(seeded) { (a, _) =>
+      assignSubCells(sliced, idCol, centArrBySub(centroidRowsBySub(a, "sv")))
+    }
+    val bySub = centroidRowsBySub(assigned, "sv").collect()
+      .groupBy(_.getAs[Int]("sub"))
+    (0 until m).map { s =>
+      val byCell = bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+        .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](2)).toMap
+      PqBook(sub, (0 until k).map { c =>
+        val cent = byCell.getOrElse(c, Seq.fill(sub)(0.0))
+        (cent, cent.foldLeft(0.0)((a, v) => a + v * v))
+      })
+    }
+  }
+
+  /** Nearest sub-centroid (rounded cosine, lowest cell on ties) as a
+    * pure fold over the literal codebook — zero shuffle, codegen'd. */
+  private def bestCodeExpr(sv: Column, svn: Column, book: PqBook): Column = {
+    val scored = array(book.cells.zipWithIndex.map { case ((cent, cn2), c) =>
+      struct(
+        round(dot(sv, typedLit(cent)) /
+          nullif(svn * lit(math.sqrt(cn2)), lit(0.0)), 6).as("csim"),
+        lit(c).as("cell")) }: _*)
+    aggregate(scored,
+      struct(lit(-2.0).as("csim"), lit(null).cast("int").as("cell")),
+      (acc, x) =>
+        when(x.getField("csim") > acc.getField("csim"), x).otherwise(acc))
+      .getField("cell")
+  }
+
+  /** Encode every vector to its m-code array — map-only expression
+    * work; this is the frame a 100 TB deployment persists instead of
+    * raw vectors. */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
+      books: Seq[PqBook]): DataFrame = {
+    val m = books.size
+    val withSlices = vectors.select(col(idCol) +:
+      books.zipWithIndex.flatMap { case (b, s) =>
+        val sv = slice(col(vecCol).cast("array<double>"),
+          s * b.sub + 1, b.sub)
+        Seq(sv.as(s"sv$s"), norm(sv).as(s"svn$s")) }: _*)
+    withSlices.select(col(idCol),
+      array(books.zipWithIndex.map { case (b, s) =>
+        bestCodeExpr(col(s"sv$s"), col(s"svn$s"), b) }: _*).as("codes"))
+  }
+
+  /** ADC top-k: per query build the m×k dot-product lookup table ONCE
+    * (an expression over the literal codebooks), broadcast the query
+    * rows, and score each candidate with one zip_with over its code
+    * array — per-candidate cost O(m), independent of dims. The
+    * approximate cosine divides by the RECONSTRUCTED candidate norm
+    * (sum of assigned sub-centroid norms²), the standard IP-ADC
+    * estimate. Compose with the IVF posting-list layout to prune before
+    * scanning. */
+  def pqSearch(codes: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, books: Seq[PqBook], topK: Int): DataFrame = {
+    val cn2Lit = typedLit(books.map(_.cells.map(_._2)))
+    val lut = array(books.zipWithIndex.map { case (b, s) =>
+      val qs = slice(col(vecCol).cast("array<double>"),
+        s * b.sub + 1, b.sub)
+      array(b.cells.map { case (cent, _) =>
+        dot(qs, typedLit(cent)) }: _*) }: _*)
+    val q = queries.select(col(idCol).as("query_id"), lut.as("lut"),
+      norm(col(vecCol)).as("qn"))
+    val scored = codes
+      .select(col(idCol).as("cand_id"), col("codes"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("lut"),
+          (c, row) => element_at(row, c + 1)),
+        lit(0.0), (a, v) => a + v))
+      .withColumn("recn", sqrt(aggregate(
+        zip_with(col("codes"), cn2Lit,
+          (c, row) => element_at(row, c + 1)),
+        lit(0.0), (a, v) => a + v)))
+      .withColumn("sim_adc",
+        round(col("adc") / nullif(col("qn") * col("recn"), lit(0.0)), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_adc").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("cand_id"), col("sim_adc"), col("rank"))
+  }
+
   /** Near-duplicate pairs by embedding cosine above a threshold, with the
     * candidate space restricted by a blocking key (e.g. label or LSH
     * bucket) so the self-join never goes quadratic. */

@@ -15,6 +15,42 @@ class OperatorsSpec extends SparkSpec {
     (4L, "completely different content about spark engines and data"),
   ).toDF("doc_id", "text")
 
+  test("pq: codes bounded, ADC keeps real recall against exact knn") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sf()).embeddings
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 4, k = 8, iters = 1, dims = 64)
+    assert(books.size == 4 && books.forall(_.cells.size == 8))
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      .collect()
+    assert(codes.forall(r => r.getSeq[Int](1).size == 4 &&
+      r.getSeq[Int](1).forall(c => c >= 0 && c < 8)))
+    // recall semantics need data with actual neighborhood structure
+    // (the synthetic embeddings are near-random — max pairwise cosine
+    // ~0.33 — so coarse PQ rightly cannot rank their top-5; the
+    // cross-engine q55 oracle already pins the scoring math exactly).
+    // Three well-separated clusters with deterministic jitter: every
+    // ADC top-5 must come from the query's own cluster.
+    val clustered = (for (c <- 0 until 3; i <- 0 until 30) yield {
+      val v = (0 until 64).map(d =>
+        (if (d / 22 == c) 1.0 else 0.0) +
+          0.01 * math.sin(d * 13 + i * 7 + c)).toArray
+      (c * 100L + i, v)
+    }).toDF("vec_id", "embedding")
+    val cBooks = Similarity.pqTrain(clustered, "vec_id", "embedding",
+      m = 4, k = 8, iters = 2, dims = 64)
+    val cCodes = Similarity.pqEncode(clustered, "vec_id", "embedding",
+      cBooks)
+    val top = Similarity.pqSearch(cCodes,
+        clustered.filter(col("vec_id").isin(0L, 100L, 200L)),
+        "vec_id", "embedding", cBooks, topK = 5)
+      .collect()
+    assert(top.length == 15)
+    top.foreach { r =>
+      assert(r.getLong(0) / 100 == r.getLong(1) / 100,
+        s"ADC pulled ${r.getLong(1)} into cluster of ${r.getLong(0)}") }
+  }
+
   test("q26: HLL approx stays within ±5% of exact (the oracle's bound)") {
     val rows = SparkEntry.queries("q26_approx_distinct")(spark, sf())
       .collect()

@@ -115,6 +115,16 @@ class PlanSpec extends SparkSpec {
       s"window not partitioned by shard:\n$p")
   }
 
+  test("pq encode is map-only expression work (no exchange)") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val books = graft.operators.Similarity.pqTrain(emb, "vec_id",
+      "embedding", m = 4, k = 8, iters = 1, dims = 64)
+    val p = graft.operators.Similarity
+      .pqEncode(emb, "vec_id", "embedding", books)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"pq encode shuffles:\n$p")
+  }
+
   test("composed-time parse builds no trivially-true equals predicate") {
     // lit(freq.code) === "Q" logs Spark's "trivially true equals
     // predicate" WARN on every plan build and is the exact pattern that

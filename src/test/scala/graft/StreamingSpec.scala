@@ -116,6 +116,65 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${streamed.diff(batch)}; batch-only: ${batch.diff(streamed)}")
   }
 
+  test("session windows are invariant to micro-batch splits") {
+    // the same event sequence delivered as ONE batch vs THREE ordered
+    // batches (one split mid-session) must seal identical sessions
+    import spark.implicits._
+    val events = Seq(
+      // user 1: two sessions (70 min silence between rows 2 and 3)
+      (10L, "2024-01-01 10:00:00", 1L, 1.0),
+      (11L, "2024-01-01 10:10:00", 1L, 2.0),
+      (12L, "2024-01-01 11:20:00", 1L, 4.0),
+      (13L, "2024-01-01 11:40:00", 1L, 8.0),
+      // user 2: one session spanning the chunk boundary
+      (20L, "2024-01-01 10:05:00", 2L, 1.5),
+      (21L, "2024-01-01 10:30:00", 2L, 2.5),
+      (22L, "2024-01-01 10:55:00", 2L, 3.5),
+      // user 3: single-event session
+      (30L, "2024-01-01 11:00:00", 3L, 9.0))
+    val flush = Seq((99L, "2024-01-03 00:00:00", 99L, 0.0))
+
+    def run(name: String,
+        chunks: Seq[Seq[(Long, String, Long, Double)]]): Set[(Long, Long, Long, Double)] = {
+      val dir = Files.createTempDirectory(s"graft-split-$name").toString
+      def write(c: Seq[(Long, String, Long, Double)]): Unit =
+        c.toDF("event_id", "s", "user_id", "value")
+          .select(col("event_id"), to_timestamp(col("s")).as("ts"),
+            col("user_id"), lit("e").as("event_type"), col("value"))
+          .write.mode("append").parquet(dir)
+      write(chunks.head)
+      val q = EventStream.sessionWindows(spark, spark.readStream
+          .schema(EventStream.eventSchema).parquet(dir))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(s"split_$name").start()
+      try {
+        q.processAllAvailable()
+        (chunks.tail :+ flush).foreach { c =>
+          write(c); q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(s"split_$name").filter(col("user_id") < 90).collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("session_start").getTime,
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    }
+
+    val oneBatch = run("one", Seq(events))
+    val threeBatches = run("three", Seq(
+      events.take(2) ++ events.slice(4, 6), // u1 s1, u2 partial
+      events.slice(2, 3) ++ events.slice(6, 7), // u1 s2 starts, u2 ends
+      events.slice(3, 4) ++ events.slice(7, 8))) // u1 s2 ends, u3
+    assert(oneBatch == threeBatches,
+      s"one-batch: $oneBatch\nthree-batch: $threeBatches")
+    // and both equal the hand-computed truth
+    def ms(s: String) = java.sql.Timestamp.valueOf(s).getTime
+    assert(oneBatch == Set(
+      (1L, ms("2024-01-01 10:00:00"), 2L, 3.0),
+      (1L, ms("2024-01-01 11:20:00"), 2L, 12.0),
+      (2L, ms("2024-01-01 10:05:00"), 3L, 7.5),
+      (3L, ms("2024-01-01 11:00:00"), 1L, 9.0)), oneBatch)
+  }
+
   test("streaming dedup keeps first occurrence per content digest") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     // duplicate texts across distinct event rows: event_type repeats
