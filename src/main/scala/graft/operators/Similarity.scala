@@ -435,18 +435,18 @@ object Similarity {
 
   /** Encode every vector to its m-code array — map-only expression
     * work; this is the frame a 100 TB deployment persists instead of
-    * raw vectors. */
+    * raw vectors. `keep` columns pass through (e.g. a coarse IVF cell
+    * for the composed index). */
   def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
-      books: Seq[PqBook]): DataFrame = {
-    val m = books.size
-    val withSlices = vectors.select(col(idCol) +:
+      books: Seq[PqBook], keep: Seq[String] = Nil): DataFrame = {
+    val withSlices = vectors.select((col(idCol) +: keep.map(col)) ++
       books.zipWithIndex.flatMap { case (b, s) =>
         val sv = slice(col(vecCol).cast("array<double>"),
           s * b.sub + 1, b.sub)
         Seq(sv.as(s"sv$s"), norm(sv).as(s"svn$s")) }: _*)
-    withSlices.select(col(idCol),
+    withSlices.select(col(idCol) +: keep.map(col) :+
       array(books.zipWithIndex.map { case (b, s) =>
-        bestCodeExpr(col(s"sv$s"), col(s"svn$s"), b) }: _*).as("codes"))
+        bestCodeExpr(col(s"sv$s"), col(s"svn$s"), b) }: _*).as("codes"): _*)
   }
 
   /** ADC top-k: per query build the m×k dot-product lookup table ONCE
@@ -460,13 +460,8 @@ object Similarity {
   def pqSearch(codes: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, books: Seq[PqBook], topK: Int): DataFrame = {
     val cn2Lit = typedLit(books.map(_.cells.map(_._2)))
-    val lut = array(books.zipWithIndex.map { case (b, s) =>
-      val qs = slice(col(vecCol).cast("array<double>"),
-        s * b.sub + 1, b.sub)
-      array(b.cells.map { case (cent, _) =>
-        dot(qs, typedLit(cent)) }: _*) }: _*)
-    val q = queries.select(col(idCol).as("query_id"), lut.as("lut"),
-      norm(col(vecCol)).as("qn"))
+    val q = queries.select(col(idCol).as("query_id"),
+      pqLut(vecCol, books).as("lut"), norm(col(vecCol)).as("qn"))
     val scored = codes
       .select(col(idCol).as("cand_id"), col("codes"))
       .crossJoin(broadcast(q))
@@ -486,6 +481,103 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("cand_id"), col("sim_adc"), col("rank"))
+  }
+
+  /** ADC scoring of a `(cand_id, codes, cell)` frame against queries
+    * carrying `(query_id, cell, lut, qn)` — the tail shared by
+    * [[pqSearch]]-from-index probes; joins on the coarse cell. */
+  private def pqScoreTopK(cand: DataFrame, q: DataFrame,
+      books: Seq[PqBook], topK: Int): DataFrame = {
+    val cn2Lit = typedLit(books.map(_.cells.map(_._2)))
+    val scored = cand.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("lut"),
+          (c, row) => element_at(row, c + 1)),
+        lit(0.0), (a, v) => a + v))
+      .withColumn("recn", sqrt(aggregate(
+        zip_with(col("codes"), cn2Lit,
+          (c, row) => element_at(row, c + 1)),
+        lit(0.0), (a, v) => a + v)))
+      .withColumn("sim_adc",
+        round(col("adc") / nullif(col("qn") * col("recn"), lit(0.0)), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_adc").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("cand_id"), col("sim_adc"), col("rank"))
+  }
+
+  /** The per-query ADC lookup structure: m×k raw subvector×centroid
+    * dot products, plus the true query norm. */
+  private def pqLut(vecCol: String, books: Seq[PqBook]): Column =
+    array(books.zipWithIndex.map { case (b, s) =>
+      val qs = slice(col(vecCol).cast("array<double>"),
+        s * b.sub + 1, b.sub)
+      array(b.cells.map { case (cent, _) =>
+        dot(qs, typedLit(cent)) }: _*) }: _*)
+
+  /** Persist the COMPOSED IVF-PQ index: posting lists are parquet
+    * partitions keyed by the coarse cell (probes prune to 1/nCells of
+    * the data, as in [[writeIvfIndex]]) but store m-byte-ish PQ codes
+    * instead of raw vectors (~32× less data per scanned candidate at
+    * dims=64). Sidecars: coarse centroids + the per-subspace codebooks
+    * (both metadata-sized). The coarse quantizer can come from
+    * [[kmeansCells]] — the whole index needs no label column. */
+  def writeIvfPqIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, books: Seq[PqBook], path: String): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents = centroidRows(vectors, vecCol, cellCol)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    books.zipWithIndex.flatMap { case (b, s) =>
+      b.cells.zipWithIndex.map { case ((cent, cn2), c) =>
+        (s, c, cent, cn2) } }
+      .toDF("sub", "cell", "centroid", "cn2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    val centArr = toCentArr(cents)
+    val cellType = vectors.schema(cellCol).dataType
+    val assigned = assignCells(vectors, idCol, vecCol, centArr, cellType)
+    pqEncode(assigned, idCol, vecCol, books, keep = Seq("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/postings")
+  }
+
+  private def readBooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[PqBook] = {
+    val rows = spark.read.parquet(s"$path/books").collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("cell"),
+        r.getSeq[Double](2), r.getAs[Double]("cn2")))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cs) =>
+      val cells = cs.sortBy(_._2).map(t => (t._3, t._4)).toIndexedSeq
+      PqBook(cells.head._1.size, cells)
+    }
+  }
+
+  /** ANN against a persisted IVF-PQ index: assign the broadcast query
+    * set with the stored coarse centroids, read ONLY the probed
+    * posting-list partitions, and ADC-score their code arrays — the
+    * probe touches 1/nCells of the corpus AND moves only codes, never
+    * vectors. */
+  def pqSearchFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      topK: Int, nProbe: Int = 1): DataFrame = {
+    val books = readBooks(spark, path)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val centArr = toCentArr(cents)
+    val cellType = cents.schema("cell").dataType
+    val qAssigned =
+      if (nProbe <= 1) assignCells(queries, idCol, vecCol, centArr, cellType)
+      else assignTopN(queries, idCol, vecCol, centArr, nProbe)
+    val q = qAssigned
+      .select(col(idCol).as("query_id"), col("cell"),
+        pqLut(vecCol, books).as("lut"), norm(col(vecCol)).as("qn"))
+      .localCheckpoint(false)
+    val probed = q.select(col("cell")).distinct().collect().map(_.get(0))
+    val cand = spark.read.parquet(s"$path/postings")
+      .filter(col("cell").isin(probed: _*))
+      .select(col(idCol).as("cand_id"), col("codes"), col("cell"))
+    pqScoreTopK(cand, q, books, topK)
   }
 
   /** Near-duplicate pairs by embedding cosine above a threshold, with the

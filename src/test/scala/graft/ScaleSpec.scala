@@ -129,6 +129,36 @@ class ScaleSpec extends SparkSpec {
       s"posting-list pruning not applied:\n$p")
   }
 
+  test("IVF-PQ composed index: pruned probes over codes-only postings") {
+    // the full label-free composition: coarse cells from k-means,
+    // codebooks from PQ training, posting lists partitioned by cell
+    // carrying ONLY code arrays — a probe prunes partitions AND moves
+    // ~32x less data per candidate than raw vectors
+    val dir = Files.createTempDirectory("graft-ivfpq").toString
+    val vectors = Tables(spark, sf()).embeddings.drop("label")
+    val S = graft.operators.Similarity
+    val clustered = S.kmeansCells(vectors, "vec_id", "embedding",
+      k = 4, iters = 1)
+    val books = S.pqTrain(vectors, "vec_id", "embedding",
+      m = 4, k = 8, iters = 1, dims = 64)
+    S.writeIvfPqIndex(clustered, "vec_id", "embedding", "cell", books, dir)
+
+    val postings = spark.read.parquet(s"$dir/postings")
+    assert(postings.columns.toSet == Set("vec_id", "codes", "cell"),
+      postings.columns.mkString(","))
+    assert(new java.io.File(s"$dir/postings").listFiles()
+      .exists(_.getName.startsWith("cell=")))
+
+    val knn = S.pqSearchFromIndex(spark, dir,
+      vectors.filter(col("vec_id") < 4), "vec_id", "embedding", topK = 3)
+    val rows = knn.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("sim_adc")) <= 1.0001))
+    val p = knn.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"posting-list pruning not applied:\n$p")
+  }
+
   test("pipeline skip/replace gate (P9) leaves existing outputs alone") {
     val dir = Files.createTempDirectory("graft-p9")
     val csv = dir.resolve("src.csv")
