@@ -138,4 +138,56 @@ class PropertySpec extends SparkSpec {
         s"kept ${r._2} != distinct ${allChunks.flatten.distinct.size}")
     }
   }
+
+  test("kmeans assignments are deterministic, bounded, and total") {
+    import graft.operators.Similarity
+    val vecGen = Gen.listOfN(16, Gen.choose(-5.0, 5.0))
+    val vecs = samples(vecGen, 60).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+      .toDF("vec_id", "embedding")
+    def assignments() = Similarity
+      .kmeansCells(vecs, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
+    val a = assignments()
+    assert(a.size == 60) // total: every vector got a cell
+    assert(a.values.forall(c => c >= 0 && c < 4))
+    assert(a.values.toSet.size > 1, "degenerate single-cell clustering")
+    assert(assignments() == a, "kmeans not deterministic across runs")
+  }
+
+  test("pq: bitwise-identical vectors always share the code array") {
+    import graft.operators.Similarity
+    val vecGen = Gen.listOfN(32, Gen.choose(-3.0, 3.0))
+    val base = samples(vecGen, 25).map(_.toArray)
+    // each vector appears twice under different ids
+    val vecs = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, v), (1000L + i, v)) }.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(vecs, "vec_id", "embedding",
+      m = 4, k = 4, iters = 1, dims = 32)
+    val codes = Similarity.pqEncode(vecs, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    (0 until 25).foreach { i =>
+      assert(codes(i.toLong) == codes(1000L + i),
+        s"duplicate vector $i encoded differently") }
+  }
+
+  test("tableBounds: detected/table ends are exact over generated tails") {
+    val cases = for {
+      nDates <- Gen.choose(1, 20)
+      nJunk <- Gen.choose(0, 5)
+    } yield (nDates, nJunk)
+    samples(cases, 12).foreach { case (nDates, nJunk) =>
+      val start = 3 // data starts at A3
+      val rows =
+        (0 until nDates).map(i =>
+          ("s", start + i, 1, f"2020-${i % 12 + 1}%02d-01")) ++
+          (0 until nJunk).map(j =>
+            ("s", start + nDates + j, 1, s"fuente $j"))
+      val grid = rows.toDF("sheet", "row", "col", "value")
+      val b = sources.CellGrid
+        .tableBounds(grid, "s", "A3", Frequency.Monthly).head()
+      assert(b.getInt(0) == start + nDates - 1, "detected_end")
+      assert(b.getInt(1) == start + nDates + nJunk - 1, "table_end")
+    }
+  }
 }
