@@ -151,6 +151,66 @@ object EventStream {
       }.toDF()
   }
 
+  final case class ScoredDoc(doc_id: Long, ts: java.sql.Timestamp,
+      digest: String, n_tokens: Long, quality_score: Double)
+  final case class CuratedDoc(doc_id: Long, ts: java.sql.Timestamp,
+      reason: String, n_tokens: Long, quality_score: Double)
+
+  /** Incremental curation funnel: the batch funnel's per-row rules
+    * (length, quality — stateless codegen'd projections) run unchanged
+    * on the stream; the DUPLICATE rule becomes digest-keyed custom
+    * state — the first arrival of a content digest is judged by the
+    * remaining rules, later arrivals within the TTL horizon are labeled
+    * `duplicate` (the streaming analogue of the batch min-id keeper:
+    * first-seen wins, ties inside a micro-batch broken by (ts,
+    * doc_id)). Unlike `dropDuplicatesWithinWatermark`, duplicates are
+    * EMITTED with their verdict, not silently dropped — the funnel
+    * report stays complete. State per digest is one long (first-seen
+    * ms) with an event-time timeout at `firstSeen + dedupTtlMs`, so a
+    * crawler firehose holds state proportional to the horizon, never
+    * the stream. Input needs `doc_id`, an event-time column, and the
+    * text column. */
+  def curateStream(spark: SparkSession, docs: DataFrame, textCol: String,
+      tsCol: String = "ts", minTokens: Int = 20, minQuality: Double = 0.55,
+      watermark: String = "1 hour",
+      dedupTtlMs: Long = 3600000L): DataFrame = {
+    import spark.implicits._
+    val scored = graft.operators.TextAnalysis.qualityScore(
+        docs.withColumn("digest",
+          md5(graft.operators.Dedup.normalizeText(col(textCol)))), textCol)
+      .select(col("doc_id"), col(tsCol).as("ts"), col("digest"),
+        col("n_tokens"), col("quality_score")).as[ScoredDoc]
+    scored
+      .withWatermark("ts", watermark)
+      .groupByKey(_.digest)
+      .flatMapGroupsWithState[Long, CuratedDoc](OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (digest: String, rows: Iterator[ScoredDoc], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+            val seenBefore = state.exists
+            val out = sorted.zipWithIndex.map { case (d, i) =>
+              val reason =
+                if (seenBefore || i > 0) "duplicate"
+                else if (d.n_tokens < minTokens) "too_short"
+                else if (d.quality_score < minQuality) "low_quality"
+                else "kept"
+              CuratedDoc(d.doc_id, d.ts, reason, d.n_tokens,
+                d.quality_score)
+            }
+            val firstSeen = state.getOption
+              .getOrElse(sorted.head.ts.getTime)
+            val expiry = firstSeen + dedupTtlMs
+            if (expiry > state.getCurrentWatermarkMs()) {
+              state.update(firstSeen)
+              state.setTimeoutTimestamp(expiry)
+            } else if (state.exists) state.remove()
+            out.iterator
+          }
+      }.toDF()
+  }
+
   /** Per-user running session state via mapGroupsWithState — the
     * engine's custom-state extension point. Each micro-batch emits the
     * updated per-user aggregate (Update output mode); state survives

@@ -204,6 +204,58 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("deduped").count() == nDistinct)
   }
 
+  test("streaming curation matches the batch funnel and re-admits after TTL") {
+    import spark.implicits._
+    val goodText = "the quick brown fox jumps over the lazy dog and then " +
+      "the fox runs back to the forest where all of the other animals wait"
+    val junkText = (1 to 25).map(i => s"x$i$$%&").mkString(" ")
+    val docs = Seq(
+      (1L, "2024-01-01 10:00:00", goodText), // kept
+      (2L, "2024-01-01 10:01:00", goodText), // duplicate of 1
+      (3L, "2024-01-01 10:02:00", "too short"), // too_short
+      (4L, "2024-01-01 10:03:00", junkText)) // low_quality
+    val dir = Files.createTempDirectory("graft-stream6").toString
+    def write(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "s", "text")
+        .select(col("doc_id"), to_timestamp(col("s")).as("ts"), col("text"))
+        .write.mode("append").parquet(dir)
+    write(docs)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStream.curateStream(spark, stream, "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curated").start()
+    try {
+      q.processAllAvailable()
+      // push the watermark past every digest's 1 h TTL, then resend the
+      // good text: its state was evicted, so it is judged afresh
+      write(Seq((5L, "2024-01-02 10:00:00", "advance the clock")))
+      q.processAllAvailable()
+      write(Seq((6L, "2024-01-02 10:00:30", goodText)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val verdicts = spark.table("curated").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    // batch funnel on the first four docs agrees verdict for verdict
+    // (min-id keeper == first arrival here)
+    val batch = graft.operators.Curation.funnel(
+        docs.toDF("doc_id", "s", "text"), "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("reason")).toMap
+    docs.foreach { case (id, _, _) =>
+      assert(verdicts(id) == batch(id),
+        s"doc $id: stream ${verdicts(id)} vs batch ${batch(id)}") }
+    assert(verdicts(6L) == "kept", s"post-TTL resend: ${verdicts.get(6L)}")
+  }
+
   test("streaming dedup evicts digest state once the watermark passes") {
     // the property the plain dropDuplicates("digest") variant LACKED:
     // with the event-time column absent from the key set, its state
