@@ -620,6 +620,22 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** Deterministic corpus shuffle (Sampling.deterministicShuffle):
+    * training order as a salted-hash total sort, positions verified
+    * within hash shards (partitioned window, never a global one). */
+  private def qShuffle(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    Sampling.deterministicShuffle(t.documents.select("doc_id"),
+        "doc_id", epoch = 1)
+      .withColumn("shard", pmod(col("shuffle_key"), lit(8)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shuffle_key"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** Product quantization + ADC search (Similarity.pqTrain/pqEncode/
     * pqSearch): 4 subspaces × 8 sub-centroids trained per-subspace by
     * the deterministic k-means, candidates scored by code lookup. */
@@ -847,6 +863,7 @@ object SparkEntry {
     "q53_pack" -> (qPack _),
     "q54_kmeans_cells" -> (qKmeansCells _),
     "q55_pq_adc" -> (qPqAdc _),
+    "q56_shuffle" -> (qShuffle _),
   )
 
   // -------------------------------------------------------------------
@@ -1664,6 +1681,18 @@ object SparkEntry {
     // same m/k/iters/dims constants as qPqAdc
     "q55_pq_adc" ->
       pqOracleSql(m = 4, k = 8, iters = 1, dims = 64, topK = 5, maxQ = 4),
+
+    // same epoch salt ("sh1_") and shard modulus as qShuffle
+    "q56_shuffle" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    ${hash32Sql("'sh1_' || CAST(doc_id AS VARCHAR)")}
+         |      AS shuffle_key
+         |  FROM documents)
+         |SELECT doc_id, shuffle_key,
+         |  CAST(shuffle_key % 8 AS INT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY shuffle_key % 8
+         |    ORDER BY shuffle_key, doc_id) AS INT) AS pos
+         |FROM k ORDER BY shard, pos""".stripMargin,
 
     "q43_repetition" ->
       s"""WITH $shinglesCteSql,

@@ -73,4 +73,24 @@ object Sampling {
       rates: Map[String, Double], defaultRate: Double): DataFrame =
     withStratifiedFlag(df, strataCol, idCol, rates, defaultRate)
       .filter(col("sampled")).drop("sampled")
+
+  /** Salted shuffle key for training-data ordering: the portable hash
+    * of (epoch, id). Exposed so callers can co-sort side tables. */
+  def shuffleKey(id: Column, epoch: Int): Column =
+    GF.hash32(concat(lit(s"sh${epoch}_"), id.cast("string")))
+
+  /** Deterministic corpus shuffle — the training-order randomizer.
+    * rand()-based shuffles are neither stable nor replay-safe (a
+    * retried partition re-rolls its values); ordering by a salted
+    * portable hash gives the same permutation on any engine, cluster
+    * size, or partition count, and each `epoch` is an independent
+    * permutation. At scale this is one range-partitioned total sort —
+    * Spark samples the key distribution to build balanced ranges, and
+    * hash values are uniform by construction so the sort never skews.
+    * The emitted `shuffle_key` column lets downstream stages (or an
+    * external engine) verify or resume the exact order. */
+  def deterministicShuffle(docs: DataFrame, idCol: String,
+      epoch: Int): DataFrame =
+    docs.withColumn("shuffle_key", shuffleKey(col(idCol), epoch))
+      .orderBy(col("shuffle_key"), col(idCol))
 }
