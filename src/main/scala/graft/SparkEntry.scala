@@ -620,6 +620,19 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** Columns profiled by q57 and its generated oracle — one list, two
+    * engines. Booleans mark numeric columns (mean defined). */
+  private val ProfileCols = Seq(
+    ("l_orderkey", true), ("l_quantity", true),
+    ("l_returnflag", false), ("l_shipdate", false))
+
+  /** One-pass relational profile (Profiling.profile) over mixed-type
+    * lineitem columns. */
+  private def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Profiling.profile(t.lineitem, ProfileCols.map(_._1))
+  }
+
   /** Deterministic corpus shuffle (Sampling.deterministicShuffle):
     * training order as a salted-hash total sort, positions verified
     * within hash shards (partitioned window, never a global one). */
@@ -864,6 +877,7 @@ object SparkEntry {
     "q54_kmeans_cells" -> (qKmeansCells _),
     "q55_pq_adc" -> (qPqAdc _),
     "q56_shuffle" -> (qShuffle _),
+    "q57_profile" -> (qProfile _),
   )
 
   // -------------------------------------------------------------------
@@ -1681,6 +1695,17 @@ object SparkEntry {
     // same m/k/iters/dims constants as qPqAdc
     "q55_pq_adc" ->
       pqOracleSql(m = 4, k = 8, iters = 1, dims = 64, topK = 5, maxQ = 4),
+
+    // generated from the same ProfileCols list as qProfile
+    "q57_profile" -> ProfileCols.map { case (c, isNum) =>
+      val mean = if (isNum) s"round(avg($c), 4)" else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value,
+         |  $mean AS mean_value FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
 
     // same epoch salt ("sh1_") and shard modulus as qShuffle
     "q56_shuffle" ->

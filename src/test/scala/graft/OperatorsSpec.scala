@@ -51,6 +51,40 @@ class OperatorsSpec extends SparkSpec {
         s"ADC pulled ${r.getLong(1)} into cluster of ${r.getLong(0)}") }
   }
 
+  test("profile: one job, exact metrics on a known frame") {
+    import graft.operators.Profiling
+    val df = Seq(
+      (1L, Some(2.0), "a"), (2L, None, "b"),
+      (3L, Some(4.0), "a"), (4L, Some(6.0), "c"))
+      .toDF("id", "x", "s")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val rows = try {
+      val r = Profiling.profile(df, Seq("id", "x", "s")).collect()
+      Thread.sleep(500)
+      r
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(jobs.get() <= 2, s"profile ran ${jobs.get()} jobs")
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    assert(byCol("x").getAs[Long]("n_null") == 1)
+    assert(byCol("x").getAs[Long]("n_distinct") == 3)
+    assert(byCol("x").getAs[Double]("mean_value") == 4.0)
+    assert(byCol("s").getAs[Long]("n_distinct") == 3)
+    assert(byCol("s").isNullAt(6)) // no mean for strings
+    assert(byCol("id").getAs[String]("min_value") == "1" &&
+      byCol("id").getAs[String]("max_value") == "4")
+  }
+
   test("q26: HLL approx stays within ±5% of exact (the oracle's bound)") {
     val rows = SparkEntry.queries("q26_approx_distinct")(spark, sf())
       .collect()
