@@ -204,6 +204,53 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("deduped").count() == nDistinct)
   }
 
+  test("harvest stream runs the batch ETL per landed catalog and survives failures") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-harvest")
+    val manifestDir = Files.createDirectory(root.resolve("manifest")).toString
+    val out = root.resolve("out").toString
+
+    def writeCatalog(id: String): String = {
+      val csv = root.resolve(s"src_$id.csv")
+      Files.writeString(csv,
+        "indice_tiempo,v\n2020-01-01,1\n2020-02-01,2\n")
+      val cat = root.resolve(s"cat_$id.json")
+      Files.writeString(cat,
+        s"""{"identifier":"$id","title":"t","description":"d",
+           |"publisher":{"name":"p"},"superThemeTaxonomy":"http://x",
+           |"dataset":[{"identifier":"1","title":"ds","description":"d",
+           |"publisher":{"name":"p"},"superTheme":["A"],
+           |"accrualPeriodicity":"R/P1M","issued":"2020-01-01",
+           |"distribution":[{"identifier":"1.1","title":"t",
+           |"issued":"2020-01-01","fileName":"out.csv",
+           |"downloadURL":"$csv","field":[
+           |{"title":"indice_tiempo","type":"date",
+           | "specialType":"time_index","specialTypeDetail":"R/P1M"},
+           |{"id":"v","title":"v","type":"number"}]}]}]}"""
+          .stripMargin.replace("\n", " "))
+      cat.toString
+    }
+    def drop(rows: (String, String)*): Unit =
+      rows.toSeq.toDF("path", "catalog_id").write.mode("append")
+        .json(manifestDir)
+
+    val q = graft.streaming.HarvestStream.start(spark, manifestDir, out)
+    try {
+      drop(writeCatalog("hv1") -> "hv1")
+      q.processAllAvailable()
+      assert(Files.exists(java.nio.file.Paths.get(out,
+        "catalog/hv1/dataset/1/distribution/1.1/download/out.csv")))
+
+      // second batch: one broken catalog (missing file) + one good one —
+      // the guard logs the failure, the stream and the good catalog live
+      drop(("/nonexistent/cat.json", "broken"), (writeCatalog("hv2"), "hv2"))
+      q.processAllAvailable()
+      assert(Files.exists(java.nio.file.Paths.get(out,
+        "catalog/hv2/dataset/1/distribution/1.1/download/out.csv")))
+      assert(q.isActive)
+    } finally q.stop()
+  }
+
   test("streaming curation matches the batch funnel and re-admits after TTL") {
     import spark.implicits._
     val goodText = "the quick brown fox jumps over the lazy dog and then " +
