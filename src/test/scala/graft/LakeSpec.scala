@@ -28,6 +28,45 @@ class LakeSpec extends SparkSpec {
       s"partition pruning not applied:\n$p")
   }
 
+  test("corpus lake: one file per shard, baked-in order, pruned splits") {
+    val dir = Files.createTempDirectory("graft-corpus").toString
+    val docs = Tables(spark, sf()).documents.select("doc_id", "text")
+    val total = docs.count()
+    CorpusLake.writeShards(docs, "doc_id", dir, epoch = 1, nShards = 4)
+
+    // exactly ONE parquet file per (split, shard) directory
+    val splitDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("split="))
+    assert(splitDirs.nonEmpty)
+    splitDirs.foreach { sd =>
+      sd.listFiles().filter(_.getName.startsWith("shard=")).foreach { shd =>
+        val files = shd.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1,
+          s"${shd.getPath}: ${files.length} files, want 1")
+      }
+    }
+
+    // split read prunes partitions
+    val train = CorpusLake.forSplit(spark, dir, "train")
+    val p = train.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("= train"),
+      s"split pruning not applied:\n$p")
+
+    // the canonical order is baked into each file: reading one shard
+    // directory raw yields rows already sorted by shuffle_key
+    val oneShard = splitDirs.head.listFiles()
+      .filter(_.getName.startsWith("shard=")).head
+    val keys = spark.read.parquet(oneShard.getPath)
+      .select("shuffle_key").collect().map(_.getLong(0)).toSeq
+    assert(keys == keys.sorted, "shard file not in shuffle order")
+
+    // manifest accounts for every example exactly once
+    val m = CorpusLake.manifest(spark, dir).collect()
+    assert(m.map(_.getAs[Long]("n_examples")).sum == total)
+    assert(m.map(_.getAs[Int]("shard")).forall(s => s >= 0 && s < 4))
+  }
+
   test("compaction rewrites a fragmented partition, data intact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact")
