@@ -151,6 +151,58 @@ object EventStream {
       }.toDF()
   }
 
+  final case class SeriesPoint(serie_id: String,
+      indice_tiempo: java.sql.Date, valor: Double)
+  final case class SeriesViolation(serie_id: String,
+      indice_tiempo: java.sql.Date, kind: String)
+
+  /** Incremental T3/T4: the batch validation battery's monotonic and
+    * declared-frequency checks running against a stream of series
+    * points. Per-serie state is the last accepted period (one epoch-day
+    * long — metadata-scale, bounded by series count, so no timeout is
+    * needed); each arriving point emits `duplicate`, `out_of_order`, or
+    * `gap` violation rows exactly as the batch operators would flag
+    * them at the same arrival order. Points inside one micro-batch are
+    * sorted by period first, so intra-batch disorder is not
+    * misreported. `freqMonths` is the declared frequency (1=monthly,
+    * 3=quarterly, ...); gaps are months_between != freqMonths. */
+  def seriesGuard(spark: SparkSession, points: DataFrame,
+      freqMonths: Int): DataFrame = {
+    import spark.implicits._
+    points.selectExpr("serie_id", "indice_tiempo", "valor").as[SeriesPoint]
+      .groupByKey(_.serie_id)
+      .flatMapGroupsWithState[Long, SeriesViolation](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (serie: String, rows: Iterator[SeriesPoint],
+            state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(_.indice_tiempo.toLocalDate.toEpochDay)
+          val out = List.newBuilder[SeriesViolation]
+          var last = state.getOption // epoch day of last accepted period
+          sorted.foreach { p =>
+            val d = p.indice_tiempo.toLocalDate
+            val day = d.toEpochDay
+            last match {
+              case Some(prev) if day == prev =>
+                out += SeriesViolation(serie, p.indice_tiempo, "duplicate")
+              case Some(prev) if day < prev =>
+                out += SeriesViolation(serie, p.indice_tiempo, "out_of_order")
+              case Some(prev) =>
+                val prevDate = java.time.LocalDate.ofEpochDay(prev)
+                val months = java.time.temporal.ChronoUnit.MONTHS
+                  .between(prevDate, d)
+                if (months != freqMonths ||
+                  d.getDayOfMonth != prevDate.getDayOfMonth)
+                  out += SeriesViolation(serie, p.indice_tiempo, "gap")
+                last = Some(day)
+              case None =>
+                last = Some(day)
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }.toDF()
+  }
+
   final case class ScoredDoc(doc_id: Long, ts: java.sql.Timestamp,
       digest: String, n_tokens: Long, quality_score: Double)
   final case class CuratedDoc(doc_id: Long, ts: java.sql.Timestamp,

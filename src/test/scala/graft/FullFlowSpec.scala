@@ -106,6 +106,40 @@ class FullFlowSpec extends SparkSpec {
     assert(lines.get(3) == "2022-03-01,\"\"" || lines.get(3) == "2022-03-01,")
   }
 
+  test("training-data pipeline end-to-end: curate -> shards -> manifest") {
+    // the extension surface composes: raw documents through the
+    // curation funnel, survivors sharded into the corpus lake, manifest
+    // totals consistent at every stage
+    import graft.operators.{Curation, Sampling}
+    val docs = Tables(spark, sf()).documents.select("doc_id", "text")
+    val funnel = Curation.funnel(docs, "text", "doc_id")
+    val byReason = funnel.groupBy("reason").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byReason.values.sum == docs.count(),
+      "funnel must account for every document")
+    val kept = Curation.curate(docs, "text", "doc_id")
+    assert(kept.count() == byReason.getOrElse("kept", 0L))
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-e2e-corpus").toString
+    CorpusLake.writeShards(kept, "doc_id", dir, epoch = 2, nShards = 3)
+    val m = CorpusLake.manifest(spark, dir).collect()
+    assert(m.map(_.getAs[Long]("n_examples")).sum == kept.count(),
+      "every kept doc lands in exactly one shard")
+
+    // split fractions are the deterministic hash split of the KEPT set
+    val bySplit = m.groupBy(_.getAs[String]("split")).view
+      .mapValues(_.map(_.getAs[Long]("n_examples")).sum).toMap
+    val expected = Sampling.withSplit(kept, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit == expected, s"$bySplit != $expected")
+
+    // reading a split back yields only kept, correctly-assigned docs
+    val train = CorpusLake.forSplit(spark, dir, "train")
+    assert(train.count() == expected.getOrElse("train", 0L))
+  }
+
   test("mail subject formatting (F9)") {
     val now = java.time.LocalDateTime.of(2026, 8, 12, 9, 30)
     assert(Reports.mailSubject("Scraping", "sspm", "staging", now) ==

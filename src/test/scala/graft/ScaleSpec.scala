@@ -157,6 +157,20 @@ class ScaleSpec extends SparkSpec {
     val p = knn.queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters") && p.contains("cell"),
       s"posting-list pruning not applied:\n$p")
+
+    // the recall knob: nProbe=2 widens each query to two cells — at
+    // least as many candidates survive, results remain a superset-or-
+    // equal candidate pool so per-query top-1 sim can only improve
+    val wide = S.pqSearchFromIndex(spark, dir,
+      vectors.filter(col("vec_id") < 4), "vec_id", "embedding",
+      topK = 3, nProbe = 2).collect()
+    val top1 = rows.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getLong(0) -> r.getAs[Double]("sim_adc")).toMap
+    val top1Wide = wide.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getLong(0) -> r.getAs[Double]("sim_adc")).toMap
+    top1.foreach { case (q, s1) =>
+      assert(top1Wide(q) >= s1 - 1e-9,
+        s"query $q: nProbe=2 top-1 ${top1Wide(q)} worse than nProbe=1 $s1") }
   }
 
   test("pipeline skip/replace gate (P9) leaves existing outputs alone") {

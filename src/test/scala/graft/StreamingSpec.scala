@@ -204,6 +204,49 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("deduped").count() == nDistinct)
   }
 
+  test("series guard flags duplicates, gaps, and disorder incrementally") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-guard").toString
+    def write(rows: Seq[(String, String, Double)]): Unit =
+      rows.toDF("serie_id", "d", "valor")
+        .select(col("serie_id"), to_date(col("d")).as("indice_tiempo"),
+          col("valor"))
+        .write.mode("append").parquet(dir)
+    write(Seq(
+      ("s1", "2020-01-01", 1.0), ("s1", "2020-02-01", 2.0),
+      ("s1", "2020-02-01", 2.5), // duplicate
+      ("s1", "2020-04-01", 4.0), // gap (March missing)
+      ("s2", "2020-01-01", 9.0)))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("serie_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("indice_tiempo",
+        org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("valor",
+        org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStream.seriesGuard(spark, stream, freqMonths = 1)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("guard").start()
+    try {
+      q.processAllAvailable()
+      // next batch: a late March point (behind the accepted April) and
+      // clean continuations for both series
+      write(Seq(("s1", "2020-03-01", 3.0), // out_of_order
+        ("s1", "2020-05-01", 5.0), ("s2", "2020-02-01", 10.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("guard").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getString(2)))
+      .toSet
+    assert(got == Set(
+      ("s1", "2020-02-01", "duplicate"),
+      ("s1", "2020-04-01", "gap"),
+      ("s1", "2020-03-01", "out_of_order")), got)
+  }
+
   test("harvest stream runs the batch ETL per landed catalog and survives failures") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-harvest")
