@@ -151,6 +151,55 @@ object EventStream {
       }.toDF()
   }
 
+  final case class LangDoc(lang: String, n_tokens: Long)
+  final case class LangAgg(n_docs: Long, total_tokens: Long)
+  final case class LangStat(lang: String, n_docs: Long,
+      total_tokens: Long)
+
+  /** Incremental corpus statistics on the ARBITRARY-STATE V2 API
+    * (`transformWithState` + `StatefulProcessor` + typed `ValueState`,
+    * Spark 4 state-store v2 — the successor of mapGroupsWithState;
+    * requires the RocksDB state store provider). Per-language running
+    * doc/token totals update each micro-batch — the incremental form of
+    * the batch corpus-stats aggregation, emitted in Update mode. State
+    * per key is one (long, long) value row in RocksDB; TTL is off
+    * because language keys are a tiny closed set. */
+  class RunningLangStats
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, LangDoc, LangStat] {
+    @transient private var agg:
+        org.apache.spark.sql.streaming.ValueState[LangAgg] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      agg = getHandle.getValueState[LangAgg]("agg",
+        org.apache.spark.sql.Encoders.product[LangAgg],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[LangDoc],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[LangStat] = {
+      val prev = Option(agg.get()).getOrElse(LangAgg(0L, 0L))
+      var docs = prev.n_docs
+      var toks = prev.total_tokens
+      rows.foreach { d => docs += 1; toks += d.n_tokens }
+      agg.update(LangAgg(docs, toks))
+      Iterator.single(LangStat(key, docs, toks))
+    }
+  }
+
+  /** Run [[RunningLangStats]] over a stream carrying `lang` and
+    * `n_tokens` columns. */
+  def runningLangStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.selectExpr("lang", "n_tokens").as[LangDoc]
+      .groupByKey(_.lang)
+      .transformWithState(new RunningLangStats,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+      .toDF()
+  }
+
   final case class SeriesPoint(serie_id: String,
       indice_tiempo: java.sql.Date, valor: Double)
   final case class SeriesViolation(serie_id: String,

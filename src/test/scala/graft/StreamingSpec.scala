@@ -204,6 +204,48 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("deduped").count() == nDistinct)
   }
 
+  test("transformWithState: running per-language totals (state v2, RocksDB)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tws").toString
+    def write(rows: Seq[(String, Long)]): Unit =
+      rows.toDF("lang", "n_tokens").write.mode("append").parquet(dir)
+    write(Seq(("en", 5L), ("en", 7L), ("zh", 3L)))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType)))
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val provWas = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val q = EventStream.runningLangStats(spark, stream)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("langstats").start()
+      try {
+        q.processAllAvailable()
+        write(Seq(("en", 2L), ("fr", 11L)))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally provWas match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+
+    // the LAST emitted row per language carries the running total —
+    // must equal the batch aggregation over everything written
+    val finals = spark.table("langstats").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.maxBy(_._2)).toMap
+    assert(finals("en") == (("en", 3L, 14L)), finals)
+    assert(finals("zh") == (("zh", 1L, 3L)))
+    assert(finals("fr") == (("fr", 1L, 11L)))
+  }
+
   test("series guard flags duplicates, gaps, and disorder incrementally") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-guard").toString
