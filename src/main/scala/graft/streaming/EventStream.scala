@@ -60,28 +60,33 @@ object EventStream {
   final case class SessionOut(user_id: Long, n_events: Long,
       total_value: Double)
 
-  final case class OpenSession(start: Long, last: Long, n: Long,
-      total: Double)
+  /** Per-user buffer of not-yet-sealed events: (ts_us, event_id,
+    * value). Holding the events (not a fold summary) is what makes
+    * out-of-order arrival inside the watermark horizon exact: every
+    * invocation re-sorts and re-folds, so a late event can extend a
+    * session's start, merge two provisional sessions, or open an
+    * earlier one — exactly as the batch sort-then-fold would. */
+  final case class SessionBuf(events: Seq[(Long, Long, Double)])
   final case class ClosedSession(user_id: Long,
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
       n_events: Long, sum_value: Double)
 
   /** TRUE event-time session windows: the incremental form of batch
     * q24_sessionize. A session is a maximal run of a user's events with
-    * inter-event gaps <= `gapMs`; a session CLOSES — and is emitted,
-    * Append mode — either when a later event arrives past the gap, or
-    * when the watermark passes `last_event + gap` (EventTimeTimeout on
-    * the open-session state). Thus results match the batch window
-    * computation exactly for every session the watermark has sealed,
-    * and state is one small struct per ACTIVE user — bounded by the
-    * timeout, never by stream length.
-    *
-    * Within a micro-batch the user's events are sorted by (ts,
-    * event_id) before folding, so intra-batch disorder inside the
-    * watermark horizon cannot split a session. If an open session's
-    * timeout is already behind the current watermark (a quiet user in a
-    * busy stream), it closes in the same invocation rather than calling
-    * setTimeoutTimestamp into the past. */
+    * inter-event gaps <= `gapUs` (MICROSECONDS); a session SEALS — and
+    * is emitted, Append mode — only once the watermark passes
+    * `last_event + gap`, because until then a late event (still above
+    * the watermark) could legally extend or merge it. Sealing happens
+    * either on arrival of newer events for the user or via
+    * EventTimeTimeout for quiet users. Results match the batch window
+    * computation exactly for every sealed session, including
+    * out-of-order arrival ACROSS micro-batches: state buffers the
+    * user's unsealed events and each invocation re-folds the sorted
+    * buffer, so `session_start` is min'd down by late events and an
+    * event from a distinct earlier run opens its own session instead
+    * of being absorbed. State per user is the events of its unsealed
+    * sessions — bounded by the watermark horizon (everything older
+    * seals and leaves state), never by stream length. */
   def sessionWindows(spark: SparkSession, events: DataFrame,
       gapUs: Long = 1800L * 1000000L,
       watermark: String = "1 hour"): DataFrame = {
@@ -98,56 +103,52 @@ object EventStream {
       t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
       t
     }
-    def closedOf(u: Long, s: OpenSession): ClosedSession =
-      ClosedSession(u, tsOf(s.start), tsOf(s.last), s.n,
-        BigDecimal(s.total)
+    // sort-then-fold into maximal gap-bounded runs — the batch
+    // window recurrence, applied to the full unsealed buffer
+    def sessionsOf(evs: Seq[(Long, Long, Double)])
+        : List[Vector[(Long, Long, Double)]] = {
+      val sorted = evs.sortBy(e => (e._1, e._2))
+      val groups = List.newBuilder[Vector[(Long, Long, Double)]]
+      var cur = Vector.empty[(Long, Long, Double)]
+      sorted.foreach { e =>
+        if (cur.isEmpty || e._1 - cur.last._1 <= gapUs) cur :+= e
+        else { groups += cur; cur = Vector(e) }
+      }
+      if (cur.nonEmpty) groups += cur
+      groups.result()
+    }
+    def closedOf(u: Long, g: Vector[(Long, Long, Double)]): ClosedSession =
+      ClosedSession(u, tsOf(g.head._1), tsOf(g.last._1), g.size.toLong,
+        BigDecimal(g.iterator.map(_._3).sum)
           .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
     events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
       .as[Ev]
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[SessionBuf, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Ev], state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(closedOf(userId, s))
-          } else {
-            val sorted = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
-            val closed = List.newBuilder[ClosedSession]
-            var open = state.getOption
-            sorted.foreach { e =>
-              val t = usOf(e.ts)
-              open = open match {
-                case Some(s) if t - s.last <= gapUs =>
-                  Some(OpenSession(s.start, math.max(s.last, t), s.n + 1,
-                    s.total + e.value))
-                case Some(s) =>
-                  closed += closedOf(userId, s)
-                  Some(OpenSession(t, t, 1L, e.value))
-                case None =>
-                  Some(OpenSession(t, t, 1L, e.value))
-              }
-            }
-            open match {
-              // a quiet user whose timeout is already behind the
-              // watermark closes NOW — setTimeoutTimestamp into the
-              // past would throw, and any event that could still have
-              // extended this session is below the watermark (dropped)
-              case Some(s) if (s.last + gapUs) / 1000L <=
-                  state.getCurrentWatermarkMs() =>
-                closed += closedOf(userId, s)
-                if (state.exists) state.remove()
-              case Some(s) =>
-                state.update(s)
-                // ceil to ms so the timeout never fires before last+gap
-                state.setTimeoutTimestamp(
-                  Math.addExact(s.last + gapUs, 999L) / 1000L)
-              case None => ()
-            }
-            closed.result().iterator
-          }
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessionBuf]) =>
+          val fresh =
+            if (state.hasTimedOut) Seq.empty
+            else rows.map(e => (usOf(e.ts), e.event_id, e.value)).toSeq
+          val buf = state.getOption.map(_.events).getOrElse(Seq.empty) ++ fresh
+          val groups = sessionsOf(buf)
+          val wmMs = state.getCurrentWatermarkMs()
+          // a session is immune to change once every event that could
+          // extend it (ts <= last+gap) is below the watermark; sealed
+          // sessions form a PREFIX of the ordered groups because
+          // last(i) + gap < start(i+1) <= last(i+1) by construction
+          val (toSeal, open) =
+            groups.partition(g => (g.last._1 + gapUs) / 1000L <= wmMs)
+          if (open.nonEmpty) {
+            state.update(SessionBuf(open.flatten))
+            // next seal opportunity: the EARLIEST open session's
+            // last+gap; ceil to ms so the timeout never fires early.
+            // Strictly above the watermark by the partition condition.
+            state.setTimeoutTimestamp(
+              Math.addExact(open.head.last._1 + gapUs, 999L) / 1000L)
+          } else if (state.exists) state.remove()
+          toSeal.map(closedOf(userId, _)).iterator
       }.toDF()
   }
 
@@ -236,11 +237,20 @@ object EventStream {
               case Some(prev) if day < prev =>
                 out += SeriesViolation(serie, p.indice_tiempo, "out_of_order")
               case Some(prev) =>
+                // match batch frequencyGaps, which uses Spark's
+                // months_between: the difference is an exact integer
+                // when the days-of-month agree OR both dates are the
+                // last day of their month — so a month-end-anchored
+                // monthly series (Jan 31 -> Feb 28 -> Mar 31) is clean
+                // in both engines. Anything fractional, or the wrong
+                // whole-month count, is a gap.
                 val prevDate = java.time.LocalDate.ofEpochDay(prev)
-                val months = java.time.temporal.ChronoUnit.MONTHS
-                  .between(prevDate, d)
-                if (months != freqMonths ||
-                  d.getDayOfMonth != prevDate.getDayOfMonth)
+                val calMonths = (d.getYear * 12 + d.getMonthValue) -
+                  (prevDate.getYear * 12 + prevDate.getMonthValue)
+                val exactStep = d.getDayOfMonth == prevDate.getDayOfMonth ||
+                  (d.getDayOfMonth == d.lengthOfMonth &&
+                    prevDate.getDayOfMonth == prevDate.lengthOfMonth)
+                if (!exactStep || calMonths != freqMonths)
                   out += SeriesViolation(serie, p.indice_tiempo, "gap")
                 last = Some(day)
               case None =>
@@ -290,6 +300,14 @@ object EventStream {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val sorted = rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+            // Stale state can outlive its TTL when data arrival keeps
+            // suppressing the timeout callback: judge expiry against
+            // the CURRENT watermark first, so a doc arriving after
+            // firstSeen + TTL is a fresh arrival (and re-establishes
+            // first-seen state), not a duplicate of dead state.
+            val wmMs = state.getCurrentWatermarkMs()
+            if (state.getOption.exists(_ + dedupTtlMs <= wmMs))
+              state.remove()
             val seenBefore = state.exists
             val out = sorted.zipWithIndex.map { case (d, i) =>
               val reason =
@@ -303,7 +321,7 @@ object EventStream {
             val firstSeen = state.getOption
               .getOrElse(sorted.head.ts.getTime)
             val expiry = firstSeen + dedupTtlMs
-            if (expiry > state.getCurrentWatermarkMs()) {
+            if (expiry > wmMs) {
               state.update(firstSeen)
               state.setTimeoutTimestamp(expiry)
             } else if (state.exists) state.remove()

@@ -175,6 +175,89 @@ class StreamingSpec extends SparkSpec {
       (3L, ms("2024-01-01 11:00:00"), 1L, 9.0)), oneBatch)
   }
 
+  test("session windows refold out-of-order events across micro-batches") {
+    // the state buffers unsealed events and re-folds per invocation, so
+    // a late event (above the watermark) arriving in a LATER micro-batch
+    // can bridge two provisional sessions (u1) or open a distinct
+    // EARLIER session (u2) instead of being absorbed into the open one —
+    // the two failure modes of fold-summary state.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ooo").toString
+    def write(rows: Seq[(Long, String, Long, Double)]): Unit =
+      rows.toDF("event_id", "s", "user_id", "value")
+        .select(col("event_id"), to_timestamp(col("s")).as("ts"),
+          col("user_id"), lit("e").as("event_type"), col("value"))
+        .write.mode("append").parquet(dir)
+    // batch 1: u1 has two provisional sessions (50 min apart); u2 one
+    write(Seq(
+      (10L, "2024-01-01 10:00:00", 1L, 1.0),
+      (12L, "2024-01-01 10:50:00", 1L, 4.0),
+      (20L, "2024-01-01 10:45:00", 2L, 9.0)))
+    val q = EventStream.sessionWindows(spark, spark.readStream
+        .schema(EventStream.eventSchema).parquet(dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ooo").start()
+    try {
+      q.processAllAvailable() // watermark now 09:50 — nothing sealed
+      // batch 2, both above the watermark: 10:20 bridges u1's two
+      // provisional sessions into one; 09:55 is a separate EARLIER
+      // session for u2 (50 min before 10:45)
+      write(Seq(
+        (11L, "2024-01-01 10:20:00", 1L, 2.0),
+        (21L, "2024-01-01 09:55:00", 2L, 3.0)))
+      q.processAllAvailable()
+      write(Seq((99L, "2024-01-03 00:00:00", 99L, 0.0))) // flush-seal
+      q.processAllAvailable()
+    } finally q.stop()
+    def ms(s: String) = java.sql.Timestamp.valueOf(s).getTime
+    val got = spark.table("ooo").filter(col("user_id") < 90).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start").getTime,
+        r.getAs[java.sql.Timestamp]("session_end").getTime,
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    assert(got == Set(
+      (1L, ms("2024-01-01 10:00:00"), ms("2024-01-01 10:50:00"), 3L, 7.0),
+      (2L, ms("2024-01-01 09:55:00"), ms("2024-01-01 09:55:00"), 1L, 3.0),
+      (2L, ms("2024-01-01 10:45:00"), ms("2024-01-01 10:45:00"), 1L, 9.0)),
+      got)
+  }
+
+  test("series guard accepts month-end-anchored series like batch months_between") {
+    // Jan 31 -> Feb 28 -> Mar 31 is EXACTLY monthly under Spark's
+    // months_between (last-day-to-last-day = whole month); the guard
+    // must agree with batch frequencyGaps — zero violations — and both
+    // must still flag a fractional step (Mar 31 -> Apr 15).
+    import spark.implicits._
+    val rows = Seq(
+      ("me", "2019-01-31", 1.0), ("me", "2019-02-28", 2.0),
+      ("me", "2019-03-31", 3.0), ("me", "2019-04-15", 4.0))
+    val batchDf = rows.toDF("serie_id", "d", "valor")
+      .select(col("serie_id"), to_date(col("d")).as("indice_tiempo"),
+        col("valor"))
+    val batchGaps = graft.operators.TimeSeriesOps
+      .frequencyGaps(batchDf, graft.model.Frequency.Monthly)
+      .select("indice_tiempo").collect().map(_.getDate(0).toString).toSet
+    assert(batchGaps == Set("2019-04-15"), batchGaps)
+
+    val dir = Files.createTempDirectory("graft-guard-me").toString
+    batchDf.write.mode("overwrite").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("serie_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("indice_tiempo",
+        org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("valor",
+        org.apache.spark.sql.types.DoubleType)))
+    val q = EventStream.seriesGuard(spark,
+        spark.readStream.schema(schema).parquet(dir), freqMonths = 1)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("guardme").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamGaps = spark.table("guardme").collect()
+      .map(r => (r.getDate(1).toString, r.getString(2))).toSet
+    assert(streamGaps == Set(("2019-04-15", "gap")), streamGaps)
+  }
+
   test("streaming dedup keeps first occurrence per content digest") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     // duplicate texts across distinct event rows: event_type repeats
@@ -386,6 +469,53 @@ class StreamingSpec extends SparkSpec {
       assert(verdicts(id) == batch(id),
         s"doc $id: stream ${verdicts(id)} vs batch ${batch(id)}") }
     assert(verdicts(6L) == "kept", s"post-TTL resend: ${verdicts.get(6L)}")
+  }
+
+  test("curation judges against the TTL even when stale state survives") {
+    // data arrival suppresses a key's timeout callback, so a digest's
+    // state can physically outlive firstSeen + TTL; a doc arriving
+    // after the TTL (with the watermark already past expiry) must be
+    // judged FRESH against the TTL contract, not 'duplicate' against
+    // the dead state. maxFilesPerTrigger=1 forces the watermark-
+    // advancing file and the resend into separate micro-batches with
+    // no empty timeout-only batch between them.
+    import spark.implicits._
+    val goodText = "the quick brown fox jumps over the lazy dog and then " +
+      "the fox runs back to the forest where all of the other animals wait"
+    val dir = Files.createTempDirectory("graft-stale").toString
+    def write(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "s", "text")
+        .select(col("doc_id"), to_timestamp(col("s")).as("ts"), col("text"))
+        .write.mode("append").parquet(dir)
+    write(Seq((1L, "2024-01-01 10:00:00", goodText)))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStream.curateStream(spark, stream, "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stale").start()
+    try {
+      q.processAllAvailable() // firstSeen 10:00, TTL expiry 11:00
+      // watermark-advancer (wm -> 12:00), then the resend at 12:30 —
+      // written back-to-back so the resend's batch runs immediately
+      // after, data suppressing the timeout, stale state still present
+      write(Seq((2L, "2024-01-01 13:00:00", "advance the clock")))
+      Thread.sleep(60) // distinct mtimes => deterministic file order
+      write(Seq((3L, "2024-01-01 12:30:00", goodText)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = spark.table("stale").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(verdicts(1L) == "kept", verdicts)
+    assert(verdicts(3L) == "kept",
+      s"post-TTL doc judged against dead state: $verdicts")
   }
 
   test("streaming dedup evicts digest state once the watermark passes") {
