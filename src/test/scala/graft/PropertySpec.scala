@@ -171,6 +171,32 @@ class PropertySpec extends SparkSpec {
         s"duplicate vector $i encoded differently") }
   }
 
+  test("duplicateClusters converges in O(log diameter) rounds on chains") {
+    // a 200-node path graph has diameter 199: plain one-hop propagation
+    // needs ~200 rounds, pointer jumping ~log2(200) ≈ 8. maxIter=12
+    // (with margin) must reach the exact fixpoint — every node labeled
+    // with the chain's minimum — and generated chain offsets/orderings
+    // must not matter.
+    val cases = for {
+      base <- Gen.choose(0L, 1000000L)
+      reversed <- Gen.oneOf(true, false)
+    } yield (base, reversed)
+    samples(cases, 3).foreach { case (base, reversed) =>
+      val n = 200
+      val edges = (0 until n - 1).map { i =>
+        val (a, b) = (base + i, base + i + 1)
+        if (reversed) (b, a) else (a, b)
+      }
+      val clusters = graft.operators.Dedup
+        .duplicateClusters(edges.toDF("id1", "id2"), maxIter = 12)
+        .as[(Long, Long)].collect()
+      assert(clusters.length == n)
+      assert(clusters.forall(_._2 == base),
+        s"chain at $base not fully labeled in 12 rounds: " +
+          clusters.filter(_._2 != base).take(5).mkString(","))
+    }
+  }
+
   test("tableBounds: detected/table ends are exact over generated tails") {
     val cases = for {
       nDates <- Gen.choose(1, 20)
