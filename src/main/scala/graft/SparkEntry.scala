@@ -663,6 +663,55 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The persisted-index ANN read path, end to end: build the IVF-flat
+    * index to disk (label-derived 4-dp centroids, posting lists =
+    * parquet partitions, precomputed norms), then probe it with
+    * nProbe=2 via Similarity.ivfKnnFromIndex — the partition-pruned
+    * read a 100 TB deployment actually serves queries from, and the
+    * multi-probe recall knob, both under the DuckDB hash gate. */
+  private def qIvfIndex(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivfidx_${math.abs(dir.hashCode)}").getPath
+    // skip-if-exists build (the S2 fetch pattern): an index is built
+    // once and served many times — repeat calls time the PROBE, the
+    // path a deployment actually serves queries from. The _SUCCESS
+    // marker of the postings write (the last build step) gates reuse;
+    // the build is fully deterministic, so reuse cannot change results.
+    if (!new java.io.File(path, "postings/_SUCCESS").exists())
+      Similarity.writeIvfIndex(t.embeddings, "vec_id", "embedding",
+        "label", path)
+    Similarity.ivfKnnFromIndex(s, path,
+        t.embeddings.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The composed IVF-PQ index read path, end to end: train the
+    * codebooks, persist coarse-cell-partitioned code-only postings,
+    * then ADC-probe via Similarity.pqSearchFromIndex — partition
+    * pruning AND ~32× less scanned data per candidate, hash-matched
+    * against a full DuckDB replay (train → encode → coarse-assign →
+    * prune → ADC). */
+  private def qPqIndex(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pqidx_${math.abs(dir.hashCode)}").getPath
+    // skip-if-exists build, as in qIvfIndex: train + persist once
+    // (deterministic), probe per call — codebooks travel WITH the
+    // index, so a probe needs only the path.
+    if (!new java.io.File(path, "postings/_SUCCESS").exists()) {
+      val books = Similarity.pqTrain(t.embeddings, "vec_id", "embedding",
+        m = 4, k = 8, iters = 1, dims = 64)
+      Similarity.writeIvfPqIndex(t.embeddings, "vec_id", "embedding",
+        "label", books, path)
+    }
+    Similarity.pqSearchFromIndex(s, path,
+        t.embeddings.filter(col("vec_id") < 4), "vec_id", "embedding",
+        topK = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Multimodal plumbing: binary payload + stubbed decode + frame
     * sampling (MultiModal). */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -878,6 +927,8 @@ object SparkEntry {
     "q55_pq_adc" -> (qPqAdc _),
     "q56_shuffle" -> (qShuffle _),
     "q57_profile" -> (qProfile _),
+    "q58_ivf_index" -> (qIvfIndex _),
+    "q59_pq_index" -> (qPqIndex _),
   )
 
   // -------------------------------------------------------------------
@@ -955,9 +1006,13 @@ object SparkEntry {
     * slice, a re-estimated codebook, code assignment — then ADC
     * scoring as an ORDER BY s sum of per-subspace contributions (the
     * same sequential fold order as the Spark zip_with/aggregate).
-    * Generated from the SAME m/k/iters/dims constants as the query. */
+    * Generated from the SAME m/k/iters/dims constants as the query.
+    * With `coarse = true` the replay adds the IVF-PQ index gate: every
+    * (query, candidate) pair must share the nearest label-derived 4-dp
+    * coarse centroid — exactly the posting-list partitions a
+    * pqSearchFromIndex probe reads. */
   private def pqOracleSql(m: Int, k: Int, iters: Int, dims: Int,
-      topK: Int, maxQ: Int): String = {
+      topK: Int, maxQ: Int, coarse: Boolean = false): String = {
     val sub = dims / m
     def dotSql(a: String, b: String): String =
       s"list_aggregate(list_transform(generate_series(1, len($a)), " +
@@ -996,7 +1051,25 @@ object SparkEntry {
     }.mkString(",\n")
     val unions = (0 until m).map(s => s"SELECT * FROM ct$s")
       .mkString("\nUNION ALL\n")
-    s"""WITH $perSub,
+    val coarseCtes = if (!coarse) "" else
+      s""",
+         |cdims AS (SELECT label AS cell, unnest(embedding)::DOUBLE AS x,
+         |       unnest(generate_series(1, len(embedding))) AS d
+         |  FROM embeddings),
+         |ccd AS (SELECT cell, d, round(avg(x), 4) AS c
+         |  FROM cdims GROUP BY cell, d),
+         |ccent AS (SELECT cell, list(c ORDER BY d) AS centroid
+         |  FROM ccd GROUP BY cell),
+         |cassign AS (SELECT e.vec_id, c.cell,
+         |    round(${cosineSql("e.embedding", "c.centroid")}, 6) AS csim
+         |  FROM embeddings e CROSS JOIN ccent c),
+         |casg AS (SELECT vec_id, cell FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |  FROM cassign) WHERE rn = 1)""".stripMargin
+    val coarseJoin = if (!coarse) "" else
+      "\n  JOIN casg g1 ON g1.vec_id = a.query_id" +
+        "\n  JOIN casg g2 ON g2.vec_id = a.cand_id AND g2.cell = g1.cell"
+    s"""WITH $perSub$coarseCtes,
        |contribs AS (
        |$unions),
        |agg AS (SELECT query_id, cand_id,
@@ -1008,7 +1081,7 @@ object SparkEntry {
        |  FROM embeddings WHERE vec_id < $maxQ),
        |scored AS (SELECT a.query_id, a.cand_id,
        |    round(a.adc / NULLIF(q.qn * a.recn, 0), 6) AS sim_adc
-       |  FROM agg a JOIN qn q USING (query_id)
+       |  FROM agg a JOIN qn q USING (query_id)$coarseJoin
        |  WHERE a.query_id <> a.cand_id),
        |ranked AS (SELECT *, row_number() OVER
        |    (PARTITION BY query_id ORDER BY sim_adc DESC, cand_id)
@@ -1695,6 +1768,45 @@ object SparkEntry {
     // same m/k/iters/dims constants as qPqAdc
     "q55_pq_adc" ->
       pqOracleSql(m = 4, k = 8, iters = 1, dims = 64, topK = 5, maxQ = 4),
+
+    // the q42 replay with the query side widened to its best TWO cells
+    // (rn <= 2) — the from-index nProbe=2 probe of qIvfIndex; candidate
+    // assignment (the posting-list layout) stays top-1
+    "q58_ivf_index" ->
+      s"""WITH dims AS (
+         |  SELECT label AS cell, unnest(embedding)::DOUBLE AS x,
+         |         unnest(generate_series(1, len(embedding))) AS d
+         |  FROM embeddings),
+         |cd AS (SELECT cell, d, round(avg(x), 4) AS c
+         |  FROM dims GROUP BY cell, d),
+         |cent AS (SELECT cell, list(c ORDER BY d) AS centroid
+         |  FROM cd GROUP BY cell),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    round(${cosineSql("e.embedding", "c.centroid")}, 6) AS csim
+         |  FROM embeddings e CROSS JOIN cent c),
+         |best AS (SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |  FROM assign),
+         |asg AS (SELECT vec_id, embedding, cell FROM best WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, cell
+         |  FROM best WHERE rn <= 2 AND vec_id < 8),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv, cell FROM asg),
+         |scored AS (
+         |  SELECT query_id, cand_id, round(${cosineSql("qv", "cv")}, 6) AS sim
+         |  FROM c JOIN q USING (cell) WHERE query_id <> cand_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, cand_id, sim, CAST("rank" AS INT) AS "rank"
+         |FROM ranked WHERE "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin,
+
+    // the q55 replay gated by the coarse posting-list layout — the
+    // pqSearchFromIndex probe of qPqIndex
+    "q59_pq_index" ->
+      pqOracleSql(m = 4, k = 8, iters = 1, dims = 64, topK = 5, maxQ = 4,
+        coarse = true),
 
     // generated from the same ProfileCols list as qProfile
     "q57_profile" -> ProfileCols.map { case (c, isNum) =>
