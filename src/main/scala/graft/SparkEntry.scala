@@ -712,6 +712,27 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** REAL image decode end to end: deterministic 24-bit BMP fixtures
+    * encoded per partition, header fields parsed back by codegen'd
+    * expressions (MultiModal.decodeBmpMeta), pixels walked by the
+    * batched pure-JVM decoder (MultiModal.bmpPixelStats). The oracle
+    * never sees the bytes — it recomputes dims, file size (incl. the
+    * 4-byte row stride) and per-channel means from the same closed
+    * forms, so any mis-parse of offsets, padding, BGR order or the
+    * bottom-up rows breaks the hash match. */
+  private def qBmpDecode(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val fx = MultiModal.syntheticBmp(t.documents.select("doc_id"), "doc_id")
+    val meta = MultiModal.decodeBmpMeta(fx)
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        col("payload_len"))
+    val stats = MultiModal.bmpPixelStats(fx)
+      .select(col("doc_id"), round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"))
+    meta.join(stats, Seq("doc_id")).orderBy(col("doc_id"))
+  }
+
   /** Multimodal plumbing: binary payload + stubbed decode + frame
     * sampling (MultiModal). */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -929,6 +950,7 @@ object SparkEntry {
     "q57_profile" -> (qProfile _),
     "q58_ivf_index" -> (qIvfIndex _),
     "q59_pq_index" -> (qPqIndex _),
+    "q60_bmp_decode" -> (qBmpDecode _),
   )
 
   // -------------------------------------------------------------------
@@ -1807,6 +1829,32 @@ object SparkEntry {
     "q59_pq_index" ->
       pqOracleSql(m = 4, k = 8, iters = 1, dims = 64, topK = 5, maxQ = 4,
         coarse = true),
+
+    // closed-form replay of the BMP fixtures qBmpDecode encodes and
+    // decodes: dims/pixel values are functions of doc_id, file size
+    // includes the 4-byte row stride the encoder writes
+    "q60_bmp_decode" ->
+      """WITH base AS (SELECT doc_id, doc_id % 16 + 1 AS w,
+        |    doc_id % 8 + 1 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h,
+        |    unnest(generate_series(0, w - 1)) AS x FROM base),
+        |px AS (SELECT doc_id, x,
+        |    unnest(generate_series(0, h - 1)) AS y FROM xs),
+        |m AS (SELECT doc_id,
+        |    round(avg(CAST((doc_id + 7*x + 13*y) % 256 AS DOUBLE)), 4)
+        |      AS mean_r,
+        |    round(avg(CAST((doc_id + 7*x + 13*y + 31) % 256 AS DOUBLE)), 4)
+        |      AS mean_g,
+        |    round(avg(CAST((doc_id + 7*x + 13*y + 62) % 256 AS DOUBLE)), 4)
+        |      AS mean_b
+        |  FROM px GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.w AS BIGINT) AS width,
+        |  CAST(b.h AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
+        |  CAST(54 + b.h * ((3 * b.w + 3) // 4 * 4) AS BIGINT)
+        |    AS payload_len,
+        |  m.mean_r, m.mean_g, m.mean_b
+        |FROM base b JOIN m USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     // generated from the same ProfileCols list as qProfile
     "q57_profile" -> ProfileCols.map { case (c, isNum) =>

@@ -7,14 +7,159 @@ import org.apache.spark.sql.functions._
   * opaque `binary` payloads with typed metadata, decode / feature /
   * frame-sample stages.
   *
-  * The container has no image/audio codecs, so the *decode* itself is a
-  * clearly-marked deterministic STUB (metadata derived from the payload
-  * bytes); everything around it — the binary column, schema, batch shape,
-  * partition-parallel transforms — is real Spark and is what matters at
-  * 100 TB: payloads stay opaque byte arrays, metadata travels in narrow
-  * typed columns, and nothing ever collects to the driver.
+  * Two decode tiers:
+  *  - a REAL pure-JVM 24-bit BMP codec (public, dependency-free format:
+  *    BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows padded to
+  *    4 bytes) — header fields parse as codegen'd expressions
+  *    ([[decodeBmpMeta]]), pixels walk in the partition-batched stage
+  *    ([[bmpPixelStats]]);
+  *  - a clearly-marked deterministic STUB standing in for codecs the
+  *    container lacks (JPEG/PNG/audio/video).
+  * Either way the plumbing is what matters at 100 TB: payloads stay
+  * opaque byte arrays, metadata travels in narrow typed columns, and
+  * nothing ever collects to the driver.
   */
 object MultiModal {
+
+  // ------------------------------------------------------------------
+  // 24-bit uncompressed BMP codec — pure JVM, no libraries. Layout:
+  // bytes 0-1 "BM"; u32le file size @2; u32le pixel-data offset @10;
+  // u32le header size @14; i32le width @18; i32le height @22 (positive
+  // = bottom-up); u16le planes @26; u16le bits-per-pixel @28; rows are
+  // BGR triplets padded to a 4-byte stride.
+  // ------------------------------------------------------------------
+
+  /** Row stride in bytes for a 24-bpp image of width `w`. */
+  def bmpStride(w: Int): Int = (3 * w + 3) / 4 * 4
+
+  /** Encode a 24-bit BMP. `pixel(x, y, c)` returns channel c (0=R, 1=G,
+    * 2=B) of the pixel at (x, y) with y=0 the TOP row; the encoder
+    * handles the format's bottom-up row order and BGR byte order. */
+  def encodeBmp24(w: Int, h: Int, pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    val stride = bmpStride(w)
+    val size = 54 + stride * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var row = h - 1 // file rows run bottom-up
+    while (row >= 0) {
+      var x = 0
+      while (x < w) {
+        b.put((pixel(x, row, 2) & 0xff).toByte) // B
+          .put((pixel(x, row, 1) & 0xff).toByte) // G
+          .put((pixel(x, row, 0) & 0xff).toByte) // R
+        x += 1
+      }
+      var pad = stride - 3 * w
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      row -= 1
+    }
+    b.array()
+  }
+
+  /** Decoded BMP pixel statistics: dims plus per-channel means. */
+  final case class BmpStats(doc_id: Long, width: Long, height: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Decode a 24-bit BMP: validates magic/bpp, walks the padded
+    * bottom-up BGR rows, returns (w, h, per-channel sums). */
+  def decodeBmp24(bytes: Array[Byte]): (Int, Int, Double, Double, Double) = {
+    def u16(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def i32(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP payload")
+    require(u16(28) == 24, s"unsupported bpp ${u16(28)}")
+    val off = i32(10); val w = i32(18); val h = i32(22)
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    val stride = bmpStride(w)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var row = 0
+    while (row < h) {
+      val base = off + row * stride
+      var x = 0
+      while (x < w) {
+        sb += bytes(base + 3 * x) & 0xff
+        sg += bytes(base + 3 * x + 1) & 0xff
+        sr += bytes(base + 3 * x + 2) & 0xff
+        x += 1
+      }
+      row += 1
+    }
+    val n = w.toLong * h
+    (w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+  }
+
+  /** Little-endian u32 at 0-based byte offset `off` of a binary column,
+    * as pure codegen'd expression work: hex the 4 bytes, reverse the
+    * byte pairs, conv base 16. */
+  private def leU32(bin: Column, off: Int): Column = {
+    val hx = hex(substring(bin, off + 1, 4))
+    conv(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+      substring(hx, 3, 2), substring(hx, 1, 2)), 16, 10).cast("long")
+  }
+
+  private def leU16(bin: Column, off: Int): Column = {
+    val hx = hex(substring(bin, off + 1, 2))
+    conv(concat(substring(hx, 3, 2), substring(hx, 1, 2)), 16, 10)
+      .cast("long")
+  }
+
+  /** REAL image-metadata decode for BMP payloads: width, height,
+    * channels and a validity flag parsed from the header bytes with
+    * codegen'd expressions — no UDF, no codec library, scan-speed at
+    * any scale. Non-BMP payloads get is_bmp=false and null dims. */
+  def decodeBmpMeta(df: DataFrame): DataFrame = {
+    val isBmp = length(col("payload")) >= 54 &&
+      hex(substring(col("payload"), 1, 2)) === "424D"
+    df.withColumn("is_bmp", isBmp)
+      .withColumn("width", when(isBmp, leU32(col("payload"), 18)))
+      .withColumn("height", when(isBmp, leU32(col("payload"), 22)))
+      .withColumn("channels",
+        when(isBmp, leU16(col("payload"), 28) / lit(8L)).cast("long"))
+      .withColumn("payload_len", length(col("payload")).cast("long"))
+  }
+
+  /** Deterministic BMP fixture per id: dims and pixels are closed-form
+    * functions of the id (w = id%16+1, h = id%8+1, channel c of pixel
+    * (x,y) = (id + 7x + 13y + 31c) % 256), so an external oracle can
+    * verify the decoded metadata without ever seeing the bytes. Encoded
+    * per partition — the write side of the codec. */
+  def syntheticBmp(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val w = (id % 16 + 1).toInt
+      val h = (id % 8 + 1).toInt
+      (id, encodeBmp24(w, h,
+        (x, y, c) => ((id + 7 * x + 13 * y + 31 * c) % 256).toInt))
+    }).toDF(idCol, "payload")
+  }
+
+  /** Per-channel pixel means via the REAL decoder, batched per
+    * partition like [[decodeResizeBatched]] (one codec call per batch —
+    * the shape that amortizes codec setup at 100 TB). Input needs
+    * (doc_id, payload). */
+  def bmpPixelStats(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[BmpStats] =
+      batch.map { case (id, payload) =>
+        val (w, h, mr, mg, mb) = decodeBmp24(payload)
+        BmpStats(id, w.toLong, h.toLong, mr, mg, mb)
+      }
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(g => decodeBatch(g.toSeq)))
+      .toDF()
+  }
 
   /** Attach a synthetic binary payload derived from a text column (in a
     * real pipeline this is the raw image/audio bytes read from the

@@ -211,6 +211,37 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("BMP codec: encode/decode round-trip, padded strides, header expressions") {
+    import spark.implicits._
+    // odd width -> non-zero row padding; decoder must skip it
+    val w = 5; val h = 3
+    val bytes = MultiModal.encodeBmp24(w, h,
+      (x, y, c) => (10 * x + 100 * y + c) % 256)
+    assert(bytes.length == 54 + MultiModal.bmpStride(w) * h)
+    assert(MultiModal.bmpStride(w) == 16) // 15 data bytes + 1 pad
+    val (dw, dh, mr, mg, mb) = MultiModal.decodeBmp24(bytes)
+    assert((dw, dh) == ((w, h)))
+    // closed-form means over the generator (padding excluded)
+    val px = for (x <- 0 until w; y <- 0 until h) yield (x, y)
+    def m(c: Int) =
+      px.map { case (x, y) => (10 * x + 100 * y + c) % 256 }.sum.toDouble / px.size
+    assert(math.abs(mr - m(0)) < 1e-12)
+    assert(math.abs(mg - m(1)) < 1e-12)
+    assert(math.abs(mb - m(2)) < 1e-12)
+
+    // the expression-side header parse agrees with the Scala decoder
+    // and flags non-BMP payloads instead of mis-parsing them
+    val rows = MultiModal.decodeBmpMeta(
+      Seq((1L, bytes), (2L, "not a bitmap at all".getBytes("UTF-8")))
+        .toDF("doc_id", "payload"))
+      .select("doc_id", "is_bmp", "width", "height", "channels")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getBoolean(1))
+    assert(rows(1L).getLong(2) == w && rows(1L).getLong(3) == h)
+    assert(rows(1L).getLong(4) == 3L)
+    assert(!rows(2L).getBoolean(1) && rows(2L).isNullAt(2))
+  }
+
   test("multimodal stub plumbing: payload, metadata, frame sampling") {
     val df = MultiModal.sampleFrames(
       MultiModal.frameIndexStub(
