@@ -67,6 +67,46 @@ class LakeSpec extends SparkSpec {
     assert(m.map(_.getAs[Int]("shard")).forall(s => s >= 0 && s < 4))
   }
 
+  test("corpus lake: re-sharding preserves the epoch permutation") {
+    // the doc contract: nShards is a worker-count (metadata) choice, not
+    // a semantic one — the epoch's example order derives only from
+    // (shuffle_key, doc_id), so a zero-sort reader k-way-merging shard
+    // files must see the IDENTICAL global sequence whatever nShards was
+    val docs = Tables(spark, sf()).documents.select("doc_id", "text")
+      .limit(400)
+
+    def globalSeq(nShards: Int): Map[String, Seq[(Long, Long)]] = {
+      val dir = Files.createTempDirectory(s"graft-reshard-$nShards").toString
+      CorpusLake.writeShards(docs, "doc_id", dir, epoch = 1,
+        nShards = nShards)
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("split=")).map { sd =>
+          val split = sd.getName.stripPrefix("split=")
+          val perShard = sd.listFiles()
+            .filter(_.getName.startsWith("shard=")).toSeq.map { shd =>
+              val rows = spark.read.parquet(shd.getPath)
+                .select("shuffle_key", "doc_id").collect()
+                .map(r => (r.getLong(0), r.getLong(1))).toSeq
+              // in-file order IS the shard's stream order: pre-sorted
+              assert(rows == rows.sorted,
+                s"${shd.getPath} not in baked shuffle order")
+              rows
+            }
+          // a zero-sort reader merges the sorted shard streams; merging
+          // sorted sequences == sorting their concatenation
+          split -> perShard.flatten.sorted
+        }.toMap
+    }
+
+    val at4 = globalSeq(4)
+    val at7 = globalSeq(7)
+    assert(at4.keySet == at7.keySet)
+    at4.foreach { case (split, seq) =>
+      assert(seq == at7(split),
+        s"split $split: epoch order changed with shard count")
+    }
+  }
+
   test("compaction rewrites a fragmented partition, data intact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact")
