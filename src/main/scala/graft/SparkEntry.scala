@@ -733,6 +733,70 @@ object SparkEntry {
     meta.join(stats, Seq("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** As-of join (TimeSeriesOps.asofJoin): every event aligned to the
+    * most recent reference mark at-or-before it per user — the union +
+    * last(ignoreNulls) window shape, zero join nodes, one shuffle. The
+    * oracle is DuckDB's NATIVE ASOF JOIN, an independent implementation
+    * of the semantics rather than a replay of the trick. */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      round(col("value"), 2).as("value"))
+    val marks = ev.filter(col("event_id") % 7 === 0)
+      .groupBy(col("user_id"), col("us"))
+      .agg(max(col("value")).as("mark"))
+    TimeSeriesOps.asofJoin(ev, marks, Seq("user_id"), "us", Seq("mark"))
+      .select(col("user_id"), col("us"), col("event_id"), col("value"),
+        col("asof_mark"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
+  /** Resample/collapse (TimeSeriesOps.resample): monthly sums from
+    * lineitem collapsed to quarterly averages — one groupBy, no
+    * window. */
+  private def qResample(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val monthly = t.lineitem.groupBy(
+        col("l_returnflag").as("serie_id"),
+        trunc(col("l_shipdate"), "month").as("indice_tiempo"))
+      .agg(round(sum(col("l_quantity")), 2).as("valor"))
+    TimeSeriesOps.resample(monthly, Frequency.Quarterly, "avg")
+      .orderBy(col("serie_id"), col("period"))
+  }
+
+  /** Forward fill (TimeSeriesOps.forwardFill): deterministically
+    * injected nulls repaired from the latest preceding non-null value
+    * per series. */
+  private def qFfill(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val series = t.events.select(
+      col("user_id").cast("string").as("serie_id"),
+      unix_micros(col("ts")).as("indice_tiempo"), col("event_id"),
+      when(col("event_id") % 3 === 0, lit(null))
+        .otherwise(round(col("value"), 2)).as("valor"))
+    TimeSeriesOps.forwardFill(series, tieCols = Seq("event_id"))
+      .orderBy(col("serie_id").cast("long"), col("indice_tiempo"),
+        col("event_id"))
+  }
+
+  /** Rolling stats (TimeSeriesOps.rollingStats): 5-observation moving
+    * average/extrema per series; the mean runs over exact integer cents
+    * so sliding-frame summation order cannot drift between engines. */
+  private def qRolling(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val series = t.events.select(
+      col("user_id").cast("string").as("serie_id"),
+      unix_micros(col("ts")).as("indice_tiempo"), col("event_id"),
+      round(col("value"), 2).as("valor"))
+    TimeSeriesOps.rollingStats(series, k = 5, tieCols = Seq("event_id"))
+      .select(col("serie_id"), col("indice_tiempo"), col("event_id"),
+        col("valor"), col("n_window"), col("roll_avg"), col("roll_min"),
+        col("roll_max"))
+      .orderBy(col("serie_id").cast("long"), col("indice_tiempo"),
+        col("event_id"))
+  }
+
   /** Multimodal plumbing: binary payload + stubbed decode + frame
     * sampling (MultiModal). */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -951,6 +1015,10 @@ object SparkEntry {
     "q58_ivf_index" -> (qIvfIndex _),
     "q59_pq_index" -> (qPqIndex _),
     "q60_bmp_decode" -> (qBmpDecode _),
+    "q61_asof_join" -> (qAsofJoin _),
+    "q62_resample" -> (qResample _),
+    "q63_ffill" -> (qFfill _),
+    "q64_rolling" -> (qRolling _),
   )
 
   // -------------------------------------------------------------------
@@ -1829,6 +1897,63 @@ object SparkEntry {
     "q59_pq_index" ->
       pqOracleSql(m = 4, k = 8, iters = 1, dims = 64, topK = 5, maxQ = 4,
         coarse = true),
+
+    // DuckDB's NATIVE ASOF JOIN — an independent implementation of the
+    // as-of semantics checking the Spark union+window shape
+    "q61_asof_join" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    round(value, 2) AS value FROM events),
+        |r AS (SELECT user_id, us, max(value) AS mark FROM l
+        |  WHERE event_id % 7 = 0 GROUP BY user_id, us)
+        |SELECT l.user_id, l.us, l.event_id, l.value, r.mark AS asof_mark
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
+        |ORDER BY l.user_id, l.us, l.event_id""".stripMargin,
+
+    "q62_resample" ->
+      """WITH monthly AS (SELECT l_returnflag AS serie_id,
+        |    CAST(date_trunc('month', l_shipdate) AS DATE) AS indice_tiempo,
+        |    round(sum(l_quantity), 2) AS valor
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT serie_id,
+        |  CAST(date_trunc('quarter', indice_tiempo) AS DATE) AS period,
+        |  round(avg(valor), 4) AS valor, count(*) AS n_points
+        |FROM monthly GROUP BY 1, 2
+        |ORDER BY serie_id, period""".stripMargin,
+
+    "q63_ffill" ->
+      """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS serie_id,
+        |    epoch_us(ts) AS indice_tiempo, event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN NULL
+        |         ELSE round(value, 2) END AS valor
+        |  FROM events)
+        |SELECT serie_id, indice_tiempo, event_id, valor,
+        |  last_value(valor IGNORE NULLS) OVER (PARTITION BY serie_id
+        |    ORDER BY indice_tiempo, event_id ROWS UNBOUNDED PRECEDING)
+        |    AS valor_filled
+        |FROM s
+        |ORDER BY CAST(serie_id AS BIGINT), indice_tiempo, event_id""".stripMargin,
+
+    // the rolling mean folds EXACT integer cents, so DuckDB's
+    // segment-tree sliding-window summation and Spark's running fold
+    // agree bit-for-bit
+    "q64_rolling" ->
+      """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS serie_id,
+        |    epoch_us(ts) AS indice_tiempo, event_id,
+        |    round(value, 2) AS valor FROM events),
+        |c AS (SELECT *, CAST(round(valor * 100) AS BIGINT) AS cents FROM s),
+        |w AS (SELECT serie_id, indice_tiempo, event_id, valor,
+        |    count(cents) OVER win AS n_window,
+        |    sum(cents) OVER win AS sum_cents,
+        |    min(valor) OVER win AS roll_min,
+        |    max(valor) OVER win AS roll_max
+        |  FROM c WINDOW win AS (PARTITION BY serie_id
+        |    ORDER BY indice_tiempo, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT serie_id, indice_tiempo, event_id, valor, n_window,
+        |  round(sum_cents / (n_window * 100.0), 4) AS roll_avg,
+        |  roll_min, roll_max
+        |FROM w
+        |ORDER BY CAST(serie_id AS BIGINT), indice_tiempo, event_id""".stripMargin,
 
     // closed-form replay of the BMP fixtures qBmpDecode encodes and
     // decodes: dims/pixel values are functions of doc_id, file size

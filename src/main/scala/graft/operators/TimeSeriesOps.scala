@@ -128,4 +128,114 @@ object TimeSeriesOps {
         explode(expr(s"sequence(lo, hi, ${freq.intervalExpr})")).as("indice_tiempo"): _*)
     calendar.join(series, keys :+ "indice_tiempo", "left")
   }
+
+  /** AS-OF JOIN — for every left row, the most recent right row with
+    * `right.time <= left.time` per key (the canonical time-series
+    * alignment Spark has no native operator for: sensor readings vs
+    * reference marks, trades vs quotes, observations vs revisions).
+    *
+    * Spark-first shape: NOT a range join (which Catalyst plans as a
+    * broadcast-nested-loop or an exploded equi-range — both blow up on
+    * dense series). Instead the classic union trick: tag both sides,
+    * union them, and take `last(value, ignoreNulls)` over a window
+    * ordered by (time, side) with the right side sorting FIRST at equal
+    * timestamps (so a same-instant right row is visible — `<=`
+    * semantics). ONE shuffle (the window's partition by key), zero join
+    * nodes in the plan (asserted in PlanSpec), and at 100 TB it scales
+    * as a sort within each key partition.
+    *
+    * `right` must be unique per (keys, timeCol) — pre-aggregate if not
+    * (otherwise which same-instant row wins is not well defined, in any
+    * engine). Left columns pass through; each `rightCols` entry arrives
+    * as `asof_<name>` (null until the first right row). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn("_side", lit(1))
+      .select(keys.map(col) ++ Seq(col(timeCol), col("_side")) ++
+        leftCols.filterNot(c => keys.contains(c) || c == timeCol).map(col) ++
+        rightCols.map(c => lit(null).cast(
+          right.schema(c).dataType).as(s"asof_$c")): _*)
+    val r = right.withColumn("_side", lit(0))
+      .select(keys.map(col) ++ Seq(col(timeCol), col("_side")) ++
+        leftCols.filterNot(c => keys.contains(c) || c == timeCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(c => col(c).as(s"asof_$c")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_side") === 1).drop("_side")
+  }
+
+  /** Resample (collapse) a series to a coarser declared frequency:
+    * group periods into their containing target period and aggregate.
+    * `how` ∈ avg | sum | last (last = value at the latest source period
+    * via max_by — deterministic because T4 guarantees distinct
+    * periods). One partial-aggregatable groupBy — a single shuffle on
+    * (key, period), no window. */
+  def resample(series: DataFrame, target: Frequency, how: String,
+      keys: Seq[String] = Seq("serie_id")): DataFrame = {
+    val t = col("indice_tiempo")
+    val period: Column = target match {
+      case Frequency.Annual    => trunc(t, "year")
+      case Frequency.Quarterly => trunc(t, "quarter")
+      case Frequency.Monthly   => trunc(t, "month")
+      // no trunc unit for semesters: snap month to 1 or 7
+      case Frequency.Semester =>
+        make_date(year(t), when(month(t) <= 6, 1).otherwise(7), lit(1))
+      case Frequency.Daily => t
+    }
+    val agg: Column = how match {
+      case "avg"  => round(avg(col("valor")), 4)
+      case "sum"  => round(sum(col("valor")), 2)
+      case "last" => max_by(col("valor"), col("indice_tiempo"))
+      case other  => throw new IllegalArgumentException(
+        s"resample how=$other (want avg|sum|last)")
+    }
+    series
+      .withColumn("period", period)
+      .groupBy(keys.map(col) :+ col("period"): _*)
+      .agg(agg.as("valor"), count(lit(1)).as("n_points"))
+  }
+
+  /** Forward fill: null `valor` takes the latest preceding non-null
+    * value per key — gap repair after [[completeCalendar]], and the
+    * standard panel-data imputation. `last(ignoreNulls)` over the
+    * running window; `tieCols` break equal-period order so the fill is
+    * deterministic. One shuffle. */
+  def forwardFill(series: DataFrame, keys: Seq[String] = Seq("serie_id"),
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("indice_tiempo") +: tieCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series.withColumn("valor_filled",
+      last(col("valor"), ignoreNulls = true).over(w))
+  }
+
+  /** Rolling statistics over the last `k` observations per key (moving
+    * average and extrema — the smoothing/denoising pass of any series
+    * dashboard). The mean is computed over EXACT integer cents
+    * (round(valor*100) summed as BIGINT) so the sliding-frame sum is
+    * associativity-independent: engines that fold sliding windows with
+    * segment trees (different FP association) still reproduce it
+    * bit-for-bit. One shuffle; the frame is O(k) per row. */
+  def rollingStats(series: DataFrame, k: Int,
+      keys: Seq[String] = Seq("serie_id"),
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("indice_tiempo") +: tieCols.map(col): _*)
+      .rowsBetween(-(k - 1), Window.currentRow)
+    series
+      .withColumn("cents", round(col("valor") * 100).cast("long"))
+      .withColumn("n_window", count(col("cents")).over(w))
+      .withColumn("roll_avg",
+        round(sum(col("cents")).over(w) / (col("n_window") * 100.0), 4))
+      .withColumn("roll_min", min(col("valor")).over(w))
+      .withColumn("roll_max", max(col("valor")).over(w))
+      .drop("cents")
+  }
 }

@@ -143,6 +143,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin plans zero join nodes and a single data shuffle") {
+    // the operator's whole point: an as-of alignment WITHOUT a range
+    // join (broadcast-nested-loop / exploded equi-range) — union + one
+    // keyed window. A Join node or a second hash-partitioning exchange
+    // means the shape regressed.
+    import spark.implicits._
+    val left = (1 to 100).map(i => ("k" + i % 3, i.toLong, i * 1.0))
+      .toDF("k", "t", "v")
+    val right = (1 to 10).map(i => ("k" + i % 3, i * 7L, i * 2.0))
+      .toDF("k", "t", "mark")
+    val df = graft.operators.TimeSeriesOps
+      .asofJoin(left, right, Seq("k"), "t", Seq("mark"))
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join"), s"asofJoin plans a join:\n$p")
+    // formatted mode lists operators as "(n) Exchange" tree nodes
+    val exchanges = """\(\d+\) Exchange""".r.findAllMatchIn(p).length
+    assert(exchanges == 1, s"want exactly 1 shuffle, got $exchanges:\n$p")
+  }
+
   test("minhash signature plan has partial aggregation before the shuffle") {
     // q31's end-to-end plan now materializes the bucket frame through a
     // lazy localCheckpoint (cache hygiene), which hides upstream lineage

@@ -77,4 +77,72 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(sorted.toSeq == Seq("ERROR", "WARNING", "OK"))
   }
+
+  test("asofJoin: <= semantics, per-key isolation, null before first mark") {
+    val left = Seq(
+      ("a", 5L, 100L), ("a", 10L, 101L), ("a", 15L, 102L),
+      ("a", 20L, 103L), ("b", 10L, 200L))
+      .toDF("k", "t", "rowid")
+    val right = Seq(
+      ("a", 10L, 1.5), ("a", 18L, 2.5), ("b", 99L, 9.9))
+      .toDF("k", "t", "mark")
+    val got = TimeSeriesOps.asofJoin(left, right, Seq("k"), "t",
+        Seq("mark"))
+      .select("rowid", "asof_mark").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(100L).isEmpty)          // before any mark
+    assert(got(101L).contains(1.5))    // equal timestamp counts (<=)
+    assert(got(102L).contains(1.5))    // between marks: latest prior
+    assert(got(103L).contains(2.5))
+    assert(got(200L).isEmpty)          // other key's marks invisible
+  }
+
+  test("resample collapses monthly to quarterly/semester with avg|sum|last") {
+    val s = Seq(
+      ("a", d("2020-01-01"), 1.0), ("a", d("2020-02-01"), 2.0),
+      ("a", d("2020-03-01"), 6.0), ("a", d("2020-04-01"), 10.0))
+      .toDF("serie_id", "indice_tiempo", "valor")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getDate(1).toString ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val avg = m(TimeSeriesOps.resample(s, Frequency.Quarterly, "avg")
+      .select("serie_id", "period", "valor", "n_points"))
+    assert(avg == Map("2020-01-01" -> ((3.0, 3L)),
+      "2020-04-01" -> ((10.0, 1L))))
+    val last = m(TimeSeriesOps.resample(s, Frequency.Quarterly, "last")
+      .select("serie_id", "period", "valor", "n_points"))
+    assert(last("2020-01-01")._1 == 6.0)
+    val sem = m(TimeSeriesOps.resample(s, Frequency.Semester, "sum")
+      .select("serie_id", "period", "valor", "n_points"))
+    assert(sem == Map("2020-01-01" -> ((19.0, 4L))))
+  }
+
+  test("forwardFill repairs nulls from the latest prior non-null per key") {
+    val s = Seq(
+      ("a", d("2020-01-01"), Some(1.0)), ("a", d("2020-02-01"), None),
+      ("a", d("2020-03-01"), None), ("a", d("2020-04-01"), Some(4.0)),
+      ("b", d("2020-01-01"), None)) // leading null stays null
+      .toDF("serie_id", "indice_tiempo", "valor")
+    val got = TimeSeriesOps.forwardFill(s).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(("a", "2020-02-01")).contains(1.0))
+    assert(got(("a", "2020-03-01")).contains(1.0))
+    assert(got(("a", "2020-04-01")).contains(4.0))
+    assert(got(("b", "2020-01-01")).isEmpty)
+  }
+
+  test("rollingStats: exact-cents mean over a k-row frame") {
+    val s = (1 to 6).map(i => ("a", d(f"2020-0$i-01"), i * 1.0))
+      .toDF("serie_id", "indice_tiempo", "valor")
+    val got = TimeSeriesOps.rollingStats(s, k = 3).collect()
+      .map(r => r.getDate(1).toString ->
+        ((r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    // (n_window, roll_avg, roll_min, roll_max)
+    assert(got("2020-01-01") == ((1L, 1.0, 1.0, 1.0)))
+    assert(got("2020-02-01") == ((2L, 1.5, 1.0, 2.0)))
+    assert(got("2020-06-01") == ((3L, 5.0, 4.0, 6.0)))
+  }
 }
