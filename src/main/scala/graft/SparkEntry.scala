@@ -733,6 +733,36 @@ object SparkEntry {
     meta.join(stats, Seq("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** SemDeDup-style semantic dedup, composed end to end from existing
+    * operators: embedding near-dup pairs (LSH-bucket blocked cosine,
+    * the q40 stage) → connected components (Dedup.duplicateClusters) →
+    * keep the min-id representative per semantic cluster. Output is
+    * the per-vector verdict a curation pipeline acts on. */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val withBucket = t.embeddings.withColumn("lsh_blk",
+      Similarity.lshBucketExpr(col("embedding"), nBits = 8))
+    val pairs = Similarity.cosineNearDupPairs(withBucket, "vec_id",
+      "embedding", "lsh_blk", threshold = 0.2)
+    Dedup.duplicateClusters(pairs)
+      .select(col("id").as("vec_id"), col("cluster"),
+        (col("id") === col("cluster")).as("keeper"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Period-over-period percentage change (TimeSeriesOps.pctChange) —
+    * the series-tiempo representation_mode the reference ecosystem
+    * serves; ÷0-safe, null at series start. */
+  private def qPctChange(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val monthly = t.lineitem.groupBy(
+        col("l_returnflag").as("serie_id"),
+        trunc(col("l_shipdate"), "month").as("indice_tiempo"))
+      .agg(round(sum(col("l_quantity")), 2).as("valor"))
+    TimeSeriesOps.pctChange(monthly)
+      .orderBy(col("serie_id"), col("indice_tiempo"))
+  }
+
   /** As-of join (TimeSeriesOps.asofJoin): every event aligned to the
     * most recent reference mark at-or-before it per user — the union +
     * last(ignoreNulls) window shape, zero join nodes, one shuffle. The
@@ -1016,6 +1046,8 @@ object SparkEntry {
     "q59_pq_index" -> (qPqIndex _),
     "q60_bmp_decode" -> (qBmpDecode _),
     "q61_asof_join" -> (qAsofJoin _),
+    "q65_semantic_dedup" -> (qSemanticDedup _),
+    "q66_pct_change" -> (qPctChange _),
     "q62_resample" -> (qResample _),
     "q63_ffill" -> (qFfill _),
     "q64_rolling" -> (qRolling _),
@@ -1897,6 +1929,47 @@ object SparkEntry {
     "q59_pq_index" ->
       pqOracleSql(m = 4, k = 8, iters = 1, dims = 64, topK = 5, maxQ = 4,
         coarse = true),
+
+    // the q40 near-dup pair chain closed into semantic clusters by the
+    // same recursive transitive closure the q44 oracle uses
+    "q65_semantic_dedup" -> {
+      val projs = (0 until 8).map(j => s"${planeProjSql(j)} AS p$j")
+        .mkString(",\n  ")
+      val bucket = (0 until 8)
+        .map(j => s"(CASE WHEN p$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH RECURSIVE sig AS (SELECT vec_id, $projs FROM embeddings),
+         |b AS (SELECT vec_id, $bucket AS blk FROM sig),
+         |l AS (SELECT b.blk, e.vec_id AS id1, e.embedding AS v1
+         |  FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+         |r AS (SELECT b.blk, e.vec_id AS id2, e.embedding AS v2
+         |  FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+         |p AS (SELECT blk, id1, id2, round(${cosineSql("v1", "v2")}, 6) AS sim
+         |  FROM l JOIN r USING (blk) WHERE id1 < id2),
+         |np AS (SELECT id1, id2 FROM p WHERE sim >= 0.2),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM np
+         |  UNION SELECT id2 AS a, id1 AS b FROM np),
+         |closure(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a),
+         |labels AS (SELECT a AS id, min(b) AS cluster
+         |  FROM closure GROUP BY a)
+         |SELECT id AS vec_id, cluster, id = cluster AS keeper
+         |FROM labels ORDER BY vec_id""".stripMargin
+    },
+
+    "q66_pct_change" ->
+      """WITH monthly AS (SELECT l_returnflag AS serie_id,
+        |    CAST(date_trunc('month', l_shipdate) AS DATE) AS indice_tiempo,
+        |    round(sum(l_quantity), 2) AS valor
+        |  FROM lineitem GROUP BY 1, 2),
+        |lagged AS (SELECT *, lag(valor) OVER (PARTITION BY serie_id
+        |    ORDER BY indice_tiempo) AS prev_valor FROM monthly)
+        |SELECT serie_id, indice_tiempo, valor, prev_valor,
+        |  round((valor - prev_valor) / NULLIF(prev_valor, 0), 6)
+        |    AS pct_change
+        |FROM lagged ORDER BY serie_id, indice_tiempo""".stripMargin,
 
     // DuckDB's NATIVE ASOF JOIN — an independent implementation of the
     // as-of semantics checking the Spark union+window shape

@@ -216,6 +216,21 @@ object TimeSeriesOps {
       last(col("valor"), ignoreNulls = true).over(w))
   }
 
+  /** Period-over-period percentage change — the `percent_change`
+    * representation the reference ecosystem's series API serves
+    * (series-tiempo-ar `representation_mode=percent_change`). ÷0-safe
+    * via nullif; null at the series start (no prior period). One lag
+    * window = one shuffle. */
+  def pctChange(series: DataFrame,
+      keys: Seq[String] = Seq("serie_id")): DataFrame = {
+    val prev = lag(col("valor"), 1).over(w(keys))
+    series
+      .withColumn("prev_valor", prev)
+      .withColumn("pct_change",
+        round((col("valor") - col("prev_valor")) /
+          nullif(col("prev_valor"), lit(0.0)), 6))
+  }
+
   /** Rolling statistics over the last `k` observations per key (moving
     * average and extrema — the smoothing/denoising pass of any series
     * dashboard). The mean is computed over EXACT integer cents

@@ -133,6 +133,20 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got(("b", "2020-01-01")).isEmpty)
   }
 
+  test("pctChange: null at series start, div-by-zero-safe") {
+    val s = Seq(
+      ("a", d("2020-01-01"), 2.0), ("a", d("2020-02-01"), 3.0),
+      ("a", d("2020-03-01"), 0.0), ("a", d("2020-04-01"), 5.0))
+      .toDF("serie_id", "indice_tiempo", "valor")
+    val got = TimeSeriesOps.pctChange(s).collect()
+      .map(r => r.getDate(1).toString ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got("2020-01-01").isEmpty)        // no prior period
+    assert(got("2020-02-01").contains(0.5))
+    assert(got("2020-03-01").contains(-1.0))
+    assert(got("2020-04-01").isEmpty)        // prev = 0 -> null, not Inf
+  }
+
   test("rollingStats: exact-cents mean over a k-row frame") {
     val s = (1 to 6).map(i => ("a", d(f"2020-0$i-01"), i * 1.0))
       .toDF("serie_id", "indice_tiempo", "valor")
