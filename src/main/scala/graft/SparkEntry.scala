@@ -733,6 +733,18 @@ object SparkEntry {
     meta.join(stats, Seq("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** Power-of-two length bucketing (Packing.lengthBuckets) over
+    * whitespace token counts per language — the padding-waste report a
+    * dynamic-batching trainer schedules from. */
+  private def qLengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val toks = TextAnalysis.tokenCounts(
+        t.documents.select(col("doc_id"), col("lang"), col("text")), "text")
+      .select(col("doc_id"), col("lang"), col("ws_tokens").as("n_tokens"))
+    Packing.lengthBuckets(toks, "n_tokens", keys = Seq("lang"))
+      .orderBy(col("lang"), col("bucket_cap"))
+  }
+
   /** SemDeDup-style semantic dedup, composed end to end from existing
     * operators: embedding near-dup pairs (LSH-bucket blocked cosine,
     * the q40 stage) → connected components (Dedup.duplicateClusters) →
@@ -1048,6 +1060,7 @@ object SparkEntry {
     "q61_asof_join" -> (qAsofJoin _),
     "q65_semantic_dedup" -> (qSemanticDedup _),
     "q66_pct_change" -> (qPctChange _),
+    "q67_length_buckets" -> (qLengthBuckets _),
     "q62_resample" -> (qResample _),
     "q63_ffill" -> (qFfill _),
     "q64_rolling" -> (qRolling _),
@@ -1929,6 +1942,24 @@ object SparkEntry {
     "q59_pq_index" ->
       pqOracleSql(m = 4, k = 8, iters = 1, dims = 64, topK = 5, maxQ = 4,
         coarse = true),
+
+    // integer bit arithmetic for the 2^k boundary on BOTH sides (never
+    // floating log2); DuckDB sums of INTs are HUGEINT, hence the casts
+    "q67_length_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, lang,
+         |    greatest(len(${wsTokensSql("text")}), 1) AS n
+         |  FROM documents),
+         |b AS (SELECT lang, n, CASE WHEN n = 1 THEN CAST(1 AS BIGINT)
+         |    ELSE (CAST(1 AS BIGINT) << length(bin(n - 1))) END
+         |      AS bucket_cap
+         |  FROM toks)
+         |SELECT lang, bucket_cap, count(*) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+         |  CAST(count(*) * bucket_cap - sum(n) AS BIGINT) AS padding,
+         |  round(CAST(count(*) * bucket_cap - sum(n) AS DOUBLE) /
+         |    (count(*) * bucket_cap), 6) AS waste_ratio
+         |FROM b GROUP BY lang, bucket_cap
+         |ORDER BY lang, bucket_cap""".stripMargin,
 
     // the q40 near-dup pair chain closed into semantic clusters by the
     // same recursive transitive closure the q44 oracle uses

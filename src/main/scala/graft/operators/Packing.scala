@@ -41,4 +41,28 @@ object Packing {
         sum(col(tokensCol)).as("bin_tokens"))
       .withColumn("fill_ratio",
         round(col("bin_tokens").cast("double") / capacity, 6))
+
+  /** Power-of-two length bucketing — the batch-scheduling view of a
+    * corpus: documents padded to the next 2^k boundary batch together,
+    * and this report prices the padding waste per (key, bucket). The
+    * bucket boundary is computed with INTEGER bit arithmetic
+    * (`1 << len(bin(n-1))`), never floating log2, whose representation
+    * error flips exact powers of two to the wrong bucket — and which an
+    * external engine might round differently. One partial-aggregatable
+    * groupBy. */
+  def lengthBuckets(docs: DataFrame, tokensCol: String,
+      keys: Seq[String] = Nil): DataFrame = {
+    val bucketed = docs
+      .withColumn("__n", greatest(col(tokensCol).cast("long"), lit(1L)))
+      .withColumn("bucket_cap",
+        when(col("__n") === 1, lit(1L))
+          .otherwise(expr("shiftleft(1L, length(bin(__n - 1)))")))
+    bucketed.groupBy(keys.map(col) :+ col("bucket_cap"): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("sum_tokens"))
+      .withColumn("padding",
+        col("n_docs") * col("bucket_cap") - col("sum_tokens"))
+      .withColumn("waste_ratio",
+        round(col("padding").cast("double") /
+          (col("n_docs") * col("bucket_cap")), 6))
+  }
 }

@@ -330,6 +330,33 @@ object EventStream {
       }.toDF()
   }
 
+  /** STREAM-STREAM interval join: enrich an event stream with a
+    * reference-mark stream — every event pairs with the marks of the
+    * same user whose timestamp lies in `[event.ts - lookbackSec,
+    * event.ts]` (the bounded-lateness analogue of the batch as-of
+    * pattern). Both sides are watermarked and the join condition bounds
+    * the time skew, so Spark can EVICT state: a mark leaves the state
+    * store once the event-side watermark passes `mark.ts +
+    * lookbackSec`, and state stays proportional to the lookback
+    * horizon, never the stream. Inner join: events with no mark in the
+    * window are dropped (use the batch asofJoin for left semantics —
+    * streaming left outer would emit nulls only on watermark close). */
+  def enrichWithMarks(events: DataFrame, marks: DataFrame,
+      lookbackSec: Long, watermark: String = "1 hour"): DataFrame = {
+    val ev = events.selectExpr("event_id", "ts", "user_id", "value")
+      .withWatermark("ts", watermark)
+    val mk = marks
+      .selectExpr("user_id AS m_user_id", "ts AS m_ts",
+        "value AS mark_value")
+      .withWatermark("m_ts", watermark)
+    ev.join(mk,
+      col("user_id") === col("m_user_id") &&
+        col("m_ts") >= col("ts") - expr(s"interval $lookbackSec seconds") &&
+        col("m_ts") <= col("ts"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        col("m_ts"), col("mark_value"))
+  }
+
   /** Per-user running session state via mapGroupsWithState — the
     * engine's custom-state extension point. Each micro-batch emits the
     * updated per-user aggregate (Update output mode); state survives

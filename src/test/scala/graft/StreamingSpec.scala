@@ -258,6 +258,64 @@ class StreamingSpec extends SparkSpec {
     assert(streamGaps == Set(("2019-04-15", "gap")), streamGaps)
   }
 
+  test("stream-stream interval join matches the batch join across batches") {
+    // marks arriving in a LATER micro-batch (still above the watermark)
+    // must pair with earlier events inside the lookback window — the
+    // state-store side of the interval join — and the result must equal
+    // the identical join run as one batch query
+    import spark.implicits._
+    val evDir = Files.createTempDirectory("graft-ssj-ev").toString
+    val mkDir = Files.createTempDirectory("graft-ssj-mk").toString
+    def ev(rows: Seq[(Long, String, Long, Double)], dir: String): Unit =
+      rows.toDF("event_id", "s", "user_id", "value")
+        .select(col("event_id"), to_timestamp(col("s")).as("ts"),
+          col("user_id"), lit("e").as("event_type"), col("value"))
+        .write.mode("append").parquet(dir)
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, 1.0),
+      (2L, "2024-01-01 10:20:00", 1L, 2.0),
+      (3L, "2024-01-01 11:00:00", 2L, 3.0))
+    val marks1 = Seq((90L, "2024-01-01 09:55:00", 1L, 0.5))
+    val marks2 = Seq( // later batch, pairs with events already seen
+      (91L, "2024-01-01 10:10:00", 1L, 0.7),
+      (92L, "2024-01-01 10:59:00", 2L, 0.9))
+    ev(events, evDir); ev(marks1, mkDir)
+
+    val q = EventStream.enrichWithMarks(
+        spark.readStream.schema(EventStream.eventSchema).parquet(evDir),
+        spark.readStream.schema(EventStream.eventSchema).parquet(mkDir),
+        lookbackSec = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    try {
+      q.processAllAvailable()
+      ev(marks2, mkDir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("ssj").collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("m_ts").getTime,
+        r.getAs[Double]("mark_value"))).toSet
+    def ms(s: String) = java.sql.Timestamp.valueOf(s).getTime
+    // event 1 pairs with 09:55 mark; event 2 with 09:55 AND 10:10;
+    // event 3 with 10:59; nothing crosses users or exceeds 30 min back
+    assert(got == Set(
+      (1L, ms("2024-01-01 09:55:00"), 0.5),
+      (2L, ms("2024-01-01 09:55:00"), 0.5),
+      (2L, ms("2024-01-01 10:10:00"), 0.7),
+      (3L, ms("2024-01-01 10:59:00"), 0.9)), got)
+
+    // and the same operator over batch frames agrees row for row
+    val evBatch = spark.read.parquet(evDir)
+    val mkBatch = spark.read.parquet(mkDir)
+    val batch = EventStream.enrichWithMarks(evBatch, mkBatch, 1800)
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("m_ts").getTime,
+        r.getAs[Double]("mark_value"))).toSet
+    assert(got == batch, s"stream/batch divergence: ${got.diff(batch)} ${batch.diff(got)}")
+  }
+
   test("streaming dedup keeps first occurrence per content digest") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     // duplicate texts across distinct event rows: event_type repeats
