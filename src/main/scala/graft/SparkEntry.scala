@@ -733,6 +733,22 @@ object SparkEntry {
     meta.join(stats, Seq("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** Per-language quantile quality gate
+    * (TextAnalysis.qualityQuantileGate): each language keeps docs above
+    * its own P75 quality score — a relative curation bar. */
+  private def qQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val scored = TextAnalysis.qualityScore(
+      t.documents.select(col("doc_id"), col("lang"), col("text")), "text")
+    TextAnalysis.qualityQuantileGate(scored, "lang", "quality_score", 0.75)
+      .groupBy(col("lang"), col("threshold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_ratio",
+        round(col("n_kept").cast("double") / col("n_docs"), 6))
+      .orderBy(col("lang"))
+  }
+
   /** Power-of-two length bucketing (Packing.lengthBuckets) over
     * whitespace token counts per language — the padding-waste report a
     * dynamic-batching trainer schedules from. */
@@ -1061,6 +1077,7 @@ object SparkEntry {
     "q65_semantic_dedup" -> (qSemanticDedup _),
     "q66_pct_change" -> (qPctChange _),
     "q67_length_buckets" -> (qLengthBuckets _),
+    "q68_quality_gate" -> (qQualityGate _),
     "q62_resample" -> (qResample _),
     "q63_ffill" -> (qFfill _),
     "q64_rolling" -> (qRolling _),
@@ -1125,6 +1142,38 @@ object SparkEntry {
        |pairs AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
        |  FROM buckets l JOIN buckets r
        |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)""".stripMargin
+  }
+
+  /** Quality-signal CTE chain ending at `qsc(doc_id, n_tokens, …,
+    * quality_score)` — the DuckDB replay of TextAnalysis.qualityScore,
+    * shared by q37 and the q68 quantile gate. */
+  private lazy val qualityCtesSql: String = {
+    val allStop = sqlStringList(
+      TextAnalysis.StopwordsByLang.flatMap(_._2).distinct)
+    s"""t AS (SELECT doc_id, text, length(text)::DOUBLE AS n_chars,
+       |    ${wsTokensSql("text")} AS toks,
+       |    ${wsTokensSql("lower(text)")} AS ltoks
+       |  FROM documents),
+       |sig AS (SELECT doc_id,
+       |  len(toks) AS n_tokens,
+       |  round(length(array_to_string(toks, ''))::DOUBLE /
+       |    nullif(len(toks), 0)::DOUBLE, 6) AS mean_token_len,
+       |  round((n_chars - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) /
+       |    nullif(n_chars, 0.0), 6) AS punct_ratio,
+       |  round((n_chars - length(regexp_replace(text, '[0-9]', '', 'g'))) /
+       |    nullif(n_chars, 0.0), 6) AS digit_ratio,
+       |  round((n_chars - length(regexp_replace(text, '[A-Z]', '', 'g'))) /
+       |    nullif(n_chars, 0.0), 6) AS upper_ratio,
+       |  round(len(list_filter(ltoks, w -> list_contains($allStop, w)))::DOUBLE /
+       |    nullif(len(toks), 0)::DOUBLE, 6) AS stopword_ratio
+       |  FROM t),
+       |qsc AS (SELECT doc_id, n_tokens, mean_token_len, punct_ratio,
+       |  digit_ratio, upper_ratio, stopword_ratio,
+       |  round(greatest(0.0, least(1.0,
+       |    0.4 * least(n_tokens::DOUBLE / 50.0, 1.0) +
+       |    0.4 * least(stopword_ratio * 5.0, 1.0) +
+       |    0.2 * (1.0 - least(punct_ratio * 4.0, 1.0)))), 6) AS quality_score
+       |  FROM sig)""".stripMargin
   }
 
   /** DuckDB equivalent of Similarity.planeProjection for bit j. */
@@ -1787,34 +1836,27 @@ object SparkEntry {
          |FROM sc ORDER BY doc_id""".stripMargin
     },
 
-    "q37_quality" -> {
-      val allStop = sqlStringList(
-        TextAnalysis.StopwordsByLang.flatMap(_._2).distinct)
-      s"""WITH t AS (SELECT doc_id, text, length(text)::DOUBLE AS n_chars,
-         |    ${wsTokensSql("text")} AS toks,
-         |    ${wsTokensSql("lower(text)")} AS ltoks
-         |  FROM documents),
-         |sig AS (SELECT doc_id,
-         |  len(toks) AS n_tokens,
-         |  round(length(array_to_string(toks, ''))::DOUBLE /
-         |    nullif(len(toks), 0)::DOUBLE, 6) AS mean_token_len,
-         |  round((n_chars - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) /
-         |    nullif(n_chars, 0.0), 6) AS punct_ratio,
-         |  round((n_chars - length(regexp_replace(text, '[0-9]', '', 'g'))) /
-         |    nullif(n_chars, 0.0), 6) AS digit_ratio,
-         |  round((n_chars - length(regexp_replace(text, '[A-Z]', '', 'g'))) /
-         |    nullif(n_chars, 0.0), 6) AS upper_ratio,
-         |  round(len(list_filter(ltoks, w -> list_contains($allStop, w)))::DOUBLE /
-         |    nullif(len(toks), 0)::DOUBLE, 6) AS stopword_ratio
-         |  FROM t)
-         |SELECT doc_id, n_tokens, mean_token_len, punct_ratio, digit_ratio,
-         |  upper_ratio, stopword_ratio,
-         |  round(greatest(0.0, least(1.0,
-         |    0.4 * least(n_tokens::DOUBLE / 50.0, 1.0) +
-         |    0.4 * least(stopword_ratio * 5.0, 1.0) +
-         |    0.2 * (1.0 - least(punct_ratio * 4.0, 1.0)))), 6) AS quality_score
-         |FROM sig ORDER BY doc_id""".stripMargin
-    },
+    "q37_quality" ->
+      s"WITH $qualityCtesSql\nSELECT * FROM qsc ORDER BY doc_id",
+
+    // thresholds are quantile_cont over 6-dp scores, rounded to 6 dp on
+    // BOTH sides before the >= comparison (same interpolation formula
+    // as Spark's percentile, see q51)
+    "q68_quality_gate" ->
+      s"""WITH $qualityCtesSql,
+         |j AS (SELECT d.lang, q.quality_score
+         |  FROM qsc q JOIN documents d USING (doc_id)),
+         |th AS (SELECT lang,
+         |    round(quantile_cont(quality_score, 0.75), 6) AS threshold
+         |  FROM j GROUP BY lang)
+         |SELECT j.lang, th.threshold, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN j.quality_score >= th.threshold
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  round(sum(CASE WHEN j.quality_score >= th.threshold
+         |    THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS kept_ratio
+         |FROM j JOIN th USING (lang)
+         |GROUP BY j.lang, th.threshold
+         |ORDER BY j.lang""".stripMargin,
 
     "q38_token_counts" ->
       s"""SELECT doc_id,

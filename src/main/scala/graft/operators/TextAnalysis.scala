@@ -258,4 +258,20 @@ object TextAnalysis {
         round(pct(0.9), 4).as("p90"),
         round(pct(0.99), 4).as("p99"))
   }
+
+  /** Quantile-based quality gating (FineWeb-style): each stratum keeps
+    * only rows whose score clears that stratum's q-th percentile — a
+    * RELATIVE bar, so a weak language's best docs survive while a
+    * strong language's mediocre docs don't. Thresholds are one
+    * per-stratum percentile aggregation (rows = #strata, metadata
+    * scale) broadcast back onto the corpus — the big side never
+    * shuffles. Threshold rounds to 6 dp BEFORE the comparison so the
+    * keep decision is engine-portable. */
+  def qualityQuantileGate(scored: DataFrame, strataCol: String,
+      scoreCol: String, q: Double): DataFrame = {
+    val thresholds = scored.groupBy(col(strataCol))
+      .agg(round(percentile(col(scoreCol), lit(q)), 6).as("threshold"))
+    scored.join(broadcast(thresholds), Seq(strataCol))
+      .withColumn("kept", col(scoreCol) >= col("threshold"))
+  }
 }

@@ -197,6 +197,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asofJoin matches a brute-force reference over generated streams") {
+    // property: for every left row, asof_mark equals the mark of the
+    // right row with the greatest time <= left time within the key
+    // (None when no such row) — checked against a plain Scala scan
+    val cases = for {
+      nLeft <- Gen.choose(1, 40)
+      nRight <- Gen.choose(0, 15)
+      seedL <- Gen.choose(0L, 10000L)
+    } yield (nLeft, nRight, seedL)
+    samples(cases, 5).zipWithIndex.foreach { case ((nL, nR, sd), ci) =>
+      // deterministic pseudo-random times over 2 keys, collisions likely
+      def t(i: Long) = (sd + i * 37) % 50
+      val left = (0 until nL).map(i =>
+        (s"k${i % 2}", t(i), i.toLong))
+      val right = (0 until nR).map(j =>
+        (s"k${j % 2}", t(100L + j * 3), j * 1.5))
+        // operator contract: right unique per (key, time)
+        .groupBy(x => (x._1, x._2)).map(_._2.maxBy(_._3)).toSeq
+      val got = operators.TimeSeriesOps.asofJoin(
+          left.toDF("k", "t", "rowid"), right.toDF("k", "t", "mark"),
+          Seq("k"), "t", Seq("mark"))
+        .select("rowid", "asof_mark").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      left.foreach { case (k, lt, id) =>
+        val expect = right.filter(r => r._1 == k && r._2 <= lt)
+          .sortBy(_._2).lastOption.map(_._3)
+        assert(got(id) == expect,
+          s"case $ci row $id key $k t=$lt: got ${got(id)}, want $expect")
+      }
+    }
+  }
+
   test("tableBounds: detected/table ends are exact over generated tails") {
     val cases = for {
       nDates <- Gen.choose(1, 20)
