@@ -204,7 +204,15 @@ object Dedup {
     * the step that turns pairwise near-dup hits into "keep one per
     * cluster" decisions.
     *
-    * Min-label propagation PLUS pointer jumping, iterated to fixpoint.
+    * Two regimes, picked by ONE metadata-scale count of the pair list:
+    * at or below `driverMaxEdges` (integral ids), the pairs collect
+    * once and union-find runs on the driver — exact, one Spark action,
+    * and strictly less driver traffic than the distributed loop, which
+    * bounces the label map through the driver twice per round as
+    * broadcasts anyway. Above the gate (or for non-integral ids) the
+    * fully-distributed fixpoint loop below runs.
+    *
+    * Distributed loop: min-label propagation PLUS pointer jumping.
     * Round 0 is FUSED into the label init: label0(id) = min(id, min
     * neighbor) is one partial-aggregatable groupBy over the edge list —
     * no join — which alone converges star-shaped clusters (the common
@@ -231,9 +239,57 @@ object Dedup {
     * Result is deterministic at fixpoint regardless of round count. */
   def duplicateClusters(pairs: DataFrame, idCol1: String = "id1",
       idCol2: String = "id2", maxIter: Int = 50,
-      broadcastMaxNodes: Long = 4000000L): DataFrame = {
-    val edges = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
-      .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
+      broadcastMaxNodes: Long = 4000000L,
+      driverMaxEdges: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val idType = pairs.schema(idCol1).dataType
+    val p2 = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
+      .distinct()
+      .localCheckpoint(false)
+    val nEdges = p2.count()
+    val integralIds = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    if (integralIds && nEdges <= driverMaxEdges) {
+      // Metadata-scale regime: the LSH-bounded pair list is SMALLER
+      // than what the distributed loop would bounce through the driver
+      // anyway (two broadcast builds per round + a convergence collect
+      // per round), so collect it ONCE and run union-find with path
+      // compression — exact, deterministic, a single Spark action, and
+      // immune to the driver-latency noise iterative tiny-job loops
+      // suffer. Roots stay the MIN of their component because union
+      // always links the larger root under the smaller.
+      val es = p2.select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      import spark.implicits._
+      parent.keys.toSeq.map(id => (id, find(id)))
+        .toDF("id", "cluster")
+        .select(col("id").cast(idType).as("id"),
+          col("cluster").cast(idType).as("cluster"))
+    } else
+      duplicateClustersDistributed(p2, maxIter, broadcastMaxNodes)
+  }
+
+  /** The fully-distributed fixpoint loop (see [[duplicateClusters]]
+    * scaladoc for the algorithm) — the path for pair sets too large to
+    * collect. `p2` holds deduplicated directed pairs (a, b). */
+  private def duplicateClustersDistributed(p2: DataFrame, maxIter: Int,
+      broadcastMaxNodes: Long): DataFrame = {
+    val edges = p2
+      .union(p2.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint(false)
     // fused round 0: min over self and direct neighbors, one groupBy

@@ -321,10 +321,17 @@ class OperatorsSpec extends SparkSpec {
     // two components: a 4-chain {1,2,3,4} and a pair {10,11}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("id1", "id2")
-    val clusters = graft.operators.Dedup.duplicateClusters(pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    // default gate -> driver union-find path
+    val viaDriver = graft.operators.Dedup.duplicateClusters(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L))
+    assert(viaDriver == expected)
+    // forced distributed loop must agree exactly
+    val viaLoop = graft.operators.Dedup
+      .duplicateClusters(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaLoop == expected)
   }
 
   test("hash split is deterministic, stratified-stable, and complete") {

@@ -187,8 +187,11 @@ class PropertySpec extends SparkSpec {
         val (a, b) = (base + i, base + i + 1)
         if (reversed) (b, a) else (a, b)
       }
+      // driverMaxEdges = 0 forces the DISTRIBUTED loop — this test
+      // pins its O(log diameter) round bound, not the driver path
       val clusters = graft.operators.Dedup
-        .duplicateClusters(edges.toDF("id1", "id2"), maxIter = 12)
+        .duplicateClusters(edges.toDF("id1", "id2"), maxIter = 12,
+          driverMaxEdges = 0L)
         .as[(Long, Long)].collect()
       assert(clusters.length == n)
       assert(clusters.forall(_._2 == base),
