@@ -143,6 +143,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q62/q67 aggregate partially before their one shuffle") {
+    // resample and length-bucketing are single-groupBy designs: the
+    // map side must partial-aggregate (HashAggregate below the
+    // exchange), so the shuffle moves group rows, not input rows
+    for (q <- Seq("q62_resample", "q67_length_buckets")) {
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), s"$q: no hash aggregate:\n$p")
+      assert(p.contains("partial_"),
+        s"$q: no partial (map-side) aggregation:\n$p")
+    }
+  }
+
   test("asofJoin plans zero join nodes and a single data shuffle") {
     // the operator's whole point: an as-of alignment WITHOUT a range
     // join (broadcast-nested-loop / exploded equi-range) — union + one
