@@ -855,6 +855,63 @@ object SparkEntry {
         col("event_id"))
   }
 
+  /** Per-source document cap (Curation.capPerGroup): at most 15 docs
+    * per source, longest-first — the C4/RefinedWeb "max pages per
+    * domain" curation rule; the rank filter plans as WindowGroupLimit
+    * so map tasks pre-prune before the shuffle. */
+  private def qSourceCap(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Curation.capPerGroup(
+        t.documents.select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "doc_id", maxPerGroup = 15,
+        priorityDesc = Seq("n_chars"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("grp_rank"))
+      .orderBy(col("source"), col("grp_rank"))
+  }
+
+  /** Target shares for the q70 mixture rebalance — en down-weighted
+    * toward a balanced multilingual mixture. Shared with the generated
+    * oracle so the two sides cannot drift. */
+  private val MixtureShares: Seq[(String, Double)] =
+    Seq("de" -> 0.2, "en" -> 0.3, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.15)
+
+  /** Mixture rebalancing (Sampling.mixtureRebalance): per-language
+    * keep-rates that hit the target shares by downsampling only, then
+    * the per-language kept counts under the deterministic hash gate. */
+  private def qMixture(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Sampling.mixtureRebalance(t.documents, "lang", "doc_id",
+        MixtureShares.toMap)
+      .groupBy(col("lang"), col("rate_bp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  /** Corpus-trained unigram LM scoring (TextAnalysis.unigramLogProb):
+    * mean token log-probability per document — the dependency-free form
+    * of CCNet-style LM quality filtering. */
+  private def qUnigramLm(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    TextAnalysis.unigramLogProb(t.documents, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Linear interpolation of injected gaps (TimeSeriesOps.interpolate)
+    * — nulls between observations repaired on the straight line through
+    * their neighbours; leading/trailing nulls stay null. */
+  private def qInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val series = t.events.select(
+      col("user_id").cast("string").as("serie_id"),
+      unix_micros(col("ts")).as("indice_tiempo"), col("event_id"),
+      when(col("event_id") % 3 === 0, lit(null))
+        .otherwise(round(col("value"), 2)).as("valor"))
+    TimeSeriesOps.interpolate(series, tieCols = Seq("event_id"))
+      .orderBy(col("serie_id").cast("long"), col("indice_tiempo"),
+        col("event_id"))
+  }
+
   /** Multimodal plumbing: binary payload + stubbed decode + frame
     * sampling (MultiModal). */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -1081,6 +1138,10 @@ object SparkEntry {
     "q62_resample" -> (qResample _),
     "q63_ffill" -> (qFfill _),
     "q64_rolling" -> (qRolling _),
+    "q69_source_cap" -> (qSourceCap _),
+    "q70_mixture" -> (qMixture _),
+    "q71_unigram_lm" -> (qUnigramLm _),
+    "q72_interpolate" -> (qInterpolate _),
   )
 
   // -------------------------------------------------------------------
@@ -2098,6 +2159,85 @@ object SparkEntry {
         |SELECT serie_id, indice_tiempo, event_id, valor, n_window,
         |  round(sum_cents / (n_window * 100.0), 4) AS roll_avg,
         |  roll_min, roll_max
+        |FROM w
+        |ORDER BY CAST(serie_id AS BIGINT), indice_tiempo, event_id""".stripMargin,
+
+    "q69_source_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS grp_rank
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, CAST(grp_rank AS INT) AS grp_rank
+        |FROM r WHERE grp_rank <= 15
+        |ORDER BY source, grp_rank""".stripMargin,
+
+    // shares CTE generated from the SAME Scala constants qMixture uses;
+    // CAST to DOUBLE because DuckDB parses bare 0.2 as DECIMAL
+    "q70_mixture" ->
+      s"""WITH shares AS (SELECT * FROM (VALUES ${
+            MixtureShares.map { case (l, sh) =>
+              s"('$l', CAST($sh AS DOUBLE))" }.mkString(", ")
+          }) AS t(lang, share)),
+         |cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |j AS (SELECT s.lang, share, n FROM shares s JOIN cnt USING (lang)),
+         |sc AS (SELECT min(CAST(n AS DOUBLE) / share) AS scale FROM j),
+         |rates AS (SELECT lang,
+         |    CAST(floor(least(share * scale / n, 1.0) * 10000) AS BIGINT)
+         |      AS rate_bp
+         |  FROM j, sc),
+         |d AS (SELECT lang, doc_id,
+         |    ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+         |  FROM documents)
+         |SELECT d.lang, r.rate_bp, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN bucket < rate_bp THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept
+         |FROM d JOIN rates r USING (lang)
+         |GROUP BY d.lang, r.rate_bp
+         |ORDER BY d.lang""".stripMargin,
+
+    // per-doc fold order pinned by list(... ORDER BY pos) so the FP sum
+    // matches Spark's sequential aggregate over the position-sorted array
+    "q71_unigram_lm" ->
+      s"""WITH docs_norm AS (SELECT doc_id, $normTextSql AS norm
+         |  FROM documents),
+         |arrs AS (SELECT doc_id, ${wsTokensSql("norm")} AS arr
+         |  FROM docs_norm),
+         |toks AS (SELECT doc_id, unnest(arr) AS tok,
+         |    unnest(generate_series(1, len(arr))) AS pos FROM arrs),
+         |lm AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM lm),
+         |perdoc AS (SELECT doc_id, count(*) AS n,
+         |    list_aggregate(list(ln(CAST(cnt AS DOUBLE)) ORDER BY pos),
+         |      'sum') AS s
+         |  FROM toks JOIN lm USING (tok) GROUP BY doc_id)
+         |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+         |  round((s - CAST(n AS DOUBLE) * ln(total)) / CAST(n AS DOUBLE), 6)
+         |    AS logprob
+         |FROM perdoc, tot ORDER BY doc_id""".stripMargin,
+
+    "q72_interpolate" ->
+      """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS serie_id,
+        |    epoch_us(ts) AS indice_tiempo, event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN NULL
+        |         ELSE round(value, 2) END AS valor
+        |  FROM events),
+        |w AS (SELECT serie_id, indice_tiempo, event_id, valor,
+        |    last_value(valor IGNORE NULLS) OVER back AS prev_v,
+        |    last_value(CASE WHEN valor IS NOT NULL THEN indice_tiempo END
+        |      IGNORE NULLS) OVER back AS prev_t,
+        |    first_value(valor IGNORE NULLS) OVER fwd AS next_v,
+        |    first_value(CASE WHEN valor IS NOT NULL THEN indice_tiempo END
+        |      IGNORE NULLS) OVER fwd AS next_t
+        |  FROM s WINDOW
+        |    back AS (PARTITION BY serie_id ORDER BY indice_tiempo, event_id
+        |      ROWS UNBOUNDED PRECEDING),
+        |    fwd AS (PARTITION BY serie_id ORDER BY indice_tiempo, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT serie_id, indice_tiempo, event_id, valor,
+        |  CASE WHEN valor IS NOT NULL THEN valor
+        |       ELSE round(prev_v + (next_v - prev_v) *
+        |         (CAST(indice_tiempo - prev_t AS DOUBLE) /
+        |          CAST(next_t - prev_t AS DOUBLE)), 6) END AS valor_interp
         |FROM w
         |ORDER BY CAST(serie_id AS BIGINT), indice_tiempo, event_id""".stripMargin,
 

@@ -43,6 +43,27 @@ object Curation {
       .drop("__digest", "__keeper")
   }
 
+  /** Per-group document cap — the C4/RefinedWeb-style "at most N pages
+    * per domain" rule that stops any one source from dominating the
+    * corpus. Rows are ranked inside each group by the given priority
+    * columns (highest-value first, id tie-break keeps it total) and
+    * only the top `maxPerGroup` survive.
+    *
+    * Scale shape: one shuffle by `groupCol`, and because the rank
+    * filter sits directly on the `row_number` window Spark rewrites it
+    * to WindowGroupLimit — each map task keeps only its local top-N per
+    * group before the shuffle, so a 100 TB corpus with a 10k-page cap
+    * moves O(groups × N) rows, not the whole table. Returns the input
+    * columns plus `grp_rank`. */
+  def capPerGroup(docs: DataFrame, groupCol: String, idCol: String,
+      maxPerGroup: Int, priorityDesc: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = priorityDesc.map(c => col(c).desc) :+ col(idCol).asc
+    val w = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
+    docs.withColumn("grp_rank", row_number().over(w))
+      .filter(col("grp_rank") <= maxPerGroup)
+  }
+
   /** The surviving corpus: rows the funnel kept, original columns. */
   def curate(docs: DataFrame, textCol: String, idCol: String,
       minTokens: Int = 20, minQuality: Double = 0.55): DataFrame =

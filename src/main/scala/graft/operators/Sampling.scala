@@ -74,6 +74,44 @@ object Sampling {
     withStratifiedFlag(df, strataCol, idCol, rates, defaultRate)
       .filter(col("sampled")).drop("sampled")
 
+  /** Mixture rebalancing — the "hit these target domain/language shares"
+    * constructor of a training corpus. Given target shares per stratum
+    * (fractions summing to <= 1), the operator computes the LARGEST
+    * corpus achievable by downsampling only (no stratum can be
+    * upsampled): the binding stratum is the one with the smallest
+    * `count / share`, every stratum's keep-rate is
+    * `share * scale / count` (capped at 1) with
+    * `scale = min_s(count_s / share_s)`, and rows are kept by the same
+    * deterministic basis-point hash gate as [[withStratifiedFlag]] —
+    * stable across runs, engines and cluster sizes.
+    *
+    * Scale shape: one partial-agg count per stratum (tiny result), a
+    * one-row global min broadcast back onto the rate table, and a
+    * broadcast join of the dozen-row rate table onto the corpus — the
+    * fact side never shuffles. Returns the input plus `rate_bp` (the
+    * per-stratum keep threshold in basis points) and boolean `sampled`.
+    * Strata absent from `targetShares` get rate 0 (dropped). */
+  def mixtureRebalance(df: DataFrame, strataCol: String, idCol: String,
+      targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.values.forall(s => s > 0 && s <= 1),
+      "target shares must be fractions in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shareDf = targetShares.toSeq.sortBy(_._1).toDF(strataCol, "_share")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+      .join(broadcast(shareDf), Seq(strataCol), "inner")
+    val scale = counts.agg(
+      min(col("_n").cast("double") / col("_share")).as("_scale"))
+    val rates = counts.crossJoin(broadcast(scale))
+      .withColumn("rate_bp",
+        floor(least(col("_share") * col("_scale") / col("_n"), lit(1.0))
+          * 10000).cast("long"))
+      .select(col(strataCol), col("rate_bp"))
+    df.join(broadcast(rates), Seq(strataCol), "left")
+      .withColumn("rate_bp", coalesce(col("rate_bp"), lit(0L)))
+      .withColumn("sampled", bpBucket(col(idCol)) < col("rate_bp"))
+  }
+
   /** Salted shuffle key for training-data ordering: the portable hash
     * of (epoch, id). Exposed so callers can co-sort side tables. */
   def shuffleKey(id: Column, epoch: Int): Column =

@@ -209,6 +209,40 @@ object TextAnalysis {
         col("tfidf"), col("rank"))
   }
 
+  /** Corpus-trained unigram language-model scoring — the classic
+    * perplexity-style quality signal (CCNet/Gopher-style filtering uses
+    * an LM score per document; this is its dependency-free unigram
+    * form, trained on the corpus itself). Each document's score is the
+    * mean token log-probability
+    * `(Σ ln cnt_tok − n·ln total) / n` — low scores mark documents full
+    * of corpus-rare tokens, the usual boilerplate/noise signature.
+    *
+    * Scale shape: the LM is one partial-agg count per token (vocab is
+    * Heaps-law small relative to the corpus), the token→count join is
+    * the only data-sized shuffle, and the per-document fold runs over
+    * the position-sorted count array so the FP sum has ONE order — any
+    * IEEE-754 engine reproduces it (rounded to 6 dp). No OOV handling
+    * is needed: the model is trained on the same corpus it scores, so
+    * every count is >= 1. Returns (id, n_tokens, logprob). */
+  def unigramLogProb(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("_id"),
+      posexplode(GF.wsTokens(Dedup.normalizeText(col(textCol))))
+        .as(Seq("pos", "tok")))
+    val lm = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = lm.agg(sum(col("cnt")).as("total"))
+    val n = size(col("arr")).cast("double")
+    toks.join(lm, Seq("tok"))
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("cnt"))))
+        .as("arr"))
+      .crossJoin(broadcast(total))
+      .select(col("_id").as(idCol), size(col("arr")).as("n_tokens"),
+        round((aggregate(col("arr"), lit(0.0d),
+            (acc, x) => acc + log(x.getField("cnt").cast("double")))
+          - n * log(col("total").cast("double"))) / n, 6).as("logprob"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash each
     * w-token shingle, slide a window of `windowSize` hashes, keep each
     * window's minimum — the classic local fingerprint set for near-dup /

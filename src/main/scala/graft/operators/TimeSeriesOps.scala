@@ -216,6 +216,45 @@ object TimeSeriesOps {
       last(col("valor"), ignoreNulls = true).over(w))
   }
 
+  /** Linear interpolation of missing observations — the gap-repair mode
+    * the reference ecosystem's series API offers alongside forward fill
+    * (series-tiempo-ar `collapse`/fill handling of incomplete periods).
+    * A null `valor` between two observed values is replaced by the
+    * straight line through its neighbours:
+    * `prev + (next - prev) * (t - t_prev) / (t_next - t_prev)`; leading
+    * and trailing nulls (no neighbour on one side) stay null.
+    *
+    * Two frames over one `partitionBy(keys)` ordering — Spark plans a
+    * single shuffle and a single sort for both (unbounded-preceding and
+    * unbounded-following share the window spec), so at 100 TB this
+    * costs the same one shuffle-by-key as forward fill. The fraction is
+    * computed in double with one fixed expression shape so any IEEE-754
+    * engine reproduces it bit-for-bit (rounded to 6 dp). */
+  def interpolate(series: DataFrame, keys: Seq[String] = Seq("serie_id"),
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val ord = col("indice_tiempo") +: tieCols.map(col)
+    val back = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tNonNull = when(col("valor").isNotNull, col("indice_tiempo"))
+    val prevV = last(col("valor"), ignoreNulls = true).over(back)
+    val prevT = last(tNonNull, ignoreNulls = true).over(back)
+    val nextV = first(col("valor"), ignoreNulls = true).over(fwd)
+    val nextT = first(tNonNull, ignoreNulls = true).over(fwd)
+    series
+      .withColumn("prev_valor", prevV).withColumn("prev_tiempo", prevT)
+      .withColumn("next_valor", nextV).withColumn("next_tiempo", nextT)
+      .withColumn("valor_interp",
+        when(col("valor").isNotNull, col("valor"))
+          .otherwise(round(
+            col("prev_valor") + (col("next_valor") - col("prev_valor")) *
+              ((col("indice_tiempo") - col("prev_tiempo")).cast("double") /
+               (col("next_tiempo") - col("prev_tiempo")).cast("double")),
+            6)))
+      .drop("prev_valor", "prev_tiempo", "next_valor", "next_tiempo")
+  }
+
   /** Period-over-period percentage change — the `percent_change`
     * representation the reference ecosystem's series API serves
     * (series-tiempo-ar `representation_mode=percent_change`). ÷0-safe

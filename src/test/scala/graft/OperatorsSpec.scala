@@ -464,4 +464,61 @@ class OperatorsSpec extends SparkSpec {
     assert(stats == Set(("A", 0L, 2L, 120L), ("A", 1L, 1L, 10L),
       ("B", 0L, 1L, 250L), ("B", 2L, 1L, 10L)), stats)
   }
+
+  test("capPerGroup: priority order wins, id breaks ties, groups independent") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", 1L, 10L), ("s1", 2L, 30L), ("s1", 3L, 30L), ("s1", 4L, 50L),
+      ("s2", 5L, 5L))
+      .toDF("source", "doc_id", "n_chars")
+    val kept = Curation.capPerGroup(docs, "source", "doc_id", 2,
+        priorityDesc = Seq("n_chars"))
+      .select("source", "doc_id", "grp_rank").as[(String, Long, Int)]
+      .collect().toSet
+    // s1: 4 (50 chars) ranks 1, then the 30-char tie resolves to doc 2;
+    // s2 is under the cap and keeps its only doc
+    assert(kept == Set(("s1", 4L, 1), ("s1", 2L, 2), ("s2", 5L, 1)), kept)
+  }
+
+  test("mixtureRebalance: binding stratum rate is ~1, shares scale, " +
+      "absent strata drop") {
+    import spark.implicits._
+    // 100 'a' + 10 'b': targets 50/50 -> b binds (10/0.5=20 < 200),
+    // a keeps 0.5*20/100 = 10% (1000 bp), b keeps 100% (10000 bp)
+    val docs = ((1 to 100).map(i => ("a", i.toLong)) ++
+      (101 to 110).map(i => ("b", i.toLong)) :+ (("c", 111L)))
+      .toDF("lang", "doc_id")
+    val out = Sampling.mixtureRebalance(docs, "lang", "doc_id",
+      Map("a" -> 0.5, "b" -> 0.5))
+    val rates = out.select("lang", "rate_bp").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(rates == Map("a" -> 1000L, "b" -> 10000L, "c" -> 0L), rates)
+    // every b sampled, no c sampled, sampling deterministic across runs
+    val s1 = out.filter(col("sampled")).select("doc_id")
+      .as[Long].collect().sorted
+    val s2 = Sampling.mixtureRebalance(docs, "lang", "doc_id",
+        Map("a" -> 0.5, "b" -> 0.5))
+      .filter(col("sampled")).select("doc_id").as[Long].collect().sorted
+    assert(s1.sameElements(s2))
+    assert((101L to 110L).forall(s1.contains), s1.mkString(","))
+    assert(!s1.contains(111L))
+  }
+
+  test("unigramLogProb: uniform corpus scores ln(1/vocab), rare tokens " +
+      "score lower") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb"), (2L, "aa bb"), (3L, "aa bb"), (4L, "aa zz"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs, "text", "doc_id")
+      .select("doc_id", "n_tokens", "logprob")
+      .as[(Long, Int, Double)].collect().map(x => x._1 -> x).toMap
+    assert(out.values.forall(_._2 == 2))
+    // corpus: aa x4, bb x3, zz x1, total 8
+    val lp = (a: Double, b: Double) =>
+      (math.log(a) + math.log(b)) / 2 - math.log(8.0)
+    assert(math.abs(out(1L)._3 - lp(4, 3)) < 1e-6, out(1L))
+    assert(math.abs(out(4L)._3 - lp(4, 1)) < 1e-6, out(4L))
+    assert(out(4L)._3 < out(1L)._3, "rare-token doc must score lower")
+  }
 }

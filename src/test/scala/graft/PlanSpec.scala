@@ -185,4 +185,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("Partial"),
       s"no partial aggregation:\n$p")
   }
+
+  test("q69 source cap: rank<=N is pushed down as a WindowGroupLimit") {
+    // the domain-cap filter must pre-prune per map task — a 100 TB corpus
+    // with a 10k cap moves O(groups x N) rows, not the whole table
+    val p = plan("q69_source_cap")
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
+  }
+
+  test("q70 mixture: rate table broadcast, fact side never sort-merged") {
+    val p = plan("q70_mixture")
+    assert(p.contains("BroadcastHashJoin"), s"rate table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"fact side shuffled for the rate join:\n$p")
+  }
+
+  test("interpolate: both window frames share one shuffle and one sort") {
+    // unbounded-preceding and unbounded-following frames over the same
+    // partitioning/order must not re-shuffle or re-sort between them
+    import spark.implicits._
+    val s = (1 to 100).map(i => ("k" + i % 3, i.toLong,
+      if (i % 4 == 0) None else Some(i * 1.0)))
+      .toDF("serie_id", "indice_tiempo", "valor")
+    val df = graft.operators.TimeSeriesOps.interpolate(s)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val exchanges = """\(\d+\) Exchange""".r.findAllMatchIn(p).length
+    val sorts = """\(\d+\) Sort""".r.findAllMatchIn(p).length
+    assert(exchanges == 1, s"want exactly 1 shuffle, got $exchanges:\n$p")
+    assert(sorts == 1, s"want exactly 1 sort, got $sorts:\n$p")
+  }
 }

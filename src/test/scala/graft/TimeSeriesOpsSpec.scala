@@ -159,4 +159,28 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got("2020-02-01") == ((2L, 1.5, 1.0, 2.0)))
     assert(got("2020-06-01") == ((3L, 5.0, 4.0, 6.0)))
   }
+
+  test("interpolate: straight line through neighbours, edges stay null") {
+    // integer time index, non-uniform spacing, a 2-null run, and a
+    // leading + trailing null that must survive as nulls
+    val s = Seq(
+      ("a", 0L, None), ("a", 10L, Some(1.0)), ("a", 20L, None),
+      ("a", 40L, Some(4.0)), ("a", 50L, None), ("a", 60L, None),
+      ("a", 70L, Some(1.0)), ("a", 80L, None),
+      ("b", 0L, Some(9.0)))
+      .toDF("serie_id", "indice_tiempo", "valor")
+    val got = TimeSeriesOps.interpolate(s).collect()
+      .map(r => (r.getAs[String]("serie_id"), r.getLong(1)) ->
+        Option(r.getAs[java.lang.Double]("valor_interp")).map(_.toDouble))
+      .toMap
+    assert(got(("a", 0L)).isEmpty, "leading null must stay null")
+    assert(got(("a", 80L)).isEmpty, "trailing null must stay null")
+    assert(got(("a", 10L)).contains(1.0), "observed values pass through")
+    // 20 is 1/3 of the way from (10, 1.0) to (40, 4.0)
+    assert(got(("a", 20L)).contains(2.0), got(("a", 20L)))
+    // consecutive nulls interpolate against the same bracket (40,4)-(70,1)
+    assert(got(("a", 50L)).contains(3.0), got(("a", 50L)))
+    assert(got(("a", 60L)).contains(2.0), got(("a", 60L)))
+    assert(got(("b", 0L)).contains(9.0), "singleton series untouched")
+  }
 }
