@@ -912,6 +912,54 @@ object SparkEntry {
         col("event_id"))
   }
 
+  /** Rolling z-score anomaly screen (TimeSeriesOps.rollingAnomaly):
+    * verdict computed in EXACT integer cents — `(n·x−s)² > kσ²·(n·sq−s²)`
+    * — so the boolean never depends on FP summation order. */
+  private def qRollingAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val series = t.events.select(
+      col("user_id").cast("string").as("serie_id"),
+      unix_micros(col("ts")).as("indice_tiempo"), col("event_id"),
+      round(col("value"), 2).as("valor"))
+    TimeSeriesOps.rollingAnomaly(series, k = 8, kSigma = 2, minObs = 4,
+        tieCols = Seq("event_id"))
+      .select(col("serie_id"), col("indice_tiempo"), col("event_id"),
+        col("valor"), col("n_w"), col("anomaly"), col("zscore"))
+      .orderBy(col("serie_id").cast("long"), col("indice_tiempo"),
+        col("event_id"))
+  }
+
+  /** Edit-distance verification of candidate pairs
+    * (Dedup.editDistanceVerify) — same deterministic pair frame as q32,
+    * character-level verdict instead of shingle overlap. */
+  private def qEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val d1 = t.documents.select(col("lang"), col("doc_id").as("id1"))
+    val d2 = t.documents.select(col("lang"), col("doc_id").as("id2"))
+    val pairs = d1.join(d2, Seq("lang"))
+      .filter(col("id2") > col("id1") && col("id2") <= col("id1") + 3)
+      .select(col("id1"), col("id2"))
+    Dedup.editDistanceVerify(t.documents, pairs, "text", "doc_id")
+      .select(col("id1"), col("id2"), col("len1"), col("len2"),
+        col("edit_dist"), col("dist_ratio"), col("near_dup"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Shingle containment (Dedup.shingleContainment) — the subset-dup
+    * signal Jaccard misses; same pair frame as q32. */
+  private def qContainment(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val d1 = t.documents.select(col("lang"), col("doc_id").as("id1"))
+    val d2 = t.documents.select(col("lang"), col("doc_id").as("id2"))
+    val pairs = d1.join(d2, Seq("lang"))
+      .filter(col("id2") > col("id1") && col("id2") <= col("id1") + 3)
+      .select(col("id1"), col("id2"))
+    Dedup.shingleContainment(t.documents, pairs, "text", "doc_id")
+      .select(col("id1"), col("id2"), col("n_inter"), col("n1"), col("n2"),
+        col("containment"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Multimodal plumbing: binary payload + stubbed decode + frame
     * sampling (MultiModal). */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -1142,6 +1190,9 @@ object SparkEntry {
     "q70_mixture" -> (qMixture _),
     "q71_unigram_lm" -> (qUnigramLm _),
     "q72_interpolate" -> (qInterpolate _),
+    "q73_rolling_anomaly" -> (qRollingAnomaly _),
+    "q74_edit_distance" -> (qEditDistance _),
+    "q75_containment" -> (qContainment _),
   )
 
   // -------------------------------------------------------------------
@@ -2240,6 +2291,68 @@ object SparkEntry {
         |          CAST(next_t - prev_t AS DOUBLE)), 6) END AS valor_interp
         |FROM w
         |ORDER BY CAST(serie_id AS BIGINT), indice_tiempo, event_id""".stripMargin,
+
+    // the anomaly verdict multiplies the z-test through by n² so it
+    // compares exact integers; only the reported zscore touches FP
+    "q73_rolling_anomaly" ->
+      """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS serie_id,
+        |    epoch_us(ts) AS indice_tiempo, event_id,
+        |    round(value, 2) AS valor FROM events),
+        |c AS (SELECT *, CAST(round(valor * 100) AS BIGINT) AS cents FROM s),
+        |w AS (SELECT serie_id, indice_tiempo, event_id, valor, cents,
+        |    count(cents) OVER win AS n_w,
+        |    sum(cents) OVER win AS s_w,
+        |    sum(cents * cents) OVER win AS sq_w
+        |  FROM c WINDOW win AS (PARTITION BY serie_id
+        |    ORDER BY indice_tiempo, event_id
+        |    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+        |d AS (SELECT *, n_w * cents - s_w AS dev,
+        |    n_w * sq_w - s_w * s_w AS varn FROM w)
+        |SELECT serie_id, indice_tiempo, event_id, valor, n_w,
+        |  (n_w >= 4 AND dev * dev > 4 * varn) AS anomaly,
+        |  CASE WHEN n_w >= 4 AND varn > 0
+        |       THEN round(CAST(dev AS DOUBLE) / sqrt(CAST(varn AS DOUBLE)), 6)
+        |  END AS zscore
+        |FROM d
+        |ORDER BY CAST(serie_id AS BIGINT), indice_tiempo, event_id""".stripMargin,
+
+    "q74_edit_distance" ->
+      s"""WITH norm AS (SELECT doc_id, lang, $normTextSql AS norm
+         |  FROM documents),
+         |pairs AS (SELECT d1.doc_id AS id1, d2.doc_id AS id2,
+         |    d1.norm AS t1, d2.norm AS t2
+         |  FROM norm d1 JOIN norm d2 ON d1.lang = d2.lang
+         |  AND d2.doc_id > d1.doc_id AND d2.doc_id <= d1.doc_id + 3)
+         |SELECT id1, id2,
+         |  CAST(len(t1) AS INT) AS len1, CAST(len(t2) AS INT) AS len2,
+         |  CAST(levenshtein(t1, t2) AS INT) AS edit_dist,
+         |  round(CAST(levenshtein(t1, t2) AS DOUBLE) /
+         |    greatest(len(t1), len(t2)), 6) AS dist_ratio,
+         |  round(CAST(levenshtein(t1, t2) AS DOUBLE) /
+         |    greatest(len(t1), len(t2)), 6) <= 0.3 AS near_dup
+         |FROM pairs ORDER BY id1, id2""".stripMargin,
+
+    "q75_containment" ->
+      s"""WITH $shinglesCteSql,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT d1.doc_id AS id1, d2.doc_id AS id2
+         |  FROM documents d1 JOIN documents d2 ON d1.lang = d2.lang
+         |  AND d2.doc_id > d1.doc_id AND d2.doc_id <= d1.doc_id + 3),
+         |inter AS (SELECT p.id1, p.id2, count(*) AS n_inter
+         |  FROM pairs p
+         |  JOIN sh a ON a.doc_id = p.id1
+         |  JOIN sh b ON b.doc_id = p.id2 AND a.shingle = b.shingle
+         |  GROUP BY p.id1, p.id2)
+         |SELECT p.id1, p.id2,
+         |  CAST(coalesce(n_inter, 0) AS BIGINT) AS n_inter,
+         |  s1.n_sh AS n1, s2.n_sh AS n2,
+         |  round(CAST(coalesce(n_inter, 0) AS DOUBLE) /
+         |    least(s1.n_sh, s2.n_sh), 6) AS containment
+         |FROM pairs p
+         |LEFT JOIN inter ON inter.id1 = p.id1 AND inter.id2 = p.id2
+         |JOIN sizes s1 ON s1.doc_id = p.id1
+         |JOIN sizes s2 ON s2.doc_id = p.id2
+         |ORDER BY p.id1, p.id2""".stripMargin,
 
     // closed-form replay of the BMP fixtures qBmpDecode encodes and
     // decodes: dims/pixel values are functions of doc_id, file size

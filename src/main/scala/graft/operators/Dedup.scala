@@ -158,6 +158,63 @@ object Dedup {
           (col("n1") + col("n2") - col("n_inter")), 6))
   }
 
+  /** Edit-distance verification of candidate pairs — the character-level
+    * complement to [[ngramJaccard]]: Levenshtein distance over the
+    * normalized texts, as a ratio of the longer text's length. Catches
+    * in-place character edits (typos, templated substitutions) that
+    * shingle overlap under-counts. Integer edit distance + one fixed
+    * division shape keeps it engine-portable.
+    *
+    * Scale shape: candidate pairs only (never all-pairs); two id-keyed
+    * joins move each text once; the O(len1·len2) DP per pair is bounded
+    * per-row CPU on documents, not corpus-quadratic work. */
+  def editDistanceVerify(docs: DataFrame, pairs: DataFrame, textCol: String,
+      idCol: String, maxDistRatio: Double = 0.3): DataFrame = {
+    val norm = docs.select(col(idCol).as("_id"),
+      normalizeText(col(textCol)).as("_norm"))
+    pairs
+      .join(norm.select(col("_id").as("id1"), col("_norm").as("t1")),
+        Seq("id1"))
+      .join(norm.select(col("_id").as("id2"), col("_norm").as("t2")),
+        Seq("id2"))
+      .select(col("id1"), col("id2"),
+        length(col("t1")).as("len1"), length(col("t2")).as("len2"),
+        levenshtein(col("t1"), col("t2")).as("edit_dist"))
+      .withColumn("dist_ratio",
+        round(col("edit_dist").cast("double") /
+          greatest(col("len1"), col("len2")), 6))
+      .withColumn("near_dup", col("dist_ratio") <= maxDistRatio)
+  }
+
+  /** Shingle containment — `|A ∩ B| / min(|A|, |B|)` over candidate
+    * pairs. Jaccard misses SUBSET duplication (a short doc embedded
+    * verbatim in a long one scores low because the union is large);
+    * containment scores it 1.0 — the signal web-corpus pipelines use to
+    * drop quoted/aggregated copies. Same equi-join shape as
+    * [[ngramJaccard]]: the shingle equality is IN the join key, so only
+    * intersecting rows materialize. */
+  def shingleContainment(docs: DataFrame, pairs: DataFrame, textCol: String,
+      idCol: String, n: Int = 3): DataFrame = {
+    val sh = shingleRows(docs, textCol, idCol, n).distinct()
+      .withColumnRenamed(idCol, "_id").localCheckpoint(false)
+    val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sh.withColumnRenamed("_id", "id1"), Seq("id1"))
+      .join(sh.select(col("_id").as("id2"), col("shingle")),
+        Seq("id2", "shingle"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("id1", "id2"), "left")
+      .join(sizes.withColumnRenamed("_id", "id1")
+        .withColumnRenamed("n_sh", "n1"), Seq("id1"))
+      .join(sizes.withColumnRenamed("_id", "id2")
+        .withColumnRenamed("n_sh", "n2"), Seq("id2"))
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("containment",
+        round(col("n_inter").cast("double") / least(col("n1"), col("n2")),
+          6))
+  }
+
   /** Chunk-level exact dedup — the line/paragraph dedup of web-corpus
     * pipelines (CCNet-style), over fixed `chunkTokens`-token chunks
     * (the synthetic corpus has no sentence boundaries): each document

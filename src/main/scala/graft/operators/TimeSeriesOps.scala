@@ -216,6 +216,44 @@ object TimeSeriesOps {
       last(col("valor"), ignoreNulls = true).over(w))
   }
 
+  /** Rolling z-score anomaly detection — the outlier screen of a series
+    * QA pass. Each observation is tested against the statistics of its
+    * `k` trailing PREDECESSORS (current row excluded — including it
+    * would cap a lone spike's z at √(n−1) and hide it). The test is
+    * evaluated ENTIRELY in exact integer cents: with `n`, `s = Σx`,
+    * `sq = Σx²` over the predecessor frame (integer sliding sums are
+    * exact under any summation tree), the condition `|x − mean| > kσ·std`
+    * multiplies through by `n²` to `(n·x − s)² > kσ²·(n·sq − s²)` — no
+    * FP enters the verdict, so any engine reproduces it bit-for-bit. A
+    * zero-variance predecessor window flags ANY deviation (`dev² > 0`).
+    * The reported `zscore = (n·x − s)/√(n·sq − s²)` is one fixed double
+    * expression rounded to 6 dp (null when the predecessor variance is
+    * zero or fewer than `minObs` predecessors exist).
+    *
+    * One shuffle by key; the frame is O(k) per row. */
+  def rollingAnomaly(series: DataFrame, k: Int, kSigma: Int = 2,
+      minObs: Int = 3, keys: Seq[String] = Seq("serie_id"),
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("indice_tiempo") +: tieCols.map(col): _*)
+      .rowsBetween(-k, -1)
+    val x = col("cents")
+    val n = col("n_w"); val s = col("s_w"); val sq = col("sq_w")
+    val dev = n * x - s              // n·(x − mean), exact
+    val varn = n * sq - s * s        // n²·var, exact
+    series
+      .withColumn("cents", round(col("valor") * 100).cast("long"))
+      .withColumn("n_w", count(x).over(w))
+      .withColumn("s_w", sum(x).over(w))
+      .withColumn("sq_w", sum(x * x).over(w))
+      .withColumn("anomaly",
+        n >= minObs && dev * dev > lit(kSigma.toLong * kSigma) * varn)
+      .withColumn("zscore",
+        when(n >= minObs && varn > 0,
+          round(dev.cast("double") / sqrt(varn.cast("double")), 6)))
+      .drop("cents", "s_w", "sq_w")
+  }
+
   /** Linear interpolation of missing observations — the gap-repair mode
     * the reference ecosystem's series API offers alongside forward fill
     * (series-tiempo-ar `collapse`/fill handling of incomplete periods).

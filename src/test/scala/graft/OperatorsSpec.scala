@@ -521,4 +521,35 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(out(4L)._3 - lp(4, 1)) < 1e-6, out(4L))
     assert(out(4L)._3 < out(1L)._3, "rare-token doc must score lower")
   }
+
+  test("editDistanceVerify: identical=0, known edit counts, ratio gate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "the quick brown cat"), (4L, "entirely different words here"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id1", "id2")
+    val out = Dedup.editDistanceVerify(docs, pairs, "text", "doc_id")
+      .select("id2", "edit_dist", "near_dup")
+      .as[(Long, Int, Boolean)].collect().map(x => x._1 -> (x._2, x._3))
+      .toMap
+    assert(out(2L) == ((0, true)), out(2L))
+    assert(out(3L) == ((3, true)), out(3L)) // fox -> cat = 3 substitutions
+    assert(out(4L)._1 > 15 && !out(4L)._2, out(4L))
+  }
+
+  test("shingleContainment: embedded doc scores 1.0 where jaccard is low") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " zeta eta theta iota kappa lambda mu nu xi " +
+      "omicron pi rho sigma tau upsilon"
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val c = Dedup.shingleContainment(docs, pairs, "text", "doc_id")
+      .select("containment").as[Double].head()
+    val j = Dedup.ngramJaccard(docs, pairs, "text", "doc_id")
+      .select("jaccard").as[Double].head()
+    assert(c == 1.0, s"containment=$c")
+    assert(j < 0.5, s"jaccard=$j should miss the subset-dup")
+  }
 }

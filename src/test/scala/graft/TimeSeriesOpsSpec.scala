@@ -183,4 +183,29 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got(("a", 60L)).contains(2.0), got(("a", 60L)))
     assert(got(("b", 0L)).contains(9.0), "singleton series untouched")
   }
+
+  test("rollingAnomaly: spike flags against its predecessors only") {
+    // alternating 10/12 baseline, then a spike to 100: the predecessor
+    // frame excludes the spike so its z is huge; a flat predecessor
+    // window (series b) flags any deviation with a null zscore
+    val s = (Seq(("a", 1L, 10.0), ("a", 2L, 12.0), ("a", 3L, 10.0),
+      ("a", 4L, 12.0), ("a", 5L, 10.0), ("a", 6L, 12.0), ("a", 7L, 100.0)) ++
+      Seq(("b", 1L, 5.0), ("b", 2L, 5.0), ("b", 3L, 5.0), ("b", 4L, 5.0),
+        ("b", 5L, 9.0)))
+      .toDF("serie_id", "indice_tiempo", "valor")
+    val got = TimeSeriesOps.rollingAnomaly(s, k = 4, kSigma = 2, minObs = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getBoolean(r.fieldIndex("anomaly")),
+          Option(r.getAs[java.lang.Double]("zscore"))))).toMap
+    assert(!got(("a", 2L))._1 && got(("a", 2L))._2.isEmpty,
+      "n < minObs must not flag")
+    assert(!got(("a", 6L))._1, "baseline point must not flag")
+    assert(got(("a", 7L))._1, "spike must flag")
+    // predecessors of the spike are (12,10,12,10) cents: dev=35600,
+    // varn=160000 -> z = 35600/400 = 89
+    assert(got(("a", 7L))._2.contains(89.0), got(("a", 7L)))
+    assert(got(("b", 5L))._1 && got(("b", 5L))._2.isEmpty,
+      "zero-variance predecessors: any deviation flags, zscore null")
+  }
 }
