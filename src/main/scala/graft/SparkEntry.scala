@@ -960,6 +960,43 @@ object SparkEntry {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Additive seasonal decomposition (TimeSeriesOps.seasonalDecompose):
+    * monthly revenue split into trend + month-of-year seasonal +
+    * residual, all FP reduced to fixed expressions over exact integer
+    * cents. */
+  private def qSeasonal(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val monthly = t.lineitem.groupBy(
+        col("l_returnflag").as("serie_id"),
+        trunc(col("l_shipdate"), "month").as("indice_tiempo"))
+      .agg(round(sum(col("l_quantity")), 2).as("valor"))
+    TimeSeriesOps.seasonalDecompose(monthly, period = 12)
+      .select(col("serie_id"), col("indice_tiempo"), col("valor"),
+        col("trend"), col("seasonal"), col("residual"))
+      .orderBy(col("serie_id"), col("indice_tiempo"))
+  }
+
+  /** Ordered conversion funnel (EventAnalytics.funnel): view → click →
+    * purchase, strictly-after semantics, mean inter-step lag from exact
+    * integer µs sums. */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    EventAnalytics.funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy(col("step"))
+  }
+
+  /** Weekly retention cohorts (EventAnalytics.retentionCohorts):
+    * integer epoch-week cohort crossed with activity-week offset. */
+  private def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("user_id"),
+      unix_micros(col("ts")).as("us"))
+    EventAnalytics.retentionCohorts(ev)
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Multimodal plumbing: binary payload + stubbed decode + frame
     * sampling (MultiModal). */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -1193,6 +1230,9 @@ object SparkEntry {
     "q73_rolling_anomaly" -> (qRollingAnomaly _),
     "q74_edit_distance" -> (qEditDistance _),
     "q75_containment" -> (qContainment _),
+    "q76_seasonal" -> (qSeasonal _),
+    "q77_funnel" -> (qFunnel _),
+    "q78_retention" -> (qRetention _),
   )
 
   // -------------------------------------------------------------------
@@ -2291,6 +2331,70 @@ object SparkEntry {
         |          CAST(next_t - prev_t AS DOUBLE)), 6) END AS valor_interp
         |FROM w
         |ORDER BY CAST(serie_id AS BIGINT), indice_tiempo, event_id""".stripMargin,
+
+    // trend/seasonal/residual all reduce to fixed double expressions
+    // over exact integer cents (13·cents − Σcents is the scaled
+    // detrended value), so the decomposition hash-matches
+    "q76_seasonal" ->
+      """WITH monthly AS (SELECT l_returnflag AS serie_id,
+        |    CAST(date_trunc('month', l_shipdate) AS DATE) AS indice_tiempo,
+        |    round(sum(l_quantity), 2) AS valor
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT *, CAST(round(valor * 100) AS BIGINT) AS cents
+        |  FROM monthly),
+        |w AS (SELECT *, count(cents) OVER win AS n_c,
+        |    sum(cents) OVER win AS s_c
+        |  FROM c WINDOW win AS (PARTITION BY serie_id
+        |    ORDER BY indice_tiempo
+        |    ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)),
+        |d AS (SELECT *,
+        |    CASE WHEN n_c = 13 THEN 13 * cents - s_c END AS detr,
+        |    month(indice_tiempo) AS moy FROM w),
+        |seas AS (SELECT serie_id, moy, sum(detr) AS sum_d,
+        |    count(*) AS n_d
+        |  FROM d WHERE detr IS NOT NULL GROUP BY 1, 2)
+        |SELECT d.serie_id, d.indice_tiempo, d.valor,
+        |  CASE WHEN n_c = 13
+        |       THEN round(CAST(s_c AS DOUBLE) / 1300.0, 6) END AS trend,
+        |  round(CAST(sum_d AS DOUBLE) / (1300.0 * n_d), 6) AS seasonal,
+        |  CASE WHEN n_c = 13
+        |       THEN round(cents / 100.0 - CAST(s_c AS DOUBLE) / 1300.0 -
+        |         CAST(sum_d AS DOUBLE) / (1300.0 * n_d), 6) END AS residual
+        |FROM d LEFT JOIN seas
+        |  ON d.serie_id = seas.serie_id AND d.moy = seas.moy
+        |ORDER BY d.serie_id, d.indice_tiempo""".stripMargin,
+
+    "q77_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t, min(s1.t) AS t_prev
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id AND e.us > s1.t
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t, min(s2.t) AS t_prev
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id AND e.us > s2.t
+        |  WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users,
+        |  CAST(NULL AS DOUBLE) AS avg_lag_sec FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', count(*),
+        |  round(CAST(sum(t - t_prev) AS DOUBLE) /
+        |    (count(*) * 1000000.0), 6) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*),
+        |  round(CAST(sum(t - t_prev) AS DOUBLE) /
+        |    (count(*) * 1000000.0), 6) FROM s3
+        |ORDER BY step""".stripMargin,
+
+    "q78_retention" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) // 604800000000 AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the anomaly verdict multiplies the z-test through by n² so it
     // compares exact integers; only the reported zscore touches FP

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch analytics over the event stream table — ordered-sequence
+  * funnels and retention cohorts, the two queries every product/events
+  * warehouse serves (engine extension alongside the streaming surface
+  * in `graft.streaming.EventStream`; the reference has no equivalent).
+  *
+  * Both operators work on an integer microsecond timestamp column so
+  * every derived quantity (week indexes, lags) is exact integer
+  * arithmetic — nothing here depends on FP or timezone semantics.
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel: for each user, step i counts only if an
+    * event of `steps(i)` occurred STRICTLY AFTER that user's step i−1
+    * completion (first qualifying occurrence wins — the standard
+    * "ordered funnel" semantics, not mere set membership). Returns one
+    * row per step: `step` (1-based), `event_type`, `n_users`, and
+    * `avg_lag_sec` — the mean seconds from the previous step's
+    * completion (null for step 1), computed as an exact integer µs sum
+    * over users divided once.
+    *
+    * Scale shape: each step is one type-pruned scan + a user-keyed
+    * min-aggregation + a user-keyed join with the (shrinking) previous
+    * step frame — all partial-aggregatable, all keyed by user, no
+    * windows over the full event table. Steps are few (a funnel is
+    * 3-6 stages), so the chain length is a constant. */
+  def funnel(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", usCol: String = "us",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // stage frames: (user, t, t_prev) = first qualifying time of step i
+    // and the step-(i−1) completion it beat. Fully declarative — the
+    // result is ONE DataFrame (union of per-step one-row aggregates),
+    // no driver-side actions; a branch recomputes at most the 5-stage
+    // prefix of keyed aggregates above it.
+    def stepRow(i: Int, stage: DataFrame): DataFrame =
+      stage.agg(count(lit(1)).as("n_users"),
+          sum(col("t") - col("t_prev")).as("_lag_us"))
+        .select(lit(i + 1).as("step"), lit(steps(i)).as(typeCol),
+          col("n_users"),
+          round(col("_lag_us").cast("double") /
+            (col("n_users") * 1000000.0), 6).as("avg_lag_sec"))
+    var stage = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(usCol)).as("t"))
+    val first = stage.agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("step"), lit(steps.head).as(typeCol),
+        col("n_users"), lit(null).cast("double").as("avg_lag_sec"))
+    val rows = Seq.newBuilder[DataFrame]
+    rows += first
+    for (i <- 1 until steps.length) {
+      val prev = stage.select(col(userCol), col("t").as("t_prev"))
+      stage = events.filter(col(typeCol) === steps(i))
+        .join(prev, Seq(userCol))
+        .filter(col(usCol) > col("t_prev"))
+        .groupBy(col(userCol))
+        .agg(min(col(usCol)).as("t"), min(col("t_prev")).as("t_prev"))
+      rows += stepRow(i, stage)
+    }
+    rows.result().reduce(_ unionAll _)
+  }
+
+  /** Weekly retention cohorts: users are grouped by the epoch-week of
+    * their FIRST event (`cohort_week = min(us) ∕ 7 days`, integer), and
+    * each (cohort, week-offset) cell counts the distinct users active
+    * that week. Week indexes are integer divisions of the µs timestamp
+    * — portable across engines and immune to locale week rules.
+    *
+    * Scale shape: one user-keyed min-agg for cohorts, a user-keyed join
+    * back (users table is the small side at corpus scale — broadcast
+    * when it fits), and one (cohort, offset)-keyed count-distinct whose
+    * partial aggregation does the heavy lifting. */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+      usCol: String = "us"): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val withWeek = events.select(col(userCol),
+      floor(col(usCol) / weekUs).as("week"))
+    val cohorts = withWeek.groupBy(col(userCol))
+      .agg(min(col("week")).as("cohort_week"))
+    withWeek.join(cohorts, Seq(userCol))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+}

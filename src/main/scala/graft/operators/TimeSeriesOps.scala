@@ -216,6 +216,59 @@ object TimeSeriesOps {
       last(col("valor"), ignoreNulls = true).over(w))
   }
 
+  /** Additive seasonal decomposition (classical moving-average method,
+    * the STL-lite every stats package ships): `valor = trend + seasonal
+    * + residual` for monthly series.
+    *
+    *  - `trend`: centered moving average over `period + 1` observations
+    *    (±period/2), defined only where the full window exists;
+    *  - `seasonal`: per (key, month-of-year) mean of the detrended
+    *    series;
+    *  - `residual`: what's left.
+    *
+    * FP determinism: valor is held as exact integer cents, the centered
+    * sum is an exact integer, and the detrended value is scaled by
+    * `(period+1)·100` to the exact integer `(period+1)·cents − Σcents`
+    * before the seasonal mean — so both FP numbers (seasonal mean,
+    * residual) are
+    * single fixed-shape double expressions over exact integers that any
+    * IEEE-754 engine reproduces. Two shuffles: one window by key, one
+    * groupBy (key, month); both partial-aggregatable. */
+  def seasonalDecompose(series: DataFrame, period: Int = 12,
+      keys: Seq[String] = Seq("serie_id")): DataFrame = {
+    require(period % 2 == 0, "period must be even (centered window)")
+    val half = period / 2
+    val win = period + 1
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("indice_tiempo")).rowsBetween(-half, half)
+    val centered = series
+      .withColumn("cents", round(col("valor") * 100).cast("long"))
+      .withColumn("n_c", count(col("cents")).over(w))
+      .withColumn("s_c", sum(col("cents")).over(w))
+      // exact integer = win·100·(valor − trend); null off the full window
+      .withColumn("detr_scaled",
+        when(col("n_c") === win,
+          lit(win.toLong) * col("cents") - col("s_c")))
+      .withColumn("month_of_year", month(col("indice_tiempo")))
+    val scaleDen = lit(win * 100.0)
+    val seasonal = centered.filter(col("detr_scaled").isNotNull)
+      .groupBy((keys.map(col) :+ col("month_of_year")): _*)
+      .agg(sum(col("detr_scaled")).as("sum_d"),
+        count(lit(1)).as("n_d"))
+    centered.join(seasonal, keys :+ "month_of_year", "left")
+      .withColumn("trend",
+        when(col("n_c") === win,
+          round(col("s_c").cast("double") / (win * 100.0), 6)))
+      .withColumn("seasonal",
+        round(col("sum_d").cast("double") / (scaleDen * col("n_d")), 6))
+      .withColumn("residual",
+        when(col("n_c") === win,
+          round(col("cents") / 100.0 -
+            col("s_c").cast("double") / (win * 100.0) -
+            col("sum_d").cast("double") / (scaleDen * col("n_d")), 6)))
+      .drop("cents", "n_c", "s_c", "detr_scaled", "sum_d", "n_d")
+  }
+
   /** Rolling z-score anomaly detection — the outlier screen of a series
     * QA pass. Each observation is tested against the statistics of its
     * `k` trailing PREDECESSORS (current row excluded — including it

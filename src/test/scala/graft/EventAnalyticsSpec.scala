@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 1000000L // seconds -> µs
+
+  test("funnel: strictly-after ordering, first qualifying event, lags") {
+    // user 1 converts fully; user 2's first click precedes its view (must
+    // not count) but a later one qualifies; user 3 never clicks
+    val ev = Seq(
+      (1L, "view", 1L * S), (1L, "click", 3L * S), (1L, "purchase", 7L * S),
+      (2L, "click", 4L * S), (2L, "view", 5L * S), (2L, "click", 6L * S),
+      (3L, "view", 9L * S), (3L, "purchase", 10L * S))
+      .toDF("user_id", "event_type", "us")
+    val got = EventAnalytics.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getString(1), r.getLong(2),
+          Option(r.getAs[java.lang.Double]("avg_lag_sec"))))).toMap
+    assert(got(1) == (("view", 3L, None)), got(1))
+    // user 1 lag 2s, user 2 lag 1s -> avg 1.5s
+    assert(got(2) == (("click", 2L, Some(1.5))), got(2))
+    // user 3's purchase without a click must not count
+    assert(got(3) == (("purchase", 1L, Some(4.0))), got(3))
+  }
+
+  test("funnel: empty later stage yields zero count and null lag") {
+    val ev = Seq((1L, "view", 1L * S)).toDF("user_id", "event_type", "us")
+    val got = EventAnalytics.funnel(ev, Seq("view", "click"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(2), r.isNullAt(3)))).toMap
+    assert(got(1) == ((1L, true)))
+    assert(got(2) == ((0L, true)))
+  }
+
+  test("retentionCohorts: cohort from first event, offsets per active week") {
+    val wk = 7L * 86400L * S
+    val ev = Seq(
+      (1L, 0L * wk), (1L, 1L * wk + 5), (1L, 3L * wk),
+      (2L, 1L * wk), (2L, 2L * wk + 9))
+      .toDF("user_id", "us")
+    val got = EventAnalytics.retentionCohorts(ev)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L)), got)
+  }
+}

@@ -208,4 +208,36 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got(("b", 5L))._1 && got(("b", 5L))._2.isEmpty,
       "zero-variance predecessors: any deviation flags, zscore null")
   }
+
+  test("seasonalDecompose: reconstruction, edge nulls, periodic seasonal") {
+    // 3 years of monthly data: linear trend + a month-of-year bump
+    val rows = for (y <- 2018 to 2020; m <- 1 to 12) yield {
+      val i = (y - 2018) * 12 + m - 1
+      val bump = if (m == 12) 24.0 else if (m == 6) -12.0 else 0.0
+      ("a", d(f"$y-$m%02d-01"), 100.0 + i + bump)
+    }
+    val out = TimeSeriesOps.seasonalDecompose(rows.toDF(
+      "serie_id", "indice_tiempo", "valor"), period = 12).collect()
+      .map(r => r.getAs[java.sql.Date]("indice_tiempo").toString -> r).toMap
+    // first/last 6 months have no centered window -> null trend/residual
+    assert(out("2018-01-01").isNullAt(out("2018-01-01").fieldIndex("trend")))
+    assert(out("2020-12-01").isNullAt(out("2020-12-01").fieldIndex("trend")))
+    val interior = out.values
+      .filter(r => !r.isNullAt(r.fieldIndex("trend"))).toSeq
+    assert(interior.size == 24, s"${interior.size} interior rows")
+    for (r <- interior) {
+      val v = r.getAs[Double]("valor")
+      val sum = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(v - sum) < 1e-4,
+        s"$v != $sum at ${r.getAs[java.sql.Date]("indice_tiempo")}")
+    }
+    // the December bump shows up in December's seasonal, same both years
+    val dec = Seq("2018-12-01", "2019-12-01").map(k =>
+      out(k).getAs[Double]("seasonal"))
+    assert(dec.distinct.size == 1, s"seasonal not periodic: $dec")
+    assert(dec.head > 15.0, s"december seasonal too small: ${dec.head}")
+    val mar = out("2019-03-01").getAs[Double]("seasonal")
+    assert(math.abs(mar) < 5.0, s"flat month seasonal drifted: $mar")
+  }
 }
