@@ -262,6 +262,55 @@ object EventStream {
       }.toDF()
   }
 
+  final case class AnomalyPoint(serie_id: String, indice_tiempo: Long,
+      valor: Double)
+  final case class AnomalyVerdict(serie_id: String, indice_tiempo: Long,
+      valor: Double, n_w: Long, anomaly: Boolean, zscore: Option[Double])
+
+  /** Incremental rolling z-score anomaly screen — the streaming
+    * counterpart of `TimeSeriesOps.rollingAnomaly`, same exact-integer
+    * verdict: each arriving point is tested against the k trailing
+    * PREDECESSOR cents held in state (`(n·x − s)² > kσ²·(n·sq − s²)`,
+    * all integer), then pushed into the window. State per serie is at
+    * most k longs — bounded regardless of stream length, no timeout
+    * needed. Points inside a micro-batch are sorted by period first;
+    * like the batch operator, the verdict sequence matches batch
+    * exactly when points arrive in period order across batches. The
+    * reported zscore rounds half-up at 6 dp like Spark's `round`. */
+  def anomalyGuard(spark: SparkSession, points: DataFrame, k: Int,
+      kSigma: Int = 2, minObs: Int = 3): DataFrame = {
+    import spark.implicits._
+    val k2 = kSigma.toLong * kSigma
+    points.selectExpr("serie_id", "indice_tiempo", "valor")
+      .as[AnomalyPoint]
+      .groupByKey(_.serie_id)
+      .flatMapGroupsWithState[List[Long], AnomalyVerdict](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (serie: String, rows: Iterator[AnomalyPoint],
+            state: GroupState[List[Long]]) =>
+          var window = state.getOption.getOrElse(Nil) // oldest first, <= k
+          val out = List.newBuilder[AnomalyVerdict]
+          rows.toSeq.sortBy(_.indice_tiempo).foreach { p =>
+            val x = math.round(p.valor * 100)
+            val n = window.size.toLong
+            val s = window.sum
+            val sq = window.iterator.map(c => c * c).sum
+            val dev = n * x - s
+            val varn = n * sq - s * s
+            val anomaly = n >= minObs && dev * dev > k2 * varn
+            val z = if (n >= minObs && varn > 0)
+              Some(BigDecimal(dev.toDouble / math.sqrt(varn.toDouble))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            else None
+            out += AnomalyVerdict(serie, p.indice_tiempo, p.valor, n,
+              anomaly, z)
+            window = (window :+ x).takeRight(k)
+          }
+          state.update(window)
+          out.result().iterator
+      }.toDF()
+  }
+
   final case class ScoredDoc(doc_id: Long, ts: java.sql.Timestamp,
       digest: String, n_tokens: Long, quality_score: Double)
   final case class CuratedDoc(doc_id: Long, ts: java.sql.Timestamp,

@@ -619,4 +619,49 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == 3, out.collect().mkString("\n"))
     assert(out.filter(col("text") === "dup text").count() == 2)
   }
+
+  test("anomalyGuard verdicts match batch rollingAnomaly across batches") {
+    import spark.implicits._
+    // two series, spike in 'a'; split MID-SERIES across two micro-batches
+    // so the k-cents state must carry the window over the boundary
+    val rows = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 12.0), ("a", 3L, 10.0), ("a", 4L, 12.0),
+      ("a", 5L, 10.0), ("a", 6L, 12.0), ("a", 7L, 100.0), ("a", 8L, 12.0),
+      ("b", 1L, 5.0), ("b", 2L, 5.0), ("b", 3L, 5.0), ("b", 4L, 9.0))
+    val batchDf = rows.toDF("serie_id", "indice_tiempo", "valor")
+    val expected = graft.operators.TimeSeriesOps
+      .rollingAnomaly(batchDf, k = 4, kSigma = 2, minObs = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(r.fieldIndex("n_w")), r.getBoolean(r.fieldIndex("anomaly")),
+          Option(r.getAs[java.lang.Double]("zscore")).map(_.toDouble))))
+      .toMap
+
+    val dir = Files.createTempDirectory("graft-anom").toString
+    def write(chunk: Seq[(String, Long, Double)]): Unit =
+      chunk.toDF("serie_id", "indice_tiempo", "valor")
+        .write.mode("append").parquet(dir)
+    write(rows.take(5))
+    val schema = batchDf.schema
+    val q = EventStream.anomalyGuard(spark,
+        spark.readStream.schema(schema).parquet(dir), k = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom").start()
+    try {
+      q.processAllAvailable()
+      write(rows.drop(5))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("anom").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getBoolean(4),
+          Option(r.getAs[java.lang.Double]("zscore")).map(_.toDouble))))
+      .toMap
+    assert(got.keySet == expected.keySet, s"row sets differ: $got")
+    for ((key, exp) <- expected)
+      assert(got(key) == exp, s"$key: stream ${got(key)} != batch $exp")
+    // sanity: the spike and the flat-window deviation both flagged
+    assert(got(("a", 7L))._2 && got(("b", 4L))._2)
+  }
 }
