@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CellColIndexExpr, CellRowExpr, VecDotExpr, VecNormExpr}
+import graft.functions.{CellColIndexExpr, CellRowExpr, CharEntropyExpr, VecDotExpr, VecNormExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Enable with
@@ -45,7 +45,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_vec_norm"),
       info("graft_vec_norm",
         "graft_vec_norm(a) - euclidean norm of a float/double array"),
-      (children: Seq[Expression]) => VecNormExpr(children.head)))
+      (children: Seq[Expression]) => VecNormExpr(children.head)),
+    (FunctionIdentifier("graft_char_entropy"),
+      info("graft_char_entropy",
+        "graft_char_entropy(s) - Shannon entropy (nats) of the string's " +
+          "character distribution, order-independent fold"),
+      (children: Seq[Expression]) => CharEntropyExpr(children.head)))
 
   /** Install the functions on an ALREADY-RUNNING session (withExtensions
     * only applies to sessions built after it). */

@@ -997,6 +997,82 @@ object SparkEntry {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Snapshot diff (Snapshot.diff): row-level added/removed/changed/
+    * unchanged classification of two order-book snapshots — the
+    * re-harvest "which series changed" report at row grain. Prices
+    * compare in exact integer cents so the change verdict is
+    * engine-portable; ~1/7 of the overlap is mutated. */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val base = t.orders.select(col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      col("o_orderdate"))
+    val oldSnap = base.filter(col("o_orderdate") < lit("1995-07-01"))
+      .drop("o_orderdate")
+    val newSnap = base.filter(col("o_orderdate") >= lit("1993-07-01"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 7 === 0, col("price_cents") + 1000L)
+          .otherwise(col("price_cents")).as("price_cents"))
+    Snapshot.diff(oldSnap, newSnap, Seq("o_orderkey"),
+        Seq("o_orderstatus", "price_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Exact vocabulary heavy hitters (TextAnalysis.topTokens): top-10
+    * normalized tokens per language; the bounded-memory Misra-Gries
+    * companion (Sketches.heavyHitters) is spec-covered since its
+    * residual counts are merge-order-dependent. */
+  private def qTopTokens(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    TextAnalysis.topTokens(t.documents, "text", "lang", k = 10)
+      .orderBy(col("stratum"), col("rank"))
+  }
+
+  /** Incremental dedup (Dedup.writeSignatureIndex /
+    * dedupAgainstIndex): even doc_ids are the served corpus whose LSH
+    * postings persist as an index; odd doc_ids are the arriving crawl
+    * batch probing it. Same skip-if-exists build gate as q58 — repeat
+    * calls time the probe, the path a pipeline actually runs per
+    * batch. */
+  private def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sigidx_${math.abs(dir.hashCode)}").getPath
+    if (!new java.io.File(path, "buckets/_SUCCESS").exists())
+      Dedup.writeSignatureIndex(
+        t.documents.filter(col("doc_id") % 2 === 0), "text", "doc_id", path)
+    Dedup.dedupAgainstIndex(
+        t.documents.filter(col("doc_id") % 2 === 1), "text", "doc_id", path)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language winsorization of document length
+    * (Curation.winsorize): [p05, p95] exact-percentile clip thresholds
+    * (6-dp-rounded before comparison) and the per-side clip counts. */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Curation.winsorize(
+        t.documents.select(col("lang"), col("doc_id"), col("n_chars")),
+        "lang", "n_chars", pLo = 0.05, pHi = 0.95)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(when(col("clip_dir") === -1, 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("clip_dir") === 1, 1L).otherwise(0L)).as("n_clip_hi"))
+      .orderBy(col("lang"))
+  }
+
+  /** Character-distribution entropy per doc (TextAnalysis.charEntropy,
+    * the native codegen'd CharEntropyExpr) — order-independent fold,
+    * 6-dp round. */
+  private def qCharEntropy(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.documents.select(col("doc_id"),
+        round(TextAnalysis.charEntropy(col("text")), 6).as("entropy"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal plumbing: binary payload + stubbed decode + frame
     * sampling (MultiModal). */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -1233,6 +1309,11 @@ object SparkEntry {
     "q76_seasonal" -> (qSeasonal _),
     "q77_funnel" -> (qFunnel _),
     "q78_retention" -> (qRetention _),
+    "q79_snapshot_diff" -> (qSnapshotDiff _),
+    "q80_top_tokens" -> (qTopTokens _),
+    "q81_incremental_dedup" -> (qIncrementalDedup _),
+    "q82_winsorize" -> (qWinsorize _),
+    "q83_char_entropy" -> (qCharEntropy _),
   )
 
   // -------------------------------------------------------------------
@@ -1276,7 +1357,10 @@ object SparkEntry {
   /** Shared minhash-LSH candidate-pair CTE chain (ends at `pairs`);
     * reused by q31 and the q44 duplicate-cluster closure. Generated
     * from the SAME Scala constants Dedup uses. */
-  private val lshPairsCteSql: String = {
+  /** Shared minhash-LSH bucket CTE chain (ends at `buckets(doc_id,
+    * band, bucket)`); the q81 index probe replays it with a parity
+    * split. */
+  private val lshBucketsCteSql: String = {
     val k = 8; val bands = 4; val r = k / bands
     val mins = (0 until k).map(i =>
       s"min((h * ${2 * i + 1} + ${101 * i + 17}) % ${GF.MinhashPrime}) AS mh$i")
@@ -1290,11 +1374,14 @@ object SparkEntry {
        |hashed AS (SELECT doc_id, ${hash32Sql("shingle")} AS h FROM sh),
        |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
        |buckets AS (
-       |$bandSelects),
+       |$bandSelects)""".stripMargin
+  }
+
+  private val lshPairsCteSql: String =
+    s"""$lshBucketsCteSql,
        |pairs AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
        |  FROM buckets l JOIN buckets r
        |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)""".stripMargin
-  }
 
   /** Quality-signal CTE chain ending at `qsc(doc_id, n_tokens, …,
     * quality_score)` — the DuckDB replay of TextAnalysis.qualityScore,
@@ -2395,6 +2482,85 @@ object SparkEntry {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q79_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    o_orderdate FROM orders),
+        |old AS (SELECT o_orderkey, o_orderstatus, price_cents FROM base
+        |  WHERE o_orderdate < DATE '1995-07-01'),
+        |new AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN price_cents + 1000
+        |         ELSE price_cents END AS price_cents
+        |  FROM base WHERE o_orderdate >= DATE '1993-07-01')
+        |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  o.o_orderstatus AS old_o_orderstatus,
+        |  o.price_cents AS old_price_cents,
+        |  n.o_orderstatus AS new_o_orderstatus,
+        |  n.price_cents AS new_price_cents,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN n.o_orderkey IS NULL THEN 'removed'
+        |       WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+        |        AND o.price_cents IS NOT DISTINCT FROM n.price_cents
+        |         THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        |ORDER BY 1""".stripMargin,
+
+    "q80_top_tokens" ->
+      s"""WITH docs_norm AS (SELECT lang, $normTextSql AS norm
+         |  FROM documents),
+         |toks AS (SELECT lang AS stratum, unnest(${wsTokensSql("norm")})
+         |    AS tok FROM docs_norm),
+         |counts AS (SELECT stratum, tok, count(*) AS n FROM toks
+         |  GROUP BY 1, 2),
+         |ranked AS (SELECT stratum, tok, n, row_number() OVER (
+         |    PARTITION BY stratum ORDER BY n DESC, tok) AS rank
+         |  FROM counts)
+         |SELECT stratum, tok, n, CAST(rank AS INT) AS rank FROM ranked
+         |WHERE rank <= 10 ORDER BY stratum, rank""".stripMargin,
+
+    "q81_incremental_dedup" ->
+      s"""WITH $lshBucketsCteSql,
+         |hits AS (SELECT b.doc_id, count(DISTINCT c.corpus_id) AS n_hits
+         |  FROM (SELECT doc_id, band, bucket FROM buckets
+         |        WHERE doc_id % 2 = 1) b
+         |  JOIN (SELECT doc_id AS corpus_id, band, bucket FROM buckets
+         |        WHERE doc_id % 2 = 0) c
+         |  ON b.band = c.band AND b.bucket = c.bucket
+         |  GROUP BY 1),
+         |batchdocs AS (SELECT DISTINCT doc_id FROM documents
+         |  WHERE doc_id % 2 = 1)
+         |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+         |  coalesce(h.n_hits, 0) > 0 AS is_dup
+         |FROM batchdocs d LEFT JOIN hits h USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q82_winsorize" ->
+      """WITH th AS (SELECT lang,
+        |    round(quantile_cont(n_chars::DOUBLE, 0.05), 6) AS lo,
+        |    round(quantile_cont(n_chars::DOUBLE, 0.95), 6) AS hi
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang, count(*) AS n_docs, max(th.lo) AS lo,
+        |  max(th.hi) AS hi,
+        |  CAST(sum(CASE WHEN d.n_chars::DOUBLE < th.lo THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clip_lo,
+        |  CAST(sum(CASE WHEN d.n_chars::DOUBLE > th.hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clip_hi
+        |FROM documents d JOIN th USING (lang)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q83_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+        |ent AS (SELECT doc_id, CAST(sum(k) AS DOUBLE) AS n,
+        |    sum(k * ln(k)) AS s FROM cnt GROUP BY 1)
+        |SELECT d.doc_id,
+        |  round(coalesce(ln(e.n) - e.s / e.n, 0.0), 6) AS entropy,
+        |  d.n_chars
+        |FROM documents d LEFT JOIN ent e USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the anomaly verdict multiplies the z-test through by n² so it
     // compares exact integers; only the reported zscore touches FP

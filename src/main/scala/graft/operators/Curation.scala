@@ -70,4 +70,30 @@ object Curation {
     funnel(docs, textCol, idCol, minTokens, minQuality)
       .filter(col("reason") === "kept")
       .select(docs.columns.map(col): _*)
+
+  /** Per-group winsorization: clip a numeric column to its group's
+    * [pLo, pHi] exact percentiles — the outlier-taming normalizer for
+    * heavy-tailed pipeline signals (document lengths, per-domain page
+    * counts) where a global clip would flatten small strata.
+    *
+    * Determinism: thresholds round to 6 dp BEFORE the comparison (the
+    * same convention as qualityQuantileGate) so the clip verdict is
+    * engine-portable. Returns the input plus `lo`, `hi`, `clipped`
+    * (the clamped value) and `clip_dir` (-1 below, 0 inside, 1 above).
+    *
+    * Scale shape: the threshold frame is one percentile aggregation —
+    * rows = #groups, metadata scale — broadcast back onto the corpus;
+    * the big side never shuffles and the clamp itself is a pure
+    * codegen'd projection. */
+  def winsorize(df: DataFrame, groupCol: String, valCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    val v = col(valCol).cast("double")
+    val thresholds = df.groupBy(col(groupCol))
+      .agg(round(percentile(v, lit(pLo)), 6).as("lo"),
+        round(percentile(v, lit(pHi)), 6).as("hi"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .withColumn("clipped", least(greatest(v, col("lo")), col("hi")))
+      .withColumn("clip_dir",
+        when(v < col("lo"), -1).when(v > col("hi"), 1).otherwise(0))
+  }
 }

@@ -423,4 +423,54 @@ object Dedup {
       .agg(sum(when(col("s") > 0, expr("shiftleft(1L, bit)")).otherwise(0L))
         .as("simhash"))
   }
+
+  /** Persist the corpus's LSH bucket postings as a signature index:
+    * parquet at `path/buckets`, hive-partitioned by `band` and
+    * clustered on `bucket` within each band. This is the served-corpus
+    * half of INCREMENTAL dedup — the index is built once per corpus
+    * epoch and every new crawl batch probes it, instead of re-minhashing
+    * 100 TB per arriving batch (the S8 parse-once pattern applied to
+    * dedup state).
+    *
+    * Layout for the probe: band partition pruning cuts the read to the
+    * probed bands; within a band the postings are repartitioned AND
+    * sorted by bucket, so row-group min/max statistics prune bucket
+    * ranges a batch never touches. */
+  def writeSignatureIndex(docs: DataFrame, textCol: String, idCol: String,
+      path: String, k: Int = 8, bands: Int = 4, shingleN: Int = 3): Unit = {
+    lshBuckets(minhashSignature(docs, textCol, idCol, k, shingleN),
+        idCol, k, bands)
+      .withColumnRenamed(idCol, "corpus_id")
+      .repartition(col("band"), col("bucket"))
+      .sortWithinPartitions(col("bucket"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$path/buckets")
+  }
+
+  /** Probe a persisted signature index with a NEW batch of docs: each
+    * batch doc is flagged `is_dup` when any of its band buckets
+    * collides with a corpus posting. Returns one row per batch doc with
+    * the count of DISTINCT corpus docs hit.
+    *
+    * Scale: the batch (the small side, typically many orders of
+    * magnitude below the corpus) computes its own buckets and joins the
+    * index on (band, bucket); the batch side broadcasts when small, so
+    * the corpus postings stream through executors without a shuffle.
+    * The left join back onto the batch ids preserves zero-hit docs. */
+  def dedupAgainstIndex(batch: DataFrame, textCol: String, idCol: String,
+      indexPath: String, k: Int = 8, bands: Int = 4,
+      shingleN: Int = 3): DataFrame = {
+    val spark = batch.sparkSession
+    val index = spark.read.parquet(s"$indexPath/buckets")
+    val probe = lshBuckets(minhashSignature(batch, textCol, idCol, k, shingleN),
+      idCol, k, bands)
+    val hits = probe.join(index, Seq("band", "bucket"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("corpus_id")).as("n_hits"))
+    batch.select(col(idCol)).distinct()
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0L).as("is_dup"))
+  }
 }

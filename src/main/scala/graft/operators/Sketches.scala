@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import graft.functions.GF
 
@@ -38,5 +39,76 @@ object Sketches {
           .otherwise(round((lit(k) - 1) * lit(4294967296.0) / col("kth_min"), 2))
           .as("approx_distinct"),
         col("n_seen").cast("long").as("n_seen"))
+  }
+
+  /** One surviving (token, residual-count) candidate. */
+  case class MgCandidate(tok: String, n: Long)
+
+  /** Misra-Gries heavy-hitters summary: a BOUNDED (k entries) candidate
+    * map per group, guaranteed to contain every value with true
+    * frequency > N/(k+1) (Misra & Gries 1982; mergeable form per
+    * Agarwal et al. 2012 — both public). This is the 100 TB shape of
+    * "top tokens": the exact per-token groupBy
+    * (TextAnalysis.topTokens) shuffles one row per DISTINCT token —
+    * fine until the vocabulary itself is huge — while this aggregator
+    * carries at most k entries per partition regardless of vocabulary,
+    * merging partial summaries map-side like any partial aggregate.
+    *
+    * The summary is order-sensitive: residual counts (and which
+    * below-threshold tokens linger) depend on partition merge order, so
+    * the output is NOT run-deterministic and has no SQL oracle — the
+    * spec asserts the containment guarantee against exact counts
+    * instead. Callers wanting exact ranks re-count just the candidates
+    * in a second cheap pass. */
+  class MisraGriesAgg(k: Int)
+      extends Aggregator[String, scala.collection.mutable.HashMap[String, Long],
+        Seq[MgCandidate]] {
+    type Buf = scala.collection.mutable.HashMap[String, Long]
+
+    override def zero: Buf = scala.collection.mutable.HashMap.empty
+
+    override def reduce(b: Buf, tok: String): Buf = {
+      if (b.contains(tok)) b(tok) += 1L
+      else if (b.size < k) b(tok) = 1L
+      else {
+        // decrement-all: every stored count pays for the unstored token
+        val dead = b.iterator.flatMap { case (t, n) =>
+          if (n == 1L) Some(t) else { b(t) = n - 1L; None }
+        }.toList
+        dead.foreach(b.remove)
+      }
+      b
+    }
+
+    override def merge(a: Buf, b: Buf): Buf = {
+      b.foreach { case (t, n) => a(t) = a.getOrElse(t, 0L) + n }
+      if (a.size > k) {
+        // subtract the (k+1)-th largest residual from everything; at
+        // most k entries stay strictly positive
+        val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+        val dead = a.iterator.flatMap { case (t, n) =>
+          if (n - cut <= 0L) Some(t) else { a(t) = n - cut; None }
+        }.toList
+        dead.foreach(a.remove)
+      }
+      a
+    }
+
+    override def finish(b: Buf): Seq[MgCandidate] =
+      b.toSeq.map { case (t, n) => MgCandidate(t, n) }
+        .sortBy(c => (-c.n, c.tok))
+
+    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+    override def outputEncoder: Encoder[Seq[MgCandidate]] =
+      ExpressionEncoder[Seq[MgCandidate]]()
+  }
+
+  /** Heavy-hitter candidates per group over an already-tokenized
+    * column: one aggregation, constant state per group. */
+  def heavyHitters(df: DataFrame, groupCol: String, tokenCol: String,
+      k: Int): DataFrame = {
+    val mg = udaf(new MisraGriesAgg(k))
+    df.groupBy(col(groupCol))
+      .agg(mg(col(tokenCol)).as("candidates"))
   }
 }

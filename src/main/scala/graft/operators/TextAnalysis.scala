@@ -308,4 +308,40 @@ object TextAnalysis {
     scored.join(broadcast(thresholds), Seq(strataCol))
       .withColumn("kept", col(scoreCol) >= col("threshold"))
   }
+
+  /** Character-distribution Shannon entropy (nats) via the native
+    * codegen'd CharEntropyExpr — the gibberish/boilerplate detector
+    * (near-0 = one repeated char, ~ln(alphabet) = uniform noise). A
+    * per-row scalar: no explode, no shuffle, stays inside
+    * WholeStageCodegen. */
+  def charEntropy(c: Column): Column = {
+    graft.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_char_entropy", c)
+  }
+
+  /** Exact top-k tokens per stratum (vocabulary heavy hitters): the
+    * corpus-health report behind tokenizer-vocab and boilerplate
+    * audits. Tokens are the normalized whitespace tokens
+    * (Dedup.normalizeText — same token function the dedup shingles
+    * use). Rank ties break on token ascending so the result is total.
+    *
+    * Scale: explode → ONE partially-aggregated groupBy (token counts
+    * combine map-side, so the shuffle carries one row per distinct
+    * (stratum, token), not per occurrence) → per-stratum window that
+    * plans as WindowGroupLimit: each map task pre-prunes to its local
+    * top-k before the tiny final rank. No collect, no cross join;
+    * 1000 executors each stream their own token partitions. */
+  def topTokens(docs: DataFrame, textCol: String, strataCol: String,
+      k: Int): DataFrame = {
+    val toks = docs.select(col(strataCol).as("stratum"),
+      explode(GF.wsTokens(Dedup.normalizeText(col(textCol)))).as("tok"))
+    val counts = toks.groupBy(col("stratum"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("n").desc, col("tok"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("stratum"), col("tok"), col("n"), col("rank"))
+  }
 }

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Round-5 extension operators: snapshot diff, vocabulary heavy
+  * hitters (exact + Misra-Gries), incremental dedup against a
+  * persisted signature index, winsorization, char entropy. */
+class DeltaOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshot diff: all four statuses, null-safe compare") {
+    val oldSnap = Seq(
+      (1L, Some("A"), 10L), (2L, Some("B"), 20L), (3L, Some("C"), 30L),
+      (4L, None: Option[String], 40L))
+      .toDF("k", "status_col", "v")
+    val newSnap = Seq(
+      (2L, Some("B"), 20L),                 // unchanged
+      (3L, Some("C"), 31L),                 // changed (value)
+      (4L, None: Option[String], 40L),      // unchanged (null == null)
+      (5L, Some("E"), 50L))                 // added
+      .toDF("k", "status_col", "v")
+    val out = Snapshot.diff(oldSnap, newSnap, Seq("k"),
+      Seq("status_col", "v"))
+    val byKey = out.collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("status"))).toMap
+    assert(byKey == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "unchanged", 5L -> "added"))
+    val summary = Snapshot.diffSummary(out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary == Map("removed" -> 1L, "unchanged" -> 2L,
+      "changed" -> 1L, "added" -> 1L))
+  }
+
+  test("snapshot diff: fingerprint mode classifies identically") {
+    val t = Tables(spark, sf())
+    val base = t.orders.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    val mutated = base.withColumn("o_totalprice",
+      when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1.0)
+        .otherwise(col("o_totalprice")))
+    val plain = Snapshot.diff(base, mutated, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))
+      .groupBy(col("status")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fp = Snapshot.diff(base, mutated, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"), fingerprint = true)
+      .groupBy(col("status")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == fp)
+    assert(plain.getOrElse("changed", 0L) > 0L)
+    assert(!plain.contains("added") && !plain.contains("removed"))
+  }
+
+  test("top tokens: exact ranks; Misra-Gries candidates cover them") {
+    val docs = Tables(spark, sf()).documents
+    val k = 8
+    val exact = TextAnalysis.topTokens(docs, "text", "lang", k)
+    val exactEn = exact.filter(col("stratum") === "en")
+      .orderBy(col("rank")).collect()
+    assert(exactEn.nonEmpty && exactEn.length <= k)
+    // ranks are 1..n with counts non-increasing
+    assert(exactEn.map(_.getInt(3)).toSeq == (1 to exactEn.length))
+    val counts = exactEn.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+
+    // Misra-Gries guarantee: every token with true count > N/(cap+1)
+    // appears in the bounded candidate set
+    val toks = docs.select(col("lang"),
+      explode(graft.functions.GF.wsTokens(
+        Dedup.normalizeText(col("text")))).as("tok"))
+    val cap = 32
+    val mg = Sketches.heavyHitters(toks, "lang", "tok", cap)
+      .filter(col("lang") === "en").collect()
+    assert(mg.length == 1)
+    val candidates = mg.head.getSeq[org.apache.spark.sql.Row](1)
+      .map(_.getString(0)).toSet
+    assert(candidates.size <= cap)
+    val total = toks.filter(col("lang") === "en").count()
+    val mustHave = toks.filter(col("lang") === "en")
+      .groupBy("tok").count()
+      .filter(col("count") > total / (cap + 1))
+      .collect().map(_.getString(0)).toSet
+    assert(mustHave.subsetOf(candidates),
+      s"missing: ${mustHave.diff(candidates)}")
+  }
+
+  test("incremental dedup: exact copies flagged, index prunes bands") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (4L, "totally unrelated corpus content about engines"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sigidx-test").toString
+    Dedup.writeSignatureIndex(corpus, "text", "doc_id", dir)
+    // partition layout: band=N directories under buckets/
+    val bands = new java.io.File(s"$dir/buckets").listFiles()
+      .filter(_.getName.startsWith("band=")).map(_.getName).sorted
+    assert(bands.sameElements(Array("band=0", "band=1", "band=2", "band=3")))
+
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // copy of 0
+      (3L, "brand new never seen text with many unique words here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstIndex(batch, "text", "doc_id", dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L)._2 && out(1L)._1 >= 1L, s"copy not flagged: $out")
+    assert(!out(3L)._2 && out(3L)._1 == 0L, s"fresh doc flagged: $out")
+  }
+
+  test("winsorize: thresholds bound clipped values, dirs exact") {
+    val df = (1 to 100).map(i => ("g", i.toLong)).toDF("grp", "v")
+    val out = Curation.winsorize(df, "grp", "v", 0.05, 0.95)
+    val rows = out.collect()
+    assert(rows.length == 100)
+    val lo = rows.head.getDouble(rows.head.fieldIndex("lo"))
+    val hi = rows.head.getDouble(rows.head.fieldIndex("hi"))
+    // exact interpolated percentiles of 1..100
+    assert(math.abs(lo - 5.95) < 1e-9 && math.abs(hi - 95.05) < 1e-9)
+    rows.foreach { r =>
+      val clipped = r.getDouble(r.fieldIndex("clipped"))
+      val dir = r.getInt(r.fieldIndex("clip_dir"))
+      val v = r.getLong(r.fieldIndex("v")).toDouble
+      assert(clipped >= lo && clipped <= hi)
+      assert(dir == (if (v < lo) -1 else if (v > hi) 1 else 0))
+    }
+    assert(rows.count(_.getInt(rows.head.fieldIndex("clip_dir")) == -1) == 5)
+    assert(rows.count(_.getInt(rows.head.fieldIndex("clip_dir")) == 1) == 5)
+  }
+
+  test("char entropy: closed-form cases, order-independent") {
+    val df = Seq(
+      (1L, "aaaa"),            // one symbol -> 0
+      (2L, "abab"),            // two equiprobable -> ln 2
+      (3L, "ab"),              // ln 2 regardless of length
+      (4L, "abcd"),            // four equiprobable -> ln 4
+      (5L, "")).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.charEntropy(col("text")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.0)
+    assert(math.abs(out(2L) - math.log(2)) < 1e-12)
+    assert(math.abs(out(3L) - math.log(2)) < 1e-12)
+    assert(math.abs(out(4L) - math.log(4)) < 1e-12)
+    assert(out(5L) == 0.0)
+    // permutation invariance (the fold never depends on char order)
+    val perm = df.filter(col("id") === 2L).select(
+      TextAnalysis.charEntropy(lit("baba")).as("e")).head().getDouble(0)
+    assert(perm == out(2L))
+  }
+}

@@ -214,4 +214,45 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"want exactly 1 shuffle, got $exchanges:\n$p")
     assert(sorts == 1, s"want exactly 1 sort, got $sorts:\n$p")
   }
+
+  test("q80 top tokens: rank<=k pre-prunes as WindowGroupLimit") {
+    // at 100 TB the distinct-token frame is still large; each map task
+    // must keep only its local top-k per stratum before the final rank
+    val p = plan("q80_top_tokens")
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
+  }
+
+  test("q82 winsorize: threshold table broadcast, corpus never sort-merged") {
+    val p = plan("q82_winsorize")
+    assert(p.contains("BroadcastHashJoin"), s"thresholds not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the threshold join:\n$p")
+  }
+
+  test("q83 char entropy: map-only scalar inside whole-stage codegen") {
+    val df = SparkEntry.queries("q83_char_entropy")(spark, sf("sf0.001"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"entropy fell out of codegen:\n$p")
+    // one projection pass: the only exchange is the final order-by's
+    // range partitioning — the scalar itself never shuffles
+    val q = plan("q83_char_entropy")
+    assert("""\(\d+\) Exchange""".r.findAllMatchIn(q).length <= 1,
+      s"entropy projection should not shuffle except the final sort:\n$q")
+  }
+
+  test("snapshot diff: fingerprint mode projects the hash below the join") {
+    // the shuffle must carry (key, 8-byte fp), not the full row
+    val t = Tables(spark, sf("sf0.001"))
+    val base = t.orders.select(org.apache.spark.sql.functions.col("o_orderkey"),
+      org.apache.spark.sql.functions.col("o_orderstatus"),
+      org.apache.spark.sql.functions.col("o_totalprice"))
+    val df = graft.operators.Snapshot.diff(base, base, Seq("o_orderkey"),
+      Seq("o_orderstatus", "o_totalprice"), fingerprint = true)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("xxhash64"), s"fingerprint not in plan:\n$p")
+    assert(!p.toLowerCase.contains("cartesian"), s"cartesian diff:\n$p")
+    // the full-row columns are pruned from both scans
+    assert(!p.contains("o_comment"), s"unpruned scan:\n$p")
+  }
 }
