@@ -1073,6 +1073,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Distribution drift between corpus halves (Profiling.psiDrift):
+    * per-language PSI of document length, equal-width bins over the
+    * reference half's range — the pre-retraining drift monitor. */
+  private def qPsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Profiling.psiDrift(
+        t.documents.filter(col("doc_id") % 2 === 0),
+        t.documents.filter(col("doc_id") % 2 === 1),
+        "n_chars", "lang", bins = 10)
+      .orderBy(col("lang"))
+  }
+
   /** Multimodal plumbing: binary payload + stubbed decode + frame
     * sampling (MultiModal). */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -1314,6 +1326,7 @@ object SparkEntry {
     "q81_incremental_dedup" -> (qIncrementalDedup _),
     "q82_winsorize" -> (qWinsorize _),
     "q83_char_entropy" -> (qCharEntropy _),
+    "q84_psi_drift" -> (qPsiDrift _),
   )
 
   // -------------------------------------------------------------------
@@ -2549,6 +2562,41 @@ object SparkEntry {
         |    AS BIGINT) AS n_clip_hi
         |FROM documents d JOIN th USING (lang)
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q84_psi_drift" ->
+      """WITH ref AS (SELECT lang, n_chars::DOUBLE AS v FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |cur AS (SELECT lang, n_chars::DOUBLE AS v FROM documents
+        |  WHERE doc_id % 2 = 1),
+        |edges AS (SELECT lang, min(v) AS lo, max(v) AS hi FROM ref
+        |  GROUP BY lang),
+        |rb AS (SELECT r.lang,
+        |    CASE WHEN e.hi = e.lo THEN 0
+        |         ELSE least(greatest(
+        |           floor((r.v - e.lo) / ((e.hi - e.lo) / 10)), 0), 9)
+        |    END AS bin, count(*) AS n_ref
+        |  FROM ref r JOIN edges e USING (lang) GROUP BY 1, 2),
+        |cb AS (SELECT c.lang,
+        |    CASE WHEN e.hi = e.lo THEN 0
+        |         ELSE least(greatest(
+        |           floor((c.v - e.lo) / ((e.hi - e.lo) / 10)), 0), 9)
+        |    END AS bin, count(*) AS n_cur
+        |  FROM cur c JOIN edges e USING (lang) GROUP BY 1, 2),
+        |j AS (SELECT coalesce(rb.lang, cb.lang) AS lang,
+        |    coalesce(rb.bin, cb.bin) AS bin,
+        |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM rb FULL OUTER JOIN cb
+        |  ON rb.lang = cb.lang AND rb.bin = cb.bin),
+        |tot AS (SELECT lang, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+        |  FROM j GROUP BY 1),
+        |p AS (SELECT j.lang,
+        |    greatest(n_ref / t_ref, 1e-6) AS p_ref,
+        |    greatest(n_cur / t_cur, 1e-6) AS p_cur
+        |  FROM j JOIN tot USING (lang))
+        |SELECT lang,
+        |  round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
+        |  count(*) AS n_bins_present
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q83_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c

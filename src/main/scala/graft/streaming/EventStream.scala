@@ -430,4 +430,44 @@ object EventStream {
           SessionOut(userId, n, tot)
       }.toDF()
   }
+
+  final case class TokRow(grp: String, tok: String)
+  final case class MgEntry(tok: String, n: Long)
+  final case class MgState(entries: Seq[MgEntry])
+  final case class MgTop(grp: String, tok: String, n: Long, rank: Int)
+
+  /** Streaming vocabulary heavy hitters: the incremental form of
+    * Sketches.heavyHitters — per group, a BOUNDED Misra-Gries summary
+    * (≤ `cap` residual counters) carried as stream state, with the
+    * current top-`topK` candidates emitted each micro-batch (Update
+    * mode). Same guarantee as batch: any token whose true frequency in
+    * the stream so far exceeds N/(cap+1) is present in state — the
+    * stream never stores the vocabulary, only the candidate set, so
+    * state is O(groups × cap) regardless of stream length. Residual
+    * counts are lower bounds (and merge-order-dependent), so ranks are
+    * indicative; exact ranks come from a batch re-count of the
+    * candidates. Group keys are assumed a small closed set (languages,
+    * sources) — no timeout evicts them. */
+  def heavyHittersStream(spark: SparkSession, toks: DataFrame,
+      grpCol: String, tokCol: String, cap: Int = 64,
+      topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.operators.Sketches.MisraGriesAgg(cap)
+    toks.select(col(grpCol).cast("string").as("grp"),
+        col(tokCol).cast("string").as("tok")).as[TokRow]
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState[MgState, MgTop](OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (grp: String, rows: Iterator[TokRow], state: GroupState[MgState]) =>
+          val buf = scala.collection.mutable.HashMap.from(
+            state.getOption.map(_.entries.map(e => e.tok -> e.n))
+              .getOrElse(Seq.empty))
+          rows.foreach(r => agg.reduce(buf, r.tok))
+          val sorted = buf.toSeq.sortBy { case (t, n) => (-n, t) }
+          state.update(MgState(sorted.map { case (t, n) => MgEntry(t, n) }))
+          sorted.take(topK).zipWithIndex.map { case ((t, n), i) =>
+            MgTop(grp, t, n, i + 1)
+          }.iterator
+      }.toDF()
+  }
 }

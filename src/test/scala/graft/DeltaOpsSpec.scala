@@ -130,6 +130,27 @@ class DeltaOpsSpec extends SparkSpec {
     assert(rows.count(_.getInt(rows.head.fieldIndex("clip_dir")) == 1) == 5)
   }
 
+  test("psi drift: zero on identical populations, positive on shift") {
+    import graft.operators.Profiling
+    val ref = (1 to 200).map(i => ("g", (i % 50).toLong)).toDF("grp", "v")
+    val same = Profiling.psiDrift(ref, ref, "v", "grp", bins = 10)
+      .collect()
+    assert(same.length == 1)
+    assert(same.head.getDouble(same.head.fieldIndex("psi")) == 0.0)
+    // shifted population: mass moves to the top bins -> psi well above
+    // the 0.25 "shifted" bar
+    val cur = (1 to 200).map(i => ("g", (25 + i % 25).toLong))
+      .toDF("grp", "v")
+    val drift = Profiling.psiDrift(ref, cur, "v", "grp", bins = 10)
+      .collect().head
+    assert(drift.getDouble(drift.fieldIndex("psi")) > 0.25,
+      s"expected drift, got $drift")
+    // degenerate reference (constant column) must not NaN
+    val const = (1 to 10).map(_ => ("g", 7L)).toDF("grp", "v")
+    val d2 = Profiling.psiDrift(const, const, "v", "grp").collect().head
+    assert(d2.getDouble(d2.fieldIndex("psi")) == 0.0)
+  }
+
   test("char entropy: closed-form cases, order-independent") {
     val df = Seq(
       (1L, "aaaa"),            // one symbol -> 0

@@ -664,4 +664,53 @@ class StreamingSpec extends SparkSpec {
     // sanity: the spike and the flat-window deviation both flagged
     assert(got(("a", 7L))._2 && got(("b", 4L))._2)
   }
+
+  test("streaming heavy hitters keep every true-frequent token across batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mgstream").toString
+    // one file per write -> one micro-batch per write, 5 rows emitted each
+    def write(rows: Seq[(String, String)]): Unit =
+      rows.toDF("grp", "tok").coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: 'alpha' dominant; batch 2 shifts mass to 'omega'
+    val b1 = Seq.fill(40)(("en", "alpha")) ++ Seq.fill(25)(("en", "beta")) ++
+      (1 to 30).map(i => ("en", s"rare$i"))
+    val b2 = Seq.fill(50)(("en", "omega")) ++ Seq.fill(10)(("en", "alpha")) ++
+      (1 to 20).map(i => ("en", s"tail$i"))
+    write(b1)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tok",
+        org.apache.spark.sql.types.StringType)))
+    val cap = 16
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStream.heavyHittersStream(spark, stream, "grp", "tok",
+        cap = cap, topK = 5)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("mghh").start()
+    try {
+      q.processAllAvailable()
+      write(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // Update mode appends one rank-1..k run per batch; MG decrements
+    // can leave fewer than topK candidates, so runs vary in length —
+    // the LAST batch's emission starts at the final rank-1 row
+    val all = spark.table("mghh").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(all.count(_._3 == 1) == 2, s"want 2 batch emissions, got ${all.toSeq}")
+    val lastTop = all.drop(all.lastIndexWhere(_._3 == 1))
+    // MG guarantee over the WHOLE stream: true count > N/(cap+1) must
+    // be in the candidate set; here N=175, bar ~10.3 — alpha(50),
+    // beta(25), omega(50) all clear it and must appear in the top-5
+    val toks = lastTop.map(_._1).toSet
+    for (t <- Seq("alpha", "beta", "omega"))
+      assert(toks.contains(t), s"$t missing from $toks")
+    // residual counts are lower bounds on true counts
+    val counts = lastTop.map(x => x._1 -> x._2).toMap
+    assert(counts("alpha") <= 50L && counts("omega") <= 50L &&
+      counts("beta") <= 25L)
+  }
 }
