@@ -1085,6 +1085,36 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Cross-source duplication matrix (Dedup.sourceOverlap): shared
+    * distinct digests + overlap coefficient per source pair. */
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Dedup.sourceOverlap(t.documents, "text", "doc_id", "source")
+      .orderBy(col("source1"), col("source2"))
+  }
+
+  /** Per-doc 3-gram novelty of the odd half vs the even half's shingle
+    * vocabulary (TextAnalysis.ngramNovelty). */
+  private def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    TextAnalysis.ngramNovelty(
+        t.documents.filter(col("doc_id") % 2 === 1),
+        t.documents.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic weighted sampling (Sampling.weightedSample): top-5
+    * A-ES winners per language, length-weighted. */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Sampling.weightedSample(t.documents, "lang", "doc_id", "n_chars",
+        k = 5)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        col("priority"), col("rank"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** Multimodal plumbing: binary payload + stubbed decode + frame
     * sampling (MultiModal). */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -1327,6 +1357,9 @@ object SparkEntry {
     "q82_winsorize" -> (qWinsorize _),
     "q83_char_entropy" -> (qCharEntropy _),
     "q84_psi_drift" -> (qPsiDrift _),
+    "q85_source_overlap" -> (qSourceOverlap _),
+    "q86_ngram_novelty" -> (qNgramNovelty _),
+    "q87_weighted_sample" -> (qWeightedSample _),
   )
 
   // -------------------------------------------------------------------
@@ -1366,6 +1399,18 @@ object SparkEntry {
        |  THEN list_distinct(list_transform(generate_series(1, len(arr) - 2),
        |       i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
        |  ELSE [array_to_string(arr, ' ')] END) AS shingle FROM toks)""".stripMargin
+
+  /** Prefixed, doc-filtered variant of [[shinglesCteSql]] (ends at
+    * `<pfx>sh`) so one query can shingle two document subsets — q86
+    * shingles the current half against the reference half. */
+  private def shinglesCteFor(pfx: String, where: String): String =
+    s"""${pfx}d AS (SELECT doc_id, $normTextSql AS norm FROM documents
+       |  WHERE $where),
+       |${pfx}t AS (SELECT doc_id, ${wsTokensSql("norm")} AS arr FROM ${pfx}d),
+       |${pfx}sh AS (SELECT doc_id, unnest(CASE WHEN len(arr) >= 3
+       |  THEN list_distinct(list_transform(generate_series(1, len(arr) - 2),
+       |       i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+       |  ELSE [array_to_string(arr, ' ')] END) AS shingle FROM ${pfx}t)""".stripMargin
 
   /** Shared minhash-LSH candidate-pair CTE chain (ends at `pairs`);
     * reused by q31 and the q44 duplicate-cluster closure. Generated
@@ -2597,6 +2642,48 @@ object SparkEntry {
         |  round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
         |  count(*) AS n_bins_present
         |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q85_source_overlap" ->
+      s"""WITH sd AS (SELECT DISTINCT source, md5($normTextSql) AS digest
+         |  FROM documents),
+         |sizes AS (SELECT source, count(*) AS n FROM sd GROUP BY 1),
+         |shared AS (SELECT a.source AS source1, b.source AS source2,
+         |    count(*) AS n_shared
+         |  FROM sd a JOIN sd b ON a.digest = b.digest
+         |    AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT m1.source AS source1, m2.source AS source2,
+         |  CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+         |  m1.n AS n1, m2.n AS n2,
+         |  round(CAST(coalesce(sh.n_shared, 0) AS DOUBLE) /
+         |    least(m1.n, m2.n), 6) AS overlap
+         |FROM sizes m1 JOIN sizes m2 ON m1.source < m2.source
+         |LEFT JOIN shared sh
+         |  ON sh.source1 = m1.source AND sh.source2 = m2.source
+         |ORDER BY source1, source2""".stripMargin,
+
+    "q86_ngram_novelty" ->
+      s"""WITH ${shinglesCteFor("c", "doc_id % 2 = 1")},
+         |${shinglesCteFor("r", "doc_id % 2 = 0")},
+         |cdist AS (SELECT DISTINCT doc_id, shingle FROM csh),
+         |vocab AS (SELECT DISTINCT shingle FROM rsh)
+         |SELECT c.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN v.shingle IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  round(CAST(sum(CASE WHEN v.shingle IS NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS novelty
+         |FROM cdist c LEFT JOIN vocab v ON c.shingle = v.shingle
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "q87_weighted_sample" ->
+      s"""WITH p AS (SELECT lang, doc_id, n_chars,
+         |    round(ln((${hash32Sql("doc_id::VARCHAR")} + 0.5)
+         |        / 4294967296.0) / CAST(n_chars AS DOUBLE), 9) AS priority
+         |  FROM documents WHERE n_chars > 0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY priority DESC, doc_id) AS rank FROM p)
+         |SELECT lang, doc_id, n_chars, priority, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     "q83_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c

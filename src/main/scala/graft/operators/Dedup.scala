@@ -30,6 +30,43 @@ object Dedup {
       .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("keeper_id"))
       .filter(col("group_size") > 1)
 
+  /** Cross-source duplication matrix: for every pair of sources, how
+    * many distinct normalized-text digests they share, plus the overlap
+    * coefficient shared/min(|A|,|B|) — the "is crawl B mostly a re-crawl
+    * of A" signal that decides which sources are worth ingesting.
+    *
+    * Scale shape: the corpus collapses to distinct (source, digest)
+    * FIRST (one shuffle at digest grain — the 16-byte digest, never the
+    * text), so the self-join matches digest-grain frames; a digest
+    * joins only across the handful of sources that share it, so the
+    * join output is bounded by Σ_digest (#sources holding it)², not by
+    * corpus². The pair frame and per-source totals are sources²-sized
+    * metadata, combined broadcast-side. */
+  def sourceOverlap(docs: DataFrame, textCol: String, idCol: String,
+      srcCol: String): DataFrame = {
+    val sd = docs.select(col(srcCol).as("source"),
+        md5(normalizeText(col(textCol))).as("digest"))
+      .distinct()
+    val sizes = sd.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_digests"))
+    val shared = sd.as("a")
+      .join(sd.as("b"), col("a.digest") === col("b.digest") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source1"), col("b.source").as("source2"))
+      .agg(count(lit(1)).as("n_shared"))
+    // complete matrix: every source pair appears, zero-shared included
+    val matrix = broadcast(sizes.select(col("source").as("source1"),
+        col("n_digests").as("n1")))
+      .join(broadcast(sizes.select(col("source").as("source2"),
+        col("n_digests").as("n2"))), col("source1") < col("source2"))
+    matrix.join(shared, Seq("source1", "source2"), "left")
+      .select(col("source1"), col("source2"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n1"), col("n2"),
+        round(coalesce(col("n_shared"), lit(0L)) /
+          least(col("n1"), col("n2")), 6).as("overlap"))
+  }
+
   /** Exact dedup: keep the min-id row per digest. Implemented as a
     * groupBy + min + semi-join back (no row_number window: the digest
     * agg is partial-aggregatable, the window would not be). */

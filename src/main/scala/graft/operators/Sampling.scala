@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GF
 
@@ -116,6 +117,38 @@ object Sampling {
     * of (epoch, id). Exposed so callers can co-sort side tables. */
   def shuffleKey(id: Column, epoch: Int): Column =
     GF.hash32(concat(lit(s"sh${epoch}_"), id.cast("string")))
+
+  /** Weighted top-k sampling without replacement, per stratum —
+    * Efraimidis–Spirakis A-ES with a DETERMINISTIC uniform: each row
+    * draws u = (hash32(id) + 0.5) / 2^32 ∈ (0,1) and priority
+    * ln(u)/w (the log of u^(1/w); maximizing it draws row i with
+    * probability proportional to w_i, the classic weighted-reservoir
+    * key); the k highest-priority rows per stratum win. Hash-derived u
+    * makes the "random" draw replayable on any engine, cluster size,
+    * or retry — the property every other sampler in this file holds.
+    * Priorities round to 9 dp with an id tiebreak so cross-engine
+    * libm ulp drift cannot flip a rank.
+    *
+    * Scale shape: priority is one codegen'd projection; the
+    * per-stratum rank plans as WindowGroupLimit, so every map task
+    * pre-prunes to its local top-k before the tiny final sort — the
+    * shuffle carries ≈ strata × k rows, not the corpus. */
+  def weightedSample(df: DataFrame, strataCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (GF.hash32(col(idCol).cast("string")) + lit(0.5)) /
+      lit(4294967296.0)
+    val pri = round(log(u) / col(weightCol).cast("double"), 9)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("priority").desc, col(idCol))
+    // non-positive weights have no A-ES priority (ln(u)/w flips sign
+    // or divides by zero) — excluded, matching "weight ∝ inclusion
+    // probability" semantics where w <= 0 means never sampled
+    df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("priority", pri)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 
   /** Deterministic corpus shuffle — the training-order randomizer.
     * rand()-based shuffles are neither stable nor replay-safe (a

@@ -344,4 +344,31 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("stratum"), col("tok"), col("n"), col("rank"))
   }
+
+  /** Per-document n-gram novelty against a reference corpus: the
+    * fraction of a document's distinct word shingles never seen in the
+    * reference — high novelty flags genuinely new content worth
+    * ingesting, low novelty flags near-boilerplate of the served
+    * corpus (the aggregate cousin of containment dedup: one score per
+    * doc, no pairs).
+    *
+    * Scale shape: both sides collapse to distinct shingles first (the
+    * reference to a bare vocabulary column), then ONE shuffle joins at
+    * shingle grain — never doc × doc. At 100 TB the reference
+    * vocabulary is served from a persisted/bloom-fronted index rather
+    * than recomputed (the q81 signature-index pattern); semantics are
+    * identical. */
+  def ngramNovelty(cur: DataFrame, ref: DataFrame, textCol: String,
+      idCol: String, n: Int = 3): DataFrame = {
+    val curSh = Dedup.shingleRows(cur, textCol, idCol, n).distinct()
+    val vocab = Dedup.shingleRows(ref, textCol, idCol, n)
+      .select(col("shingle")).distinct()
+      .withColumn("seen", lit(1))
+    curSh.join(vocab, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel") / col("n_shingles"), 6))
+  }
 }

@@ -433,8 +433,12 @@ object EventStream {
 
   final case class TokRow(grp: String, tok: String)
   final case class MgEntry(tok: String, n: Long)
-  final case class MgState(entries: Seq[MgEntry])
-  final case class MgTop(grp: String, tok: String, n: Long, rank: Int)
+  final case class MgState(entries: Seq[MgEntry], nSeen: Long)
+  /** `n_seen` is the group's total token count so far — it dates each
+    * emission (a memory/file sink does not preserve batch order) and
+    * gives the N in the N/(cap+1) containment bound. */
+  final case class MgTop(grp: String, tok: String, n: Long, rank: Int,
+      n_seen: Long)
 
   /** Streaming vocabulary heavy hitters: the incremental form of
     * Sketches.heavyHitters — per group, a BOUNDED Misra-Gries summary
@@ -459,14 +463,16 @@ object EventStream {
       .flatMapGroupsWithState[MgState, MgTop](OutputMode.Update,
         GroupStateTimeout.NoTimeout) {
         (grp: String, rows: Iterator[TokRow], state: GroupState[MgState]) =>
+          val prev = state.getOption
           val buf = scala.collection.mutable.HashMap.from(
-            state.getOption.map(_.entries.map(e => e.tok -> e.n))
-              .getOrElse(Seq.empty))
-          rows.foreach(r => agg.reduce(buf, r.tok))
+            prev.map(_.entries.map(e => e.tok -> e.n)).getOrElse(Seq.empty))
+          var seen = prev.map(_.nSeen).getOrElse(0L)
+          rows.foreach { r => agg.reduce(buf, r.tok); seen += 1 }
           val sorted = buf.toSeq.sortBy { case (t, n) => (-n, t) }
-          state.update(MgState(sorted.map { case (t, n) => MgEntry(t, n) }))
+          state.update(MgState(
+            sorted.map { case (t, n) => MgEntry(t, n) }, seen))
           sorted.take(topK).zipWithIndex.map { case ((t, n), i) =>
-            MgTop(grp, t, n, i + 1)
+            MgTop(grp, t, n, i + 1, seen)
           }.iterator
       }.toDF()
   }

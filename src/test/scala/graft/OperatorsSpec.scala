@@ -552,4 +552,68 @@ class OperatorsSpec extends SparkSpec {
     assert(c == 1.0, s"containment=$c")
     assert(j < 0.5, s"jaccard=$j should miss the subset-dup")
   }
+
+  test("sourceOverlap: shared digests counted once, zero pairs kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The SAME text!", "a"), (2L, "the same text", "b"), // dup across a,b
+      (3L, "the same text", "a"),  // in-source dup: still ONE digest for a
+      (4L, "only in a", "a"),
+      (5L, "only in b", "b"),
+      (6L, "only in c", "c")).toDF("doc_id", "text", "src")
+    val m = Dedup.sourceOverlap(docs, "text", "doc_id", "src")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(m.size == 3) // complete 3-source matrix
+    assert(m(("a", "b")) == ((1L, 2L, 2L, 0.5)), m(("a", "b")))
+    assert(m(("a", "c"))._1 == 0L && m(("b", "c"))._1 == 0L)
+  }
+
+  test("ngramNovelty: full overlap scores 0, fresh doc scores 1") {
+    import spark.implicits._
+    val ref = Seq((10L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val cur = Seq(
+      (1L, "alpha beta gamma delta"),        // all shingles in ref
+      (2L, "one two three four five"),       // nothing in ref
+      (3L, "alpha beta gamma NEW TOKEN"))    // mixed
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(cur, ref, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((2L, 0L, 0.0)), out(1L))
+    assert(out(2L) == ((3L, 3L, 1.0)), out(2L))
+    // "alpha beta gamma" seen; "beta gamma new", "gamma new token" novel
+    assert(out(3L) == ((3L, 2L, 0.666667)), out(3L))
+  }
+
+  test("weightedSample: deterministic, ranks contiguous, heavy rows favored") {
+    import spark.implicits._
+    val rows = (1 to 400).map { i =>
+      val grp = if (i % 2 == 0) "g1" else "g2"
+      // half the rows get 100x the weight
+      (i.toLong, grp, if (i <= 200) 10000L else 100L)
+    }
+    val df = rows.toDF("id", "grp", "w")
+    val s1 = Sampling.weightedSample(df, "grp", "id", "w", k = 10)
+      .select("grp", "id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3))
+    val s2 = Sampling.weightedSample(df, "grp", "id", "w", k = 10)
+      .select("grp", "id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3))
+    assert(s1.sameElements(s2)) // replayable
+    assert(s1.count(_._1 == "g1") == 10 && s1.count(_._1 == "g2") == 10)
+    for (g <- Seq("g1", "g2"))
+      assert(s1.filter(_._1 == g).map(_._3).toSeq == (1 to 10).toSeq)
+    // with 100:1 odds the top-10 should be dominated by heavy rows
+    val heavy = s1.count(_._2 <= 200)
+    assert(heavy >= 16, s"expected mostly heavy winners, got $heavy/20")
+    // zero/negative weights never selected
+    val withZero = df.withColumn("w",
+      when(col("id") <= 390, lit(0L)).otherwise(col("w")))
+    val s3 = Sampling.weightedSample(withZero, "grp", "id", "w", k = 10)
+      .select("id").as[Long].collect()
+    assert(s3.forall(_ > 390) && s3.length == 10)
+  }
 }

@@ -695,13 +695,14 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
 
-    // Update mode appends one rank-1..k run per batch; MG decrements
-    // can leave fewer than topK candidates, so runs vary in length —
-    // the LAST batch's emission starts at the final rank-1 row
+    // Update mode appends one rank-1..k run per batch; the sink does
+    // NOT preserve batch order, so the last emission is identified by
+    // its n_seen stamp (the group's running token total), not position
     val all = spark.table("mghh").collect()
-      .map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+      .map(r => (r.getString(1), r.getLong(2), r.getInt(3), r.getLong(4)))
     assert(all.count(_._3 == 1) == 2, s"want 2 batch emissions, got ${all.toSeq}")
-    val lastTop = all.drop(all.lastIndexWhere(_._3 == 1))
+    assert(all.map(_._4).toSet == Set(95L, 175L), s"n_seen stamps: ${all.toSeq}")
+    val lastTop = all.filter(_._4 == 175L).map(x => (x._1, x._2, x._3))
     // MG guarantee over the WHOLE stream: true count > N/(cap+1) must
     // be in the candidate set; here N=175, bar ~10.3 — alpha(50),
     // beta(25), omega(50) all clear it and must appear in the top-5
