@@ -23,11 +23,19 @@ import graft.operators.Sampling
   */
 object CorpusLake {
 
+  /** The writer's placement parameters, persisted as
+    * `_graft_meta.json` beside the shards (underscore prefix: invisible
+    * to parquet readers). Placement is a pure function of (id, these
+    * four numbers), so storing them makes every row findable WITHOUT a
+    * lake scan — the basis of [[deleteByKey]]. */
+  final case class LakeMeta(epoch: Int, nShards: Int, trainPct: Int,
+      valPct: Int)
+
   /** Write `docs` as training shards under `path`. Keeps all input
     * columns and adds `split`, `shard`, `shuffle_key`. */
   def writeShards(docs: DataFrame, idCol: String, path: String,
       epoch: Int, nShards: Int, trainPct: Int = 80,
-      valPct: Int = 10): Unit =
+      valPct: Int = 10): Unit = {
     Sampling.withSplit(docs, idCol, trainPct, valPct)
       .withColumn("shuffle_key", Sampling.shuffleKey(col(idCol), epoch))
       .withColumn("shard",
@@ -44,6 +52,102 @@ object CorpusLake {
       .write.mode("overwrite")
       .partitionBy("split", "shard")
       .parquet(path)
+    writeMeta(docs.sparkSession, path,
+      LakeMeta(epoch, nShards, trainPct, valPct))
+  }
+
+  private def writeMeta(spark: SparkSession, path: String,
+      m: LakeMeta): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val p = new HPath(s"$path/_graft_meta.json")
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write((s"""{"epoch": ${m.epoch}, "nShards": ${m.nShards}, """ +
+      s""""trainPct": ${m.trainPct}, "valPct": ${m.valPct}}""")
+      .getBytes("UTF-8"))
+    out.close()
+  }
+
+  def readMeta(spark: SparkSession, path: String): LakeMeta = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val p = new HPath(s"$path/_graft_meta.json")
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no _graft_meta.json under $path — " +
+      "not a CorpusLake (or written before placement metadata existed)")
+    val in = fs.open(p)
+    val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    def num(k: String): Int = {
+      val m = s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt)
+      require(m.isDefined, s"_graft_meta.json missing $k")
+      m.get.group(1).toInt
+    }
+    LakeMeta(num("epoch"), num("nShards"), num("trainPct"), num("valPct"))
+  }
+
+  /** JVM twin of GF.hash32 (first 4 md5 bytes as an unsigned int in a
+    * long) — placement math on the driver must agree bit-for-bit with
+    * what the writer's Column expressions computed. */
+  private def jvmHash32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Targeted deletion — the right-to-be-forgotten path. Because
+    * placement is deterministic (split from hash32(id) percent bucket,
+    * shard from the epoch shuffle key), the affected (split, shard)
+    * partitions are COMPUTED from the ids, never discovered by
+    * scanning: cost scales with the number of touched shards, not the
+    * corpus. Each touched shard is rewritten minus the deleted rows
+    * with its baked-in (shuffle_key, id) order intact, through the
+    * same backup/rename swap as SeriesLake.compactCatalog — a crash
+    * mid-delete leaves the shard recoverable, never missing. Returns
+    * the number of shards rewritten. */
+  def deleteByKey(spark: SparkSession, path: String, idCol: String,
+      keys: Seq[Any]): Int = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val meta = readMeta(spark, path)
+    val byPart = keys.map { k =>
+      val ks = k.toString
+      val b = jvmHash32(ks) % 100L
+      val split = if (b < meta.trainPct) "train"
+        else if (b < meta.trainPct + meta.valPct) "val" else "test"
+      val shard = (jvmHash32(s"sh${meta.epoch}_" + ks) %
+        meta.nShards.toLong).toInt
+      (split, shard) -> ks
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    var rewritten = 0
+    byPart.foreach { case ((split, shard), ids) =>
+      val partDir = new HPath(s"$path/split=$split/shard=$shard")
+      val fs = FileSystem.get(partDir.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(partDir)) {
+        val tmp = new HPath(s"$path/.delete-$split-$shard.tmp")
+        fs.delete(tmp, true)
+        spark.read.parquet(partDir.toString)
+          .filter(!col(idCol).cast("string").isInCollection(ids))
+          .coalesce(1)
+          .sortWithinPartitions(col("shuffle_key"), col(idCol))
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(new HPath(tmp, "_SUCCESS"), false)
+        val backup = new HPath(s"$path/.delete-$split-$shard.bak")
+        fs.delete(backup, true)
+        if (!fs.rename(partDir, backup))
+          sys.error(s"deleteByKey: failed to move $partDir aside; " +
+            "shard left untouched")
+        if (!fs.rename(tmp, partDir)) {
+          fs.rename(backup, partDir)
+          sys.error(s"deleteByKey: failed to move $tmp into place; " +
+            "original shard restored")
+        }
+        fs.delete(backup, true)
+        rewritten += 1
+      }
+    }
+    rewritten
+  }
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -69,27 +69,41 @@ object Profiling {
     * — rows = groups × bins, metadata scale); the PSI fold runs over
     * that tiny frame. Neither population shuffles more than its bin
     * counts. */
+  /** Per-group [min, max] of `valCol` — the bin edges every PSI
+    * population is binned against. One metadata-scale aggregation. */
+  def rangeEdges(ref: DataFrame, valCol: String,
+      groupCol: String): DataFrame =
+    ref.groupBy(col(groupCol))
+      .agg(min(col(valCol).cast("double")).as("lo"),
+        max(col(valCol).cast("double")).as("hi"))
+
+  /** Equal-width bin counts of `df` against broadcast `edges`
+    * (groupCol, lo, hi): floor((x−lo)/width) clamped to [0, bins−1].
+    * Only bins with rows appear — (group, bin) grain output. Shared by
+    * batch [[psiDrift]] and the streaming guard's reference histogram
+    * so both sides bin bit-identically. */
+  def histogram(df: DataFrame, valCol: String, groupCol: String,
+      edges: DataFrame, bins: Int, cntName: String = "n"): DataFrame = {
+    val v = col(valCol).cast("double")
+    df.join(broadcast(edges.select(col(groupCol), col("lo"), col("hi"))),
+        Seq(groupCol))
+      .withColumn("bin",
+        // degenerate width (constant reference column) pins bin 0 —
+        // avoids NaN/Inf division whose clamping is engine-specific
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(greatest(
+            floor((v - col("lo")) / ((col("hi") - col("lo")) / bins)),
+            lit(0L)), lit(bins - 1L))).cast("long"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as(cntName))
+  }
+
   def psiDrift(ref: DataFrame, cur: DataFrame, valCol: String,
       groupCol: String, bins: Int = 10): DataFrame = {
     require(bins > 0, "bins must be positive")
-    val v = col(valCol).cast("double")
-    val edges = ref.groupBy(col(groupCol))
-      .agg(min(v).as("lo"), max(v).as("hi"),
-        count(lit(1)).as("n_ref_total"))
-    def binned(df: DataFrame, cntName: String): DataFrame =
-      df.join(broadcast(edges.select(col(groupCol), col("lo"), col("hi"))),
-          Seq(groupCol))
-        .withColumn("bin",
-          // degenerate width (constant reference column) pins bin 0 —
-          // avoids NaN/Inf division whose clamping is engine-specific
-          when(col("hi") === col("lo"), lit(0L)).otherwise(
-            least(greatest(
-              floor((v - col("lo")) / ((col("hi") - col("lo")) / bins)),
-              lit(0L)), lit(bins - 1L))).cast("long"))
-        .groupBy(col(groupCol), col("bin"))
-        .agg(count(lit(1)).as(cntName))
-    val r = binned(ref, "n_ref")
-    val c = binned(cur, "n_cur")
+    val edges = rangeEdges(ref, valCol, groupCol)
+    val r = histogram(ref, valCol, groupCol, edges, bins, "n_ref")
+    val c = histogram(cur, valCol, groupCol, edges, bins, "n_cur")
     val joined = r.join(c, Seq(groupCol, "bin"), "full_outer")
       .select(col(groupCol),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),

@@ -476,4 +476,87 @@ object EventStream {
           }.iterator
       }.toDF()
   }
+
+  final case class PsiVal(grp: String, v: Double)
+  final case class PsiState(counts: Seq[Long])
+  final case class PsiOut(grp: String, psi: Double, n_cur: Long,
+      n_bins_present: Long)
+
+  /** Per-group reference histogram for [[psiDriftStream]], computed by
+    * the SAME batch binning as Profiling.psiDrift (Profiling.histogram
+    * over Profiling.rangeEdges) and collected driver-side — groups ×
+    * bins longs, metadata scale. */
+  def refHistogram(ref: DataFrame, valCol: String, grpCol: String,
+      bins: Int): Map[String, (Double, Double, Seq[Long])] = {
+    val edges = graft.operators.Profiling.rangeEdges(ref, valCol, grpCol)
+    val loHi = edges.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val hist = graft.operators.Profiling
+      .histogram(ref, valCol, grpCol, edges, bins)
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        val counts = Array.fill(bins)(0L)
+        rows.foreach(r => counts(r.getLong(1).toInt) = r.getLong(2))
+        g -> counts.toSeq
+      }
+    loHi.map { case (g, (lo, hi)) =>
+      g -> (lo, hi, hist.getOrElse(g, Seq.fill(bins)(0L)))
+    }
+  }
+
+  /** Streaming distribution-drift guard: the incremental form of
+    * Profiling.psiDrift. The reference histogram is frozen batch-side
+    * ([[refHistogram]]) and rides the closure; stream state is ONE
+    * bin-count vector per group (O(groups × bins) forever). Each
+    * micro-batch folds its rows into the counts — the identical
+    * floor/clamp arithmetic as the batch operator, so after any prefix
+    * of the stream the emitted PSI equals the batch PSI of that prefix
+    * (up to the batch side's 6-dp rounding; parity-tested). Emits
+    * (grp, psi, n_cur, n_bins_present) per batch in Update mode —
+    * the pre-retraining drift monitor running continuously instead of
+    * as a pre-flight job. Groups absent from the reference emit
+    * nothing (no edges to bin against). */
+  def psiDriftStream(spark: SparkSession, stream: DataFrame,
+      valCol: String, grpCol: String,
+      refHist: Map[String, (Double, Double, Seq[Long])],
+      bins: Int = 10): DataFrame = {
+    import spark.implicits._
+    stream.select(col(grpCol).cast("string").as("grp"),
+        col(valCol).cast("double").as("v")).as[PsiVal]
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState[PsiState, PsiOut](OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (grp: String, rows: Iterator[PsiVal], state: GroupState[PsiState]) =>
+          refHist.get(grp) match {
+            case None => rows.foreach(_ => ()); Iterator.empty
+            case Some((lo, hi, refCnt)) =>
+              val counts = state.getOption.map(_.counts.toArray)
+                .getOrElse(Array.fill(bins)(0L))
+              val width = (hi - lo) / bins
+              rows.foreach { r =>
+                val b = if (hi == lo) 0
+                  else math.min(bins - 1L, math.max(0L,
+                    math.floor((r.v - lo) / width).toLong)).toInt
+                counts(b) += 1
+              }
+              state.update(PsiState(counts.toSeq))
+              val tCur = counts.sum.toDouble
+              val tRef = refCnt.sum.toDouble
+              var psi = 0.0
+              var present = 0L
+              var b = 0
+              while (b < bins) {
+                if (refCnt(b) > 0 || counts(b) > 0) {
+                  val pR = math.max(refCnt(b) / tRef, 1e-6)
+                  val pC = math.max(counts(b) / tCur, 1e-6)
+                  psi += (pC - pR) * math.log(pC / pR)
+                  present += 1
+                }
+                b += 1
+              }
+              Iterator.single(PsiOut(grp, psi, counts.sum, present))
+          }
+      }.toDF()
+  }
 }

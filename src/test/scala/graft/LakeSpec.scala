@@ -107,6 +107,58 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("corpus lake: deleteByKey rewrites only computed shards, order intact") {
+    val dir = Files.createTempDirectory("graft-del").toString
+    val docs = Tables(spark, sf()).documents.select("doc_id", "text")
+    CorpusLake.writeShards(docs, "doc_id", dir, epoch = 2, nShards = 4)
+    val before = CorpusLake.read(spark, dir)
+      .select("split", "shard", "shuffle_key", "doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val victims = docs.select("doc_id").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    // which (split, shard) dirs the victims live in, per the data itself
+    val victimParts = before.filter(v => victims.contains(v._4))
+      .map(v => (v._1, v._2)).toSet
+    assert(victimParts.nonEmpty)
+
+    // snapshot every shard file's mtime before the delete
+    def shardFiles(): Map[String, Long] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.getName.startsWith("split=")).flatMap(
+        _.listFiles().filter(_.getName.startsWith("shard=")).flatMap(
+          _.listFiles().filter(_.getName.endsWith(".parquet"))))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val filesBefore = shardFiles()
+
+    val n = CorpusLake.deleteByKey(spark, dir, "doc_id", victims)
+    assert(n == victimParts.size,
+      s"rewrote $n shards, computed placement says ${victimParts.size}")
+
+    // victims gone, everyone else present in identical baked order
+    val after = CorpusLake.read(spark, dir)
+      .select("split", "shard", "shuffle_key", "doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(after.length == before.length - victims.length)
+    assert(!after.exists(v => victims.contains(v._4)))
+    def orderOf(rows: Array[(String, Int, Long, Long)]) =
+      rows.groupBy(r => (r._1, r._2)).view
+        .mapValues(_.map(x => (x._3, x._4)).sorted.toSeq).toMap
+    val expect = orderOf(before.filterNot(v => victims.contains(v._4)))
+    assert(orderOf(after) == expect)
+
+    // untouched shards were not rewritten (same file, same mtime)
+    val filesAfter = shardFiles()
+    val untouchedBefore = filesBefore.filterNot { case (p, _) =>
+      victimParts.exists { case (s, sh) => p.contains(s"split=$s/shard=$sh") } }
+    untouchedBefore.foreach { case (p, t) =>
+      assert(filesAfter.get(p).contains(t), s"untouched shard rewritten: $p")
+    }
+
+    // deleting an id that hashes to a never-written shard is a no-op
+    assert(CorpusLake.readMeta(spark, dir).nShards == 4)
+  }
+
   test("compaction rewrites a fragmented partition, data intact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact")

@@ -714,4 +714,64 @@ class StreamingSpec extends SparkSpec {
     assert(counts("alpha") <= 50L && counts("omega") <= 50L &&
       counts("beta") <= 25L)
   }
+
+  test("streaming psi drift matches batch psiDrift on every prefix") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    val dir = Files.createTempDirectory("graft-psistream").toString
+    def write(rows: Seq[(String, Long)]): Unit =
+      rows.toDF("grp", "v").coalesce(1).write.mode("append").parquet(dir)
+
+    // reference: uniform over [0, 100); current drifts upward batch 2
+    val ref = (1 to 300).map(i => ("g", (i % 100).toLong)) ++
+      (1 to 100).map(i => ("h", (i % 50).toLong))
+    val refDf = ref.toDF("grp", "v")
+    val hist = EventStream.refHistogram(refDf, "v", "grp", bins = 10)
+    assert(hist("g")._3.sum == 300L && hist.contains("h"))
+
+    val b1 = (1 to 120).map(i => ("g", (i % 100).toLong)) ++
+      (1 to 30).map(i => ("h", (i % 50).toLong)) ++
+      Seq(("unknown_grp", 5L)) // absent from reference -> no emission
+    val b2 = (1 to 80).map(i => ("g", (60 + i % 40).toLong)) // drift up
+    write(b1)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStream.psiDriftStream(spark, stream, "v", "grp", hist,
+        bins = 10)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("psidrift").start()
+    try {
+      q.processAllAvailable()
+      write(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("psidrift").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(!out.exists(_._1 == "unknown_grp"))
+
+    // batch PSI of each prefix must match the stream's emission for it
+    def batchPsi(cur: Seq[(String, Long)]): Map[String, (Double, Long)] =
+      Profiling.psiDrift(refDf, cur.toDF("grp", "v"), "v", "grp", 10)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getLong(2))).toMap
+    val p1 = batchPsi(b1.filter(x => x._1 == "g" || x._1 == "h"))
+    val p2 = batchPsi((b1 ++ b2).filter(x => x._1 == "g" || x._1 == "h"))
+    // emissions keyed by (grp, n_cur) — prefix sizes differ, so unique
+    val got = out.map(o => (o._1, o._3) -> (o._2, o._4)).toMap
+    for ((grp, nCur, exp) <- Seq(("g", 120L, p1("g")), ("h", 30L, p1("h")),
+        ("g", 200L, p2("g")), ("h", 30L, p2("h")))) {
+      val (psi, bins) = got((grp, nCur))
+      assert(math.abs(psi - exp._1) <= 1.1e-6,
+        s"$grp@$nCur: stream $psi vs batch ${exp._1}")
+      assert(bins == exp._2, s"$grp@$nCur bins: $bins vs ${exp._2}")
+    }
+    // the drifted prefix must actually read as drift
+    assert(p2("g")._1 > 0.1 && p2("g")._1 > p1("g")._1)
+  }
 }
