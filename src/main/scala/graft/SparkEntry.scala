@@ -987,6 +987,16 @@ object SparkEntry {
       .orderBy(col("step"))
   }
 
+  /** Time-to-convert percentiles per funnel step
+    * (EventAnalytics.funnelTiming): exact p50/p90/max lag seconds. */
+  private def qFunnelTiming(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    EventAnalytics.funnelTiming(ev, Seq("view", "click", "purchase"))
+      .orderBy(col("step"))
+  }
+
   /** Weekly retention cohorts (EventAnalytics.retentionCohorts):
     * integer epoch-week cohort crossed with activity-week offset. */
   private def qRetention(s: SparkSession, dir: String): DataFrame = {
@@ -1360,6 +1370,7 @@ object SparkEntry {
     "q85_source_overlap" -> (qSourceOverlap _),
     "q86_ngram_novelty" -> (qNgramNovelty _),
     "q87_weighted_sample" -> (qWeightedSample _),
+    "q88_funnel_timing" -> (qFunnelTiming _),
   )
 
   // -------------------------------------------------------------------
@@ -2530,6 +2541,33 @@ object SparkEntry {
         |SELECT 3, 'purchase', count(*),
         |  round(CAST(sum(t - t_prev) AS DOUBLE) /
         |    (count(*) * 1000000.0), 6) FROM s3
+        |ORDER BY step""".stripMargin,
+
+    "q88_funnel_timing" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t, min(s1.t) AS t_prev
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id AND e.us > s1.t
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t, min(s2.t) AS t_prev
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id AND e.us > s2.t
+        |  WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT 2 AS step, 'click' AS event_type, count(*) AS n_users,
+        |  round(quantile_cont(t - t_prev, 0.5) / 1000000.0, 6)
+        |    AS p50_lag_sec,
+        |  round(quantile_cont(t - t_prev, 0.9) / 1000000.0, 6)
+        |    AS p90_lag_sec,
+        |  round(CAST(max(t - t_prev) AS DOUBLE) / 1000000.0, 6)
+        |    AS max_lag_sec
+        |FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*),
+        |  round(quantile_cont(t - t_prev, 0.5) / 1000000.0, 6),
+        |  round(quantile_cont(t - t_prev, 0.9) / 1000000.0, 6),
+        |  round(CAST(max(t - t_prev) AS DOUBLE) / 1000000.0, 6)
+        |FROM s3
         |ORDER BY step""".stripMargin,
 
     "q78_retention" ->

@@ -44,13 +44,27 @@ object EventAnalytics {
           col("n_users"),
           round(col("_lag_us").cast("double") /
             (col("n_users") * 1000000.0), 6).as("avg_lag_sec"))
-    var stage = events.filter(col(typeCol) === steps.head)
-      .groupBy(col(userCol)).agg(min(col(usCol)).as("t"))
-    val first = stage.agg(count(lit(1)).as("n_users"))
+    val frames = stageFrames(events, steps, userCol, usCol, typeCol)
+    val first = frames.head.agg(count(lit(1)).as("n_users"))
       .select(lit(1).as("step"), lit(steps.head).as(typeCol),
         col("n_users"), lit(null).cast("double").as("avg_lag_sec"))
     val rows = Seq.newBuilder[DataFrame]
     rows += first
+    for (i <- 1 until steps.length) rows += stepRow(i, frames(i))
+    rows.result().reduce(_ unionAll _)
+  }
+
+  /** Per-step (user, t, t_prev) frames shared by [[funnel]] and
+    * [[funnelTiming]]: frame 0 is (user, t); frame i ≥ 1 keeps only
+    * users whose step-i event strictly follows their step-(i−1)
+    * completion. */
+  private def stageFrames(events: DataFrame, steps: Seq[String],
+      userCol: String, usCol: String,
+      typeCol: String): Seq[DataFrame] = {
+    var stage = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(usCol)).as("t"))
+    val frames = Seq.newBuilder[DataFrame]
+    frames += stage
     for (i <- 1 until steps.length) {
       val prev = stage.select(col(userCol), col("t").as("t_prev"))
       stage = events.filter(col(typeCol) === steps(i))
@@ -58,9 +72,40 @@ object EventAnalytics {
         .filter(col(usCol) > col("t_prev"))
         .groupBy(col(userCol))
         .agg(min(col(usCol)).as("t"), min(col("t_prev")).as("t_prev"))
-      rows += stepRow(i, stage)
+      frames += stage
     }
-    rows.result().reduce(_ unionAll _)
+    frames.result()
+  }
+
+  /** Time-to-convert distribution per funnel step: for every step
+    * after the first, exact p50/p90 and max of the per-user lag from
+    * the previous step's completion, in seconds (6 dp). The funnel
+    * says WHERE users stop; this says how long the ones who continue
+    * take — the input to timeout/abandonment thresholds.
+    *
+    * Exact `percentile` (quantile_cont interpolation) keeps the result
+    * oracle-portable; at true 100 TB user counts swap the flag for
+    * approx_percentile the way corpusStats documents. Scale shape is
+    * the funnel's: per-step user-keyed aggregations, each step's
+    * percentile computed over one (shrinking) stage frame. */
+  def funnelTiming(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", usCol: String = "us",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.length >= 2, "timing needs at least two steps")
+    val frames = stageFrames(events, steps, userCol, usCol, typeCol)
+    val rows = (1 until steps.length).map { i =>
+      frames(i).select((col("t") - col("t_prev")).as("lag_us"))
+        .agg(count(lit(1)).as("n_users"),
+          percentile(col("lag_us"), lit(0.5)).as("_p50"),
+          percentile(col("lag_us"), lit(0.9)).as("_p90"),
+          max(col("lag_us")).as("_max"))
+        .select(lit(i + 1).as("step"), lit(steps(i)).as(typeCol),
+          col("n_users"),
+          round(col("_p50") / 1000000.0, 6).as("p50_lag_sec"),
+          round(col("_p90") / 1000000.0, 6).as("p90_lag_sec"),
+          round(col("_max") / 1000000.0, 6).as("max_lag_sec"))
+    }
+    rows.reduce(_ unionAll _)
   }
 
   /** Weekly retention cohorts: users are grouped by the epoch-week of

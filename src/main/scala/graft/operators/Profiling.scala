@@ -102,12 +102,17 @@ object Profiling {
       groupCol: String, bins: Int = 10): DataFrame = {
     require(bins > 0, "bins must be positive")
     val edges = rangeEdges(ref, valCol, groupCol)
-    val r = histogram(ref, valCol, groupCol, edges, bins, "n_ref")
-    val c = histogram(cur, valCol, groupCol, edges, bins, "n_cur")
-    val joined = r.join(c, Seq(groupCol, "bin"), "full_outer")
-      .select(col(groupCol),
-        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    // align the two histograms by union + re-aggregate, not a
+    // full-outer join: full-outer can't broadcast (it would sort-merge
+    // even at (group, bin) grain) while the union's second aggregation
+    // combines map-side into the same tiny frame
+    val joined = histogram(ref, valCol, groupCol, edges, bins, "n_ref")
+        .withColumn("n_cur", lit(0L))
+      .unionByName(histogram(cur, valCol, groupCol, edges, bins, "n_cur")
+        .withColumn("n_ref", lit(0L)))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"))
+      .select(col(groupCol), col("n_ref"), col("n_cur"))
     val totals = joined.groupBy(col(groupCol))
       .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
     joined.join(broadcast(totals), Seq(groupCol))

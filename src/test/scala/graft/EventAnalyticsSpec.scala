@@ -35,6 +35,22 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(2) == ((0L, true)))
   }
 
+  test("funnelTiming: exact interpolated percentiles of per-user lag") {
+    // four converting users with click lags 1s, 2s, 3s, 10s
+    val ev = (1L to 4L).flatMap { u =>
+      val lag = if (u == 4) 10L else u
+      Seq((u, "view", u * 100L * S), (u, "click", (u * 100L + lag) * S))
+    }.toDF("user_id", "event_type", "us")
+    val r = EventAnalytics.funnelTiming(ev, Seq("view", "click"))
+      .collect().head
+    assert(r.getInt(0) == 2 && r.getString(1) == "click")
+    assert(r.getLong(2) == 4L)
+    // quantile_cont over [1,2,3,10]: p50 = 2.5, p90 = 3 + 0.7*7 = 7.9
+    assert(r.getDouble(3) == 2.5, s"p50 ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - 7.9) < 1e-9, s"p90 ${r.getDouble(4)}")
+    assert(r.getDouble(5) == 10.0)
+  }
+
   test("retentionCohorts: cohort from first event, offsets per active week") {
     val wk = 7L * 86400L * S
     val ev = Seq(

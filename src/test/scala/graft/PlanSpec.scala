@@ -255,4 +255,34 @@ class PlanSpec extends SparkSpec {
     // the full-row columns are pruned from both scans
     assert(!p.contains("o_comment"), s"unpruned scan:\n$p")
   }
+
+  test("q85 source overlap joins digests, never text; matrix sides broadcast") {
+    val p = plan("q85_source_overlap")
+    // the self-join must match on the 16-byte digest with text pruned
+    // out of the join: text feeds md5 inside the scan-side projection
+    assert(p.contains("md5"), s"digest not computed:\n$p")
+    val joinText = p.linesIterator
+      .filter(l => l.contains("Join") && l.contains("text"))
+    assert(joinText.isEmpty, s"join carries raw text:\n$p")
+    // the sources-squared matrix is broadcast work, not an exchange
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"size matrix should be a broadcast nested loop:\n$p")
+  }
+
+  test("q87 weighted sample: rank<=k pre-prunes as WindowGroupLimit") {
+    val p = plan("q87_weighted_sample")
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
+    // priority is pure projection work — exactly the rank's exchange
+    // plus the final presentation sort
+    assert("""\(\d+\) Exchange""".r.findAllMatchIn(p).length <= 2,
+      s"unexpected shuffles:\n$p")
+  }
+
+  test("q84 psi: bin counts partially aggregate; totals/edges broadcast") {
+    val p = plan("q84_psi_drift")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"bin counts not map-side combined:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"psi metadata joins must broadcast, not sort-merge:\n$p")
+  }
 }
