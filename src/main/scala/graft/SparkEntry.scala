@@ -1125,6 +1125,14 @@ object SparkEntry {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** Embedding-corpus QA (Profiling.embeddingDimStats): per-dimension
+    * mean/std/min/max — the collapsed-dimension detector. */
+  private def qDimStats(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Profiling.embeddingDimStats(t.embeddings, "embedding")
+      .orderBy(col("dim"))
+  }
+
   /** Multimodal plumbing: binary payload + stubbed decode + frame
     * sampling (MultiModal). */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -1371,6 +1379,7 @@ object SparkEntry {
     "q86_ngram_novelty" -> (qNgramNovelty _),
     "q87_weighted_sample" -> (qWeightedSample _),
     "q88_funnel_timing" -> (qFunnelTiming _),
+    "q89_dim_stats" -> (qDimStats _),
   )
 
   // -------------------------------------------------------------------
@@ -2722,6 +2731,16 @@ object SparkEntry {
          |    ORDER BY priority DESC, doc_id) AS rank FROM p)
          |SELECT lang, doc_id, n_chars, priority, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "q89_dim_stats" ->
+      """WITH x AS (SELECT unnest(embedding) AS v,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS dim
+        |  FROM embeddings)
+        |SELECT CAST(dim AS INT) AS dim, count(*) AS n,
+        |  round(avg(v::DOUBLE), 6) AS mean,
+        |  round(stddev(v::DOUBLE), 6) AS std,
+        |  min(v::DOUBLE) AS min_v, max(v::DOUBLE) AS max_v
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
 
     "q83_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c

@@ -124,4 +124,26 @@ object Profiling {
           * log(col("p_cur") / col("p_ref"))), 6).as("psi"),
         count(lit(1)).cast("long").as("n_bins_present"))
   }
+
+  /** Per-dimension statistics of an embedding column — the QA pass
+    * that catches collapsed dimensions (std ≈ 0), dead dimensions
+    * (mean ≈ min ≈ max) and scale blow-ups before a corpus of vectors
+    * is trusted for ANN or training. One row per dimension:
+    * (dim, n, mean, std, min_v, max_v).
+    *
+    * Scale shape: posexplode multiplies rows × dims, but the groupBy
+    * aggregates PARTIALLY before its shuffle — each map task reduces
+    * its slice to one row per dimension, so the exchange carries
+    * partitions × dims rows regardless of corpus size. Dimension count
+    * is the vector width (tens to thousands): the result is metadata
+    * scale. */
+  def embeddingDimStats(emb: DataFrame, vecCol: String): DataFrame =
+    emb.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("v")), 6).as("mean"),
+        round(stddev(col("v")), 6).as("std"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
 }

@@ -559,4 +559,50 @@ object EventStream {
           }
       }.toDF()
   }
+
+  final case class FunRow(user_id: Long, event_type: String, us: Long)
+  final case class FunnelState(stage: Int, tPrev: Long)
+  final case class FunnelAdv(user_id: Long, step: Int,
+      event_type: String, us: Long, lag_us: Option[Long])
+
+  /** Live ordered funnel: the incremental form of
+    * EventAnalytics.funnel. State per user is (stages completed, time
+    * of last completion) — two numbers, O(users) total. Each
+    * micro-batch folds the user's events IN TIMESTAMP ORDER (the batch
+    * slice is sorted before folding, so intra-batch disorder is
+    * harmless) and emits one advancement row per step the user
+    * completes, with the same strictly-after / first-qualifying
+    * semantics as batch. A step-k event that arrives in a LATER batch
+    * than a step-(k+1) event (cross-batch disorder) is not replayed —
+    * batch q77 over the full log remains the authority, the stream is
+    * the monitor. Downstream per-step counts are one aggregation over
+    * the advancement rows. */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+      steps: Seq[String], userCol: String = "user_id",
+      usCol: String = "us", typeCol: String = "event_type"): DataFrame = {
+    import spark.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepArr = steps.toIndexedSeq
+    events.select(col(userCol).cast("long").as("user_id"),
+        col(typeCol).cast("string").as("event_type"),
+        col(usCol).cast("long").as("us")).as[FunRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdv](OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunRow], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = Seq.newBuilder[FunnelAdv]
+          rows.toSeq.sortBy(r => (r.us, r.event_type)).foreach { r =>
+            if (st.stage < stepArr.length &&
+                r.event_type == stepArr(st.stage) &&
+                (st.stage == 0 || r.us > st.tPrev)) {
+              out += FunnelAdv(uid, st.stage + 1, r.event_type, r.us,
+                if (st.stage == 0) None else Some(r.us - st.tPrev))
+              st = FunnelState(st.stage + 1, r.us)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }.toDF()
+  }
 }

@@ -588,6 +588,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) == ((3L, 2L, 0.666667)), out(3L))
   }
 
+  test("embeddingDimStats: closed-form moments, collapsed dim flagged by std 0") {
+    import graft.operators.Profiling
+    val emb = Seq(
+      (1L, Array(1.0f, 5.0f, -2.0f)),
+      (2L, Array(3.0f, 5.0f, 2.0f)),
+      (3L, Array(5.0f, 5.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Profiling.embeddingDimStats(emb, "embedding")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    assert(got(0) == ((3L, 3.0, 2.0, 1.0, 5.0)), got(0)) // std of 1,3,5 = 2
+    assert(got(1) == ((3L, 5.0, 0.0, 5.0, 5.0)), got(1)) // collapsed dim
+    assert(got(2) == ((3L, 0.0, 2.0, -2.0, 2.0)), got(2))
+  }
+
   test("weightedSample: deterministic, ranks contiguous, heavy rows favored") {
     import spark.implicits._
     val rows = (1 to 400).map { i =>

@@ -774,4 +774,61 @@ class StreamingSpec extends SparkSpec {
     // the drifted prefix must actually read as drift
     assert(p2("g")._1 > 0.1 && p2("g")._1 > p1("g")._1)
   }
+
+  test("streaming funnel advancements match batch funnel counts") {
+    import spark.implicits._
+    import graft.operators.EventAnalytics
+    val S = 1000000L
+    val dir = Files.createTempDirectory("graft-funstream").toString
+    def write(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("user_id", "event_type", "us")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: user 1 views+clicks; user 2's click precedes its view
+    // INSIDE the batch (intra-batch disorder — the sort must fix it);
+    // user 3 views only
+    val b1 = Seq((1L, "view", 1L * S), (1L, "click", 3L * S),
+      (2L, "click", 4L * S), (2L, "view", 5L * S),
+      (3L, "view", 9L * S))
+    // batch 2: user 1 purchases; user 2 clicks after its view;
+    // user 3 purchases without clicking (must NOT advance)
+    val b2 = Seq((1L, "purchase", 12L * S), (2L, "click", 14L * S),
+      (3L, "purchase", 15L * S))
+    write(b1)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("us",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStream.funnelStream(spark, stream,
+        Seq("view", "click", "purchase"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funstream").start()
+    try {
+      q.processAllAvailable()
+      write(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val adv = spark.table("funstream").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    // per-step advancement counts equal the batch funnel over the log
+    val batch = EventAnalytics.funnel(
+        (b1 ++ b2).toDF("user_id", "event_type", "us"),
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val streamed = adv.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(streamed == batch.filter(_._2 > 0),
+      s"stream $streamed vs batch $batch")
+    // lags carry exact µs deltas; step-1 rows carry none
+    assert(adv.filter(_._2 == 1).forall(_._5.isEmpty))
+    assert(adv.find(a => a._1 == 1L && a._2 == 2).get._5.contains(2L * S))
+    assert(adv.find(a => a._1 == 2L && a._2 == 2).get._5.contains(9L * S))
+    // user 3 never clicked: its purchase is not an advancement
+    assert(!adv.exists(a => a._1 == 3L && a._2 == 3))
+  }
 }
