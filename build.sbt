@@ -27,12 +27,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // On very large heaps (driver may set SPARK_DRIVER_MEM >> 8g) a G1
-  // full-GC pause can reach tens of seconds and land inside a timed
-  // bench query. Make the explicit System.gc() calls Bench issues
-  // between queries concurrent instead of stop-the-world, and bound
-  // target pause times, so garbage from 40 warmup plans never
-  // accumulates into one giant pause.
-  "-XX:+ExplicitGCInvokesConcurrent",
+  // Bench calls System.gc() between queries so each timed run starts on
+  // a clean heap. That call MUST be stop-the-world: with
+  // +ExplicitGCInvokesConcurrent it returns immediately and the
+  // concurrent cycle's 32 GC threads run INSIDE the next timed query —
+  // measured 1.6s -> 8-22s on the query following a shingle-heavy one
+  // (tens of GB of short-lived garbage). A blocking full GC lands
+  // BETWEEN queries where the pause is untimed; MaxGCPauseMillis still
+  // bounds the implicit young pauses that do land inside queries.
+  "-XX:-ExplicitGCInvokesConcurrent",
   "-XX:MaxGCPauseMillis=200",
 )
