@@ -1133,6 +1133,24 @@ object SparkEntry {
       .orderBy(col("dim"))
   }
 
+  /** PMI collocations (TextAnalysis.pmiCollocations): top adjacent
+    * token pairs that co-occur beyond chance. */
+  private def qPmi(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    TextAnalysis.pmiCollocations(t.documents, "text", minCount = 5, k = 50)
+  }
+
+  /** Schema-drift report between lineitem halves
+    * (Profiling.profileDiff): null-spike / distinct-drop / mean-shift
+    * flags per column. */
+  private def qProfileDiff(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Profiling.profileDiff(
+      t.lineitem.filter(col("l_orderkey") % 2 === 0),
+      t.lineitem.filter(col("l_orderkey") % 2 === 1),
+      ProfileCols.map(_._1))
+  }
+
   /** Multimodal plumbing: binary payload + stubbed decode + frame
     * sampling (MultiModal). */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -1380,6 +1398,8 @@ object SparkEntry {
     "q87_weighted_sample" -> (qWeightedSample _),
     "q88_funnel_timing" -> (qFunnelTiming _),
     "q89_dim_stats" -> (qDimStats _),
+    "q90_pmi" -> (qPmi _),
+    "q91_profile_diff" -> (qProfileDiff _),
   )
 
   // -------------------------------------------------------------------
@@ -2731,6 +2751,56 @@ object SparkEntry {
          |    ORDER BY priority DESC, doc_id) AS rank FROM p)
          |SELECT lang, doc_id, n_chars, priority, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "q90_pmi" ->
+      s"""WITH dn AS (SELECT $normTextSql AS norm FROM documents),
+         |tk AS (SELECT ${wsTokensSql("norm")} AS arr FROM dn),
+         |uni AS (SELECT unnest(arr) AS tok FROM tk),
+         |uc AS (SELECT tok, count(*) AS c_tok FROM uni GROUP BY 1),
+         |nu AS (SELECT sum(c_tok) AS n_uni FROM uc),
+         |bg AS (SELECT unnest(CASE WHEN len(arr) >= 2
+         |    THEN list_transform(generate_series(1, len(arr) - 1),
+         |         i -> arr[i] || ' ' || arr[i+1])
+         |    ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM tk),
+         |bc AS (SELECT bigram, count(*) AS c_ab FROM bg GROUP BY 1),
+         |nb AS (SELECT sum(c_ab) AS n_bi FROM bc),
+         |cand AS (SELECT bigram, c_ab,
+         |    string_split(bigram, ' ')[1] AS w1,
+         |    string_split(bigram, ' ')[2] AS w2
+         |  FROM bc WHERE c_ab >= 5)
+         |SELECT c.bigram, c.c_ab, a.c_tok AS c_a, b.c_tok AS c_b,
+         |  round(ln((c.c_ab::DOUBLE / n_bi) /
+         |    ((a.c_tok::DOUBLE / n_uni) * (b.c_tok::DOUBLE / n_uni))), 6)
+         |    AS pmi
+         |FROM cand c
+         |CROSS JOIN nu CROSS JOIN nb
+         |JOIN uc a ON c.w1 = a.tok
+         |JOIN uc b ON c.w2 = b.tok
+         |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
+
+    "q91_profile_diff" -> {
+      def sideSql(sfx: String, parity: Int): String =
+        ProfileCols.map { case (c, isNum) =>
+          val mean = if (isNum) s"round(avg($c), 4)" else "CAST(NULL AS DOUBLE)"
+          s"""SELECT '$c' AS "column",
+             |  round((count(*) - count($c))::DOUBLE / count(*), 6)
+             |    AS null_rate_$sfx,
+             |  count(DISTINCT $c) AS n_distinct_$sfx,
+             |  $mean AS mean_$sfx
+             |FROM lineitem WHERE l_orderkey % 2 = $parity""".stripMargin
+        }.mkString("(", "\nUNION ALL\n", ")")
+      s"""WITH r AS ${sideSql("ref", 0)},
+         |c AS ${sideSql("cur", 1)}
+         |SELECT r."column", null_rate_ref, null_rate_cur,
+         |  n_distinct_ref, n_distinct_cur, mean_ref, mean_cur,
+         |  (null_rate_cur - null_rate_ref > 0.05) AS null_spike,
+         |  (n_distinct_cur < 0.5 * n_distinct_ref) AS distinct_drop,
+         |  CASE WHEN mean_ref IS NULL OR mean_cur IS NULL THEN false
+         |    ELSE abs(mean_cur - mean_ref) > 0.1 * abs(mean_ref)
+         |  END AS mean_shift
+         |FROM r JOIN c USING ("column")
+         |ORDER BY r."column"""".stripMargin
+    },
 
     "q89_dim_stats" ->
       """WITH x AS (SELECT unnest(embedding) AS v,

@@ -125,6 +125,42 @@ object Profiling {
         count(lit(1)).cast("long").as("n_bins_present"))
   }
 
+  /** Schema-drift report between two snapshots of the same table: the
+    * per-column profile of each side joined and flagged. Catches the
+    * three upstream breakages that silently poison a pipeline —
+    * `null_spike` (null rate rose more than `nullSpike` absolute),
+    * `distinct_drop` (cardinality collapsed below `distinctDropRatio`
+    * of the reference — a constant-fill or truncated-join symptom),
+    * and `mean_shift` (numeric mean moved more than `meanShiftRel`
+    * relative). All comparisons run on the profile's rounded outputs —
+    * identical arithmetic on identical inputs, so the booleans are
+    * engine-portable.
+    *
+    * Scale shape: two one-pass profiles (one agg job per side) joined
+    * at column-name grain — metadata scale. */
+  def profileDiff(ref: DataFrame, cur: DataFrame, cols: Seq[String],
+      nullSpike: Double = 0.05, distinctDropRatio: Double = 0.5,
+      meanShiftRel: Double = 0.1): DataFrame = {
+    def side(df: DataFrame, sfx: String): DataFrame =
+      profile(df, cols).select(col("column"),
+        round(col("n_null") / col("n_rows"), 6).as(s"null_rate_$sfx"),
+        col("n_distinct").as(s"n_distinct_$sfx"),
+        col("mean_value").as(s"mean_$sfx"))
+    side(ref, "ref").join(side(cur, "cur"), Seq("column"))
+      .select(col("column"),
+        col("null_rate_ref"), col("null_rate_cur"),
+        col("n_distinct_ref"), col("n_distinct_cur"),
+        col("mean_ref"), col("mean_cur"),
+        (col("null_rate_cur") - col("null_rate_ref") > nullSpike)
+          .as("null_spike"),
+        (col("n_distinct_cur") < lit(distinctDropRatio) * col("n_distinct_ref"))
+          .as("distinct_drop"),
+        when(col("mean_ref").isNull || col("mean_cur").isNull, lit(false))
+          .otherwise(abs(col("mean_cur") - col("mean_ref")) >
+            lit(meanShiftRel) * abs(col("mean_ref"))).as("mean_shift"))
+      .orderBy(col("column"))
+  }
+
   /** Per-dimension statistics of an embedding column — the QA pass
     * that catches collapsed dimensions (std ≈ 0), dead dimensions
     * (mean ≈ min ≈ max) and scale blow-ups before a corpus of vectors

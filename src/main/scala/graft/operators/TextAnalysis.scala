@@ -358,6 +358,49 @@ object TextAnalysis {
     * vocabulary is served from a persisted/bloom-fronted index rather
     * than recomputed (the q81 signature-index pattern); semantics are
     * identical. */
+  /** Corpus collocations by pointwise mutual information: the top-k
+    * adjacent token pairs whose co-occurrence beats chance,
+    * PMI = ln(p(ab) / (p(a)·p(b))) with p(ab) over bigram positions
+    * and p(a) over token positions — the tokenizer-vocabulary /
+    * multi-word-expression miner (a BPE merge step is exactly "take
+    * the top pair"). `minCount` suppresses the unstable low-count tail
+    * before the joins.
+    *
+    * Scale shape: unigram and bigram counts are partially-aggregated
+    * groupBys (shuffles carry vocab-grain rows, not token positions);
+    * the PMI joins run at filtered-candidate × vocabulary grain; the
+    * two totals ride one-row broadcasts; top-k plans as
+    * TakeOrderedAndProject — the distributed k-heap, never a
+    * single-partition window. */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long = 5, k: Int = 50): DataFrame = {
+    val toks = docs.select(
+      GF.wsTokens(Dedup.normalizeText(col(textCol))).as("arr"))
+    val uc = toks.select(explode(col("arr")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
+    val bc = toks.select(explode(
+        when(size(col("arr")) >= 2,
+          transform(sequence(lit(1), size(col("arr")) - 1),
+            i => concat(element_at(col("arr"), i), lit(" "),
+              element_at(col("arr"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+    val nUni = uc.agg(sum(col("c_tok")).as("n_uni"))
+    val nBi = bc.agg(sum(col("c_ab")).as("n_bi"))
+    bc.filter(col("c_ab") >= minCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+      .join(uc.select(col("tok").as("w1"), col("c_tok").as("c_a")), Seq("w1"))
+      .join(uc.select(col("tok").as("w2"), col("c_tok").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        round(log((col("c_ab") / col("n_bi")) /
+          ((col("c_a") / col("n_uni")) * (col("c_b") / col("n_uni")))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(k)
+  }
+
   def ngramNovelty(cur: DataFrame, ref: DataFrame, textCol: String,
       idCol: String, n: Int = 3): DataFrame = {
     val curSh = Dedup.shingleRows(cur, textCol, idCol, n).distinct()

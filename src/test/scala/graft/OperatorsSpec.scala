@@ -588,6 +588,39 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) == ((3L, 2L, 0.666667)), out(3L))
   }
 
+  test("pmiCollocations: collocated pair survives, singleton pairs filtered") {
+    import graft.operators.TextAnalysis
+    // "new york" always adjacent (8x); every other adjacency is a
+    // one-off (below minCount) so exactly one collocation survives
+    val docs = (1 to 8).map(i => (i.toLong,
+        if (i % 2 == 0) s"new york w$i" else s"w$i new york"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, "text", minCount = 2, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.length == 1, s"got ${out.toSeq}")
+    assert(out.head._1 == "new york")
+    assert(out.head._2 == 8L && out.head._3 == 8L && out.head._4 == 8L)
+    // n_uni = 24, n_bi = 16: PMI = ln((8/16) / ((8/24)*(8/24))) = ln(4.5)
+    assert(math.abs(out.head._5 - math.log(4.5)) < 1e-6, out.head._5)
+  }
+
+  test("profileDiff: null spike, distinct drop and mean shift flagged") {
+    import graft.operators.Profiling
+    val ref = (1 to 100).map(i =>
+      (i.toLong, Some(i.toDouble), s"v$i")).toDF("id", "x", "s")
+    // current half: x nulled for 20%, s collapsed to one value, mean x doubled
+    val cur = (1 to 100).map(i =>
+      (i.toLong, if (i <= 20) None else Some(i * 2.0), "CONST"))
+      .toDF("id", "x", "s")
+    val got = Profiling.profileDiff(ref, cur, Seq("id", "x", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(7), r.getBoolean(8), r.getBoolean(9))).toMap
+    assert(got("id") == ((false, false, false)), got("id"))
+    assert(got("x")._1 && got("x")._3, got("x"))   // null spike + mean shift
+    assert(got("s")._2 && !got("s")._3, got("s"))  // distinct drop, no mean
+  }
+
   test("embeddingDimStats: closed-form moments, collapsed dim flagged by std 0") {
     import graft.operators.Profiling
     val emb = Seq(
