@@ -95,58 +95,121 @@ object CorpusLake {
     java.lang.Long.parseLong(hex, 16)
   }
 
+  /** Rewrite one (split, shard) directory with `rows`, baked order
+    * restored, through the backup/rename swap SeriesLake.compactCatalog
+    * established — a crash mid-rewrite leaves the shard recoverable,
+    * never missing. */
+  private def swapShard(spark: SparkSession, path: String, split: String,
+      shard: Int, rows: DataFrame, idCol: String): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val partDir = new HPath(s"$path/split=$split/shard=$shard")
+    val fs = FileSystem.get(partDir.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new HPath(s"$path/.rewrite-$split-$shard.tmp")
+    fs.delete(tmp, true)
+    rows.coalesce(1)
+      .sortWithinPartitions(col("shuffle_key"), col(idCol))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(new HPath(tmp, "_SUCCESS"), false)
+    val backup = new HPath(s"$path/.rewrite-$split-$shard.bak")
+    fs.delete(backup, true)
+    val hadLive = fs.exists(partDir)
+    if (hadLive && !fs.rename(partDir, backup))
+      sys.error(s"swapShard: failed to move $partDir aside; " +
+        "shard left untouched")
+    if (!fs.rename(tmp, partDir)) {
+      if (hadLive) fs.rename(backup, partDir)
+      sys.error(s"swapShard: failed to move $tmp into place; " +
+        "original shard restored")
+    }
+    fs.delete(backup, true)
+  }
+
+  /** Driver-side placement of one id: the same (split, shard) the
+    * writer's Column expressions computed. */
+  private def placementOf(ks: String, meta: LakeMeta): (String, Int) = {
+    val b = jvmHash32(ks) % 100L
+    val split = if (b < meta.trainPct) "train"
+      else if (b < meta.trainPct + meta.valPct) "val" else "test"
+    val shard = (jvmHash32(s"sh${meta.epoch}_" + ks) %
+      meta.nShards.toLong).toInt
+    (split, shard)
+  }
+
   /** Targeted deletion — the right-to-be-forgotten path. Because
     * placement is deterministic (split from hash32(id) percent bucket,
     * shard from the epoch shuffle key), the affected (split, shard)
     * partitions are COMPUTED from the ids, never discovered by
     * scanning: cost scales with the number of touched shards, not the
     * corpus. Each touched shard is rewritten minus the deleted rows
-    * with its baked-in (shuffle_key, id) order intact, through the
-    * same backup/rename swap as SeriesLake.compactCatalog — a crash
-    * mid-delete leaves the shard recoverable, never missing. Returns
-    * the number of shards rewritten. */
+    * with its baked-in (shuffle_key, id) order intact. Returns the
+    * number of shards rewritten. */
   def deleteByKey(spark: SparkSession, path: String, idCol: String,
       keys: Seq[Any]): Int = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     val meta = readMeta(spark, path)
-    val byPart = keys.map { k =>
-      val ks = k.toString
-      val b = jvmHash32(ks) % 100L
-      val split = if (b < meta.trainPct) "train"
-        else if (b < meta.trainPct + meta.valPct) "val" else "test"
-      val shard = (jvmHash32(s"sh${meta.epoch}_" + ks) %
-        meta.nShards.toLong).toInt
-      (split, shard) -> ks
-    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    val byPart = keys.map(k => placementOf(k.toString, meta) -> k.toString)
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
     var rewritten = 0
     byPart.foreach { case ((split, shard), ids) =>
       val partDir = new HPath(s"$path/split=$split/shard=$shard")
       val fs = FileSystem.get(partDir.toUri,
         spark.sparkContext.hadoopConfiguration)
       if (fs.exists(partDir)) {
-        val tmp = new HPath(s"$path/.delete-$split-$shard.tmp")
-        fs.delete(tmp, true)
-        spark.read.parquet(partDir.toString)
-          .filter(!col(idCol).cast("string").isInCollection(ids))
-          .coalesce(1)
-          .sortWithinPartitions(col("shuffle_key"), col(idCol))
-          .write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(new HPath(tmp, "_SUCCESS"), false)
-        val backup = new HPath(s"$path/.delete-$split-$shard.bak")
-        fs.delete(backup, true)
-        if (!fs.rename(partDir, backup))
-          sys.error(s"deleteByKey: failed to move $partDir aside; " +
-            "shard left untouched")
-        if (!fs.rename(tmp, partDir)) {
-          fs.rename(backup, partDir)
-          sys.error(s"deleteByKey: failed to move $tmp into place; " +
-            "original shard restored")
-        }
-        fs.delete(backup, true)
+        swapShard(spark, path, split, shard,
+          spark.read.parquet(partDir.toString)
+            .filter(!col(idCol).cast("string").isInCollection(ids)),
+          idCol)
         rewritten += 1
       }
     }
     rewritten
+  }
+
+  /** Incremental ingestion — merge a crawl batch into an EXISTING lake
+    * without touching unaffected shards. Placement columns are computed
+    * with the writer's own expressions (parameters from
+    * `_graft_meta.json`), the touched (split, shard) set is one
+    * metadata-scale distinct, and each touched shard is rewritten as
+    * existing ∪ batch in baked order via the crash-safe swap. Id
+    * collisions: `replace = false` keeps the lake's row (idempotent
+    * re-ingest — the reference's skip-if-exists semantics),
+    * `replace = true` takes the batch's. Cost scales with shards
+    * touched, not lake size; a steady crawl feed composes with
+    * foreachBatch for a streaming lake writer. Returns the number of
+    * shards rewritten. */
+  def upsertBatch(spark: SparkSession, path: String, idCol: String,
+      batch: DataFrame, replace: Boolean = false): Int = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val meta = readMeta(spark, path)
+    val placed = Sampling.withSplit(batch, idCol, meta.trainPct, meta.valPct)
+      .withColumn("shuffle_key", Sampling.shuffleKey(col(idCol), meta.epoch))
+      .withColumn("shard",
+        pmod(col("shuffle_key"), lit(meta.nShards)).cast("int"))
+      .persist()
+    try {
+      val parts = placed.select(col("split"), col("shard")).distinct()
+        .collect().map(r => (r.getString(0), r.getInt(1)))
+      parts.foreach { case (split, shard) =>
+        val slice = placed
+          .filter(col("split") === split && col("shard") === shard)
+          .drop("split", "shard")
+        val partDir = new HPath(s"$path/split=$split/shard=$shard")
+        val fs = FileSystem.get(partDir.toUri,
+          spark.sparkContext.hadoopConfiguration)
+        val merged = if (!fs.exists(partDir)) slice else {
+          val existing = spark.read.parquet(partDir.toString)
+          if (replace)
+            existing.join(slice.select(col(idCol)), Seq(idCol), "left_anti")
+              .unionByName(slice)
+          else
+            slice.join(existing.select(col(idCol)), Seq(idCol), "left_anti")
+              .unionByName(existing)
+        }
+        swapShard(spark, path, split, shard, merged, idCol)
+      }
+      parts.length
+    } finally placed.unpersist()
   }
 
   def read(spark: SparkSession, path: String): DataFrame =

@@ -159,6 +159,75 @@ class LakeSpec extends SparkSpec {
     assert(CorpusLake.readMeta(spark, dir).nShards == 4)
   }
 
+  test("corpus lake: upsertBatch merges into placed shards, skip vs replace") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upsert").toString
+    val docs = Tables(spark, sf()).documents.select("doc_id", "text")
+    CorpusLake.writeShards(docs, "doc_id", dir, epoch = 1, nShards = 4)
+    val total = docs.count()
+    val existingId = docs.select("doc_id").limit(1)
+      .collect().head.getLong(0)
+
+    def shardFiles(): Map[String, Long] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.getName.startsWith("split=")).flatMap(
+        _.listFiles().filter(_.getName.startsWith("shard=")).flatMap(
+          _.listFiles().filter(_.getName.endsWith(".parquet"))))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = shardFiles()
+
+    // batch: two brand-new ids + one collision with changed text
+    val batch = Seq((900001L, "brand new doc A"),
+      (900002L, "brand new doc B"),
+      (existingId, "MUTATED TEXT")).toDF("doc_id", "text")
+    val n1 = CorpusLake.upsertBatch(spark, dir, "doc_id", batch)
+    assert(n1 >= 1 && n1 <= 3)
+
+    val after = CorpusLake.read(spark, dir)
+    assert(after.count() == total + 2)
+    // skip semantics: the lake's original text survives the collision
+    val kept = after.filter(col("doc_id") === existingId)
+      .select("text").collect().head.getString(0)
+    assert(kept != "MUTATED TEXT")
+    // new rows landed where the writer's own placement puts them:
+    // re-deriving placement from the stored shuffle_key must agree
+    val placedNew = after.filter(col("doc_id") >= 900001L)
+      .select("doc_id", "shuffle_key", "shard").collect()
+    assert(placedNew.length == 2)
+    placedNew.foreach { r =>
+      assert(r.getInt(2) == (r.getLong(1) % 4).toInt)
+    }
+    // order within every shard still baked
+    val allRows = after.select("split", "shard", "shuffle_key", "doc_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+    allRows.groupBy(r => (r._1, r._2)).foreach { case (_, rs) =>
+      val keys = rs.map(x => (x._3, x._4)).toSeq
+      assert(keys == keys.sorted, "shard order broken by upsert")
+    }
+    // untouched shards not rewritten
+    val afterFiles = shardFiles()
+    val touchedDirs = after
+      .filter(col("doc_id").isin(900001L, 900002L, existingId))
+      .select("split", "shard").distinct().collect()
+      .map(r => s"split=${r.getString(0)}/shard=${r.getInt(1)}").toSet
+    before.foreach { case (p, t) =>
+      if (!touchedDirs.exists(p.contains))
+        assert(afterFiles.get(p).contains(t), s"untouched shard rewritten: $p")
+    }
+
+    // replace semantics: now the batch's text wins
+    CorpusLake.upsertBatch(spark, dir, "doc_id",
+      Seq((existingId, "MUTATED TEXT")).toDF("doc_id", "text"),
+      replace = true)
+    val kept2 = CorpusLake.read(spark, dir)
+      .filter(col("doc_id") === existingId)
+      .select("text").collect().head.getString(0)
+    assert(kept2 == "MUTATED TEXT")
+    assert(CorpusLake.read(spark, dir).count() == total + 2)
+  }
+
   test("compaction rewrites a fragmented partition, data intact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact")
