@@ -1151,6 +1151,20 @@ object SparkEntry {
       ProfileCols.map(_._1))
   }
 
+  /** Per-event-type daily trend (TimeSeriesOps.linearTrend):
+    * closed-form OLS over exact integer sums, slope in cents/day. */
+  private def qTrend(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val daily = t.events.select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+          .as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("day_cents"))
+    TimeSeriesOps.linearTrend(daily, "event_type", "day", "day_cents")
+      .orderBy(col("event_type"))
+  }
+
   /** Multimodal plumbing: binary payload + stubbed decode + frame
     * sampling (MultiModal). */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -1400,6 +1414,7 @@ object SparkEntry {
     "q89_dim_stats" -> (qDimStats _),
     "q90_pmi" -> (qPmi _),
     "q91_profile_diff" -> (qProfileDiff _),
+    "q92_trend" -> (qTrend _),
   )
 
   // -------------------------------------------------------------------
@@ -2751,6 +2766,27 @@ object SparkEntry {
          |    ORDER BY priority DESC, doc_id) AS rank FROM p)
          |SELECT lang, doc_id, n_chars, priority, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "q92_trend" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT event_type, day, sum(cents) AS y FROM e
+        |  GROUP BY 1, 2),
+        |m AS (SELECT event_type, min(day) AS x0 FROM d GROUP BY 1),
+        |p AS (SELECT d.event_type, d.day - m.x0 AS x, y
+        |  FROM d JOIN m USING (event_type)),
+        |s AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, n,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE round((n * sxy - sx * sy)::DOUBLE /
+        |      (n * sxx - sx * sx), 6) END AS slope,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE round((sy * sxx - sx * sxy)::DOUBLE /
+        |      (n * sxx - sx * sx), 6) END AS intercept
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "q90_pmi" ->
       s"""WITH dn AS (SELECT $normTextSql AS norm FROM documents),

@@ -383,4 +383,41 @@ object TimeSeriesOps {
       .withColumn("roll_max", max(col("valor")).over(w))
       .drop("cents")
   }
+
+  /** Per-group least-squares trend of an INTEGER-valued series — the
+    * "is this series growing, and how fast" primitive behind series
+    * screening and capacity forecasts. Closed-form OLS from five
+    * integer sums (n, Σx, Σy, Σxy, Σx²), with x re-based to the
+    * group's min so products stay far from Long overflow:
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) and the intercept from the
+    * same exact-integer numerators — the ONLY floating point is the
+    * final two divisions, rounded 6 dp, so any engine reproduces the
+    * fit bit-for-bit. Degenerate groups (single x) report null slope.
+    *
+    * Scale shape: one broadcast-joined min-x (metadata grain), one
+    * codegen'd projection for the products, ONE partially-aggregated
+    * groupBy — no window, no sort; shuffle carries groups × 5 sums. */
+  def linearTrend(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val minX = df.groupBy(col(groupCol))
+      .agg(min(col(xCol)).as("_x0"))
+    val p = df.join(broadcast(minX), Seq(groupCol))
+      .select(col(groupCol),
+        (col(xCol).cast("long") - col("_x0")).as("x"),
+        col(yCol).cast("long").as("y"))
+      .select(col(groupCol), col("x"), col("y"),
+        (col("x") * col("y")).as("xy"), (col("x") * col("x")).as("xx"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("xy")).as("sxy"),
+        sum(col("xx")).as("sxx"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    p.select(col(groupCol), col("n"),
+        when(den === 0, lit(null).cast("double")).otherwise(
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") / den, 6)).as("slope"),
+        when(den === 0, lit(null).cast("double")).otherwise(
+          round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+            .cast("double") / den, 6)).as("intercept"))
+  }
 }

@@ -285,4 +285,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"psi metadata joins must broadcast, not sort-merge:\n$p")
   }
+
+  test("q90 pmi: top-k plans as TakeOrderedAndProject, not a global window") {
+    val p = plan("q90_pmi")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit not a distributed k-heap:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in pmi:\n$p")
+  }
+
+  test("q86 novelty and q92 trend: no cartesian, aggregates partial") {
+    val p = plan("q86_ngram_novelty")
+    assert(!p.toLowerCase.contains("cartesian"), s"cartesian novelty:\n$p")
+    val q = plan("q92_trend")
+    assert(q.contains("partial_count") || q.contains("Partial"),
+      s"trend sums not map-side combined:\n$q")
+    assert(!q.contains("Window"), s"trend must be window-free:\n$q")
+  }
 }

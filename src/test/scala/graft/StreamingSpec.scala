@@ -831,4 +831,55 @@ class StreamingSpec extends SparkSpec {
     // user 3 never clicked: its purchase is not an advancement
     assert(!adv.exists(a => a._1 == 3L && a._2 == 3))
   }
+
+  test("streaming crawl feeds the corpus lake via foreachBatch upsert") {
+    import spark.implicits._
+    val lakeDir = Files.createTempDirectory("graft-streamlake").toString
+    val feedDir = Files.createTempDirectory("graft-feed").toString
+    // seed lake with an initial corpus
+    val seed = (1L to 20L).map(i => (i, s"seed document number $i"))
+      .toDF("doc_id", "text")
+    CorpusLake.writeShards(seed, "doc_id", lakeDir, epoch = 1, nShards = 4)
+
+    def feed(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(feedDir)
+    // batch 1 carries two new docs + a re-crawl of doc 5 (must skip);
+    // batch 2 carries one more new doc
+    feed(Seq((101L, "crawled doc A"), (102L, "crawled doc B"),
+      (5L, "RECRAWLED five")))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.schema(schema).parquet(feedDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        CorpusLake.upsertBatch(spark, lakeDir, "doc_id", batch)
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      feed(Seq((103L, "crawled doc C")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val lake = CorpusLake.read(spark, lakeDir)
+    assert(lake.count() == 23L) // 20 seed + 3 new, re-crawl skipped
+    val five = lake.filter(col("doc_id") === 5L)
+      .select("text").collect().head.getString(0)
+    assert(five == "seed document number 5", five)
+    assert(lake.filter(col("doc_id") >= 101L).count() == 3L)
+    // baked order still holds lake-wide after two streaming upserts
+    val rows = lake.select("split", "shard", "shuffle_key", "doc_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, rs) =>
+      val keys = rs.map(x => (x._3, x._4)).toSeq
+      assert(keys == keys.sorted, "stream upsert broke baked order")
+    }
+  }
 }

@@ -240,4 +240,22 @@ class TimeSeriesOpsSpec extends SparkSpec {
     val mar = out("2019-03-01").getAs[Double]("seasonal")
     assert(math.abs(mar) < 5.0, s"flat month seasonal drifted: $mar")
   }
+
+  test("linearTrend: exact fit recovered, noise averaged, degenerate null") {
+    import spark.implicits._
+    // g1: y = 3x + 7 exactly; g2: symmetric noise around y = 10
+    // (slope 0); g3: one x -> degenerate
+    val rows = (0L to 9L).map(x => ("g1", 100L + x, 3 * (100L + x) + 7)) ++
+      Seq(("g2", 0L, 8L), ("g2", 1L, 12L), ("g2", 2L, 8L), ("g2", 3L, 12L)) ++
+      Seq(("g3", 5L, 42L), ("g3", 5L, 44L))
+    val got = TimeSeriesOps.linearTrend(rows.toDF("g", "x", "y"),
+        "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.getAs[java.lang.Double]("slope")),
+          Option(r.getAs[java.lang.Double]("intercept")))).toMap
+    // x re-based to min: y = 3(x+100)+7 = 3x' + 307 at x' = x - 100
+    assert(got("g1") == ((10L, Some(3.0), Some(307.0))), got("g1"))
+    assert(got("g2")._2.exists(s => math.abs(s) < 1.5), got("g2"))
+    assert(got("g3") == ((2L, None, None)), got("g3"))
+  }
 }
