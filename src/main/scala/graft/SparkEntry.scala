@@ -1165,6 +1165,29 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Per-event-type CUSUM changepoint over daily totals
+    * (TimeSeriesOps.cusumChangepoint): integer-scaled statistic. */
+  private def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val daily = t.events.select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+          .as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("day_cents"))
+    TimeSeriesOps.cusumChangepoint(daily, "event_type", "day", "day_cents")
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-language percentile-rank calibration of document length
+    * (Curation.percentileCalibrate). */
+  private def qPercentRank(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Curation.percentileCalibrate(t.documents, "lang", "n_chars")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("pct_rank"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal plumbing: binary payload + stubbed decode + frame
     * sampling (MultiModal). */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -1415,6 +1438,8 @@ object SparkEntry {
     "q90_pmi" -> (qPmi _),
     "q91_profile_diff" -> (qProfileDiff _),
     "q92_trend" -> (qTrend _),
+    "q93_changepoint" -> (qChangepoint _),
+    "q94_percent_rank" -> (qPercentRank _),
   )
 
   // -------------------------------------------------------------------
@@ -2766,6 +2791,34 @@ object SparkEntry {
          |    ORDER BY priority DESC, doc_id) AS rank FROM p)
          |SELECT lang, doc_id, n_chars, priority, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "q93_changepoint" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT event_type, day AS x, sum(cents) AS y FROM e
+        |  GROUP BY 1, 2),
+        |t AS (SELECT event_type, count(*) AS n, sum(y) AS sy FROM d
+        |  GROUP BY 1),
+        |s AS (SELECT d.event_type, x, t.n,
+        |    row_number() OVER (PARTITION BY d.event_type ORDER BY x) AS k,
+        |    sum(y) OVER (PARTITION BY d.event_type ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS cum, t.sy
+        |  FROM d JOIN t USING (event_type)),
+        |a AS (SELECT event_type, n, x,
+        |    abs(n * cum - k * sy) AS s_abs,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n * cum - k * sy) DESC, x) AS rnk
+        |  FROM s)
+        |SELECT event_type, n, x AS cp_x, CAST(s_abs AS BIGINT) AS s_abs,
+        |  round(s_abs::DOUBLE / (n * 100.0), 6) AS shift
+        |FROM a WHERE rnk = 1 ORDER BY event_type""".stripMargin,
+
+    "q94_percent_rank" ->
+      """SELECT doc_id, lang, n_chars,
+        |  round(percent_rank() OVER (PARTITION BY lang
+        |    ORDER BY n_chars::DOUBLE), 6) AS pct_rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q92_trend" ->
       """WITH e AS (SELECT event_type,

@@ -96,4 +96,23 @@ object Curation {
       .withColumn("clip_dir",
         when(v < col("lo"), -1).when(v > col("hi"), 1).otherwise(0))
   }
+
+  /** Per-group percentile-rank calibration: maps a raw signal to its
+    * [0, 1] rank within the group — the cross-source score normalizer
+    * (a quality score of 0.7 means different things from different
+    * classifiers/sources; its within-source rank is comparable). Uses
+    * SQL `percent_rank` = (rank−1)/(n−1), which is TIE-STABLE: equal
+    * raw values share a rank, so no tiebreak column is needed and the
+    * result is engine-portable as-is (rank arithmetic is integer;
+    * the single division rounds 6 dp).
+    *
+    * Scale shape: one keyed window per group — groups partition the
+    * shuffle, no global sort. Singleton groups define rank 0. */
+  def percentileCalibrate(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valCol).cast("double"))
+    df.withColumn("pct_rank", round(percent_rank().over(w), 6))
+  }
 }

@@ -420,4 +420,41 @@ object TimeSeriesOps {
           round((col("sy") * col("sxx") - col("sx") * col("sxy"))
             .cast("double") / den, 6)).as("intercept"))
   }
+
+  /** Per-group CUSUM changepoint: the x where the cumulative deviation
+    * from the group mean peaks — the "did this series shift level, and
+    * when" screen run before trusting a trend. The statistic is kept
+    * INTEGER by scaling with n: S_k = n·Σ_{i≤k} y_i − k·Σy (zero mean
+    * drift ⇒ S wanders near 0; a level shift at k ⇒ |S| peaks at k), so
+    * every engine reproduces the argmax exactly; the reported
+    * `shift` = max|S| / (n·100) converts back to mean y-units only at
+    * the end (y is expected in cents). Ties break on the earliest x.
+    *
+    * Scale shape: group totals broadcast back, ONE keyed window for
+    * the running sum, and the per-group argmax rank plans as
+    * WindowGroupLimit — shuffle carries the series, result is one row
+    * per group. */
+  def cusumChangepoint(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val totals = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col(yCol).cast("long")).as("sy"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = df.select(col(groupCol), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .join(broadcast(totals), Seq(groupCol))
+      .withColumn("k", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("x"))))
+      .withColumn("cum", sum(col("y")).over(w))
+      .withColumn("s_abs",
+        abs(col("n") * col("cum") - col("k") * col("sy")))
+    val rankW = Window.partitionBy(col(groupCol))
+      .orderBy(col("s_abs").desc, col("x"))
+    s.withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") === 1)
+      .select(col(groupCol), col("n"), col("x").as("cp_x"),
+        col("s_abs"),
+        round(col("s_abs").cast("double") / (col("n") * 100.0), 6)
+          .as("shift"))
+  }
 }

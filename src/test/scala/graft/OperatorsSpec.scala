@@ -621,6 +621,19 @@ class OperatorsSpec extends SparkSpec {
     assert(got("s")._2 && !got("s")._3, got("s"))  // distinct drop, no mean
   }
 
+  test("percentileCalibrate: rank in [0,1], tie-stable, per group") {
+    import graft.operators.Curation
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 20.0),
+      ("a", 4L, 40.0), ("b", 5L, 99.0)).toDF("g", "id", "v")
+    val got = Curation.percentileCalibrate(df, "g", "v")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(got(1L) == 0.0)
+    // ties share (rank-1)/(n-1) = 1/3
+    assert(got(2L) == got(3L) && math.abs(got(2L) - 1.0 / 3) < 1e-6)
+    assert(got(4L) == 1.0)
+    assert(got(5L) == 0.0) // singleton group
+  }
+
   test("embeddingDimStats: closed-form moments, collapsed dim flagged by std 0") {
     import graft.operators.Profiling
     val emb = Seq(

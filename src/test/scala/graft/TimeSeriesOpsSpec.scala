@@ -258,4 +258,22 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got("g2")._2.exists(s => math.abs(s) < 1.5), got("g2"))
     assert(got("g3") == ((2L, None, None)), got("g3"))
   }
+
+  test("cusumChangepoint: level shift peaks at the last pre-shift point") {
+    import spark.implicits._
+    // flat 100 cents for x 1..5, then 200 for x 6..10: |S| peaks at x=5
+    val rows = (1L to 10L).map(x => ("g", x, if (x <= 5) 100L else 200L))
+    val r = TimeSeriesOps.cusumChangepoint(rows.toDF("g", "x", "y"),
+        "g", "x", "y").collect().head
+    assert(r.getLong(1) == 10L)            // n
+    assert(r.getLong(2) == 5L, s"cp at ${r.getLong(2)}") // cp_x
+    // S_5 = 10*500 - 5*1500 = -2500 -> shift 2500/(10*100) = 2.5
+    assert(r.getLong(3) == 2500L)
+    assert(r.getDouble(4) == 2.5)
+    // a constant series never leaves zero: s_abs = 0, cp at first x
+    val flat = (1L to 4L).map(x => ("g", x, 7L))
+    val f = TimeSeriesOps.cusumChangepoint(flat.toDF("g", "x", "y"),
+        "g", "x", "y").collect().head
+    assert(f.getLong(3) == 0L && f.getLong(2) == 1L)
+  }
 }
