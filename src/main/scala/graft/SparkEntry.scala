@@ -1188,6 +1188,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Source concentration per language (Profiling.sourceConcentration):
+    * HHI + top-source share — the diversity monitor. */
+  private def qConcentration(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Profiling.sourceConcentration(t.documents, "lang", "source")
+      .orderBy(col("lang"))
+  }
+
+  /** Duplicate inflation per source (Dedup.dupInflation): raw rows vs
+    * distinct digests. */
+  private def qDupInflation(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Dedup.dupInflation(t.documents, "text", "source")
+      .orderBy(col("source"))
+  }
+
   /** Multimodal plumbing: binary payload + stubbed decode + frame
     * sampling (MultiModal). */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -1440,6 +1456,8 @@ object SparkEntry {
     "q92_trend" -> (qTrend _),
     "q93_changepoint" -> (qChangepoint _),
     "q94_percent_rank" -> (qPercentRank _),
+    "q95_concentration" -> (qConcentration _),
+    "q96_dup_inflation" -> (qDupInflation _),
   )
 
   // -------------------------------------------------------------------
@@ -2813,6 +2831,25 @@ object SparkEntry {
         |SELECT event_type, n, x AS cp_x, CAST(s_abs AS BIGINT) AS s_abs,
         |  round(s_abs::DOUBLE / (n * 100.0), 6) AS shift
         |FROM a WHERE rnk = 1 ORDER BY event_type""".stripMargin,
+
+    "q95_concentration" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n_src
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_sources,
+        |  CAST(sum(n_src) AS BIGINT) AS n_rows,
+        |  round(max(n_src)::DOUBLE / sum(n_src), 6) AS top_share,
+        |  round(sum(n_src * n_src)::DOUBLE /
+        |    (sum(n_src) * sum(n_src)), 6) AS hhi
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q96_dup_inflation" ->
+      s"""WITH d AS (SELECT source, md5($normTextSql) AS digest
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  count(DISTINCT digest) AS n_distinct,
+         |  round(count(*)::DOUBLE / count(DISTINCT digest), 6)
+         |    AS inflation
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     "q94_percent_rank" ->
       """SELECT doc_id, lang, n_chars,

@@ -67,6 +67,23 @@ object Dedup {
           least(col("n1"), col("n2")), 6).as("overlap"))
   }
 
+  /** Duplicate-inflation report per source: raw rows vs distinct
+    * normalized-text digests — a source whose inflation factor is far
+    * above 1 is re-serving the same content (mirror, pagination echo,
+    * template farm) and its volume overstates its value. One
+    * digest-grain aggregation per source; the ratio is the only
+    * floating point, rounded 6 dp. */
+  def dupInflation(docs: DataFrame, textCol: String,
+      srcCol: String): DataFrame =
+    docs.select(col(srcCol).as("source"),
+        md5(normalizeText(col(textCol))).as("digest"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("digest")).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        round(col("n_docs").cast("double") / col("n_distinct"), 6)
+          .as("inflation"))
+
   /** Exact dedup: keep the min-id row per digest. Implemented as a
     * groupBy + min + semi-join back (no row_number window: the digest
     * agg is partial-aggregatable, the window would not be). */

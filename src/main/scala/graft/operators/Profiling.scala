@@ -161,6 +161,31 @@ object Profiling {
       .orderBy(col("column"))
   }
 
+  /** Source concentration per group: Herfindahl–Hirschman index
+    * (Σ share²) of the source mix plus the top source's share — the
+    * "is my German data all one domain" monitor; HHI → 1 means a
+    * single source dominates and the group's diversity is an illusion.
+    * Exact from integer counts; the only floating point is the final
+    * share arithmetic, rounded 6 dp.
+    *
+    * Scale shape: one (group, source) partial-agg count, then one
+    * group-grain re-aggregation over that metadata-scale frame. */
+  def sourceConcentration(df: DataFrame, groupCol: String,
+      srcCol: String): DataFrame = {
+    df.groupBy(col(groupCol), col(srcCol))
+      .agg(count(lit(1)).as("n_src"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("n_src")).as("n_rows"),
+        max(col("n_src")).as("_top"),
+        sum(col("n_src") * col("n_src")).as("_sq"))
+      .select(col(groupCol), col("n_sources"), col("n_rows"),
+        round(col("_top").cast("double") / col("n_rows"), 6)
+          .as("top_share"),
+        round(col("_sq").cast("double") / (col("n_rows") * col("n_rows")),
+          6).as("hhi"))
+  }
+
   /** Per-dimension statistics of an embedding column — the QA pass
     * that catches collapsed dimensions (std ≈ 0), dead dimensions
     * (mean ≈ min ≈ max) and scale blow-ups before a corpus of vectors

@@ -621,6 +621,29 @@ class OperatorsSpec extends SparkSpec {
     assert(got("s")._2 && !got("s")._3, got("s"))  // distinct drop, no mean
   }
 
+  test("sourceConcentration and dupInflation: closed-form mixes") {
+    import graft.operators.Profiling
+    val df = Seq(
+      ("de", "s1", 1L), ("de", "s1", 2L), ("de", "s1", 3L), ("de", "s2", 4L),
+      ("fr", "s1", 5L), ("fr", "s2", 6L)).toDF("lang", "src", "id")
+    val conc = Profiling.sourceConcentration(df, "lang", "src")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // de: shares 3/4, 1/4 -> top 0.75, hhi = 9/16 + 1/16 = 0.625
+    assert(conc("de") == ((2L, 4L, 0.75, 0.625)), conc("de"))
+    // fr: 50/50 -> hhi 0.5
+    assert(conc("fr") == ((2L, 2L, 0.5, 0.5)), conc("fr"))
+
+    val docs = Seq((1L, "same text", "a"), (2L, "Same Text!", "a"),
+      (3L, "other", "a"), (4L, "unique", "b"))
+      .toDF("doc_id", "text", "src")
+    val infl = Dedup.dupInflation(docs, "text", "src")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(infl("a") == ((3L, 2L, 1.5)), infl("a")) // normalization folds dups
+    assert(infl("b") == ((1L, 1L, 1.0)))
+  }
+
   test("percentileCalibrate: rank in [0,1], tie-stable, per group") {
     import graft.operators.Curation
     val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 20.0),
