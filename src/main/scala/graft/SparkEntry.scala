@@ -1204,6 +1204,19 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** ANN evaluation harness (Similarity.recallAtK): per-query recall
+    * of the 8-bit LSH probe against exact brute-force top-5. */
+  private def qRecall(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val queries = t.embeddings.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceKnn(queries, t.embeddings,
+      "vec_id", "embedding", k = 5)
+    val approx = Similarity.lshKnn(t.embeddings, queries,
+      "vec_id", "embedding", nBits = 8, k = 5)
+    Similarity.recallAtK(approx, exact, k = 5)
+      .orderBy(col("query_id"))
+  }
+
   /** Multimodal plumbing: binary payload + stubbed decode + frame
     * sampling (MultiModal). */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -1458,6 +1471,7 @@ object SparkEntry {
     "q94_percent_rank" -> (qPercentRank _),
     "q95_concentration" -> (qConcentration _),
     "q96_dup_inflation" -> (qDupInflation _),
+    "q97_ann_recall" -> (qRecall _),
   )
 
   // -------------------------------------------------------------------
@@ -2831,6 +2845,48 @@ object SparkEntry {
         |SELECT event_type, n, x AS cp_x, CAST(s_abs AS BIGINT) AS s_abs,
         |  round(s_abs::DOUBLE / (n * 100.0), 6) AS shift
         |FROM a WHERE rnk = 1 ORDER BY event_type""".stripMargin,
+
+    "q97_ann_recall" -> {
+      val projs = (0 until 8).map(j => s"${planeProjSql(j)} AS p$j")
+        .mkString(",\n  ")
+      val bucket = (0 until 8)
+        .map(j => s"(CASE WHEN p$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH xq AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 8),
+         |xc AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         |xs AS (SELECT query_id, cand_id,
+         |    round(${cosineSql("qv", "cv")}, 6) AS sim
+         |  FROM xc, xq WHERE query_id <> cand_id),
+         |ex AS (SELECT query_id, cand_id FROM (SELECT *, row_number()
+         |    OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id)
+         |    AS rnk FROM xs) WHERE rnk <= 5),
+         |sig AS (SELECT vec_id,
+         |  $projs
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, $bucket AS bucket FROM sig),
+         |aq AS (SELECT e.vec_id AS query_id, e.embedding AS qv, b.bucket
+         |  FROM embeddings e JOIN b ON e.vec_id = b.vec_id
+         |  WHERE e.vec_id < 8),
+         |ac AS (SELECT e.vec_id AS cand_id, e.embedding AS cv, b.bucket
+         |  FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+         |as_ AS (SELECT query_id, cand_id,
+         |    round(${cosineSql("qv", "cv")}, 6) AS sim
+         |  FROM ac JOIN aq USING (bucket) WHERE query_id <> cand_id),
+         |ap AS (SELECT query_id, cand_id FROM (SELECT *, row_number()
+         |    OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id)
+         |    AS rnk FROM as_) WHERE rnk <= 5),
+         |hits AS (SELECT a.query_id, count(*) AS n_hits
+         |  FROM ap a JOIN ex e
+         |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+         |  GROUP BY 1),
+         |qs AS (SELECT DISTINCT query_id FROM ex)
+         |SELECT qs.query_id,
+         |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(coalesce(n_hits, 0)::DOUBLE / 5, 6) AS recall
+         |FROM qs LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin
+    },
 
     "q95_concentration" ->
       """WITH c AS (SELECT lang, source, count(*) AS n_src

@@ -599,4 +599,31 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("blk"), col("id1"), col("id2"), col("sim"))
   }
+
+  /** Recall@k of an approximate ANN result against the exact top-k —
+    * the evaluation harness behind every nProbe/nBits tuning decision:
+    * a probe setting is "good enough" when this says so, not when a
+    * spot check looks right. Both inputs are (query, cand, rank)
+    * frames (rank ≤ k rows are considered); output is per-query
+    * n_hits / recall with zero-hit queries kept.
+    *
+    * Scale shape: one semi-join at (query, cand) grain over two
+    * queries×k frames, one partial-agg count — evaluation cost is
+    * proportional to the result lists, never the corpus. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int,
+      queryCol: String = "query_id", candCol: String = "cand_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val a = approx.filter(col("rank") <= k)
+      .select(col(queryCol), col(candCol))
+    val e = exact.filter(col("rank") <= k)
+      .select(col(queryCol), col(candCol))
+    val hits = a.join(e, Seq(queryCol, candCol), "left_semi")
+      .groupBy(col(queryCol)).agg(count(lit(1)).as("n_hits"))
+    e.select(col(queryCol)).distinct()
+      .join(hits, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 6)
+          .as("recall"))
+  }
 }

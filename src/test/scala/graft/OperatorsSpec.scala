@@ -621,6 +621,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got("s")._2 && !got("s")._3, got("s"))  // distinct drop, no mean
   }
 
+  test("recallAtK: hit counting, zero-hit queries kept, rank cap honored") {
+    import graft.operators.Similarity
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1), (2L, 21L, 2),
+      (3L, 30L, 1), (3L, 31L, 2)).toDF("query_id", "cand_id", "rank")
+    // q1 both right; q2 one right (one extra beyond k ignored);
+    // q3 nothing right
+    val approx = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1), (2L, 99L, 2),
+      (2L, 21L, 3), (3L, 98L, 1), (3L, 97L, 2)).toDF("query_id", "cand_id", "rank")
+    val got = Similarity.recallAtK(approx, exact, k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((2L, 1.0)), got(1L))
+    assert(got(2L) == ((1L, 0.5)), got(2L)) // rank-3 hit must not count
+    assert(got(3L) == ((0L, 0.0)), got(3L))
+  }
+
   test("sourceConcentration and dupInflation: closed-form mixes") {
     import graft.operators.Profiling
     val df = Seq(
