@@ -1217,6 +1217,17 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** Item-side benchmark leakage (TextAnalysis.benchmarkLeakage):
+    * which benchmark docs are compromised, by how many corpus docs. */
+  private def qLeakage(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    TextAnalysis.benchmarkLeakage(
+        t.documents.filter(col("doc_id") >= 20),
+        t.documents.filter(col("doc_id") < 20),
+        "text", "doc_id", n = 3, threshold = 0.5, maxDocFreq = 100)
+      .orderBy(col("bench_id"))
+  }
+
   /** Multimodal plumbing: binary payload + stubbed decode + frame
     * sampling (MultiModal). */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -1472,6 +1483,7 @@ object SparkEntry {
     "q95_concentration" -> (qConcentration _),
     "q96_dup_inflation" -> (qDupInflation _),
     "q97_ann_recall" -> (qRecall _),
+    "q98_bench_leakage" -> (qLeakage _),
   )
 
   // -------------------------------------------------------------------
@@ -3240,6 +3252,33 @@ object SparkEntry {
          |    AS contaminated
          |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
          |ORDER BY s.doc_id""".stripMargin,
+
+    "q98_bench_leakage" ->
+      s"""WITH $shinglesCteSql,
+         |corpus AS (SELECT DISTINCT doc_id, shingle FROM sh
+         |  WHERE doc_id >= 20),
+         |freq AS (SELECT shingle, count(*) AS df FROM corpus GROUP BY 1),
+         |rare AS (SELECT shingle FROM freq WHERE df <= 100),
+         |cr AS (SELECT c.doc_id AS corpus_id, c.shingle
+         |  FROM corpus c JOIN rare USING (shingle)),
+         |bench AS (SELECT DISTINCT doc_id AS bench_id, shingle FROM sh
+         |  WHERE doc_id < 20),
+         |bs AS (SELECT bench_id, count(*) AS n_sh FROM bench GROUP BY 1),
+         |inter AS (SELECT b.bench_id, c.corpus_id, count(*) AS n_int
+         |  FROM bench b JOIN cr c USING (shingle) GROUP BY 1, 2),
+         |per AS (SELECT i.bench_id,
+         |    round(i.n_int::DOUBLE / bs.n_sh, 6) AS containment
+         |  FROM inter i JOIN bs USING (bench_id)),
+         |agg AS (SELECT bench_id,
+         |    CAST(sum(CASE WHEN containment >= 0.5 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_leaky_docs,
+         |    max(containment) AS max_containment
+         |  FROM per GROUP BY 1)
+         |SELECT bs.bench_id, CAST(bs.n_sh AS BIGINT) AS n_sh,
+         |  coalesce(n_leaky_docs, 0) AS n_leaky_docs,
+         |  coalesce(max_containment, 0.0) AS max_containment
+         |FROM bs LEFT JOIN agg USING (bench_id)
+         |ORDER BY bs.bench_id""".stripMargin,
 
     "q49_stratified_sample" ->
       s"""WITH b AS (SELECT lang,

@@ -183,6 +183,49 @@ object TextAnalysis {
       .withColumn("contaminated", col("overlap_ratio") >= threshold)
   }
 
+  /** Item-side benchmark leakage: for each BENCHMARK document, how
+    * many corpus documents contain at least `threshold` of its
+    * distinct shingles, and the worst containment seen — the report an
+    * eval owner reads (q48's decontaminationRatios answers "which
+    * corpus docs are dirty"; this answers "which benchmark items are
+    * compromised", the decision that invalidates an eval).
+    *
+    * Scale shape: both sides collapse to distinct shingles; corpus
+    * shingles above `maxDocFreq` document-frequency are dropped FIRST —
+    * boilerplate shingles shared by thousands of documents carry no
+    * contamination signal but would dominate the pair-grain join, so
+    * the filter is both the statistical and the 100 TB safety valve.
+    * The remaining join is shingle-grain with pair-grain output
+    * bounded by Σ_shingle (bench docs × rare corpus docs). */
+  def benchmarkLeakage(docs: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      threshold: Double = 0.5, maxDocFreq: Long = 1000): DataFrame = {
+    val docSh = Dedup.shingleRows(docs, textCol, idCol, n).distinct()
+    val rare = docSh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select(col("shingle"))
+    val corpusSh = docSh.join(rare, Seq("shingle"))
+      .withColumnRenamed(idCol, "corpus_id")
+    val benchSh = Dedup.shingleRows(benchmark, textCol, idCol, n)
+      .distinct().withColumnRenamed(idCol, "bench_id")
+    val sizes = benchSh.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_sh"))
+    val per = benchSh.join(corpusSh, Seq("shingle"))
+      .groupBy(col("bench_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_int"))
+      .join(broadcast(sizes), Seq("bench_id"))
+      .withColumn("containment",
+        round(col("n_int").cast("double") / col("n_sh"), 6))
+    val agg = per.groupBy(col("bench_id"))
+      .agg(sum(when(col("containment") >= threshold, 1L).otherwise(0L))
+          .as("n_leaky_docs"),
+        max(col("containment")).as("max_containment"))
+    sizes.join(agg, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_sh"),
+        coalesce(col("n_leaky_docs"), lit(0L)).as("n_leaky_docs"),
+        coalesce(col("max_containment"), lit(0.0)).as("max_containment"))
+  }
+
   /** Corpus TF-IDF: top-k terms per language scored tf·ln(N/df).
     * One explode, two partial-aggregatable groupBys keyed by
     * (lang, token), then a top-k window over the (tiny) per-language

@@ -621,6 +621,32 @@ class OperatorsSpec extends SparkSpec {
     assert(got("s")._2 && !got("s")._3, got("s"))  // distinct drop, no mean
   }
 
+  test("benchmarkLeakage: embedded item flagged, boilerplate df-filtered") {
+    import graft.operators.TextAnalysis
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // leaked into corpus doc 10
+      (2L, "zeta eta theta iota kappa"))      // clean
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "intro words alpha beta gamma delta epsilon outro words"),
+      (11L, "unrelated content entirely different text here"),
+      (12L, "more unrelated material nothing shared at all"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.benchmarkLeakage(corpus, bench, "text",
+        "doc_id", threshold = 0.5, maxDocFreq = 100)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // bench 1 has 3 shingles, all inside doc 10 -> containment 1.0
+    assert(got(1L) == ((3L, 1L, 1.0)), got(1L))
+    assert(got(2L) == ((3L, 0L, 0.0)), got(2L))
+    // a shingle shared by EVERY corpus doc is boilerplate: with
+    // maxDocFreq = 1 nothing survives the df filter and bench 1 reads clean
+    val boiler = TextAnalysis.benchmarkLeakage(corpus, bench, "text",
+        "doc_id", threshold = 0.5, maxDocFreq = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(boiler(1L) == 0L)
+  }
+
   test("recallAtK: hit counting, zero-hit queries kept, rank cap honored") {
     import graft.operators.Similarity
     val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1), (2L, 21L, 2),
