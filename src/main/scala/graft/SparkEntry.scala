@@ -1228,6 +1228,27 @@ object SparkEntry {
       .orderBy(col("bench_id"))
   }
 
+  /** Per-language length histogram with explicit bin edges
+    * (Profiling.histogramReport). */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Profiling.histogramReport(t.documents, "n_chars", "lang", bins = 10)
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  /** Targets for q100: even sources get 0.09, odd sources are
+    * unplanned (1e-6 smoothing -> visible KL penalty). */
+  private val MixTargets: Map[String, Double] =
+    (0 until 20 by 2).map(i => s"src$i" -> 0.09).toMap
+
+  /** Realized-vs-target mixture divergence (Profiling.mixKlDivergence)
+    * per language, in nats. */
+  private def qMixKl(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Profiling.mixKlDivergence(t.documents, "lang", "source", MixTargets)
+      .orderBy(col("lang"))
+  }
+
   /** Multimodal plumbing: binary payload + stubbed decode + frame
     * sampling (MultiModal). */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -1484,6 +1505,8 @@ object SparkEntry {
     "q96_dup_inflation" -> (qDupInflation _),
     "q97_ann_recall" -> (qRecall _),
     "q98_bench_leakage" -> (qLeakage _),
+    "q99_histogram" -> (qHistogram _),
+    "q100_mix_kl" -> (qMixKl _),
   )
 
   // -------------------------------------------------------------------
@@ -2898,6 +2921,36 @@ object SparkEntry {
          |  round(coalesce(n_hits, 0)::DOUBLE / 5, 6) AS recall
          |FROM qs LEFT JOIN hits USING (query_id)
          |ORDER BY query_id""".stripMargin
+    },
+
+    "q99_histogram" ->
+      """WITH e AS (SELECT lang, min(n_chars::DOUBLE) AS lo,
+        |    max(n_chars::DOUBLE) AS hi FROM documents GROUP BY 1),
+        |h AS (SELECT d.lang,
+        |    CASE WHEN e.hi = e.lo THEN 0
+        |      ELSE least(greatest(floor((d.n_chars::DOUBLE - e.lo) /
+        |        ((e.hi - e.lo) / 10)), 0), 9) END AS bin,
+        |    count(*) AS n
+        |  FROM documents d JOIN e USING (lang) GROUP BY 1, 2)
+        |SELECT h.lang, CAST(h.bin AS BIGINT) AS bin,
+        |  round(e.lo + h.bin * ((e.hi - e.lo) / 10), 6) AS lo_edge,
+        |  round(e.lo + (h.bin + 1) * ((e.hi - e.lo) / 10), 6) AS hi_edge,
+        |  n
+        |FROM h JOIN e USING (lang) ORDER BY lang, bin""".stripMargin,
+
+    "q100_mix_kl" -> {
+      val caseQ = MixTargets.toSeq.sortBy(_._1)
+        .map { case (s, q) => s"WHEN source = '$s' THEN $q" }
+        .mkString("\n    ")
+      s"""WITH c AS (SELECT lang, source, count(*) AS n_src
+         |  FROM documents GROUP BY 1, 2),
+         |w AS (SELECT lang, n_src,
+         |    CASE $caseQ ELSE 1e-6 END AS q
+         |  FROM c)
+         |SELECT lang, CAST(sum(n_src) AS BIGINT) AS n_rows,
+         |  round((sum(n_src * ln(n_src)) - sum(n_src * ln(q)))
+         |    / sum(n_src) - ln(sum(n_src)), 6) AS kl_nats
+         |FROM w GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     "q95_concentration" ->

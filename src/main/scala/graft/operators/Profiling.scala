@@ -125,6 +125,58 @@ object Profiling {
         count(lit(1)).cast("long").as("n_bins_present"))
   }
 
+  /** Per-group equal-width histogram as a REPORT (the binning
+    * [[psiDrift]] uses internally, exposed with explicit bin edges) —
+    * the distribution snapshot dashboards render. Edges derive from
+    * each group's own [min, max]; empty bins are absent (the report is
+    * (group, bin)-grain, metadata scale).
+    *
+    * Scale shape: identical to psiDrift's histogram — one
+    * metadata-scale edges aggregation broadcast back, one
+    * partially-aggregated (group, bin) count. */
+  def histogramReport(df: DataFrame, valCol: String, groupCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val edges = rangeEdges(df, valCol, groupCol)
+    histogram(df, valCol, groupCol, edges, bins)
+      .join(broadcast(edges), Seq(groupCol))
+      .select(col(groupCol), col("bin"),
+        round(col("lo") + col("bin") * ((col("hi") - col("lo")) / bins), 6)
+          .as("lo_edge"),
+        round(col("lo") + (col("bin") + 1) *
+          ((col("hi") - col("lo")) / bins), 6).as("hi_edge"),
+        col("n"))
+  }
+
+  /** KL divergence of each group's realized source mix from declared
+    * target shares — "how far is my corpus from the mixture the
+    * training recipe asked for", in nats; the acceptance check run
+    * after mixtureRebalance. Sources missing a target get share 1e−6
+    * (the same smoothing convention as PSI) so an unplanned source
+    * shows up as a large, finite penalty rather than ∞.
+    *
+    * Scale shape: one (group, source) partial-agg count; the KL fold
+    * runs over that metadata-scale frame with the target map compiled
+    * into the projection. */
+  def mixKlDivergence(df: DataFrame, groupCol: String, srcCol: String,
+      targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.nonEmpty, "targetShares must not be empty")
+    val target = targetShares.foldLeft(lit(1e-6)) {
+      case (acc, (s, q)) => when(col(srcCol) === s, lit(q)).otherwise(acc)
+    }
+    df.groupBy(col(groupCol), col(srcCol))
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("q", target)
+      .groupBy(col(groupCol))
+      .agg(sum(col("n_src")).as("n_rows"),
+        sum(col("n_src") * log(col("n_src"))).as("_nlogn"),
+        sum(col("n_src") * log(col("q"))).as("_nlogq"))
+      .select(col(groupCol), col("n_rows"),
+        // KL = Σ p ln(p/q) = (Σ n ln n − Σ n ln q)/N − ln N
+        round((col("_nlogn") - col("_nlogq")) / col("n_rows") -
+          log(col("n_rows")), 6).as("kl_nats"))
+  }
+
   /** Schema-drift report between two snapshots of the same table: the
     * per-column profile of each side joined and flagged. Catches the
     * three upstream breakages that silently poison a pipeline —

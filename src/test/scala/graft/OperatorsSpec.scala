@@ -662,6 +662,34 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) == ((0L, 0.0)), got(3L))
   }
 
+  test("histogramReport edges tile the range; mixKl zero at target, penalized off") {
+    import graft.operators.Profiling
+    val df = (0 until 100).map(i => ("g", i.toLong)).toDF("grp", "v")
+    val h = Profiling.histogramReport(df, "v", "grp", bins = 10)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4))).sortBy(_._1)
+    assert(h.length == 10 && h.map(_._2._3).sum == 100L)
+    // consecutive bins share an edge; width = 99/10
+    h.sliding(2).foreach { case Array((_, (_, hi1, _)), (_, (lo2, _, _))) =>
+      assert(hi1 == lo2, s"$hi1 != $lo2")
+    }
+    assert(h.head._2._1 == 0.0 && h.last._2._2 == 99.0)
+
+    // mix exactly at target -> KL 0; shifting mass to an unplanned
+    // source -> large penalty
+    val even = (1 to 50).map(i => ("g", if (i <= 25) "a" else "b"))
+      .toDF("grp", "src")
+    val k0 = Profiling.mixKlDivergence(even, "grp", "src",
+      Map("a" -> 0.5, "b" -> 0.5)).collect().head
+    assert(k0.getDouble(2) == 0.0, k0)
+    val off = (1 to 50).map(i => ("g", if (i <= 25) "a" else "ROGUE"))
+      .toDF("grp", "src")
+    val k1 = Profiling.mixKlDivergence(off, "grp", "src",
+      Map("a" -> 0.5, "b" -> 0.5)).collect().head
+    // rogue half: 0.5*ln(0.5/1e-6) ≈ 6.56 plus a's 0 term
+    assert(k1.getDouble(2) > 6.0, k1)
+  }
+
   test("sourceConcentration and dupInflation: closed-form mixes") {
     import graft.operators.Profiling
     val df = Seq(
