@@ -252,4 +252,24 @@ class PropertySpec extends SparkSpec {
       assert(b.getInt(1) == start + nDates + nJunk - 1, "table_end")
     }
   }
+
+  test("weightedSample: A-ES priorities favor weight ~proportionally") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // 200 strata, each a two-horse race: weight 9 vs weight 1. Under
+    // A-ES the heavy row should win P = 9/10 of races; the hash-derived
+    // uniforms are fixed, so this asserts the hash universe is unbiased
+    // enough to realize the designed odds (binomial 3-sigma band).
+    val rows = (0 until 200).flatMap { s =>
+      Seq((s.toString, s * 2L, 9L), (s.toString, s * 2L + 1, 1L))
+    }
+    val winners = Sampling.weightedSample(
+        rows.toDF("grp", "id", "w"), "grp", "id", "w", k = 1)
+      .select("id").as[Long].collect()
+    assert(winners.length == 200)
+    val heavyWins = winners.count(_ % 2 == 0)
+    // E = 180, sigma = sqrt(200*0.9*0.1) ≈ 4.2 -> [167, 193]
+    assert(heavyWins >= 167 && heavyWins <= 193,
+      s"heavy won $heavyWins/200, expected ~180")
+  }
 }
