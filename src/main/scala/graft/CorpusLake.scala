@@ -95,6 +95,51 @@ object CorpusLake {
     java.lang.Long.parseLong(hex, 16)
   }
 
+  /** Roll forward a crash that happened between swapShard's two
+    * renames: the shard then lives ONLY in the hidden `.bak` dir
+    * (partDir gone), so reads would silently miss it and a subsequent
+    * upsert would merge against nothing and then delete the sole copy.
+    * Every mutation entry point calls this first: if the backup exists
+    * and the live dir does not, restore backup → live before touching
+    * anything. Returns true if a restore happened. */
+  private def recoverShard(spark: SparkSession, path: String,
+      split: String, shard: Int): Boolean = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val partDir = new HPath(s"$path/split=$split/shard=$shard")
+    val backup = new HPath(s"$path/.rewrite-$split-$shard.bak")
+    val fs = FileSystem.get(partDir.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(backup) && !fs.exists(partDir)) {
+      require(fs.rename(backup, partDir),
+        s"recoverShard: failed to restore $backup to $partDir")
+      true
+    } else false
+  }
+
+  /** Sweep ALL pending `.rewrite-*.bak` dirs at the lake root: restore
+    * orphaned backups (crash between the two renames), delete stale
+    * ones (crash after the swap landed, before cleanup). One root
+    * listing — metadata-scale. Every mutation entry point runs this so
+    * a crashed rewrite of ANY shard heals before new work starts, not
+    * just shards the current batch happens to touch. */
+  private def recoverAll(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val root = new HPath(path)
+    val fs = FileSystem.get(root.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val Bak = """\.rewrite-(.+)-(\d+)\.bak""".r
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case Bak(split, shard) =>
+          val live = new HPath(s"$path/split=$split/shard=$shard")
+          if (!fs.exists(live)) recoverShard(spark, path, split, shard.toInt)
+          else fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+  }
+
   /** Rewrite one (split, shard) directory with `rows`, baked order
     * restored, through the backup/rename swap SeriesLake.compactCatalog
     * established — a crash mid-rewrite leaves the shard recoverable,
@@ -102,6 +147,7 @@ object CorpusLake {
   private def swapShard(spark: SparkSession, path: String, split: String,
       shard: Int, rows: DataFrame, idCol: String): Unit = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    recoverShard(spark, path, split, shard)
     val partDir = new HPath(s"$path/split=$split/shard=$shard")
     val fs = FileSystem.get(partDir.toUri,
       spark.sparkContext.hadoopConfiguration)
@@ -147,11 +193,13 @@ object CorpusLake {
   def deleteByKey(spark: SparkSession, path: String, idCol: String,
       keys: Seq[Any]): Int = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    recoverAll(spark, path)
     val meta = readMeta(spark, path)
     val byPart = keys.map(k => placementOf(k.toString, meta) -> k.toString)
       .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
     var rewritten = 0
     byPart.foreach { case ((split, shard), ids) =>
+      recoverShard(spark, path, split, shard)
       val partDir = new HPath(s"$path/split=$split/shard=$shard")
       val fs = FileSystem.get(partDir.toUri,
         spark.sparkContext.hadoopConfiguration)
@@ -181,8 +229,22 @@ object CorpusLake {
   def upsertBatch(spark: SparkSession, path: String, idCol: String,
       batch: DataFrame, replace: Boolean = false): Int = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    recoverAll(spark, path)
     val meta = readMeta(spark, path)
-    val placed = Sampling.withSplit(batch, idCol, meta.trainPct, meta.valPct)
+    // A crawl feed can carry the same id twice within one batch; landing
+    // both rows would break the lake's one-row-per-id invariant that
+    // deleteByKey and later upserts rely on. Keep one row per id with a
+    // deterministic tiebreak (smallest full-row hash, then arbitrary-but-
+    // stable row_number) rather than dropDuplicates' partition-order
+    // nondeterminism.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(xxhash64(batch.columns.toSeq.flatMap(c =>
+        Seq(col(c).isNull, col(c))): _*))
+    val deduped = batch
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val placed = Sampling.withSplit(deduped, idCol, meta.trainPct, meta.valPct)
       .withColumn("shuffle_key", Sampling.shuffleKey(col(idCol), meta.epoch))
       .withColumn("shard",
         pmod(col("shuffle_key"), lit(meta.nShards)).cast("int"))
@@ -191,6 +253,7 @@ object CorpusLake {
       val parts = placed.select(col("split"), col("shard")).distinct()
         .collect().map(r => (r.getString(0), r.getInt(1)))
       parts.foreach { case (split, shard) =>
+        recoverShard(spark, path, split, shard)
         val slice = placed
           .filter(col("split") === split && col("shard") === shard)
           .drop("split", "shard")

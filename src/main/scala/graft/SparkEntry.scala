@@ -2811,11 +2811,17 @@ object SparkEntry {
         |p AS (SELECT j.lang,
         |    greatest(n_ref / t_ref, 1e-6) AS p_ref,
         |    greatest(n_cur / t_cur, 1e-6) AS p_cur
-        |  FROM j JOIN tot USING (lang))
-        |SELECT lang,
-        |  round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
-        |  count(*) AS n_bins_present
-        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+        |  FROM j JOIN tot USING (lang)),
+        |psi AS (SELECT lang,
+        |    round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
+        |    count(*) AS n_bins_present
+        |  FROM p GROUP BY lang),
+        |curonly AS (SELECT DISTINCT c.lang FROM cur c
+        |  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.lang = c.lang))
+        |SELECT * FROM (SELECT * FROM psi UNION ALL
+        |  SELECT lang, CAST(NULL AS DOUBLE) AS psi,
+        |    CAST(0 AS BIGINT) AS n_bins_present FROM curonly)
+        |ORDER BY lang""".stripMargin,
 
     "q85_source_overlap" ->
       s"""WITH sd AS (SELECT DISTINCT source, md5($normTextSql) AS digest

@@ -115,7 +115,7 @@ object Profiling {
       .select(col(groupCol), col("n_ref"), col("n_cur"))
     val totals = joined.groupBy(col(groupCol))
       .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
-    joined.join(broadcast(totals), Seq(groupCol))
+    val scored = joined.join(broadcast(totals), Seq(groupCol))
       .select(col(groupCol),
         greatest(col("n_ref") / col("t_ref"), lit(1e-6)).as("p_ref"),
         greatest(col("n_cur") / col("t_cur"), lit(1e-6)).as("p_cur"))
@@ -123,6 +123,17 @@ object Profiling {
       .agg(round(sum((col("p_cur") - col("p_ref"))
           * log(col("p_cur") / col("p_ref"))), 6).as("psi"),
         count(lit(1)).cast("long").as("n_bins_present"))
+    // A group present only in cur — a brand-new language/source, exactly
+    // the drift this monitor exists to flag — has no reference edges and
+    // would vanish from the inner-joined histograms. Surface it with a
+    // sentinel row (psi = null, n_bins_present = 0) instead of dropping
+    // it. Metadata-scale: one distinct per side, anti-joined.
+    val curOnly = cur.select(col(groupCol)).distinct()
+      .join(edges.select(col(groupCol)), Seq(groupCol), "left_anti")
+      .select(col(groupCol),
+        lit(null).cast("double").as("psi"),
+        lit(0L).as("n_bins_present"))
+    scored.unionByName(curOnly)
   }
 
   /** Per-group equal-width histogram as a REPORT (the binning

@@ -71,11 +71,13 @@ object Sketches {
       if (b.contains(tok)) b(tok) += 1L
       else if (b.size < k) b(tok) = 1L
       else {
-        // decrement-all: every stored count pays for the unstored token
-        val dead = b.iterator.flatMap { case (t, n) =>
-          if (n == 1L) Some(t) else { b(t) = n - 1L; None }
-        }.toList
-        dead.foreach(b.remove)
+        // decrement-all: every stored count pays for the unstored token.
+        // Decide on an immutable snapshot, mutate after — in-flight
+        // mutation of a mutable.HashMap under iteration is undefined
+        // behavior even when value-only updates happen to work today.
+        b.toList.foreach { case (t, n) =>
+          if (n == 1L) b.remove(t) else b(t) = n - 1L
+        }
       }
       b
     }
@@ -84,12 +86,12 @@ object Sketches {
       b.foreach { case (t, n) => a(t) = a.getOrElse(t, 0L) + n }
       if (a.size > k) {
         // subtract the (k+1)-th largest residual from everything; at
-        // most k entries stay strictly positive
+        // most k entries stay strictly positive. Snapshot before
+        // mutating (same discipline as reduce).
         val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
-        val dead = a.iterator.flatMap { case (t, n) =>
-          if (n - cut <= 0L) Some(t) else { a(t) = n - cut; None }
-        }.toList
-        dead.foreach(a.remove)
+        a.toList.foreach { case (t, n) =>
+          if (n - cut <= 0L) a.remove(t) else a(t) = n - cut
+        }
       }
       a
     }

@@ -46,9 +46,14 @@ object Snapshot {
 
     val (oldSide, newSide, oldVals, newVals) =
       if (fingerprint) {
+        // xxhash64 skips NULL inputs (state passes through unchanged), so
+        // hashing the raw columns would make (NULL, 5) and (5, NULL)
+        // collide. Interleave a never-null isNull flag per column so NULL
+        // position shifts change the hashed sequence.
         val fp = (d: DataFrame) => d.select(
           keyCols.map(col) :+
-            xxhash64(compareCols.map(col): _*).as("_fp"): _*)
+            xxhash64(compareCols.flatMap(c =>
+              Seq(col(c).isNull, col(c))): _*).as("_fp"): _*)
         (fp(oldSnap).withColumnRenamed("_fp", "old_fp"),
           fp(newSnap).withColumnRenamed("_fp", "new_fp"),
           Seq("old_fp"), Seq("new_fp"))

@@ -52,6 +52,37 @@ class DeltaOpsSpec extends SparkSpec {
     assert(!plain.contains("added") && !plain.contains("removed"))
   }
 
+  test("snapshot diff: fingerprint mode distinguishes NULL position shifts") {
+    // xxhash64 skips NULL inputs, so without the per-column isNull flags
+    // (a=NULL, b=5) and (a=5, b=NULL) would fingerprint identically and
+    // a genuinely changed row would be classified 'unchanged'.
+    val oldSnap = Seq((1L, None: Option[Long], Some(5L)),
+      (2L, Some(7L), Some(7L)))
+      .toDF("k", "a", "b")
+    val newSnap = Seq((1L, Some(5L), None: Option[Long]),  // value moved a<->b
+      (2L, Some(7L), Some(7L)))                            // untouched
+      .toDF("k", "a", "b")
+    val byKey = Snapshot.diff(oldSnap, newSnap, Seq("k"), Seq("a", "b"),
+        fingerprint = true)
+      .collect().map(r => r.getLong(0) ->
+        r.getString(r.fieldIndex("status"))).toMap
+    assert(byKey == Map(1L -> "changed", 2L -> "unchanged"))
+  }
+
+  test("psi drift: group present only in cur surfaces as sentinel row") {
+    import graft.operators.Profiling
+    val ref = (1 to 100).map(i => ("en", (i % 50).toLong)).toDF("grp", "v")
+    val cur = (1 to 100).map(i =>
+      (if (i % 2 == 0) "en" else "zz", (i % 50).toLong)).toDF("grp", "v")
+    val rows = Profiling.psiDrift(ref, cur, "v", "grp", bins = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("en", "zz"))
+    val zz = rows("zz")
+    assert(zz.isNullAt(zz.fieldIndex("psi")))
+    assert(zz.getLong(zz.fieldIndex("n_bins_present")) == 0L)
+    assert(!rows("en").isNullAt(rows("en").fieldIndex("psi")))
+  }
+
   test("top tokens: exact ranks; Misra-Gries candidates cover them") {
     val docs = Tables(spark, sf()).documents
     val k = 8

@@ -228,6 +228,65 @@ class LakeSpec extends SparkSpec {
     assert(CorpusLake.read(spark, dir).count() == total + 2)
   }
 
+  test("corpus lake: crash between swap renames is rolled back on next mutation") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-crash").toString
+    val docs = Tables(spark, sf()).documents.select("doc_id", "text")
+    CorpusLake.writeShards(docs, "doc_id", dir, epoch = 1, nShards = 4)
+    val total = docs.count()
+
+    // Simulate the crash window: partDir moved to .bak, replacement
+    // never landed — the shard exists ONLY in the hidden backup.
+    val root = new java.io.File(dir)
+    val victim = root.listFiles().filter(_.getName.startsWith("split="))
+      .flatMap(d => d.listFiles().filter(_.getName.startsWith("shard="))
+        .map(s => (d.getName.stripPrefix("split="), s)))
+      .head
+    val (split, shardDir) = victim
+    val shard = shardDir.getName.stripPrefix("shard=").toInt
+    val nInShard = spark.read.parquet(shardDir.getPath).count()
+    assert(nInShard > 0)
+    val bak = new java.io.File(dir, s".rewrite-$split-$shard.bak")
+    assert(shardDir.renameTo(bak), "test setup: rename to .bak failed")
+    assert(!shardDir.exists())
+
+    // An upsert touching that shard must first restore the backup, then
+    // merge against the REAL old rows — not against nothing.
+    val batch = Seq((910001L, "post-crash doc")).toDF("doc_id", "text")
+    CorpusLake.upsertBatch(spark, dir, "doc_id", batch)
+    val after = CorpusLake.read(spark, dir)
+    assert(after.count() == total + 1,
+      "rows lost: crash window not recovered before merge")
+    assert(!bak.exists(), "stale backup left behind")
+  }
+
+  test("corpus lake: upsertBatch dedups ids within the batch itself") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-batchdup").toString
+    val docs = Tables(spark, sf()).documents.select("doc_id", "text")
+    CorpusLake.writeShards(docs, "doc_id", dir, epoch = 1, nShards = 4)
+    val total = docs.count()
+    // same id twice in one batch (common in crawl feeds)
+    val batch = Seq((920001L, "dup A"), (920001L, "dup B"),
+      (920002L, "solo")).toDF("doc_id", "text")
+    CorpusLake.upsertBatch(spark, dir, "doc_id", batch)
+    val after = CorpusLake.read(spark, dir)
+    assert(after.count() == total + 2)
+    assert(after.filter(col("doc_id") === 920001L).count() == 1,
+      "one-row-per-id invariant broken by within-batch duplicate")
+    // deterministic winner: re-running on a fresh lake picks the same row
+    val dir2 = Files.createTempDirectory("graft-batchdup2").toString
+    CorpusLake.writeShards(docs, "doc_id", dir2, epoch = 1, nShards = 4)
+    CorpusLake.upsertBatch(spark, dir2, "doc_id",
+      batch.repartition(7)) // different physical layout, same winner
+    val w1 = after.filter(col("doc_id") === 920001L)
+      .select("text").collect().head.getString(0)
+    val w2 = CorpusLake.read(spark, dir2)
+      .filter(col("doc_id") === 920001L)
+      .select("text").collect().head.getString(0)
+    assert(w1 == w2, "within-batch dedup winner not deterministic")
+  }
+
   test("compaction rewrites a fragmented partition, data intact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact")
