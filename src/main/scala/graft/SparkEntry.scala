@@ -733,6 +733,39 @@ object SparkEntry {
     meta.join(stats, Seq("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** REAL PNG decode end to end via the JDK's `javax.imageio` reader:
+    * deterministic PNG fixtures (same closed-form pixels as q60's BMPs)
+    * encoded per partition by the JDK's PNG writer, decoded back by
+    * MultiModal.imagePixelStats. PNG is lossless, so the per-channel
+    * means must hit the closed form EXACTLY; the oracle recomputes
+    * dims and means from the formulas without ever seeing bytes. */
+  private def qPngDecode(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val fx = MultiModal.syntheticImage(
+      t.documents.select("doc_id"), "doc_id", "png")
+    MultiModal.imagePixelStats(fx)
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** REAL JPEG header probe via the ImageIO reader registry
+    * (MultiModal.imageMeta): format name, dims and band count read from
+    * container headers WITHOUT pixel decode — the scan-speed shape for
+    * corpus-wide media stats. JPEG decode is lossy so the contract is
+    * metadata only; dims/bands are exact and closed-form. */
+  private def qJpegMeta(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val fx = MultiModal.syntheticImage(
+      t.documents.select("doc_id"), "doc_id", "jpg")
+    MultiModal.imageMeta(fx)
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("channels"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-language quantile quality gate
     * (TextAnalysis.qualityQuantileGate): each language keeps docs above
     * its own P75 quality score — a relative curation bar. */
@@ -1507,6 +1540,8 @@ object SparkEntry {
     "q98_bench_leakage" -> (qLeakage _),
     "q99_histogram" -> (qHistogram _),
     "q100_mix_kl" -> (qMixKl _),
+    "q101_png_decode" -> (qPngDecode _),
+    "q102_jpeg_meta" -> (qJpegMeta _),
   )
 
   // -------------------------------------------------------------------
@@ -3164,6 +3199,39 @@ object SparkEntry {
         |  m.mean_r, m.mean_g, m.mean_b
         |FROM base b JOIN m USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+
+    // same closed forms as q60, minus payload_len (PNG byte length is
+    // encoder-dependent, not closed-form) — lossless decode must hit
+    // the per-channel means exactly
+    "q101_png_decode" ->
+      """WITH base AS (SELECT doc_id, doc_id % 16 + 1 AS w,
+        |    doc_id % 8 + 1 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h,
+        |    unnest(generate_series(0, w - 1)) AS x FROM base),
+        |px AS (SELECT doc_id, x,
+        |    unnest(generate_series(0, h - 1)) AS y FROM xs),
+        |m AS (SELECT doc_id,
+        |    round(avg(CAST((doc_id + 7*x + 13*y) % 256 AS DOUBLE)), 4)
+        |      AS mean_r,
+        |    round(avg(CAST((doc_id + 7*x + 13*y + 31) % 256 AS DOUBLE)), 4)
+        |      AS mean_g,
+        |    round(avg(CAST((doc_id + 7*x + 13*y + 62) % 256 AS DOUBLE)), 4)
+        |      AS mean_b
+        |  FROM px GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.w AS BIGINT) AS width,
+        |  CAST(b.h AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
+        |  m.mean_r, m.mean_g, m.mean_b
+        |FROM base b JOIN m USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // JPEG is lossy: the contract is header metadata (format, dims,
+    // bands), all closed-form
+    "q102_jpeg_meta" ->
+      """SELECT doc_id, 'jpeg' AS format,
+        |  CAST(doc_id % 16 + 1 AS BIGINT) AS width,
+        |  CAST(doc_id % 8 + 1 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // generated from the same ProfileCols list as qProfile
     "q57_profile" -> ProfileCols.map { case (c, isNum) =>

@@ -242,6 +242,43 @@ class OperatorsSpec extends SparkSpec {
     assert(!rows(2L).getBoolean(1) && rows(2L).isNullAt(2))
   }
 
+  test("ImageIO tier: PNG lossless round-trip, JPEG header probe") {
+    import spark.implicits._
+    val ids = Seq(3L, 17L, 42L).toDF("doc_id")
+    // PNG: lossless — decoded means must hit the generator's closed form
+    val png = MultiModal.imagePixelStats(
+        MultiModal.syntheticImage(ids, "doc_id", "png"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(3L, 17L, 42L)) {
+      val r = png(id)
+      val (w, h) = ((id % 16 + 1).toInt, (id % 8 + 1).toInt)
+      assert(r.getLong(1) == w && r.getLong(2) == h)
+      assert(r.getLong(3) == 3L)
+      val px = for (x <- 0 until w; y <- 0 until h) yield (x, y)
+      def m(c: Int) = px.map { case (x, y) =>
+        ((id + 7 * x + 13 * y + 31 * c) % 256).toDouble }.sum / px.size
+      assert(math.abs(r.getDouble(4) - m(0)) < 1e-9, s"mean_r id=$id")
+      assert(math.abs(r.getDouble(5) - m(1)) < 1e-9)
+      assert(math.abs(r.getDouble(6) - m(2)) < 1e-9)
+    }
+    // JPEG: header probe reports format/dims/bands without pixel decode
+    val jm = MultiModal.imageMeta(
+        MultiModal.syntheticImage(ids, "doc_id", "jpg"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(3L, 17L, 42L)) {
+      val r = jm(id)
+      assert(r.getString(1) == "jpeg")
+      assert(r.getLong(2) == id % 16 + 1 && r.getLong(3) == id % 8 + 1)
+      assert(r.getLong(4) == 3L)
+      assert(r.getLong(5) > 0L)
+    }
+    // the probe also recognizes PNG payloads as png
+    val pf = MultiModal.imageMeta(
+        MultiModal.syntheticImage(ids.limit(1), "doc_id", "png"))
+      .select("format").head().getString(0)
+    assert(pf == "png")
+  }
+
   test("multimodal stub plumbing: payload, metadata, frame sampling") {
     val df = MultiModal.sampleFrames(
       MultiModal.frameIndexStub(
