@@ -766,6 +766,20 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-trained BPE token counts (TextAnalysis.bpeTokenCounts):
+    * BpeMerges rounds of iterative pair-count aggregation learn merge
+    * ranks from the corpus itself; per-doc counts under the learned
+    * tokenizer. The oracle replays the ENTIRE training loop in
+    * generated per-iteration SQL — any drift in pair counting, the
+    * (count desc, pair asc) tie-break, or greedy merge application
+    * breaks the hash. */
+  private def qBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    TextAnalysis.bpeTokenCounts(
+        t.documents.select(col("doc_id"), col("text")), "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-language quantile quality gate
     * (TextAnalysis.qualityQuantileGate): each language keeps docs above
     * its own P75 quality score — a relative curation bar. */
@@ -1542,6 +1556,7 @@ object SparkEntry {
     "q100_mix_kl" -> (qMixKl _),
     "q101_png_decode" -> (qPngDecode _),
     "q102_jpeg_meta" -> (qJpegMeta _),
+    "q103_bpe_tokens" -> (qBpeTokens _),
   )
 
   // -------------------------------------------------------------------
@@ -3232,6 +3247,40 @@ object SparkEntry {
         |  CAST(doc_id % 8 + 1 AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // full replay of the BPE training loop: one generated (pair-count,
+    // argmax, merge-apply) CTE triple per round, TextAnalysis.BpeMerges
+    // rounds. replace() substitutes left-to-right non-overlapping in
+    // both engines, which is exactly greedy BPE merge semantics.
+    "q103_bpe_tokens" -> {
+      val iters = (1 to TextAnalysis.BpeMerges).map { i =>
+        val prev = s"w${i - 1}"
+        s"""s$i AS (SELECT seg, freq,
+           |    unnest(generate_series(1,
+           |      len(string_split(seg, ' ')) - 1)) AS i
+           |  FROM $prev),
+           |p$i AS (SELECT string_split(seg, ' ')[i] || ' ' ||
+           |    string_split(seg, ' ')[i + 1] AS pair, sum(freq) AS c
+           |  FROM s$i GROUP BY 1),
+           |m$i AS (SELECT pair FROM p$i ORDER BY c DESC, pair LIMIT 1),
+           |w$i AS (SELECT w.word, w.freq,
+           |    replace(w.seg, m.pair, replace(m.pair, '> <', '')) AS seg
+           |  FROM $prev w, m$i m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH docw AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |  FROM documents),
+         |w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |    array_to_string(list_transform(regexp_extract_all(word, '.'),
+         |      x -> '<' || x || '>'), ' ') AS seg
+         |  FROM docw GROUP BY word),
+         |$iters
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(string_split(w.seg, ' '))) AS BIGINT)
+         |    AS n_bpe_tokens
+         |FROM docw d JOIN w${TextAnalysis.BpeMerges} w USING (word)
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    },
 
     // generated from the same ProfileCols list as qProfile
     "q57_profile" -> ProfileCols.map { case (c, isNum) =>

@@ -444,6 +444,95 @@ object TextAnalysis {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------
+  // Corpus-trained BPE tokenizer (Sennrich et al. 2016, public
+  // algorithm): learn merge ranks from the corpus itself so token
+  // budgets (packing, length buckets) are priced in units an actual
+  // trainer would see — the learned upgrade of [[tokenCounts]]'
+  // regex "BPE-ish" estimate.
+  //
+  // Representation: a word's segmentation is a string of
+  // delimiter-wrapped symbols, e.g. "hello" -> "<h> <e> <l> <l> <o>".
+  // Applying merge (a, b) is then ONE literal string replace of
+  // "<a> <b>" with "<ab>" — and because `replace` substitutes
+  // left-to-right non-overlapping in both Spark and DuckDB, that IS
+  // greedy BPE merge semantics ("<a> <a> <a>" -> "<aa> <a>").
+  // Wrappers make misaligned matches impossible: symbols are [a-z0-9]+
+  // so '<', '>' and ' ' never occur inside one.
+  //
+  // Scale shape: the training state is the DISTINCT-word table (word,
+  // freq, seg) — vocabulary grain, not corpus grain. Each round runs
+  // exactly one shuffle (pair-count partial aggregation at pair grain)
+  // plus a metadata-plane top-1 collect (count desc, pair asc — the
+  // deterministic tie-break), then a map-only `replace` over the word
+  // table; the kmeansCells discipline (bounded rounds, deterministic
+  // tie-breaks, one shuffle per round). Applying the tokenizer to the
+  // corpus is one vocabulary-grain equi-join.
+  // ------------------------------------------------------------------
+
+  /** Merge rounds used by the oracle-checked BPE query — the oracle SQL
+    * replays exactly this many iterations. */
+  val BpeMerges = 12
+
+  /** BPE pre-tokenization: lowercase [a-z0-9]+ runs (one row per word
+    * occurrence). */
+  private def bpeWords(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.select(col(idCol),
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z0-9]+"), lit(0))).as("word"))
+
+  /** Train `nMerges` merges on the corpus. Returns the merge pairs in
+    * rank order (each as the "<a> <b>" search string) and the final
+    * word table (word, freq, seg, n_tokens). */
+  def bpeLearn(df: DataFrame, textCol: String, idCol: String,
+      nMerges: Int = BpeMerges): (Seq[String], DataFrame) = {
+    val base = bpeWords(df, textCol, idCol)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("seg", array_join(
+        transform(regexp_extract_all(col("word"), lit("."), lit(0)),
+          c => concat(lit("<"), c, lit(">"))), " "))
+      .persist()
+    base.count() // materialize once; every round re-reads this table
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = base
+    var done = false
+    for (_ <- 1 to nMerges if !done) {
+      val arr = split(col("seg"), " ")
+      val top = cur.select(col("freq"),
+          explode(zip_with(
+            slice(arr, lit(1), size(arr) - 1),
+            slice(arr, lit(2), size(arr) - 1),
+            (l, r) => concat(l, lit(" "), r))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val pair = top.head.getString(0)
+        merges += pair
+        cur = cur.withColumn("seg",
+          replace(col("seg"), lit(pair), lit(pair.replace("> <", ""))))
+      }
+    }
+    (merges.toSeq,
+      cur.withColumn("n_tokens", size(split(col("seg"), " ")).cast("long")))
+  }
+
+  /** Per-document REAL token counts under the corpus-trained tokenizer:
+    * one vocabulary-grain join of the word stream against the learned
+    * segmentation table. Docs with no [a-z0-9] word are absent (no
+    * tokens). */
+  def bpeTokenCounts(df: DataFrame, textCol: String, idCol: String,
+      nMerges: Int = BpeMerges): DataFrame = {
+    val (_, table) = bpeLearn(df, textCol, idCol, nMerges)
+    bpeWords(df, textCol, idCol)
+      .join(table.select(col("word"), col("n_tokens")), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tokens")).as("n_bpe_tokens"))
+  }
+
   def ngramNovelty(cur: DataFrame, ref: DataFrame, textCol: String,
       idCol: String, n: Int = 3): DataFrame = {
     val curSh = Dedup.shingleRows(cur, textCol, idCol, n).distinct()

@@ -253,6 +253,67 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BPE training matches a brute-force reference on generated corpora") {
+    import graft.operators.TextAnalysis
+    // reference implementation: classic Sennrich BPE over (word, freq)
+    // with greedy left-to-right merge application and (count desc,
+    // pair asc) tie-break — written against symbol SEQUENCES, with no
+    // string-replace trick, so it independently checks the engine's
+    // delimited-string representation
+    def refBpe(words: Map[String, Long], nMerges: Int)
+        : (List[(String, String)], Map[String, List[String]]) = {
+      var segs = words.map { case (w, _) => w -> w.map(_.toString).toList }
+      var merges = List.empty[(String, String)]
+      for (_ <- 1 to nMerges) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        segs.foreach { case (w, syms) =>
+          syms.zip(syms.drop(1)).foreach { p =>
+            counts(p) = counts.getOrElse(p, 0L) + words(w)
+          }
+        }
+        if (counts.nonEmpty) {
+          // tie-break on the WRAPPED pair string, matching the engine
+          val best = counts.toSeq.minBy { case ((a, b), c) =>
+            (-c, s"<$a> <$b>") }._1
+          merges = merges :+ best
+          segs = segs.map { case (w, syms) =>
+            val out = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == best._1 &&
+                  syms(i + 1) == best._2) {
+                out += best._1 + best._2; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            w -> out.toList
+          }
+        }
+      }
+      (merges, segs)
+    }
+
+    val wordGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aabbcd01".toSeq)).map(_.mkString))
+    for (trial <- 0 until 3) {
+      val corpus = samples(wordGen, 60, seed = 1000L + trial)
+        .grouped(6).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      val df = corpus.toDF("doc_id", "text")
+      val freqs = corpus.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      val (expMerges, expSegs) = refBpe(freqs, 6)
+
+      val (gotMerges, table) = TextAnalysis.bpeLearn(df, "text", "doc_id", 6)
+      assert(gotMerges == expMerges.map { case (a, b) => s"<$a> <$b>" },
+        s"trial $trial merge order")
+      val gotSegs = table.select("word", "seg").collect()
+        .map(r => r.getString(0) ->
+          r.getString(1).split(" ").map(_.stripPrefix("<")
+            .stripSuffix(">")).toList).toMap
+      assert(gotSegs == expSegs, s"trial $trial segmentations")
+    }
+  }
+
   test("weightedSample: A-ES priorities favor weight ~proportionally") {
     import spark.implicits._
     import graft.operators.Sampling
