@@ -712,6 +712,37 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The index MAINTENANCE path under the hash gate: build the
+    * IVF-flat index from the EVEN half of the corpus, upsert the ODD
+    * half against the frozen stored centroids
+    * (Similarity.upsertIvfIndex — computed cell placement, crash-safe
+    * partition swaps), then probe with nProbe=2. The oracle replays
+    * rebuild-from-union under the same frozen geometry: centroids from
+    * evens only, assignment of ALL vectors, cell-pruned cosine top-k —
+    * so a probe after upsert must equal a rebuild, hash-exactly. */
+  private def qIvfUpsert(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivfups_${math.abs(dir.hashCode)}").getPath
+    // skip-if-exists gate on a marker written AFTER the upsert lands —
+    // build+upsert are deterministic, so reuse cannot change results;
+    // repeat calls time the probe (the served path), as in qIvfIndex
+    val marker = new java.io.File(path, "_UPSERTED")
+    if (!marker.exists()) {
+      Similarity.writeIvfIndex(
+        t.embeddings.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", "label", path)
+      Similarity.upsertIvfIndex(s, path,
+        t.embeddings.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding")
+      marker.createNewFile()
+    }
+    Similarity.ivfKnnFromIndex(s, path,
+        t.embeddings.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** REAL image decode end to end: deterministic 24-bit BMP fixtures
     * encoded per partition, header fields parsed back by codegen'd
     * expressions (MultiModal.decodeBmpMeta), pixels walked by the
@@ -1557,6 +1588,7 @@ object SparkEntry {
     "q101_png_decode" -> (qPngDecode _),
     "q102_jpeg_meta" -> (qJpegMeta _),
     "q103_bpe_tokens" -> (qBpeTokens _),
+    "q104_ivf_upsert" -> (qIvfUpsert _),
   )
 
   // -------------------------------------------------------------------
@@ -2448,6 +2480,40 @@ object SparkEntry {
          |  SELECT label AS cell, unnest(embedding)::DOUBLE AS x,
          |         unnest(generate_series(1, len(embedding))) AS d
          |  FROM embeddings),
+         |cd AS (SELECT cell, d, round(avg(x), 4) AS c
+         |  FROM dims GROUP BY cell, d),
+         |cent AS (SELECT cell, list(c ORDER BY d) AS centroid
+         |  FROM cd GROUP BY cell),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    round(${cosineSql("e.embedding", "c.centroid")}, 6) AS csim
+         |  FROM embeddings e CROSS JOIN cent c),
+         |best AS (SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |  FROM assign),
+         |asg AS (SELECT vec_id, embedding, cell FROM best WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, cell
+         |  FROM best WHERE rn <= 2 AND vec_id < 8),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv, cell FROM asg),
+         |scored AS (
+         |  SELECT query_id, cand_id, round(${cosineSql("qv", "cv")}, 6) AS sim
+         |  FROM c JOIN q USING (cell) WHERE query_id <> cand_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, cand_id, sim, CAST("rank" AS INT) AS "rank"
+         |FROM ranked WHERE "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin,
+
+    // the q58 replay with frozen-geometry maintenance: centroids come
+    // from the EVEN half only (the build set), but assignment covers
+    // ALL vectors (build set + upserted odds) — a probe after upsert
+    // must equal this rebuild-from-union exactly
+    "q104_ivf_upsert" ->
+      s"""WITH dims AS (
+         |  SELECT label AS cell, unnest(embedding)::DOUBLE AS x,
+         |         unnest(generate_series(1, len(embedding))) AS d
+         |  FROM embeddings WHERE vec_id % 2 = 0),
          |cd AS (SELECT cell, d, round(avg(x), 4) AS c
          |  FROM dims GROUP BY cell, d),
          |cent AS (SELECT cell, list(c ORDER BY d) AS centroid

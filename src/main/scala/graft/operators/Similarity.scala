@@ -305,6 +305,146 @@ object Similarity {
       .parquet(s"$path/postings")
   }
 
+  /** Deterministic one-row-per-id within a batch (crawl feeds repeat
+    * ids): keep the row with the smallest full-row hash. */
+  private def dedupBatchById(batch: DataFrame, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(xxhash64(struct(batch.columns.map(col).toSeq: _*)))
+    batch.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Merge a placed batch (must carry a `cell` column) into persisted
+    * posting-list partitions, touching ONLY the batch's cells, through
+    * the crash-safe backup/rename swap CorpusLake established: recover
+    * any orphaned backup first, write the merged partition to a hidden
+    * tmp dir, swap via two renames, drop the backup last. Returns the
+    * number of cells rewritten. */
+  private def upsertPostings(spark: org.apache.spark.sql.SparkSession,
+      postings: String, placed: DataFrame, idCol: String,
+      replace: Boolean): Int = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val fs = FileSystem.get(new HPath(postings).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    // heal ANY crashed rewrite before new work (orphaned backup =
+    // shard lives only in .bak; stale backup = swap landed, cleanup
+    // didn't)
+    if (fs.exists(new HPath(postings))) {
+      val Bak = """\.rewrite-cell-(.+)\.bak""".r
+      fs.listStatus(new HPath(postings)).foreach { st =>
+        st.getPath.getName match {
+          case Bak(cv) =>
+            val live = new HPath(s"$postings/cell=$cv")
+            if (!fs.exists(live)) require(fs.rename(st.getPath, live),
+              s"failed to restore $live from backup")
+            else fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+    }
+    // An id's cell is a function of its EMBEDDING, so a changed vector
+    // can move cells: the old row lives in a cell the batch's new
+    // assignment never touches. One narrow (cell, id) probe of the
+    // postings for the batch's ids — a two-column columnar scan
+    // semi-joined against the broadcast batch ids, materialized BEFORE
+    // any partition swap — locates every collision exactly. skip mode
+    // drops those batch rows wholesale (an id present anywhere is
+    // "already indexed"); replace mode deletes them from their old
+    // cells. Cost: batch cells + collision cells rewritten, plus the
+    // id-column scan — the exact-semantics price without an id
+    // directory sidecar.
+    val batchIds = placed.select(col(idCol)).distinct()
+    val postingsExists = fs.exists(new HPath(postings))
+    val collisions = if (!postingsExists) null else
+      spark.read.parquet(postings).select(col(idCol), col("cell"))
+        .join(broadcast(batchIds), Seq(idCol))
+        .distinct().localCheckpoint(true)
+    val staleCells: Array[Any] =
+      if (collisions == null || !replace) Array.empty
+      else collisions.select(col("cell")).distinct().collect().map(_.get(0))
+    val insert =
+      if (replace || collisions == null) placed
+      else placed.join(broadcast(collisions.select(col(idCol))),
+        Seq(idCol), "left_anti")
+    val insertCells = insert.select(col("cell")).distinct().collect()
+      .map(_.get(0))
+    val cells = (insertCells ++ staleCells.filterNot(insertCells.contains))
+    cells.foreach { cv =>
+      val partDir = new HPath(s"$postings/cell=$cv")
+      val slice = insert.filter(col("cell") === lit(cv)).drop("cell")
+      val merged = if (!fs.exists(partDir)) slice else {
+        val existing = spark.read.parquet(partDir.toString)
+        val base =
+          if (replace)
+            existing.join(broadcast(batchIds), Seq(idCol), "left_anti")
+          else existing
+        base.unionByName(slice)
+      }
+      val tmp = new HPath(s"$postings/.rewrite-cell-$cv.tmp")
+      fs.delete(tmp, true)
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(new HPath(tmp, "_SUCCESS"), false)
+      val backup = new HPath(s"$postings/.rewrite-cell-$cv.bak")
+      fs.delete(backup, true)
+      val hadLive = fs.exists(partDir)
+      if (hadLive && !fs.rename(partDir, backup))
+        sys.error(s"upsertPostings: failed to move $partDir aside")
+      if (!fs.rename(tmp, partDir)) {
+        if (hadLive) fs.rename(backup, partDir)
+        sys.error(s"upsertPostings: failed to move $tmp into place; " +
+          "original partition restored")
+      }
+      fs.delete(backup, true)
+    }
+    cells.length
+  }
+
+  /** Incremental maintenance of a persisted IVF-flat index
+    * ([[writeIvfIndex]]): assign the arriving batch against the FROZEN
+    * stored centroids — an index's geometry must not shift under
+    * readers; re-clustering is an explicit rebuild — then merge each
+    * touched posting-list partition crash-safely (the
+    * CorpusLake.upsertBatch pattern; placement is COMPUTED, never
+    * discovered by scanning). Id collisions: `replace = false` keeps
+    * the index's row (idempotent re-ingest), `replace = true` takes
+    * the batch's — collisions are located exactly (even across cells,
+    * since a changed vector can move cells) by one narrow (cell, id)
+    * probe of the postings. Rewrite cost scales with cells touched,
+    * not index size. Returns the number of cells rewritten. */
+  def upsertIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, vecCol: String,
+      replace: Boolean = false): Int = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val centArr = toCentArr(cents)
+    val cellType = cents.schema("cell").dataType
+    val placed = assignCells(dedupBatchById(batch, idCol), idCol, vecCol,
+        centArr, cellType)
+      .withColumn("nrm", norm(col(vecCol)))
+      .persist()
+    try upsertPostings(spark, s"$path/postings", placed, idCol, replace)
+    finally placed.unpersist()
+  }
+
+  /** Incremental maintenance of a persisted IVF-PQ index
+    * ([[writeIvfPqIndex]]): coarse-assign the batch with the frozen
+    * centroids, encode with the frozen codebooks, merge code rows into
+    * the touched cell partitions. Same frozen-geometry / crash-safe /
+    * computed-placement contract as [[upsertIvfIndex]]. */
+  def upsertIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, vecCol: String,
+      replace: Boolean = false): Int = {
+    val books = readBooks(spark, path)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val centArr = toCentArr(cents)
+    val cellType = cents.schema("cell").dataType
+    val assigned = assignCells(dedupBatchById(batch, idCol), idCol, vecCol,
+      centArr, cellType)
+    val placed = pqEncode(assigned, idCol, vecCol, books,
+      keep = Seq("cell")).persist()
+    try upsertPostings(spark, s"$path/postings", placed, idCol, replace)
+    finally placed.unpersist()
+  }
+
   /** ANN against a persisted IVF index: assign the (small, broadcast)
     * query set with the stored centroids, then read ONLY the probed
     * posting-list partitions. The probed-cell collect is metadata-plane

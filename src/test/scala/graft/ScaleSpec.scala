@@ -129,6 +129,94 @@ class ScaleSpec extends SparkSpec {
       s"posting-list pruning not applied:\n$p")
   }
 
+  test("IVF upsert: incremental batches equal one-shot, frozen geometry, replace") {
+    val S = graft.operators.Similarity
+    val vectors = Tables(spark, sf()).embeddings
+    val evens = vectors.filter(col("vec_id") % 2 === 0)
+    val odds = vectors.filter(col("vec_id") % 2 === 1)
+    val queries = vectors.filter(col("vec_id") < 8)
+    def probe(dir: String) = S.ivfKnnFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, nProbe = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+    // path 1: build from evens, upsert all odds in ONE batch
+    val d1 = Files.createTempDirectory("graft-ups1").toString
+    S.writeIvfIndex(evens, "vec_id", "embedding", "label", d1)
+    val centsBefore = spark.read.parquet(s"$d1/centroids").collect()
+      .map(_.toString).sorted.toSeq
+    val n1 = S.upsertIvfIndex(spark, d1, odds, "vec_id", "embedding")
+    assert(n1 >= 1)
+    // frozen geometry: the upsert must not have touched the centroids
+    val centsAfter = spark.read.parquet(s"$d1/centroids").collect()
+      .map(_.toString).sorted.toSeq
+    assert(centsBefore == centsAfter, "upsert moved the centroids")
+
+    // path 2: same build, odds arrive as TWO batches — incrementality
+    val d2 = Files.createTempDirectory("graft-ups2").toString
+    S.writeIvfIndex(evens, "vec_id", "embedding", "label", d2)
+    S.upsertIvfIndex(spark, d2, odds.filter(col("vec_id") % 4 === 1),
+      "vec_id", "embedding")
+    S.upsertIvfIndex(spark, d2, odds.filter(col("vec_id") % 4 === 3),
+      "vec_id", "embedding")
+    val (p1, p2) = (probe(d1), probe(d2))
+    assert(p1 == p2, s"batch split changed the probe: " +
+      s"${p1.diff(p2)} vs ${p2.diff(p1)}")
+    // the upserted rows are really served
+    val odd = p1.map(_._2).exists(_ % 2 == 1)
+    assert(odd, "no odd candidate ever surfaced after upsert")
+
+    // skip vs replace on an id collision
+    import spark.implicits._
+    val victim = odds.select("vec_id", "embedding").limit(1).collect().head
+    val vid = victim.getLong(0)
+    val flipped = victim.getSeq[Float](1).map(x => -x)
+    val collide = Seq((vid, flipped)).toDF("vec_id", "embedding")
+    S.upsertIvfIndex(spark, d1, collide, "vec_id", "embedding")
+    val kept = spark.read.parquet(s"$d1/postings")
+      .filter(col("vec_id") === vid).select("embedding")
+      .collect().head.getSeq[Float](0)
+    assert(kept == victim.getSeq[Float](1), "skip semantics violated")
+    S.upsertIvfIndex(spark, d1, collide, "vec_id", "embedding",
+      replace = true)
+    val kept2 = spark.read.parquet(s"$d1/postings")
+      .filter(col("vec_id") === vid).select("embedding")
+      .collect().head.getSeq[Float](0)
+    assert(kept2 == flipped, "replace semantics violated")
+    // one-row-per-id invariant held through both collisions
+    assert(spark.read.parquet(s"$d1/postings")
+      .filter(col("vec_id") === vid).count() == 1)
+  }
+
+  test("IVF-PQ upsert: codes postings maintained, probes serve new rows") {
+    val S = graft.operators.Similarity
+    val vectors = Tables(spark, sf()).embeddings
+    val evens = vectors.filter(col("vec_id") % 2 === 0)
+    val odds = vectors.filter(col("vec_id") % 2 === 1)
+    val d1 = Files.createTempDirectory("graft-pqups1").toString
+    val d2 = Files.createTempDirectory("graft-pqups2").toString
+    val books = S.pqTrain(evens, "vec_id", "embedding",
+      m = 4, k = 8, iters = 1, dims = 64)
+    S.writeIvfPqIndex(evens, "vec_id", "embedding", "label", books, d1)
+    S.writeIvfPqIndex(evens, "vec_id", "embedding", "label", books, d2)
+    S.upsertIvfPqIndex(spark, d1, odds, "vec_id", "embedding")
+    S.upsertIvfPqIndex(spark, d2, odds.filter(col("vec_id") % 4 === 1),
+      "vec_id", "embedding")
+    S.upsertIvfPqIndex(spark, d2, odds.filter(col("vec_id") % 4 === 3),
+      "vec_id", "embedding")
+    val queries = vectors.filter(col("vec_id") < 4)
+    def probe(dir: String) = S.pqSearchFromIndex(spark, dir, queries,
+        "vec_id", "embedding", topK = 5, nProbe = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val (p1, p2) = (probe(d1), probe(d2))
+    assert(p1 == p2, "PQ batch split changed the probe")
+    assert(p1.map(_._2).exists(_ % 2 == 1), "no upserted candidate served")
+    // postings still carry codes only (never raw vectors)
+    val cols = spark.read.parquet(s"$d1/postings").columns.toSet
+    assert(cols == Set("vec_id", "codes", "cell"), cols)
+  }
+
   test("IVF-PQ composed index: pruned probes over codes-only postings") {
     // the full label-free composition: coarse cells from k-means,
     // codebooks from PQ training, posting lists partitioned by cell
