@@ -505,6 +505,103 @@ object EventStream {
     }
   }
 
+  /** The PSI fold shared by the streaming guard and the batch gate:
+    * smoothed (1e-6) contributions over bins where either side has
+    * mass. Returns (psi, n_bins_present). */
+  private[streaming] def psiOf(refCnt: Seq[Long],
+      cur: Seq[Long]): (Double, Long) = {
+    val tRef = refCnt.sum.toDouble
+    val tCur = cur.sum.toDouble
+    var psi = 0.0
+    var present = 0L
+    var b = 0
+    while (b < refCnt.length) {
+      if (refCnt(b) > 0 || cur(b) > 0) {
+        val pR = math.max(refCnt(b) / tRef, 1e-6)
+        val pC = math.max(cur(b) / tCur, 1e-6)
+        psi += (pC - pR) * math.log(pC / pR)
+        present += 1
+      }
+      b += 1
+    }
+    (psi, present)
+  }
+
+  /** PSI of ONE batch against a frozen reference histogram, per group:
+    * the admission test of [[driftGatedLakeWriter]]. Binning is the
+    * SAME shared Profiling.histogram the batch monitor uses (bins from
+    * the reference's [lo, hi], floor/clamp identical), aggregated to
+    * (group, bin) grain before the metadata-scale collect. A group the
+    * reference has never seen maps to `None` — brand-new populations
+    * are drift by definition, the caller decides. */
+  def batchPsi(batch: DataFrame, valCol: String, grpCol: String,
+      refHist: Map[String, (Double, Double, Seq[Long])],
+      bins: Int = 10): Map[String, Option[Double]] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val edges = refHist.toSeq.map { case (g, (lo, hi, _)) => (g, lo, hi) }
+      .toDF(grpCol, "lo", "hi")
+    val known = graft.operators.Profiling
+      .histogram(batch.select(col(grpCol).cast("string").as(grpCol),
+        col(valCol).cast("double").as(valCol)), valCol, grpCol, edges, bins)
+      .collect().groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        val counts = Array.fill(bins)(0L)
+        rows.foreach(r => counts(r.getLong(1).toInt) = r.getLong(2))
+        g -> Some(psiOf(refHist(g)._3, counts.toSeq)._1)
+      }
+    val newGroups = batch.select(col(grpCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).filterNot(refHist.contains)
+    known ++ newGroups.map(_ -> None).toMap
+  }
+
+  /** Drift-gated lake ingestion: the composition of the PSI drift
+    * monitor with CorpusLake.upsertBatch into one guarded streaming
+    * sink. Every micro-batch must pass the frozen-reference PSI
+    * admission test BEFORE it may enter the training corpus: a batch
+    * with any group's PSI above `threshold` — or any group the
+    * reference has never seen — is written whole to `quarantinePath`
+    * (annotated with batch id, worst group and its PSI) for a human
+    * decision, and the lake is left untouched; a passing batch merges
+    * through the crash-safe computed-placement upsert. This is the
+    * "don't train on a poisoned crawl" gate run at ingest time rather
+    * than as a post-hoc audit.
+    *
+    * Scale shape: the gate is one (group, bin)-grain aggregation per
+    * micro-batch (metadata-scale collect), the admit path inherits
+    * upsertBatch's touched-shards-only cost. Returns a writer ready to
+    * `.start()`; checkpointing is the caller's choice. */
+  def driftGatedLakeWriter(stream: DataFrame, lakePath: String,
+      quarantinePath: String, idCol: String, valCol: String,
+      grpCol: String, refHist: Map[String, (Double, Double, Seq[Long])],
+      bins: Int = 10, threshold: Double = 0.25)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val psi = batchPsi(batch, valCol, grpCol, refHist, bins)
+          // worst offender: unseen groups outrank any finite PSI
+          val worst = psi.toSeq
+            .sortBy { case (g, p) => (-p.getOrElse(Double.MaxValue), g) }
+            .headOption
+          val drifted = worst.exists { case (_, p) =>
+            p.forall(_ > threshold) }
+          if (drifted) {
+            val (wg, wp) = worst.get
+            batch.withColumn("batch_id", lit(batchId))
+              .withColumn("drift_group", lit(wg))
+              .withColumn("drift_psi",
+                wp.map(lit).getOrElse(lit(null).cast("double")))
+              .write.mode("append").parquet(quarantinePath)
+          } else {
+            graft.CorpusLake.upsertBatch(batch.sparkSession, lakePath,
+              idCol, batch)
+          }
+        }
+        ()
+    }
+  }
+
   /** Streaming distribution-drift guard: the incremental form of
     * Profiling.psiDrift. The reference histogram is frozen batch-side
     * ([[refHistogram]]) and rides the closure; stream state is ONE
@@ -541,20 +638,7 @@ object EventStream {
                 counts(b) += 1
               }
               state.update(PsiState(counts.toSeq))
-              val tCur = counts.sum.toDouble
-              val tRef = refCnt.sum.toDouble
-              var psi = 0.0
-              var present = 0L
-              var b = 0
-              while (b < bins) {
-                if (refCnt(b) > 0 || counts(b) > 0) {
-                  val pR = math.max(refCnt(b) / tRef, 1e-6)
-                  val pC = math.max(counts(b) / tCur, 1e-6)
-                  psi += (pC - pR) * math.log(pC / pR)
-                  present += 1
-                }
-                b += 1
-              }
+              val (psi, present) = psiOf(refCnt, counts.toSeq)
               Iterator.single(PsiOut(grp, psi, counts.sum, present))
           }
       }.toDF()

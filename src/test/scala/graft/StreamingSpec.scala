@@ -882,4 +882,69 @@ class StreamingSpec extends SparkSpec {
       assert(keys == keys.sorted, "stream upsert broke baked order")
     }
   }
+
+  test("drift-gated lake ingestion quarantines drifted micro-batches") {
+    import spark.implicits._
+    val lakeDir = Files.createTempDirectory("graft-gatelake").toString
+    val feedDir = Files.createTempDirectory("graft-gatefeed").toString
+    val quarDir = Files.createTempDirectory("graft-quarantine").toString + "/q"
+
+    // reference corpus: two languages, n_chars uniform-ish per lang
+    val ref = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "en" else "es", (50 + i % 100).toLong))
+      .toDF("doc_id", "lang", "n_chars")
+    CorpusLake.writeShards(ref, "doc_id", lakeDir, epoch = 1, nShards = 4)
+    val refHist = EventStream.refHistogram(ref, "n_chars", "lang", bins = 10)
+
+    def feed(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("doc_id", "lang", "n_chars").coalesce(1)
+        .write.mode("append").parquet(feedDir)
+
+    // batch 1: in-distribution (same generator, fresh ids) -> admitted
+    val good = (1001L to 1100L).map(i =>
+      (i, if (i % 2 == 0) "en" else "es", (50 + i % 100).toLong))
+    feed(good)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    val q = EventStream.driftGatedLakeWriter(
+      spark.readStream.schema(schema).parquet(feedDir),
+      lakeDir, quarDir, "doc_id", "n_chars", "lang", refHist,
+      bins = 10, threshold = 0.25).start()
+    try {
+      q.processAllAvailable()
+      assert(CorpusLake.read(spark, lakeDir).count() == 300L,
+        "in-distribution batch was not admitted")
+      assert(!new java.io.File(quarDir).exists(),
+        "in-distribution batch was quarantined")
+
+      // batch 2: length distribution shifted far up -> PSI drift
+      feed((2001L to 2100L).map(i => (i, "en", 5000L + i % 10)))
+      q.processAllAvailable()
+      // batch 3: a language the reference has never seen -> drift
+      feed((3001L to 3050L).map(i => (i, "zz", (50 + i % 100).toLong)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // both drifted batches quarantined, lake untouched since batch 1
+    val lake = CorpusLake.read(spark, lakeDir)
+    assert(lake.count() == 300L, "a drifted batch leaked into the lake")
+    assert(lake.filter(col("doc_id") >= 2000L).count() == 0L)
+    val quar = spark.read.parquet(quarDir)
+    assert(quar.count() == 150L, "quarantine is missing drifted rows")
+    assert(quar.select("batch_id").distinct().count() == 2L)
+    // the shifted batch is annotated with its offending group + PSI
+    val shifted = quar.filter(col("doc_id") === 2001L).collect().head
+    assert(shifted.getString(shifted.fieldIndex("drift_group")) == "en")
+    assert(shifted.getDouble(shifted.fieldIndex("drift_psi")) > 0.25)
+    // the unseen-language batch carries the sentinel (null PSI)
+    val unseen = quar.filter(col("doc_id") === 3001L).collect().head
+    assert(unseen.getString(unseen.fieldIndex("drift_group")) == "zz")
+    assert(unseen.isNullAt(unseen.fieldIndex("drift_psi")))
+  }
 }
