@@ -26,6 +26,29 @@ object GraftExtensions {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "",
       "", "built-in")
 
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+
+  /** Bridge a Column-composition function into an expression builder:
+    * wrap the child expressions as Columns, compose, unwrap. The
+    * resulting tree is ordinary Catalyst expressions — codegen'd like
+    * any built-in. */
+  private def fromColumns(f: Seq[Column] => Column)
+      : Seq[Expression] => Expression =
+    children => ExpressionUtils.expression(
+      f(children.map(ExpressionUtils.column)))
+
+  /** Extract a literal int argument (e.g. the shingle width) at
+    * resolution time. */
+  private def litInt(e: Expression, name: String, fn: String): Int = {
+    require(e.foldable, s"$fn: $name must be a literal integer")
+    e.eval() match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be a literal integer, got $other")
+    }
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_cell_row"),
@@ -50,7 +73,38 @@ object GraftExtensions {
       info("graft_char_entropy",
         "graft_char_entropy(s) - Shannon entropy (nats) of the string's " +
           "character distribution, order-independent fold"),
-      (children: Seq[Expression]) => CharEntropyExpr(children.head)))
+      (children: Seq[Expression]) => CharEntropyExpr(children.head)),
+    (FunctionIdentifier("graft_normalize_value"),
+      info("graft_normalize_value",
+        "graft_normalize_value(s) - the reference's 19-token missing-" +
+          "value normalization: missing tokens and non-numeric junk " +
+          "to NULL, else parsed double (F6)"),
+      fromColumns(cols => graft.functions.GF.normalizeValue(cols.head))),
+    (FunctionIdentifier("graft_shingles"),
+      info("graft_shingles",
+        "graft_shingles(text, n) - word n-gram shingle array over " +
+          "normalized whitespace tokens (n literal). Convenience " +
+          "surface: corpus-scale jobs should use the projection-split " +
+          "Scala operator (Dedup.shingleRows)"),
+      (children: Seq[Expression]) => ExpressionUtils.expression(
+        graft.operators.Dedup.shinglesCol(
+          ExpressionUtils.column(children.head),
+          litInt(children(1), "n", "graft_shingles")))),
+    (FunctionIdentifier("graft_simhash"),
+      info("graft_simhash",
+        "graft_simhash(text) - 32-bit SimHash of the normalized token " +
+          "multiset; bit-identical to the Dedup.simhash operator"),
+      fromColumns(cols => graft.operators.Dedup.simhashCol(cols.head))),
+    (FunctionIdentifier("graft_lsh_bucket"),
+      info("graft_lsh_bucket",
+        "graft_lsh_bucket(text, band) - the MinHash-LSH md5 bucket of " +
+          "one band (band literal; k=8, bands=4, shingle n=3 — the " +
+          "signature-index defaults), for SQL-side probes of the " +
+          "persisted dedup index"),
+      (children: Seq[Expression]) => ExpressionUtils.expression(
+        graft.operators.Dedup.lshBucketCol(
+          ExpressionUtils.column(children.head),
+          litInt(children(1), "band", "graft_lsh_bucket")))))
 
   /** Install the functions on an ALREADY-RUNNING session (withExtensions
     * only applies to sessions built after it). */

@@ -108,6 +108,53 @@ object Dedup {
         i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
       .otherwise(array(concat_ws(" ", toks)))
 
+  /** Scalar Column form of the shingle construction — the SQL-surface
+    * sibling of [[shingleRows]] (registered as `graft_shingles`).
+    * Convenience form: the composed lambda defeats Catalyst's
+    * subexpression elimination (tokenization re-runs per element), so
+    * corpus-scale jobs should use the projection-split [[shingleRows]];
+    * this exists so SQL-only users can reach the same semantics. */
+  def shinglesCol(text: Column, n: Int): Column =
+    shinglesFromTokens(GF.wsTokens(normalizeText(text)), n)
+
+  /** Scalar Column form of [[simhash]] (registered as `graft_simhash`):
+    * one aggregate fold over the token-hash array carrying the nBits
+    * bit-vote counters, finished by packing strictly-positive votes
+    * into the hash — bit-identical to the DataFrame operator (parity
+    * in ExtensionsSpec). */
+  def simhashCol(text: Column, nBits: Int = 32): Column = {
+    val hs = transform(GF.wsTokens(normalizeText(text)),
+      t => GF.hash32(t))
+    aggregate(hs,
+      array_repeat(lit(0L), nBits),
+      (acc, h) => transform(acc, (x, i) =>
+        x + when(call_function("shiftright", h, i)
+          .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)),
+      counters => aggregate(
+        zip_with(counters, sequence(lit(0), lit(nBits - 1)),
+          (s, j) => when(s > 0, call_function("shiftleft", lit(1L), j))
+            .otherwise(lit(0L))),
+        lit(0L), (a, v) => a + v))
+  }
+
+  /** Scalar Column form of one band's LSH bucket (registered as
+    * `graft_lsh_bucket`): the md5 bucket [[lshBuckets]] emits for
+    * `band`, computed per row from the raw text with the same
+    * universal-hash family and defaults as [[writeSignatureIndex]] —
+    * so a SQL-only user can probe the persisted signature index. */
+  def lshBucketCol(text: Column, band: Int, k: Int = 8, bands: Int = 4,
+      shingleN: Int = 3): Column = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    require(band >= 0 && band < bands, s"band=$band out of [0, $bands)")
+    val r = k / bands
+    val hs = transform(shinglesCol(text, shingleN), s => GF.hash32(s))
+    val mhs = (band * r until (band + 1) * r).map(i =>
+      array_min(transform(hs, h =>
+        (h * lit(2L * i + 1) + lit(101L * i + 17))
+          % lit(GF.MinhashPrime))))
+    md5(concat_ws("_", mhs.map(_.cast("string")): _*))
+  }
+
   /** Exploded (id, shingle) rows: tokenize in one projection, shingle +
     * explode in the next. `repartitionTo` spreads the CPU-bound regex
     * work — byte-based input splits undercount tokenization cost, so a

@@ -42,6 +42,81 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out.getLong(0) > 0 && out.getLong(1) > 0)
   }
 
+  test("graft_normalize_value round-trips the F6 normalization in SQL") {
+    import graft.functions.GF
+    // every missing token nulls; numerics parse; junk nulls
+    val toks = GF.MissingTokens.map(t => t.replace("'", "''"))
+    val cases = toks.map(t => s"graft_normalize_value('$t')") ++
+      Seq("graft_normalize_value(' 42.5 ')",
+        "graft_normalize_value('1e3')",
+        "graft_normalize_value('abc')")
+    val r = spark.sql(s"SELECT ${cases.mkString(", ")}").head()
+    toks.indices.foreach(i => assert(r.isNullAt(i), s"token '${toks(i)}'"))
+    assert(r.getDouble(toks.size) == 42.5)
+    assert(r.getDouble(toks.size + 1) == 1000.0)
+    assert(r.isNullAt(toks.size + 2))
+  }
+
+  test("graft_shingles matches Dedup.shingleRows per doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "The quick  brown fox, jumps over the lazy dog"),
+      (2L, "tiny"), (3L, "a b c d e")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("shdocs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, explode(graft_shingles(text, 3)) AS shingle " +
+        "FROM shdocs")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaOp = graft.operators.Dedup.shingleRows(docs, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaSql == viaOp)
+    // n must be a literal
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_shingles(text, doc_id) FROM shdocs")
+        .collect())
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
+  test("graft_simhash matches the Dedup.simhash operator bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+      .documents.select("doc_id", "text").limit(50)
+    docs.createOrReplaceTempView("simdocs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_simhash(text) AS simhash FROM simdocs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaOp = graft.operators.Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaOp, "SQL simhash diverged from the operator")
+    assert(viaSql.values.exists(_ != 0L))
+  }
+
+  test("graft_lsh_bucket matches Dedup.lshBuckets for every band") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+      .documents.select("doc_id", "text").limit(30)
+    docs.createOrReplaceTempView("lshdocs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_lsh_bucket(text, 0) AS b0,
+        |  graft_lsh_bucket(text, 1) AS b1,
+        |  graft_lsh_bucket(text, 2) AS b2,
+        |  graft_lsh_bucket(text, 3) AS b3
+        |FROM lshdocs""".stripMargin)
+      .collect().flatMap(r => (0 until 4).map(b =>
+        (r.getLong(0), b) -> r.getString(1 + b)))
+      .toMap
+    val viaOp = graft.operators.Dedup.lshBuckets(
+        graft.operators.Dedup.minhashSignature(docs, "text", "doc_id",
+          k = 8, shingleN = 3), "doc_id", k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2))
+      .toMap
+    assert(viaSql == viaOp, "SQL LSH bucket diverged from the operator")
+  }
+
   test("graft_vec_dot/norm match the HOF fold bit-for-bit, null-safe") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
