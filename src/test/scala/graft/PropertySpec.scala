@@ -253,6 +253,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("duplicateClusters: driver and distributed paths agree across the dispatch seam") {
+    import graft.operators.Dedup
+    // ground truth: brute-force union-find
+    def refClusters(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 60L)
+      b <- Gen.chooseNum(0L, 60L) if a != b
+    } yield (a, b)
+
+    for (trial <- 0 until 3) {
+      // random edges + a chain (worst case for plain propagation) + a star
+      val random = samples(edgeGen, 70, seed = 7000L + trial)
+      val chain = (100L until 115L).map(i => (i, i + 1))
+      val star = (200L until 208L).map(i => (250L, i))
+      val edges = (random ++ chain ++ star).distinct
+      val df = edges.toDF("id1", "id2")
+      val expected = refClusters(edges)
+
+      // the seam itself: gate exactly at nEdges (driver path) vs one
+      // below (distributed path) — plus the forced extremes
+      val nEdges = df.distinct().count()
+      val variants = Seq(
+        ("driver (gate = nEdges)", nEdges),
+        ("distributed (gate = nEdges - 1)", nEdges - 1),
+        ("driver (huge gate)", Long.MaxValue),
+        ("distributed (gate 0)", 0L))
+      variants.foreach { case (name, gate) =>
+        val got = Dedup.duplicateClusters(df, driverMaxEdges = gate)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"trial $trial, $name")
+      }
+
+      // non-integral ids always take the distributed path; zero-padded
+      // strings preserve the min-id ordering so labels must map 1:1
+      val sdf = df.selectExpr(
+        "format_string('%05d', id1) AS id1",
+        "format_string('%05d', id2) AS id2")
+      val gotS = Dedup.duplicateClusters(sdf,
+          driverMaxEdges = Long.MaxValue)
+        .collect().map(r => r.getString(0).toLong ->
+          r.getString(1).toLong).toMap
+      assert(gotS == expected, s"trial $trial, string ids")
+    }
+  }
+
   test("BPE training matches a brute-force reference on generated corpora") {
     import graft.operators.TextAnalysis
     // reference implementation: classic Sennrich BPE over (word, freq)
