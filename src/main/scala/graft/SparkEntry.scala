@@ -811,6 +811,27 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL audio decode end to end: deterministic PCM16 WAV fixtures
+    * (RIFF container written by the pure-JVM encoder), header fields
+    * parsed back by codegen'd expressions (MultiModal.decodeWavMeta),
+    * every sample folded into exact integer sums by the batched walk
+    * (MultiModal.wavSampleStats). The oracle recomputes rate/channels/
+    * frames/duration and the sample sums from the same closed forms
+    * without seeing bytes — any mis-parse of the 44-byte header, the
+    * little-endian shorts or channel interleaving breaks the hash. */
+  private def qWavDecode(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val fx = MultiModal.syntheticWav(t.documents.select("doc_id"), "doc_id")
+    val meta = MultiModal.decodeWavMeta(fx)
+      .select(col("doc_id"), col("sample_rate"), col("n_channels"),
+        col("n_frames"), col("duration_ms"))
+    val stats = MultiModal.wavSampleStats(fx)
+      .select(col("doc_id"), col("sum_samples"), col("sum_sq"),
+        round(sqrt(col("sum_sq") /
+          (col("n_frames") * col("n_channels"))), 4).as("rms"))
+    meta.join(stats, Seq("doc_id")).orderBy(col("doc_id"))
+  }
+
   /** Per-language quantile quality gate
     * (TextAnalysis.qualityQuantileGate): each language keeps docs above
     * its own P75 quality score — a relative curation bar. */
@@ -1589,6 +1610,7 @@ object SparkEntry {
     "q102_jpeg_meta" -> (qJpegMeta _),
     "q103_bpe_tokens" -> (qBpeTokens _),
     "q104_ivf_upsert" -> (qIvfUpsert _),
+    "q105_wav_decode" -> (qWavDecode _),
   )
 
   // -------------------------------------------------------------------
@@ -3313,6 +3335,34 @@ object SparkEntry {
         |  CAST(doc_id % 8 + 1 AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // rate/channels/frames/duration and exact-integer sample sums from
+    // the fixture generator's closed forms — PCM16 is exact, so no
+    // tolerance anywhere except the final 4-dp rms rounding
+    "q105_wav_decode" ->
+      """WITH base AS (SELECT doc_id,
+        |    8000 + (doc_id % 4) * 4000 AS rate,
+        |    doc_id % 2 + 1 AS nch,
+        |    doc_id % 50 + 10 AS frames FROM documents),
+        |fr AS (SELECT doc_id, rate, nch, frames,
+        |    unnest(generate_series(0, frames - 1)) AS i FROM base),
+        |sm AS (SELECT doc_id, i, rate, nch, frames,
+        |    unnest(generate_series(0, nch - 1)) AS ch FROM fr),
+        |v AS (SELECT doc_id,
+        |    ((doc_id * 31 + i * 7 + ch * 13) % 2001) - 1000 AS s
+        |  FROM sm),
+        |agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS sum_samples,
+        |    CAST(sum(s * s) AS BIGINT) AS sum_sq
+        |  FROM v GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.rate AS BIGINT) AS sample_rate,
+        |  CAST(b.nch AS BIGINT) AS n_channels,
+        |  CAST(b.frames AS BIGINT) AS n_frames,
+        |  CAST((b.frames * 1000) // b.rate AS BIGINT) AS duration_ms,
+        |  a.sum_samples, a.sum_sq,
+        |  round(sqrt(CAST(a.sum_sq AS DOUBLE) / (b.frames * b.nch)), 4)
+        |    AS rms
+        |FROM base b JOIN agg a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     // full replay of the BPE training loop: one generated (pair-count,
     // argmax, merge-apply) CTE triple per round, TextAnalysis.BpeMerges

@@ -7,18 +7,22 @@ import org.apache.spark.sql.functions._
   * opaque `binary` payloads with typed metadata, decode / feature /
   * frame-sample stages.
   *
-  * Three decode tiers:
-  *  - a REAL pure-JVM 24-bit BMP codec (public, dependency-free format:
+  * Decode tiers (all REAL except the last):
+  *  - a pure-JVM 24-bit BMP codec (public, dependency-free format:
   *    BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows padded to
   *    4 bytes) — header fields parse as codegen'd expressions
   *    ([[decodeBmpMeta]]), pixels walk in the partition-batched stage
   *    ([[bmpPixelStats]]);
-  *  - REAL PNG/JPEG/GIF/TIFF decode via the JDK's own `javax.imageio`
+  *  - PNG/JPEG/GIF/TIFF decode via the JDK's own `javax.imageio`
   *    readers (no external codec dependency — the JRE ships them):
   *    full pixel decode in [[imagePixelStats]], header-only
   *    dims/bands probing in [[imageMeta]];
-  *  - a clearly-marked deterministic STUB standing in for AUDIO/VIDEO
-  *    codecs, which the JDK genuinely does not ship.
+  *  - a pure-JVM RIFF/WAV PCM16 audio codec — header fields as
+  *    codegen'd expressions ([[decodeWavMeta]]), exact-integer sample
+  *    aggregates in the partition-batched walk ([[wavSampleStats]]);
+  *  - a clearly-marked deterministic STUB standing in for COMPRESSED
+  *    audio (mp3/aac) and video codecs, which the JDK genuinely does
+  *    not ship.
   * Either way the plumbing is what matters at 100 TB: payloads stay
   * opaque byte arrays, metadata travels in narrow typed columns, and
   * nothing ever collects to the driver.
@@ -287,6 +291,125 @@ object MultiModal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map {
         case (id, p) => probe(id, p)
+      }))
+      .toDF()
+  }
+
+  // ------------------------------------------------------------------
+  // WAV/PCM audio codec — pure JVM, no libraries (RIFF is a public
+  // container: ECMA-119-adjacent chunk layout; PCM16 samples are raw
+  // little-endian shorts). Layout written/parsed here: "RIFF" u32le
+  // riffSize "WAVE" | "fmt " u32le 16 u16le audioFormat=1 u16le
+  // nChannels u32le sampleRate u32le byteRate u16le blockAlign u16le
+  // bitsPerSample=16 | "data" u32le dataSize samples. This closes the
+  // audio half of the multimodal tier the same way BMP/PNG closed
+  // images: header fields parse as codegen'd expressions, the sample
+  // walk runs partition-batched, fixtures have closed-form stats an
+  // external oracle recomputes without seeing bytes.
+  // ------------------------------------------------------------------
+
+  /** Encode a PCM16 mono/stereo WAV. `sample(i, ch)` returns the 16-bit
+    * sample for frame i, channel ch. */
+  def encodeWavPcm16(sampleRate: Int, nChannels: Int, nFrames: Int,
+      sample: (Int, Int) => Int): Array[Byte] = {
+    require(sampleRate > 0 && nChannels > 0 && nFrames >= 0)
+    val dataSize = nFrames * nChannels * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1)
+      .putShort(nChannels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * nChannels * 2)
+      .putShort((nChannels * 2).toShort).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nFrames) {
+      var ch = 0
+      while (ch < nChannels) {
+        b.putShort((sample(i, ch) & 0xffff).toShort)
+        ch += 1
+      }
+      i += 1
+    }
+    b.array()
+  }
+
+  /** REAL audio-metadata decode for PCM WAV payloads: sample rate,
+    * channels, frame count and duration parsed from the 44-byte header
+    * with codegen'd expressions — scan-speed corpus audio stats, no
+    * sample decode. Non-WAV payloads get is_wav=false and null fields. */
+  def decodeWavMeta(df: DataFrame): DataFrame = {
+    val isWav = length(col("payload")) >= 44 &&
+      hex(substring(col("payload"), 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(col("payload"), 9, 4)) === "57415645"    // "WAVE"
+    val nCh = leU16(col("payload"), 22)
+    val rate = leU32(col("payload"), 24)
+    val dataSize = leU32(col("payload"), 40)
+    val frames = (dataSize / (nCh * lit(2L))).cast("long")
+    df.withColumn("is_wav", isWav)
+      .withColumn("sample_rate", when(isWav, rate))
+      .withColumn("n_channels", when(isWav, nCh))
+      .withColumn("n_frames", when(isWav, frames))
+      .withColumn("duration_ms",
+        when(isWav, (frames * 1000L / rate).cast("long")))
+  }
+
+  /** Deterministic WAV fixture per id: rate, channels, frames and every
+    * sample are closed-form functions of the id (rate = 8000 + (id%4)·
+    * 4000, channels = id%2+1, frames = id%50+10, sample(i, ch) =
+    * ((id·31 + i·7 + ch·13) % 2001) − 1000), so an external oracle can
+    * verify decoded stats without the bytes. */
+  def syntheticWav(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val rate = (8000 + (id % 4) * 4000).toInt
+      val nCh = (id % 2 + 1).toInt
+      val nFrames = (id % 50 + 10).toInt
+      (id, encodeWavPcm16(rate, nCh, nFrames,
+        (i, ch) => (((id * 31 + i * 7 + ch * 13) % 2001) - 1000).toInt))
+    }).toDF(idCol, "payload")
+  }
+
+  /** Decoded audio statistics: header fields + exact integer sample
+    * aggregates (sum and sum of squares), portable to any engine. */
+  final case class WavStats(doc_id: Long, sample_rate: Long,
+      n_channels: Long, n_frames: Long, sum_samples: Long,
+      sum_sq: Long)
+
+  /** REAL PCM sample walk, batched per partition like [[bmpPixelStats]]:
+    * parses the header, folds every 16-bit sample into exact integer
+    * sums — the corpus-scale loudness/DC-offset profile (mean =
+    * sum/n, RMS = sqrt(sum_sq/n) derived downstream in exact form). */
+  def wavSampleStats(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def decode(id: Long, bytes: Array[Byte]): WavStats = {
+      val b = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 44 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(8) == 'W',
+        s"not a WAV payload for id $id")
+      require(b.getShort(20) == 1 && b.getShort(34) == 16,
+        s"not PCM16 for id $id")
+      val nCh = b.getShort(22).toInt
+      val rate = b.getInt(24)
+      val dataSize = b.getInt(40)
+      val n = dataSize / 2
+      var (s, s2) = (0L, 0L)
+      var i = 0
+      while (i < n) {
+        val v = b.getShort(44 + 2 * i).toLong
+        s += v; s2 += v * v
+        i += 1
+      }
+      WavStats(id, rate.toLong, nCh.toLong, (n / nCh).toLong, s, s2)
+    }
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map {
+        case (id, p) => decode(id, p)
       }))
       .toDF()
   }

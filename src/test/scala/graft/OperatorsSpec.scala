@@ -242,6 +242,41 @@ class OperatorsSpec extends SparkSpec {
     assert(!rows(2L).getBoolean(1) && rows(2L).isNullAt(2))
   }
 
+  test("WAV codec: encode/decode round-trip, header expressions, stereo interleave") {
+    import spark.implicits._
+    // stereo with distinct per-channel samples: the decoder must walk
+    // the interleaved frames, not assume mono
+    val (rate, nCh, nFrames) = (16000, 2, 7)
+    def sample(i: Int, ch: Int) = 100 * i - 300 + ch * 17
+    val bytes = MultiModal.encodeWavPcm16(rate, nCh, nFrames, sample)
+    assert(bytes.length == 44 + nFrames * nCh * 2)
+    val df = Seq((1L, bytes),
+      (2L, "certainly not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val meta = MultiModal.decodeWavMeta(df)
+      .select("doc_id", "is_wav", "sample_rate", "n_channels",
+        "n_frames", "duration_ms")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getBoolean(1))
+    assert(meta(1L).getLong(2) == rate && meta(1L).getLong(3) == nCh)
+    assert(meta(1L).getLong(4) == nFrames)
+    assert(meta(1L).getLong(5) == nFrames * 1000L / rate)
+    assert(!meta(2L).getBoolean(1) && meta(2L).isNullAt(2))
+
+    val st = MultiModal.wavSampleStats(df.filter($"doc_id" === 1L))
+      .collect().head
+    val all = for (i <- 0 until nFrames; ch <- 0 until nCh)
+      yield sample(i, ch).toLong
+    assert(st.getLong(st.fieldIndex("sum_samples")) == all.sum)
+    assert(st.getLong(st.fieldIndex("sum_sq")) == all.map(v => v * v).sum)
+    assert(st.getLong(st.fieldIndex("n_frames")) == nFrames)
+
+    // negative samples survive the 16-bit round-trip exactly
+    val neg = MultiModal.encodeWavPcm16(8000, 1, 3, (i, _) => -1000 + i)
+    val stNeg = MultiModal.wavSampleStats(
+      Seq((9L, neg)).toDF("doc_id", "payload")).collect().head
+    assert(stNeg.getLong(stNeg.fieldIndex("sum_samples")) == -2997L)
+  }
+
   test("ImageIO tier: PNG lossless round-trip, JPEG header probe") {
     import spark.implicits._
     val ids = Seq(3L, 17L, 42L).toDF("doc_id")
