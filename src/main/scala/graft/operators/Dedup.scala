@@ -548,6 +548,94 @@ object Dedup {
       .parquet(s"$path/buckets")
   }
 
+  /** Incrementally extend a persisted signature index with an arriving
+    * batch — the maintenance half of q81's incremental dedup, closing
+    * the build-once gap. Unlike the IVF posting lists (one cell per
+    * vector), every doc posts to EVERY band, so per-batch partition
+    * rewrites would touch the whole index; instead the batch's postings
+    * APPEND as new bucket-sorted files inside each band partition.
+    * That is semantically exact: postings are a bag and
+    * [[dedupAgainstIndex]] counts DISTINCT corpus ids, so duplicate
+    * postings can never change a probe verdict. `skipExisting = true`
+    * additionally drops batch docs already indexed (one narrow
+    * corpus_id-column scan semi-joined against the broadcast batch ids,
+    * materialized before the write) so steady re-crawls don't grow the
+    * index. Appended files are themselves bucket-sorted; when file
+    * counts accumulate, [[compactSignatureIndex]] restores the
+    * one-sorted-file-per-band layout. Returns docs actually added. */
+  def upsertSignatureIndex(batch: DataFrame, textCol: String,
+      idCol: String, path: String, k: Int = 8, bands: Int = 4,
+      shingleN: Int = 3, skipExisting: Boolean = true): Long = {
+    val spark = batch.sparkSession
+    val fresh0 = if (!skipExisting) batch else {
+      val ids = batch.select(col(idCol).as("corpus_id")).distinct()
+      val existing = spark.read.parquet(s"$path/buckets")
+        .select(col("corpus_id")).distinct()
+        .join(broadcast(ids), Seq("corpus_id"))
+        .localCheckpoint(true) // materialize BEFORE touching the index
+      batch.join(existing.withColumnRenamed("corpus_id", idCol),
+        Seq(idCol), "left_anti")
+    }
+    val fresh = fresh0.localCheckpoint(false)
+    val nAdded = fresh.count()
+    if (nAdded > 0)
+      lshBuckets(minhashSignature(fresh, textCol, idCol, k, shingleN),
+          idCol, k, bands)
+        .withColumnRenamed(idCol, "corpus_id")
+        .repartition(col("band"))
+        .sortWithinPartitions(col("bucket"))
+        .write.mode("append").partitionBy("band")
+        .parquet(s"$path/buckets")
+    nAdded
+  }
+
+  /** Re-sort each band partition of a signature index into one
+    * bucket-sorted file (row-group min/max pruning works again after a
+    * run of appends), through the same crash-safe backup/rename swap
+    * the lakes use. Returns bands compacted. */
+  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val root = new HPath(s"$path/buckets")
+    val fs = FileSystem.get(root.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    // heal any crashed prior compaction first (orphaned/stale backups)
+    fs.listStatus(root).foreach { st =>
+      val Bak = """\.compact-(.+)\.bak""".r
+      st.getPath.getName match {
+        case Bak(band) =>
+          val live = new HPath(s"$path/buckets/band=$band")
+          if (!fs.exists(live)) require(fs.rename(st.getPath, live),
+            s"failed to restore $live from backup")
+          else fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    val bandDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("band="))
+    bandDirs.foreach { st =>
+      val band = st.getPath.getName.stripPrefix("band=")
+      // the tmp write fully materializes from the live dir BEFORE the
+      // renames, so no checkpoint is needed
+      val rows = spark.read.parquet(st.getPath.toString)
+        .coalesce(1).sortWithinPartitions(col("bucket"))
+      val tmp = new HPath(s"$path/buckets/.compact-$band.tmp")
+      fs.delete(tmp, true)
+      rows.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(new HPath(tmp, "_SUCCESS"), false)
+      val backup = new HPath(s"$path/buckets/.compact-$band.bak")
+      fs.delete(backup, true)
+      if (!fs.rename(st.getPath, backup))
+        sys.error(s"compactSignatureIndex: failed to move ${st.getPath}")
+      if (!fs.rename(tmp, st.getPath)) {
+        fs.rename(backup, st.getPath)
+        sys.error(s"compactSignatureIndex: failed to land $tmp; restored")
+      }
+      fs.delete(backup, true)
+    }
+    bandDirs.length
+  }
+
   /** Probe a persisted signature index with a NEW batch of docs: each
     * batch doc is flagged `is_dup` when any of its band buckets
     * collides with a corpus posting. Returns one row per batch doc with

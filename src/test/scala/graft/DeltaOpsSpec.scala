@@ -202,4 +202,70 @@ class DeltaOpsSpec extends SparkSpec {
       TextAnalysis.charEntropy(lit("baba")).as("e")).head().getDouble(0)
     assert(perm == out(2L))
   }
+
+  test("signature index upsert: appends probe-visible, skipExisting drops re-crawls") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sigidx-upsert").toString
+    Dedup.writeSignatureIndex(corpus, "text", "doc_id", dir)
+
+    // batch carries one already-indexed doc and one genuinely new one
+    val batch = Seq(
+      (2L, "one two three four five six seven eight nine ten"),
+      (7L, "totally unrelated corpus content about engines"))
+      .toDF("doc_id", "text")
+    assert(Dedup.upsertSignatureIndex(batch, "text", "doc_id", dir) == 1L)
+    // steady-state re-crawl of the same batch adds nothing
+    assert(Dedup.upsertSignatureIndex(batch, "text", "doc_id", dir) == 0L)
+
+    // a copy of the upserted doc now probes as a duplicate
+    val probe = Seq(
+      (9L, "totally unrelated corpus content about engines"),
+      (8L, "brand new never seen text with many unique words here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstIndex(probe, "text", "doc_id", dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(9L) && !out(8L), s"probe after upsert wrong: $out")
+  }
+
+  test("signature index compact: one sorted file per band, probe-equivalent, crash heals") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sigidx-compact").toString
+    Dedup.writeSignatureIndex(corpus, "text", "doc_id", dir)
+    Dedup.upsertSignatureIndex(
+      Seq((7L, "totally unrelated corpus content about engines"))
+        .toDF("doc_id", "text"), "text", "doc_id", dir)
+
+    def parquetFiles(band: String) =
+      new java.io.File(s"$dir/buckets/band=$band").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles("0").length >= 2, "append should add files")
+
+    val before = spark.read.parquet(s"$dir/buckets")
+      .collect().map(_.toString).sorted
+    assert(Dedup.compactSignatureIndex(spark, dir) == 4)
+    (0 to 3).foreach(b => assert(parquetFiles(b.toString).length == 1,
+      s"band $b not compacted to one file"))
+    val after = spark.read.parquet(s"$dir/buckets")
+      .collect().map(_.toString).sorted
+    assert(before.sameElements(after), "compaction changed postings")
+
+    // simulate a crash between the two renames: live dir gone, backup
+    // holds the sole copy — the next compact must heal before working
+    val fsDir = new java.io.File(s"$dir/buckets")
+    val live = new java.io.File(fsDir, "band=1")
+    val bak = new java.io.File(fsDir, ".compact-1.bak")
+    assert(live.renameTo(bak))
+    assert(Dedup.compactSignatureIndex(spark, dir) == 4)
+    val healed = spark.read.parquet(s"$dir/buckets")
+      .collect().map(_.toString).sorted
+    assert(before.sameElements(healed), "crash heal lost postings")
+  }
 }
