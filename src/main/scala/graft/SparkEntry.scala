@@ -996,6 +996,31 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 top-k retrieval for a fixed query-term bag
+    * (TextAnalysis.bm25TopK) — the corpus-slice retrieval primitive. */
+  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    TextAnalysis.bm25TopK(t.documents, "text", "doc_id",
+      Seq("spark", "window", "join"), k = 10)
+  }
+
+  /** Interpolated bigram LM scores (TextAnalysis.bigramLogProb) — the
+    * transition-aware upgrade of q71's unigram quality signal. */
+  private def qBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    TextAnalysis.bigramLogProb(t.documents, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Repeated-shingle boilerplate coverage per document
+    * (TextAnalysis.boilerplateSpans). */
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    TextAnalysis.boilerplateSpans(t.documents, "text", "doc_id",
+      n = 3, minDf = 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** Linear interpolation of injected gaps (TimeSeriesOps.interpolate)
     * — nulls between observations repaired on the straight line through
     * their neighbours; leading/trailing nulls stay null. */
@@ -1611,6 +1636,9 @@ object SparkEntry {
     "q103_bpe_tokens" -> (qBpeTokens _),
     "q104_ivf_upsert" -> (qIvfUpsert _),
     "q105_wav_decode" -> (qWavDecode _),
+    "q106_bm25" -> (qBm25 _),
+    "q107_bigram_lm" -> (qBigramLm _),
+    "q108_boilerplate" -> (qBoilerplate _),
   )
 
   // -------------------------------------------------------------------
@@ -3397,6 +3425,88 @@ object SparkEntry {
          |FROM docw d JOIN w${TextAnalysis.BpeMerges} w USING (word)
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
     },
+
+    // Constants are written in e-notation so DuckDB parses them as
+    // DOUBLE (bare decimals parse as DECIMAL, whose exact arithmetic
+    // diverges from the JVM's IEEE-754 path before the 6-dp round).
+    "q106_bm25" ->
+      s"""WITH docs_norm AS (SELECT doc_id, $normTextSql AS norm FROM documents),
+         |toks AS (SELECT doc_id, unnest(${wsTokensSql("norm")}) AS tok
+         |  FROM docs_norm),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |q AS (SELECT doc_id, tok FROM toks
+         |  WHERE tok IN ('spark', 'window', 'join')),
+         |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM q GROUP BY tok),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM q GROUP BY doc_id, tok),
+         |sc AS (SELECT t.doc_id, t.tok,
+         |    ln(1.0e0 + (c.n_docs - d.df + 5e-1) / (d.df + 5e-1)) *
+         |    (t.tf * (1.2e0 + 1.0e0) / (t.tf + 1.2e0 * ((1.0e0 - 7.5e-1)
+         |      + 7.5e-1 * CAST(l.dl AS DOUBLE) * c.n_docs / c.sum_dl)))
+         |      AS s
+         |  FROM tf t JOIN dfq d USING (tok) JOIN dl l USING (doc_id),
+         |    corpus c)
+         |SELECT doc_id,
+         |  round(list_aggregate(list(s ORDER BY tok), 'sum'), 6) AS bm25,
+         |  CAST(count(*) AS INT) AS n_terms_hit
+         |FROM sc GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q107_bigram_lm" ->
+      s"""WITH docs_norm AS (SELECT doc_id, $normTextSql AS norm FROM documents),
+         |arrs AS (SELECT doc_id, ${wsTokensSql("norm")} AS arr
+         |  FROM docs_norm),
+         |toks AS (SELECT doc_id, unnest(arr) AS tok,
+         |    unnest(generate_series(1, len(arr))) AS pos FROM arrs),
+         |bi AS (SELECT * FROM (SELECT doc_id, pos, tok,
+         |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM toks) WHERE prev IS NOT NULL),
+         |c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+         |  FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS total FROM c1),
+         |c2 AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS c2
+         |  FROM bi GROUP BY prev, tok),
+         |lp AS (SELECT b.doc_id, b.pos,
+         |    ln(7e-1 * c2.c2 / p.c1 + (1.0e0 - 7e-1) * c1.c1 / t.total)
+         |      AS lp
+         |  FROM bi b
+         |  JOIN c2 ON c2.prev = b.prev AND c2.tok = b.tok
+         |  JOIN c1 p ON p.tok = b.prev
+         |  JOIN c1 ON c1.tok = b.tok, tot t),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    round(list_aggregate(list(lp ORDER BY pos), 'sum')
+         |      / count(*), 6) AS logprob
+         |  FROM lp GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.logprob
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "q108_boilerplate" ->
+      s"""WITH docs_norm AS (SELECT doc_id, $normTextSql AS norm FROM documents),
+         |arrs AS (SELECT doc_id, ${wsTokensSql("norm")} AS arr
+         |  FROM docs_norm),
+         |st AS (SELECT doc_id,
+         |    unnest(generate_series(1, greatest(len(arr) - 2, 0))) AS i,
+         |    arr FROM arrs),
+         |sh AS (SELECT doc_id, i,
+         |    arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+         |  FROM st),
+         |bo AS (SELECT shingle FROM sh GROUP BY shingle
+         |  HAVING count(DISTINCT doc_id) >= 3),
+         |cov AS (SELECT DISTINCT s.doc_id, s.i + o.o AS p
+         |  FROM sh s JOIN bo USING (shingle)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS o) o),
+         |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+         |  FROM cov GROUP BY doc_id)
+         |SELECT a.doc_id, CAST(len(a.arr) AS BIGINT) AS n_tokens,
+         |  coalesce(nb.n_boiler, 0) AS n_boiler,
+         |  round(coalesce(nb.n_boiler, 0) / CAST(len(a.arr) AS BIGINT), 6)
+         |    AS boiler_ratio
+         |FROM arrs a LEFT JOIN nb USING (doc_id)
+         |ORDER BY a.doc_id""".stripMargin,
 
     // generated from the same ProfileCols list as qProfile
     "q57_profile" -> ProfileCols.map { case (c, isNum) =>

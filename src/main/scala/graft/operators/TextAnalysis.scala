@@ -546,4 +546,142 @@ object TextAnalysis {
       .withColumn("novelty",
         round(col("n_novel") / col("n_shingles"), 6))
   }
+
+  /** BM25 retrieval (Robertson–Spärck Jones; the Lucene-sanitized idf
+    * `ln(1 + (N − df + ½)/(df + ½))`, always positive) — score every
+    * document against a bag of query terms and keep the top k. The
+    * retrieval primitive a curation pipeline uses to pull topical
+    * slices ("find the docs about X") out of a web-scale corpus.
+    *
+    * Scale shape: tokens are filtered to the (tiny, broadcast) query
+    * term set BEFORE any shuffle, so tf is a partial aggregate at
+    * (doc, term) grain over a stream that's already orders of magnitude
+    * smaller than the corpus; df and the corpus stats (N, Σdl) are
+    * metadata-plane scalars. The per-document sum folds in term-sorted
+    * order so the IEEE-754 total has exactly one order (oracle-exact at
+    * 6 dp), and the final top-k plans as TakeOrderedAndProject — no
+    * global sort materializes.
+    *
+    * Output: (id, bm25, n_terms_hit), ordered score desc / id asc,
+    * limited to `k`. */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = docs.select(col(idCol).as("_id"),
+      explode(GF.wsTokens(Dedup.normalizeText(col(textCol)))).as("tok"))
+    val dl = toks.groupBy(col("_id")).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qToks = toks.filter(col("tok").isin(queryTerms: _*))
+    val dfreq = qToks.groupBy(col("tok"))
+      .agg(countDistinct(col("_id")).as("df"))
+    val tf = qToks.groupBy(col("_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .join(dl, Seq("_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      // dl/avgdl as dl·N/Σdl: one double expression, one rounding path
+      .withColumn("tfn", col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") * col("n_docs") / col("sum_dl"))))
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_list(
+        struct(col("tok"), (col("idf") * col("tfn")).as("s")))).as("arr"))
+      .select(col("_id").as(idCol),
+        round(aggregate(col("arr"), lit(0.0d),
+          (acc, x) => acc + x.getField("s")), 6).as("bm25"),
+        size(col("arr")).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Interpolated bigram language model — the next step up from
+    * [[unigramLogProb]]'s quality signal: score each document by the
+    * mean log of `λ·P(w₂|w₁) + (1−λ)·P(w₂)` over its bigrams, with
+    * both models trained on the scored corpus itself (so every count
+    * ≥ 1 and no OOV mass is needed). Fluent text scores high; bag-of-
+    * rare-transitions boilerplate scores low even when its unigrams
+    * look normal — the signal the unigram model structurally misses.
+    *
+    * Scale shape: the LM is two partial-agg count tables (bigram grain
+    * and token grain — Heaps-law small next to the corpus); scoring is
+    * one bigram-grain equi-join plus one token-grain equi-join; the
+    * per-document fold runs position-sorted so the FP sum has one
+    * order. Documents with < 2 tokens surface with n_bigrams = 0 and a
+    * NULL score rather than vanishing. */
+  def bigramLogProb(docs: DataFrame, textCol: String, idCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    val w = Window.partitionBy(col("_id")).orderBy(col("pos"))
+    val bi = docs.select(col(idCol).as("_id"),
+        posexplode(GF.wsTokens(Dedup.normalizeText(col(textCol))))
+          .as(Seq("pos", "tok")))
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val c1 = docs.select(col(idCol).as("_id"),
+        explode(GF.wsTokens(Dedup.normalizeText(col(textCol)))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val total = c1.agg(sum(col("c1")).as("total"))
+    val c2 = bi.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c2"))
+    val scored = bi.join(c2, Seq("prev", "tok"))
+      .join(c1.withColumnRenamed("tok", "prev").withColumnRenamed("c1", "c1_prev"),
+        Seq("prev"))
+      .join(c1, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp", log(lit(lambda) * col("c2") / col("c1_prev") +
+        lit(1.0 - lambda) * col("c1") / col("total")))
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("arr"))
+      .select(col("_id"), size(col("arr")).cast("long").as("n_bigrams"),
+        round(aggregate(col("arr"), lit(0.0d),
+            (acc, x) => acc + x.getField("lp")) / size(col("arr")), 6)
+          .as("logprob"))
+    docs.select(col(idCol).as("_id")).distinct()
+      .join(scored, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("logprob"))
+  }
+
+  /** Boilerplate span detection (the C4/RefinedWeb "repeated n-gram"
+    * heuristic re-expressed at corpus scale): an n-token shingle that
+    * occurs in ≥ `minDf` DISTINCT documents is boilerplate; every token
+    * position covered by such a shingle is a boilerplate position.
+    * Returns per document (n_tokens, n_boiler, boiler_ratio) — the
+    * removal decision (drop the spans, or the whole doc above a ratio
+    * gate) composes downstream.
+    *
+    * Scale shape: shingle df is one partial aggregate at shingle grain;
+    * the boilerplate set joins back at the same grain (no broadcast
+    * assumed — at 100 TB the boilerplate table itself can be large);
+    * covered positions expand each flagged start by n via sequence()
+    * and dedup at (doc, position) grain — bounded by corpus token
+    * count, never by pair products. */
+  def boilerplateSpans(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minDf: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol).as("_id"),
+      posexplode(GF.wsTokens(Dedup.normalizeText(col(textCol))))
+        .as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("_id")).orderBy(col("pos"))
+    val starts = toks
+      .withColumn("shingle", concat_ws(" ",
+        (0 until n).map(o => lead(col("tok"), o).over(w)): _*))
+      .withColumn("n_toks", count(lit(1)).over(Window.partitionBy(col("_id"))))
+      .filter(col("pos") <= col("n_toks") - n)
+    val boiler = starts.groupBy(col("shingle"))
+      .agg(countDistinct(col("_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("shingle"))
+    val covered = starts.join(boiler, Seq("shingle"))
+      .select(col("_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+      .groupBy(col("_id")).agg(count(lit(1)).as("n_boiler"))
+    toks.groupBy(col("_id")).agg(count(lit(1)).as("n_tokens"))
+      .join(covered, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("n_tokens"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        round(coalesce(col("n_boiler"), lit(0L)) / col("n_tokens"), 6)
+          .as("boiler_ratio"))
+  }
 }

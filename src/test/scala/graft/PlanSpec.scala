@@ -301,4 +301,35 @@ class PlanSpec extends SparkSpec {
       s"trend sums not map-side combined:\n$q")
     assert(!q.contains("Window"), s"trend must be window-free:\n$q")
   }
+
+  test("q106 bm25: term filter precedes shuffles, df broadcast, top-k heaped") {
+    val p = plan("q106_bm25")
+    // the query-term IN filter must run before any aggregation shuffle —
+    // at 100 TB it's the difference between shuffling the corpus and
+    // shuffling the (tiny) matching postings
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bm25 top-k not a distributed k-heap:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"df/corpus stats not broadcast:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"cartesian in bm25:\n$p")
+    assert(p.contains("tok IN (") || p.contains("tok#"),
+      s"term filter missing from plan:\n$p")
+  }
+
+  test("q107 bigram lm: LM joins at bigram/token grain, no cartesian") {
+    val p = plan("q107_bigram_lm")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"cartesian in bigram lm:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"LM counts not map-side combined:\n$p")
+  }
+
+  test("q108 boilerplate: shingle df partial-aggregates, covered dedup at (doc,pos) grain") {
+    val p = plan("q108_boilerplate")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"cartesian in boilerplate:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"df counts not map-side combined:\n$p")
+  }
 }
