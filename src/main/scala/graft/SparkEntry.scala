@@ -526,6 +526,36 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SQ8 scalar-quantized cosine top-5 (Similarity.sq8Knn) — the
+    * byte-code compression rung measured against q34's exact ranking. */
+  private def qSq8Knn(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Similarity.sq8Knn(t.embeddings, t.embeddings.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** PageRank over the shared-shingle similarity graph
+    * (GraphOps.pageRank, 5 rounds) — hub scoring of near-dup
+    * neighborhoods. Edges: lang-blocked bounded pairs (q32's
+    * discipline, window +-10) sharing >= 1 shingle, symmetrized; the
+    * integer n_inter predicate keeps the edge set FP-free. */
+  private def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val d1 = t.documents.select(col("lang"), col("doc_id").as("id1"))
+    val d2 = t.documents.select(col("lang"), col("doc_id").as("id2"))
+    val pairs = d1.join(d2, Seq("lang"))
+      .filter(col("id2") > col("id1") && col("id2") <= col("id1") + 10)
+      .select(col("id1"), col("id2"))
+    val e0 = Dedup.ngramJaccard(t.documents, pairs, "text", "doc_id")
+      .filter(col("n_inter") >= 1)
+      .select(col("id1"), col("id2"))
+    val sym = e0.unionByName(
+      e0.select(col("id2").as("id1"), col("id1").as("id2")))
+    GraphOps.pageRank(sym, "id1", "id2", iters = 5)
+      .orderBy(col("id"))
+  }
+
   /** LSH-bucketed ANN top-5 (8 hyperplane bits) for 8 query vectors. */
   private def qLshAnn(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
@@ -1639,6 +1669,8 @@ object SparkEntry {
     "q106_bm25" -> (qBm25 _),
     "q107_bigram_lm" -> (qBigramLm _),
     "q108_boilerplate" -> (qBoilerplate _),
+    "q109_sq8_knn" -> (qSq8Knn _),
+    "q110_pagerank" -> (qPageRank _),
   )
 
   // -------------------------------------------------------------------
@@ -3507,6 +3539,62 @@ object SparkEntry {
          |    AS boiler_ratio
          |FROM arrs a LEFT JOIN nb USING (doc_id)
          |ORDER BY a.doc_id""".stripMargin,
+
+    "q109_sq8_knn" ->
+      s"""WITH dims AS (SELECT vec_id, unnest(embedding) AS v,
+         |    unnest(generate_series(1, len(embedding))) AS d
+         |  FROM embeddings),
+         |st AS (SELECT d, min(CAST(v AS DOUBLE)) AS mn,
+         |    max(CAST(v AS DOUBLE)) AS mx FROM dims GROUP BY d),
+         |rec AS (SELECT vec_id, list(CASE WHEN mx - mn = 0 THEN mn
+         |      ELSE greatest(least(round((CAST(v AS DOUBLE) - mn)
+         |          / (mx - mn) * 255), 255.0e0), 0.0e0)
+         |        * (mx - mn) / 255.0e0 + mn END ORDER BY d) AS cv
+         |  FROM dims JOIN st USING (d) GROUP BY vec_id),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cand_id, cv FROM rec),
+         |scored AS (SELECT query_id, cand_id,
+         |    round(${cosineSql("qv", "cv")}, 6) AS sim
+         |  FROM c, q WHERE query_id <> cand_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, cand_id, sim, CAST("rank" AS INT) AS "rank"
+         |FROM ranked WHERE "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin,
+
+    "q110_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        s"""c$i AS (SELECT e.dst, e.src, r.r / o.outdeg AS contrib
+           |  FROM edges e JOIN r${i - 1} r ON r.id = e.src
+           |  JOIN od o ON o.src = e.src),
+           |a$i AS (SELECT dst,
+           |    list_aggregate(list(contrib ORDER BY src), 'sum') AS m
+           |  FROM c$i GROUP BY dst),
+           |r$i AS (SELECT v.id, (1.0e0 - 8.5e-1) / (SELECT n FROM nv)
+           |    + 8.5e-1 * coalesce(a.m, 0.0e0) AS r
+           |  FROM verts v LEFT JOIN a$i a ON a.dst = v.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $shinglesCteSql,
+         |prs AS (SELECT d1.doc_id AS id1, d2.doc_id AS id2
+         |  FROM documents d1 JOIN documents d2 ON d1.lang = d2.lang
+         |  AND d2.doc_id > d1.doc_id AND d2.doc_id <= d1.doc_id + 10),
+         |e0 AS (SELECT DISTINCT p.id1, p.id2 FROM prs p
+         |  JOIN sh a ON a.doc_id = p.id1
+         |  JOIN sh b ON b.doc_id = p.id2 AND a.shingle = b.shingle),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM e0
+         |  UNION ALL SELECT id2, id1 FROM e0),
+         |verts AS (SELECT src AS id FROM edges
+         |  UNION SELECT dst FROM edges),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM verts),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |  FROM edges GROUP BY src),
+         |r0 AS (SELECT id, 1.0e0 / (SELECT n FROM nv) AS r FROM verts),
+         |$iters
+         |SELECT id, round(r, 6) AS pagerank FROM r5
+         |ORDER BY id""".stripMargin
+    },
 
     // generated from the same ProfileCols list as qProfile
     "q57_profile" -> ProfileCols.map { case (c, isNum) =>

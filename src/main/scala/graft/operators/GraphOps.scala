@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over join-derived edge lists — the similarity /
+  * link graphs a curation pipeline builds (LSH candidate pairs, shared
+  * n-grams, citation links) rather than a graph it is given. Pregel-ish
+  * iteration expressed as DataFrame joins: each round is one
+  * (src-keyed) join plus one (dst-keyed) aggregation, so Catalyst
+  * plans partial aggregation and AQE sizes the shuffles; lineage is
+  * truncated per round with a lazy local checkpoint (the bounded-round
+  * discipline the k-means and BPE loops already use).
+  */
+object GraphOps {
+
+  /** PageRank (Brin & Page 1998) over a directed edge list, `iters`
+    * synchronous rounds of
+    * `r' = (1−d)/N + d · Σ_{u→v} r(u)/outdeg(u)`.
+    *
+    * Vertex set = distinct edge endpoints. On a symmetrized
+    * (undirected) graph every vertex has out-degree ≥ 1, so no
+    * dangling-mass correction is needed; on a digraph with sinks the
+    * leaked mass simply damps the total (documented standard variant —
+    * ranks remain comparable, they just don't sum to 1).
+    *
+    * Scale shape per round: ONE shuffle joining ranks to edges on src
+    * (edges carry their precomputed out-degree, materialized once),
+    * one aggregation at dst grain, one vertex-grain left join to
+    * re-attach rank-zero-in-degree vertices. `deterministicFold = true`
+    * folds each vertex's in-mass in src-sorted order so the IEEE-754
+    * sum has exactly one order (oracle-replayable bit-for-bit at the
+    * 6-dp round); at 100 TB pass `false` for a plain partial-agg sum —
+    * same plan shape minus the sort, FP-associativity nondeterminism
+    * accepted like any distributed float sum. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5, damping: Double = 0.85,
+      deterministicFold: Boolean = true): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(false)
+    val n = verts.count() // metadata-plane scalar (rank normalization)
+    val ew = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+        Seq("src"))
+      .localCheckpoint(false) // edges + degrees materialize ONCE
+    var ranks = verts.select(col("id"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = ew
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst"), col("src"),
+          (col("r") / col("outdeg")).as("contrib"))
+      val mass =
+        if (deterministicFold)
+          contribs.groupBy(col("dst"))
+            .agg(sort_array(collect_list(
+              struct(col("src"), col("contrib")))).as("arr"))
+            .select(col("dst"),
+              aggregate(col("arr"), lit(0.0d),
+                (acc, x) => acc + x.getField("contrib")).as("m"))
+        else
+          contribs.groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+      ranks = verts
+        .join(mass.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n)
+            + lit(damping) * coalesce(col("m"), lit(0.0d))).as("r"))
+        .localCheckpoint(false)
+    }
+    ranks.select(col("id"), round(col("r"), 6).as("pagerank"))
+  }
+
+  /** Degree report for an edge list: per-vertex in/out/total degree —
+    * the first profiling pass over any derived graph (skew check before
+    * iterating on it). One union + one partial-agg count. */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("id"), lit(1L).as("out_d"), lit(0L).as("in_d"))
+      .unionByName(edges.select(col(dstCol).as("id"), lit(0L).as("out_d"),
+        lit(1L).as("in_d")))
+      .groupBy(col("id"))
+      .agg(sum(col("out_d")).as("out_degree"),
+        sum(col("in_d")).as("in_degree"),
+        count(lit(1)).as("degree"))
+}

@@ -766,4 +766,70 @@ object Similarity {
         round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 6)
           .as("recall"))
   }
+
+  // ------------------------------------------------------------------
+  // SQ8 scalar quantization — the memory-compression rung between
+  // full-precision flat search and PQ: one byte per dimension (4× less
+  // than float32, 8× less than float64) with per-dimension [min, max]
+  // ranges. Unlike PQ there is nothing to train beyond one stats pass,
+  // and reconstruction error is bounded per dimension by span/255 — the
+  // standard first step when an embedding corpus stops fitting in
+  // executor memory.
+  // ------------------------------------------------------------------
+
+  /** Per-dimension (min, span) over the corpus: ONE posexplode +
+    * partial-agg pass at (dimension) grain, collected to the driver —
+    * metadata-plane by the same contract as centroids/codebooks (dims
+    * entries, not corpus rows). */
+  def sq8Stats(vectors: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    val st = vectors
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "v")))
+      .groupBy(col("d"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy(col("d")).collect()
+    (st.map(_.getDouble(1)).toSeq,
+      st.map(r => r.getDouble(2) - r.getDouble(1)).toSeq)
+  }
+
+  /** Dequantized vector: quantize each element to its byte code
+    * (clamped round of the normalized offset) and immediately
+    * reconstruct `min + code·span/255`. Pure per-row expression work —
+    * zero shuffles — with a pinned per-element arithmetic order so an
+    * external oracle reproduces every double bit-for-bit. Degenerate
+    * dimensions (span 0) reconstruct to the constant. */
+  def sq8Reconstruct(vec: Column, mins: Seq[Double],
+      spans: Seq[Double]): Column = {
+    val diffs = zip_with(vec.cast("array<double>"), typedLit(mins),
+      (v, m) => v - m)
+    val scaled = zip_with(diffs, typedLit(spans), (dv, s) =>
+      when(s === 0.0, lit(0.0)).otherwise(
+        greatest(least(round(dv / s * 255, 0), lit(255.0)), lit(0.0))
+          * s / lit(255.0)))
+    zip_with(scaled, typedLit(mins), (r, m) => r + m)
+  }
+
+  /** Brute-force cosine top-k over the SQ8-dequantized corpus — the
+    * quality-vs-memory measurement for the SQ8 rung (compare against
+    * [[bruteForceKnn]] to price the recall cost of byte codes, exactly
+    * as [[annRecallAtK]] prices IVF/PQ). Queries stay full-precision
+    * (they are few and broadcast); candidates score through their
+    * reconstruction, so the ranking is what a deployed byte-code scan
+    * would return. */
+  def sq8Knn(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val (mins, spans) = sq8Stats(vectors, vecCol)
+    val c = vectors.select(col(idCol).as("cand_id"),
+        sq8Reconstruct(col(vecCol), mins, spans).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("sim", round(dot(col("qv"), col("cv")) /
+        nullif(col("qn") * col("cn"), lit(0.0)), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
 }

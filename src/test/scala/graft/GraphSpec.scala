@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
+
+/** PageRank + degree report over join-derived edge lists. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pagerank: symmetric ring is uniform, mass conserved") {
+    // 0-1-2-3-4-0 ring, symmetrized: every vertex identical by symmetry
+    val ring = (0 until 5).map(i => (i.toLong, ((i + 1) % 5).toLong))
+    val edges = (ring ++ ring.map(_.swap)).toDF("src", "dst")
+    val r = GraphOps.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.size == 5)
+    r.values.foreach(v => assert(math.abs(v - 0.2) < 1e-9, s"not uniform: $r"))
+  }
+
+  test("pagerank: star center outranks leaves; no-dangling mass conserved") {
+    // undirected star: center 0, leaves 1..6
+    val spokes = (1 to 6).map(i => (0L, i.toLong))
+    val edges = (spokes ++ spokes.map(_.swap)).toDF("src", "dst")
+    val r = GraphOps.pageRank(edges, "src", "dst", iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val leaves = (1 to 6).map(i => r(i.toLong))
+    assert(leaves.forall(v => r(0L) > 2 * v), s"center not dominant: $r")
+    // symmetrized graph has no sinks: total mass stays ~1
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, s"mass leaked: ${r.values.sum}")
+    // leaves are symmetric
+    assert(leaves.distinct.size == 1, s"leaves differ: $r")
+  }
+
+  test("pagerank: plain-sum fold agrees with deterministic fold") {
+    val spokes = (1 to 6).map(i => (0L, i.toLong)) ++ Seq((1L, 2L), (3L, 4L))
+    val edges = (spokes ++ spokes.map(_.swap)).toDF("src", "dst")
+    val det = GraphOps.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val fast = GraphOps.pageRank(edges, "src", "dst", iters = 5,
+        deterministicFold = false)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    det.foreach { case (k, v) => assert(math.abs(fast(k) - v) < 1e-9) }
+  }
+
+  test("degrees: in/out/total over a digraph") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
+    val d = GraphOps.degrees(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(d(0L) == ((2L, 0L, 2L)))
+    assert(d(1L) == ((1L, 1L, 2L)))
+    assert(d(2L) == ((0L, 2L, 2L)))
+  }
+}

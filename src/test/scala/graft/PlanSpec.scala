@@ -332,4 +332,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("Partial"),
       s"df counts not map-side combined:\n$p")
   }
+
+  test("q109 sq8: quantization stays per-row (no window/shuffle before score join)") {
+    val p = plan("q109_sq8_knn")
+    // reconstruction must be expression-only: the only Window is the
+    // final per-query top-k over the scored frame
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"cartesian in sq8 scan:\n$p")
+  }
+
+  test("q110 pagerank: edge build joins at shingle grain, no cartesian") {
+    // the rank loop truncates lineage per round (localCheckpoint), so
+    // the final frame's plan is just the checkpointed scan — audit the
+    // edge-construction stage directly instead (the data-sized part)
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sf("sf0.001"))
+    val d1 = t.documents.select(col("lang"), col("doc_id").as("id1"))
+    val d2 = t.documents.select(col("lang"), col("doc_id").as("id2"))
+    val pairs = d1.join(d2, Seq("lang"))
+      .filter(col("id2") > col("id1") && col("id2") <= col("id1") + 10)
+      .select(col("id1"), col("id2"))
+    val e0 = graft.operators.Dedup
+      .ngramJaccard(t.documents, pairs, "text", "doc_id")
+      .filter(col("n_inter") >= 1).select(col("id1"), col("id2"))
+    val p = e0.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"cartesian in pagerank edge build:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"intersection counts not map-side combined:\n$p")
+    // and the final frame stays cartesian-free end to end
+    assert(!plan("q110_pagerank").toLowerCase.contains("cartesianproduct"))
+  }
 }
