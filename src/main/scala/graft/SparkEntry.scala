@@ -547,9 +547,7 @@ object SparkEntry {
     val pairs = d1.join(d2, Seq("lang"))
       .filter(col("id2") > col("id1") && col("id2") <= col("id1") + 10)
       .select(col("id1"), col("id2"))
-    val e0 = Dedup.ngramJaccard(t.documents, pairs, "text", "doc_id")
-      .filter(col("n_inter") >= 1)
-      .select(col("id1"), col("id2"))
+    val e0 = Dedup.sharedShingleEdges(t.documents, pairs, "text", "doc_id")
     val sym = e0.unionByName(
       e0.select(col("id2").as("id1"), col("id1").as("id2")))
     GraphOps.pageRank(sym, "id1", "id2", iters = 5)

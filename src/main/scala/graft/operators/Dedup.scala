@@ -259,6 +259,24 @@ object Dedup {
           (col("n1") + col("n2") - col("n_inter")), 6))
   }
 
+  /** Similarity-graph edges: the candidate pairs that share at least
+    * one n-gram shingle — the boolean form of [[ngramJaccard]] for
+    * consumers (clustering, PageRank) that only need edge existence.
+    * An inner join on (id1, shingle) followed by a LEFT SEMI on
+    * (id2, shingle) — no intersection counting, no size lookup, no
+    * left-join repair — then distinct at pair grain. Integer-exact
+    * (no FP threshold), pair-scoped (never all-pairs). */
+  def sharedShingleEdges(docs: DataFrame, pairs: DataFrame, textCol: String,
+      idCol: String, n: Int = 3): DataFrame = {
+    val sh = shingleRows(docs, textCol, idCol, n)
+      .withColumnRenamed(idCol, "_id").localCheckpoint(false)
+    pairs
+      .join(sh.select(col("_id").as("id1"), col("shingle")), Seq("id1"))
+      .join(sh.select(col("_id").as("id2"), col("shingle")),
+        Seq("id2", "shingle"), "left_semi")
+      .select(col("id1"), col("id2")).distinct()
+  }
+
   /** Edit-distance verification of candidate pairs — the character-level
     * complement to [[ngramJaccard]]: Levenshtein distance over the
     * normalized texts, as a ratio of the longer text's length. Catches

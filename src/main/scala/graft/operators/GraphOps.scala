@@ -35,8 +35,10 @@ object GraphOps {
     * accepted like any distributed float sum. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, damping: Double = 0.85,
-      deterministicFold: Boolean = true): DataFrame = {
+      deterministicFold: Boolean = true,
+      checkpointInterval: Int = 4): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
@@ -45,8 +47,18 @@ object GraphOps {
     val ew = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
         Seq("src"))
       .localCheckpoint(false) // edges + degrees materialize ONCE
+    val base = (1.0 - damping) / n
+    // Loop-invariant: a vertex with NO in-edges holds rank (1−d)/N
+    // after every round. Materializing that set once removes the
+    // vertex-grain left join from every iteration — each round is just
+    // the src join + the dst aggregation, two shuffles instead of
+    // three.
+    val noIn = verts
+      .join(e.select(col("dst").as("id")).distinct(), Seq("id"), "left_anti")
+      .select(col("id"), lit(base).as("r"))
+      .localCheckpoint(false)
     var ranks = verts.select(col("id"), lit(1.0 / n).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = ew
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst"), col("src"),
@@ -61,12 +73,15 @@ object GraphOps {
                 (acc, x) => acc + x.getField("contrib")).as("m"))
         else
           contribs.groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
-      ranks = verts
-        .join(mass.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"),
-          (lit((1.0 - damping) / n)
-            + lit(damping) * coalesce(col("m"), lit(0.0d))).as("r"))
-        .localCheckpoint(false)
+      ranks = mass
+        .select(col("dst").as("id"),
+          (lit(base) + lit(damping) * col("m")).as("r"))
+        .unionByName(noIn)
+      // Truncate lineage periodically, not per round: a handful of
+      // rounds of join depth is cheap to re-derive, while a checkpoint
+      // costs a full materialization barrier each time.
+      if (i % checkpointInterval == 0 && i < iters)
+        ranks = ranks.localCheckpoint(false)
     }
     ranks.select(col("id"), round(col("r"), 6).as("pagerank"))
   }

@@ -355,14 +355,13 @@ class PlanSpec extends SparkSpec {
       .filter(col("id2") > col("id1") && col("id2") <= col("id1") + 10)
       .select(col("id1"), col("id2"))
     val e0 = graft.operators.Dedup
-      .ngramJaccard(t.documents, pairs, "text", "doc_id")
-      .filter(col("n_inter") >= 1).select(col("id1"), col("id2"))
+      .sharedShingleEdges(t.documents, pairs, "text", "doc_id")
     val p = e0.queryExecution
       .explainString(ExplainMode.fromString("formatted"))
     assert(!p.toLowerCase.contains("cartesianproduct"),
       s"cartesian in pagerank edge build:\n$p")
-    assert(p.contains("partial_count") || p.contains("Partial"),
-      s"intersection counts not map-side combined:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"shared-shingle existence not a semi join:\n$p")
     // and the final frame stays cartesian-free end to end
     assert(!plan("q110_pagerank").toLowerCase.contains("cartesianproduct"))
   }
