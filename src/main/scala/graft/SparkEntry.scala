@@ -554,6 +554,15 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Sliding-window token chunking, 16-token chunks with 4-token
+    * overlap (Packing.chunkTokens) — RAG/embedding prep. */
+  private def qChunking(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Packing.chunkTokens(t.documents, "text", "doc_id",
+        chunkSize = 16, overlap = 4)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** LSH-bucketed ANN top-5 (8 hyperplane bits) for 8 query vectors. */
   private def qLshAnn(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
@@ -1669,6 +1678,7 @@ object SparkEntry {
     "q108_boilerplate" -> (qBoilerplate _),
     "q109_sq8_knn" -> (qSq8Knn _),
     "q110_pagerank" -> (qPageRank _),
+    "q111_chunking" -> (qChunking _),
   )
 
   // -------------------------------------------------------------------
@@ -3593,6 +3603,24 @@ object SparkEntry {
          |SELECT id, round(r, 6) AS pagerank FROM r5
          |ORDER BY id""".stripMargin
     },
+
+    // chunkSize=16, overlap=4 -> stride 12; last start =
+    // floor((n-overlap-1)/stride)*stride clamped at 0
+    "q111_chunking" ->
+      s"""WITH docs_norm AS (SELECT doc_id, $normTextSql AS norm FROM documents),
+         |arrs AS (SELECT doc_id, ${wsTokensSql("norm")} AS arr
+         |  FROM docs_norm),
+         |nz AS (SELECT doc_id, arr FROM arrs WHERE len(arr) > 0),
+         |st AS (SELECT doc_id, arr, unnest(generate_series(0,
+         |    greatest(CAST(floor((len(arr) - 4 - 1) / 12.0e0) AS BIGINT),
+         |      0) * 12, 12)) AS s FROM nz),
+         |ch AS (SELECT doc_id, s, list_slice(arr, s + 1, s + 16) AS chunk
+         |  FROM st)
+         |SELECT doc_id, CAST(s // 12 AS INT) AS chunk_idx,
+         |  CAST(s AS BIGINT) AS start_pos,
+         |  CAST(len(chunk) AS INT) AS n_tokens,
+         |  array_to_string(chunk, ' ') AS chunk_text
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // generated from the same ProfileCols list as qProfile
     "q57_profile" -> ProfileCols.map { case (c, isNum) =>

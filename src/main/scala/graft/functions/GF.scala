@@ -28,6 +28,16 @@ object GF {
   def hash32(c: Column, hexOffset: Int = 1): Column =
     conv(substring(md5(c), hexOffset, 8), 16, 10).cast("long")
 
+  /** Driver-side twin of [[hash32]] (same md5 window, same value) for
+    * metadata-plane routing — e.g. mapping literal query terms to their
+    * posting-index buckets without a Spark job. Asserted bit-equal to
+    * the column form in GFSpec. */
+  def hash32Jvm(s: String, hexOffset: Int = 1): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(hexOffset - 1, hexOffset + 7), 16)
+  }
+
   /** i-th universal hash h_i(x) = (a_i * hash32(x) + b_i) mod p, with
     * small odd multipliers so a*h never overflows a signed long.
     * p = 4294967311 is the smallest prime > 2^32.

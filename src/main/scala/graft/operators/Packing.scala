@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GF
 
 /** Sequence packing: streaming documents into fixed-capacity context
   * windows — the layout stage between a curated corpus and a training
@@ -64,5 +65,47 @@ object Packing {
       .withColumn("waste_ratio",
         round(col("padding").cast("double") /
           (col("n_docs") * col("bucket_cap")), 6))
+  }
+
+  /** Sliding-window token chunking — the RAG/embedding prep step: split
+    * each document's token stream into chunks of `chunkSize` tokens
+    * with `overlap` tokens carried over between consecutive chunks
+    * (stride = chunkSize − overlap). The final chunk keeps its natural
+    * (shorter) length; a document shorter than one chunk yields exactly
+    * one chunk.
+    *
+    * Pure per-row expression work: chunk starts are a `sequence()` at
+    * stride spacing, each chunk a `slice()` of the token array — no
+    * shuffle, no window, fully parallel over documents. Output grain is
+    * (id, chunk_idx) with start_pos (0-based), n_tokens and the
+    * re-joined chunk_text. */
+  def chunkTokens(docs: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize,
+      "overlap must be in [0, chunkSize)")
+    val stride = chunkSize - overlap
+    val arr = GF.wsTokens(Dedup.normalizeText(col(textCol)))
+    docs
+      .withColumn("__arr", arr)
+      .filter(size(col("__arr")) > 0)
+      // last start: the largest multiple of stride still leaving >
+      // `overlap` unseen tokens — floor((n-overlap-1)/stride)*stride,
+      // clamped at 0 so short docs chunk once. Spark `/` on integrals
+      // is true division; floor() makes the intent explicit and safe
+      // for the negative n <= overlap edge.
+      .withColumn("__starts", sequence(lit(0L),
+        greatest(floor((size(col("__arr")) - lit(overlap) - lit(1))
+            .cast("double") / lit(stride.toDouble)).cast("long"),
+          lit(0L)) * lit(stride.toLong),
+        lit(stride.toLong)))
+      .select(col(idCol), posexplode(col("__starts")).as(Seq("chunk_idx", "__s")),
+        col("__arr"))
+      .select(col(idCol), col("chunk_idx"), col("__s").as("start_pos"),
+        slice(col("__arr"), col("__s").cast("int") + lit(1), lit(chunkSize))
+          .as("__chunk"))
+      .select(col(idCol), col("chunk_idx"), col("start_pos"),
+        size(col("__chunk")).as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
   }
 }

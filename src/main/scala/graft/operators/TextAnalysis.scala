@@ -596,6 +596,73 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Persist the corpus as a BM25 inverted index: postings (term, doc,
+    * tf) hash-bucketed into `nBuckets` hive partitions and term-sorted
+    * within each, document lengths at doc grain, and the corpus
+    * scalars (N, Σdl, per-term df) as metadata tables. The
+    * [[writeSignatureIndex]] pattern applied to retrieval: build once
+    * per corpus epoch, serve every query from partition-pruned
+    * posting reads instead of re-tokenizing 100 TB per query. */
+  def writeBm25Index(docs: DataFrame, textCol: String, idCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(GF.wsTokens(Dedup.normalizeText(col(textCol)))).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$path/doclen")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf_corpus"), countDistinct(col("doc_id")).as("df"))
+      .write.mode("overwrite").parquet(s"$path/terms")
+    toks.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(GF.hash32(col("tok")), lit(nBuckets)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("tok"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+  }
+
+  /** BM25 top-k against a persisted index: hash the (few) query terms
+    * to their buckets, read ONLY those posting partitions (hive
+    * partition pruning) and within them only the term's row groups
+    * (term-sorted files → min/max pruning), then score exactly as
+    * [[bm25TopK]] — identical idf/tf-norm arithmetic and fold order,
+    * so the served path returns the same rows as the direct scan. The
+    * corpus never re-tokenizes; per-query work scales with posting
+    * sizes of the query terms, not corpus size. */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryTerms: Seq[String], k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75, nBuckets: Int = 64): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val buckets = queryTerms
+      .map(t => Math.floorMod(GF.hash32Jvm(t), nBuckets)).distinct
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("tok").isin(queryTerms: _*))
+    val dfreq = spark.read.parquet(s"$path/terms")
+      .filter(col("tok").isin(queryTerms: _*))
+      .select(col("tok"), col("df"))
+    val dl = spark.read.parquet(s"$path/doclen")
+    val corpus = spark.read.parquet(s"$path/stats")
+    postings.join(broadcast(dfreq), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("tfn", col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") * col("n_docs") / col("sum_dl"))))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("tok"), (col("idf") * col("tfn")).as("s")))).as("arr"))
+      .select(col("doc_id"),
+        round(aggregate(col("arr"), lit(0.0d),
+          (acc, x) => acc + x.getField("s")), 6).as("bm25"),
+        size(col("arr")).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Interpolated bigram language model — the next step up from
     * [[unigramLogProb]]'s quality signal: score each document by the
     * mean log of `λ·P(w₂|w₁) + (1−λ)·P(w₂)` over its bigrams, with

@@ -268,4 +268,49 @@ class DeltaOpsSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(before.sameElements(healed), "crash heal lost postings")
   }
+
+  test("bm25 index probe returns exactly the direct-scan ranking, partition-pruned") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-idx").toString
+    TextAnalysis.writeBm25Index(docs, "text", "doc_id", dir)
+    val terms = Seq("spark", "window", "join")
+    val direct = TextAnalysis.bm25TopK(docs, "text", "doc_id", terms, k = 10)
+      .collect().map(_.toString).sorted
+    val probe = TextAnalysis.bm25FromIndex(spark, dir, terms, k = 10)
+    val served = probe.collect().map(_.toString).sorted
+    assert(direct.sameElements(served),
+      s"index probe diverged:\n${direct.mkString("\n")}\nvs\n${served.mkString("\n")}")
+    // the probe must touch only the query terms' bucket partitions
+    val p = probe.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert(p.contains("PartitionFilters") && p.contains("bucket"),
+      s"no partition pruning on postings:\n$p")
+  }
+
+  test("chunkTokens: coverage, overlap and tail invariants") {
+    val df = Seq(
+      (1L, (1 to 30).map(i => s"t$i").mkString(" ")), // 30 tokens
+      (2L, "a b c"),                                  // shorter than chunk
+      (3L, (1 to 16).map(i => s"u$i").mkString(" "))) // exactly one chunk
+      .toDF("doc_id", "text")
+    val out = graft.operators.Packing
+      .chunkTokens(df, "text", "doc_id", chunkSize = 16, overlap = 4)
+      .collect()
+      .groupBy(_.getLong(0))
+    // doc 1: starts 0, 12, 24 -> lens 16, 16, 6
+    val d1 = out(1L).sortBy(_.getInt(1))
+    assert(d1.map(_.getLong(2)).sameElements(Array(0L, 12L, 24L)))
+    assert(d1.map(_.getInt(3)).sameElements(Array(16, 16, 6)))
+    // consecutive chunks share exactly `overlap` tokens
+    val c0 = d1(0).getString(4).split(" "); val c1 = d1(1).getString(4).split(" ")
+    assert(c0.takeRight(4).sameElements(c1.take(4)), "overlap tokens differ")
+    // short doc: one whole chunk
+    val d2 = out(2L)
+    assert(d2.length == 1 && d2.head.getInt(3) == 3 &&
+      d2.head.getString(4) == "a b c")
+    // exact-fit doc: one chunk, not an empty tail
+    assert(out(3L).length == 1 && out(3L).head.getInt(3) == 16)
+  }
 }

@@ -73,4 +73,14 @@ class GFSpec extends SparkSpec {
     val h = Seq("abc").toDF("s").select(GF.hash32(col("s"))).head().getLong(0)
     assert(h == 2416005272L)
   }
+
+  test("hash32Jvm matches the column expression bit-for-bit") {
+    val inputs = Seq("abc", "", "spark", "the quick brown fox", "ünïcode")
+    val fromCol = inputs.toDF("s")
+      .select(col("s"), GF.hash32(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inputs.foreach { s =>
+      assert(GF.hash32Jvm(s) == fromCol(s), s"mismatch for '$s'")
+    }
+  }
 }
