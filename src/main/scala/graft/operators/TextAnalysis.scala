@@ -599,10 +599,13 @@ object TextAnalysis {
   /** Persist the corpus as a BM25 inverted index: postings (term, doc,
     * tf) hash-bucketed into `nBuckets` hive partitions and term-sorted
     * within each, document lengths at doc grain, and the corpus
-    * scalars (N, Σdl, per-term df) as metadata tables. The
+    * scalars (N, Σdl) as a one-row stats table. The
     * [[writeSignatureIndex]] pattern applied to retrieval: build once
     * per corpus epoch, serve every query from partition-pruned
-    * posting reads instead of re-tokenizing 100 TB per query. */
+    * posting reads instead of re-tokenizing 100 TB per query.
+    * Deliberately NO per-term df table: df is derivable inside the
+    * probe from the pruned postings at query-term cost, which removes
+    * a whole consistency surface from [[upsertBm25Index]]. */
   def writeBm25Index(docs: DataFrame, textCol: String, idCol: String,
       path: String, nBuckets: Int = 64): Unit = {
     val toks = docs.select(col(idCol).as("doc_id"),
@@ -611,15 +614,66 @@ object TextAnalysis {
     dl.write.mode("overwrite").parquet(s"$path/doclen")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$path/stats")
-    toks.groupBy(col("tok"))
-      .agg(count(lit(1)).as("tf_corpus"), countDistinct(col("doc_id")).as("df"))
-      .write.mode("overwrite").parquet(s"$path/terms")
     toks.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(GF.hash32(col("tok")), lit(nBuckets)))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("tok"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
+  }
+
+  /** Incrementally extend a persisted BM25 index with an arriving
+    * batch. Postings and doclen rows for genuinely-new docs APPEND
+    * (bucket-partitioned / doc-grain — no existing file is touched);
+    * the one-row stats table is re-derived from doclen and swapped
+    * crash-safely last. `skipExisting` drops batch docs already in
+    * doclen (broadcast semi-join of ids, materialized before any
+    * write), so re-crawled feeds stay idempotent; a crash between the
+    * appends re-runs safely because the probe dedups postings/doclen
+    * at (tok, doc)/(doc) grain with max() — replayed rows are
+    * byte-identical so max() is exact. Returns docs actually added. */
+  def upsertBm25Index(batch: DataFrame, textCol: String, idCol: String,
+      path: String, nBuckets: Int = 64,
+      skipExisting: Boolean = true): Long = {
+    val spark = batch.sparkSession
+    val fresh0 = if (!skipExisting) batch else {
+      val ids = batch.select(col(idCol).as("doc_id")).distinct()
+      val existing = spark.read.parquet(s"$path/doclen")
+        .select(col("doc_id")).distinct()
+        .join(broadcast(ids), Seq("doc_id"))
+        .localCheckpoint(true) // materialize BEFORE touching the index
+      batch.join(existing.withColumnRenamed("doc_id", idCol),
+        Seq(idCol), "left_anti")
+    }
+    val fresh = fresh0.localCheckpoint(false)
+    val nAdded = fresh.count()
+    if (nAdded > 0) {
+      val toks = fresh.select(col(idCol).as("doc_id"),
+        explode(GF.wsTokens(Dedup.normalizeText(col(textCol)))).as("tok"))
+        .localCheckpoint(false)
+      toks.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .withColumn("bucket", pmod(GF.hash32(col("tok")), lit(nBuckets)))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("tok"))
+        .write.mode("append").partitionBy("bucket")
+        .parquet(s"$path/postings")
+      toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        .write.mode("append").parquet(s"$path/doclen")
+      // stats LAST, via tmp + rename swap (small, one row)
+      import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+      val stats = new HPath(s"$path/stats")
+      val fs = FileSystem.get(stats.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      val tmp = new HPath(s"$path/.stats.tmp")
+      fs.delete(tmp, true)
+      spark.read.parquet(s"$path/doclen")
+        .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(stats, true)
+      require(fs.rename(tmp, stats), s"failed to land $tmp as $stats")
+    }
+    nAdded
   }
 
   /** BM25 top-k against a persisted index: hash the (few) query terms
@@ -629,7 +683,10 @@ object TextAnalysis {
     * [[bm25TopK]] — identical idf/tf-norm arithmetic and fold order,
     * so the served path returns the same rows as the direct scan. The
     * corpus never re-tokenizes; per-query work scales with posting
-    * sizes of the query terms, not corpus size. */
+    * sizes of the query terms, not corpus size. df is derived from the
+    * pruned postings (countDistinct at query-term grain); postings and
+    * doclen dedup through max() so a replayed crashed upsert cannot
+    * change scores. */
   def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queryTerms: Seq[String], k: Int = 10, k1: Double = 1.2,
       b: Double = 0.75, nBuckets: Int = 64): DataFrame = {
@@ -639,10 +696,12 @@ object TextAnalysis {
     val postings = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("tok").isin(queryTerms: _*))
-    val dfreq = spark.read.parquet(s"$path/terms")
-      .filter(col("tok").isin(queryTerms: _*))
-      .select(col("tok"), col("df"))
+      .groupBy(col("tok"), col("doc_id")).agg(max(col("tf")).as("tf"))
+      .localCheckpoint(false) // df + scoring both read the pruned set
+    val dfreq = postings.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
     val dl = spark.read.parquet(s"$path/doclen")
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
     val corpus = spark.read.parquet(s"$path/stats")
     postings.join(broadcast(dfreq), Seq("tok"))
       .join(dl, Seq("doc_id"))

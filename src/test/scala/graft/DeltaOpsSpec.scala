@@ -281,12 +281,52 @@ class DeltaOpsSpec extends SparkSpec {
     val served = probe.collect().map(_.toString).sorted
     assert(direct.sameElements(served),
       s"index probe diverged:\n${direct.mkString("\n")}\nvs\n${served.mkString("\n")}")
-    // the probe must touch only the query terms' bucket partitions
-    val p = probe.queryExecution
+    // the probe must touch only the query terms' bucket partitions —
+    // the probe checkpoints the pruned postings internally (hiding the
+    // scan from its final explain), so audit the identical scan shape
+    val buckets = terms.map(t =>
+      Math.floorMod(graft.functions.GF.hash32Jvm(t), 64))
+    val scan = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("tok").isin(terms: _*))
+    val p = scan.queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode
         .fromString("formatted"))
     assert(p.contains("PartitionFilters") && p.contains("bucket"),
       s"no partition pruning on postings:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("In(tok"),
+      s"term filter not pushed into postings scan:\n$p")
+  }
+
+  test("bm25 index upsert: incremental build converges to the full-corpus ranking") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-upsert").toString
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    TextAnalysis.writeBm25Index(half1, "text", "doc_id", dir)
+    val added = TextAnalysis.upsertBm25Index(half2, "text", "doc_id", dir)
+    assert(added == half2.count())
+    // steady-state re-crawl adds nothing
+    assert(TextAnalysis.upsertBm25Index(half2, "text", "doc_id", dir) == 0L)
+
+    val terms = Seq("spark", "window", "join")
+    val direct = TextAnalysis.bm25TopK(docs, "text", "doc_id", terms, k = 10)
+      .collect().map(_.toString).sorted
+    val served = TextAnalysis.bm25FromIndex(spark, dir, terms, k = 10)
+      .collect().map(_.toString).sorted
+    assert(direct.sameElements(served),
+      s"upserted index diverged:\n${direct.mkString("\n")}\nvs\n${served.mkString("\n")}")
+
+    // replayed upsert (crash-retry shape: same rows appended twice with
+    // skipExisting off) must not change any score — the probe's max()
+    // dedup absorbs byte-identical replays
+    TextAnalysis.upsertBm25Index(
+      half2.filter(col("doc_id") < 50), "text", "doc_id", dir,
+      skipExisting = false)
+    val replayed = TextAnalysis.bm25FromIndex(spark, dir, terms, k = 10)
+      .collect().map(_.toString).sorted
+    assert(direct.sameElements(replayed), "replayed upsert changed scores")
   }
 
   test("chunkTokens: coverage, overlap and tail invariants") {
