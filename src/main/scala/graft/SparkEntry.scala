@@ -539,18 +539,36 @@ object SparkEntry {
     * (GraphOps.pageRank, 5 rounds) — hub scoring of near-dup
     * neighborhoods. Edges: lang-blocked bounded pairs (q32's
     * discipline, window +-10) sharing >= 1 shingle, symmetrized; the
-    * integer n_inter predicate keeps the edge set FP-free. */
+    * integer shared-shingle predicate keeps the edge set FP-free. */
   private def qPageRank(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
+    GraphOps.pageRank(shingleGraph(t), "id1", "id2", iters = 5)
+      .orderBy(col("id"))
+  }
+
+  /** Shared edge build for the graph queries (q110, q112): lang-blocked
+    * bounded pairs sharing >= 1 shingle, symmetrized. */
+  private def shingleGraph(t: Tables): DataFrame = {
     val d1 = t.documents.select(col("lang"), col("doc_id").as("id1"))
     val d2 = t.documents.select(col("lang"), col("doc_id").as("id2"))
     val pairs = d1.join(d2, Seq("lang"))
       .filter(col("id2") > col("id1") && col("id2") <= col("id1") + 10)
       .select(col("id1"), col("id2"))
     val e0 = Dedup.sharedShingleEdges(t.documents, pairs, "text", "doc_id")
-    val sym = e0.unionByName(
-      e0.select(col("id2").as("id1"), col("id1").as("id2")))
-    GraphOps.pageRank(sym, "id1", "id2", iters = 5)
+    e0.unionByName(e0.select(col("id2").as("id1"), col("id1").as("id2")))
+  }
+
+  /** Personalized PageRank from the 3 smallest vertex ids
+    * (GraphOps.personalizedPageRank) — retrieval expansion around
+    * known-good seeds. The seed collect is metadata-plane (3 ids). */
+  private def qPprExpand(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val sym = shingleGraph(t).localCheckpoint(false)
+    val seeds = sym.select(col("id1").as("id"))
+      .union(sym.select(col("id2").as("id")))
+      .distinct().orderBy(col("id")).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    GraphOps.personalizedPageRank(sym, "id1", "id2", seeds, iters = 5)
       .orderBy(col("id"))
   }
 
@@ -1679,6 +1697,7 @@ object SparkEntry {
     "q109_sq8_knn" -> (qSq8Knn _),
     "q110_pagerank" -> (qPageRank _),
     "q111_chunking" -> (qChunking _),
+    "q112_ppr" -> (qPprExpand _),
   )
 
   // -------------------------------------------------------------------
@@ -1718,6 +1737,23 @@ object SparkEntry {
        |  THEN list_distinct(list_transform(generate_series(1, len(arr) - 2),
        |       i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
        |  ELSE [array_to_string(arr, ' ')] END) AS shingle FROM toks)""".stripMargin
+
+  /** Shared similarity-graph CTE chain (follows [[shinglesCteSql]],
+    * ends at `verts` + `od`) — the q110/q112 edge build: lang-blocked
+    * bounded pairs sharing >= 1 shingle, symmetrized. */
+  private val graphCteSql: String =
+    s"""prs AS (SELECT d1.doc_id AS id1, d2.doc_id AS id2
+       |  FROM documents d1 JOIN documents d2 ON d1.lang = d2.lang
+       |  AND d2.doc_id > d1.doc_id AND d2.doc_id <= d1.doc_id + 10),
+       |e0 AS (SELECT DISTINCT p.id1, p.id2 FROM prs p
+       |  JOIN sh a ON a.doc_id = p.id1
+       |  JOIN sh b ON b.doc_id = p.id2 AND a.shingle = b.shingle),
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM e0
+       |  UNION ALL SELECT id2, id1 FROM e0),
+       |verts AS (SELECT src AS id FROM edges
+       |  UNION SELECT dst FROM edges),
+       |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |  FROM edges GROUP BY src)""".stripMargin
 
   /** Prefixed, doc-filtered variant of [[shinglesCteSql]] (ends at
     * `<pfx>sh`) so one query can shingle two document subsets — q86
@@ -3585,22 +3621,42 @@ object SparkEntry {
            |  FROM verts v LEFT JOIN a$i a ON a.dst = v.id)""".stripMargin
       }.mkString(",\n")
       s"""WITH $shinglesCteSql,
-         |prs AS (SELECT d1.doc_id AS id1, d2.doc_id AS id2
-         |  FROM documents d1 JOIN documents d2 ON d1.lang = d2.lang
-         |  AND d2.doc_id > d1.doc_id AND d2.doc_id <= d1.doc_id + 10),
-         |e0 AS (SELECT DISTINCT p.id1, p.id2 FROM prs p
-         |  JOIN sh a ON a.doc_id = p.id1
-         |  JOIN sh b ON b.doc_id = p.id2 AND a.shingle = b.shingle),
-         |edges AS (SELECT id1 AS src, id2 AS dst FROM e0
-         |  UNION ALL SELECT id2, id1 FROM e0),
-         |verts AS (SELECT src AS id FROM edges
-         |  UNION SELECT dst FROM edges),
+         |$graphCteSql,
          |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM verts),
-         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
-         |  FROM edges GROUP BY src),
          |r0 AS (SELECT id, 1.0e0 / (SELECT n FROM nv) AS r FROM verts),
          |$iters
          |SELECT id, round(r, 6) AS pagerank FROM r5
+         |ORDER BY id""".stripMargin
+    },
+
+    // Personalized variant: restart mass on the 3 smallest vertex ids;
+    // zero-rank vertices appear as 0.0 contribs here, which are no-ops
+    // in the IEEE fold — the Spark side carries the nonzero support set
+    // only, bit-identically
+    "q112_ppr" -> {
+      val iters = (1 to 5).map { i =>
+        s"""c$i AS (SELECT e.dst, e.src, r.r / o.outdeg AS contrib
+           |  FROM edges e JOIN r${i - 1} r ON r.id = e.src
+           |  JOIN od o ON o.src = e.src),
+           |a$i AS (SELECT dst,
+           |    list_aggregate(list(contrib ORDER BY src), 'sum') AS m
+           |  FROM c$i GROUP BY dst),
+           |r$i AS (SELECT v.id,
+           |    (CASE WHEN v.id IN (SELECT id FROM seeds)
+           |          THEN (1.0e0 - 8.5e-1) / (SELECT n FROM ns)
+           |          ELSE 0.0e0 END)
+           |    + 8.5e-1 * coalesce(a.m, 0.0e0) AS r
+           |  FROM verts v LEFT JOIN a$i a ON a.dst = v.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $shinglesCteSql,
+         |$graphCteSql,
+         |seeds AS (SELECT id FROM verts ORDER BY id LIMIT 3),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seeds),
+         |r0 AS (SELECT v.id, CASE WHEN v.id IN (SELECT id FROM seeds)
+         |    THEN 1.0e0 / (SELECT n FROM ns) ELSE 0.0e0 END AS r
+         |  FROM verts v),
+         |$iters
+         |SELECT id, round(r, 6) AS ppr FROM r5
          |ORDER BY id""".stripMargin
     },
 

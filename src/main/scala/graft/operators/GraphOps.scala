@@ -86,6 +86,71 @@ object GraphOps {
     ranks.select(col("id"), round(col("r"), 6).as("pagerank"))
   }
 
+  /** Personalized PageRank (random walk with restart to a seed set):
+    * `r' = (1−d)·s(v) + d · Σ_{u→v} r(u)/outdeg(u)` with `s` uniform
+    * over `seedIds ∩ vertices` — relevance-to-the-seeds instead of
+    * global centrality; the retrieval-expansion primitive ("documents
+    * near these known-good ones in the similarity graph").
+    *
+    * Seeds are few by contract (they arrive as literals, the same way
+    * query terms do), so the restart term is a pure `isin` expression —
+    * each round keeps the two-shuffle shape of [[pageRank]]. Vertices
+    * with zero rank are carried implicitly (they contribute exactly
+    * 0.0, which is a no-op in any IEEE fold) and re-attached once at
+    * the end. Same deterministic-fold / checkpoint-interval contract as
+    * [[pageRank]]. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seedIds: Seq[Long], iters: Int = 5, damping: Double = 0.85,
+      deterministicFold: Boolean = true,
+      checkpointInterval: Int = 4): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(seedIds.nonEmpty, "seedIds must be non-empty")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(false)
+    val seedV = verts.filter(col("id").isin(seedIds: _*))
+      .localCheckpoint(false)
+    val nS = seedV.count()
+    require(nS > 0, "no seed is a vertex of the graph")
+    val resetVal = (1.0 - damping) / nS
+    val ew = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+        Seq("src"))
+      .localCheckpoint(false)
+    // the restart mass lands on every seed every round, whether or not
+    // the seed received walk mass this round — a constant frame unioned
+    // in and re-aggregated (the two summands per vertex commute, so the
+    // deterministic-fold contract is preserved bit-for-bit)
+    val seedsConst = seedV.select(col("id"), lit(resetVal).as("r"))
+      .localCheckpoint(false)
+    var ranks = seedV.select(col("id"), lit(1.0 / nS).as("r"))
+    for (i <- 1 to iters) {
+      val contribs = ew
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst"), col("src"),
+          (col("r") / col("outdeg")).as("contrib"))
+      val mass =
+        if (deterministicFold)
+          contribs.groupBy(col("dst"))
+            .agg(sort_array(collect_list(
+              struct(col("src"), col("contrib")))).as("arr"))
+            .select(col("dst"),
+              aggregate(col("arr"), lit(0.0d),
+                (acc, x) => acc + x.getField("contrib")).as("m"))
+        else
+          contribs.groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+      ranks = mass
+        .select(col("dst").as("id"), (lit(damping) * col("m")).as("r"))
+        .unionByName(seedsConst)
+        .groupBy(col("id")).agg(sum(col("r")).as("r"))
+      if (i % checkpointInterval == 0 && i < iters)
+        ranks = ranks.localCheckpoint(false)
+    }
+    verts.join(ranks, Seq("id"), "left")
+      .select(col("id"),
+        round(coalesce(col("r"), lit(0.0d)), 6).as("ppr"))
+  }
+
   /** Degree report for an edge list: per-vertex in/out/total degree —
     * the first profiling pass over any derived graph (skew check before
     * iterating on it). One union + one partial-agg count. */

@@ -42,6 +42,31 @@ class GraphSpec extends SparkSpec {
     det.foreach { case (k, v) => assert(math.abs(fast(k) - v) < 1e-9) }
   }
 
+  test("personalized pagerank: seeds keep restart mass, relevance decays with distance") {
+    // path graph 0-1-2-3-4-5 symmetrized, seed {0}: rank must decay
+    // monotonically away from the seed, and the seed must keep its
+    // restart mass even in round 1 when its only in-neighbor (vertex 1)
+    // still has zero rank — the vanishing-seed regression case
+    val path = (0 until 5).map(i => (i.toLong, (i + 1).toLong))
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    // enough rounds to pass the path's parity-oscillation transient
+    val r = GraphOps.personalizedPageRank(edges, "src", "dst",
+        seedIds = Seq(0L), iters = 30)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.size == 6)
+    assert(r(0L) >= 0.15 - 1e-9, s"seed lost restart mass: $r")
+    // the seed's only neighbor legitimately tops the seed (it receives
+    // the seed's ENTIRE outflow, the seed only half of its neighbor's);
+    // beyond it relevance decays monotonically with distance
+    (1 until 5).foreach(i =>
+      assert(r(i.toLong) > r(i.toLong + 1), s"no distance decay: $r"))
+    assert(r(0L) > r(2L), s"seed outranked by non-neighbor: $r")
+    // seeds not in the graph are rejected
+    intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(edges, "src", "dst", Seq(99L))
+    }
+  }
+
   test("degrees: in/out/total over a digraph") {
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
     val d = GraphOps.degrees(edges, "src", "dst")
