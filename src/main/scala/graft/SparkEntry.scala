@@ -572,6 +572,49 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Perceptual near-duplicate image pairs: REAL PNG decode →
+    * integer-exact aHash (MultiModal.imageAHash) → bounded-window
+    * hamming pairs. Pairing is an EQUI-join on an id-block key (each
+    * left row posts to its own and the next block) — the q32 bounded-
+    * pair discipline, never a non-equi range join. */
+  private def qAhashDup(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val fx = MultiModal.syntheticImage(
+      t.documents.select("doc_id"), "doc_id", "png")
+    val hs = MultiModal.imageAHash(fx).localCheckpoint(false)
+    val a = hs.select(col("doc_id").as("id1"), col("ahash").as("h1"))
+      .withColumn("blk", explode(array(
+        floor(col("id1") / lit(8)).cast("long"),
+        floor(col("id1") / lit(8)).cast("long") + 1)))
+    val b = hs.select(col("doc_id").as("id2"), col("ahash").as("h2"),
+      floor(col("id2") / lit(8)).cast("long").as("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("id2") > col("id1") && col("id2") <= col("id1") + 8)
+      .select(col("id1"), col("id2"),
+        expr("CAST(bit_count(h1 ^ h2) AS BIGINT)").as("hamming"))
+      .withColumn("is_dup", col("hamming") <= 1)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Shipping-priority revenue top-10 (the TPC-H Q3 shape): segment
+    * filter → orders join → lineitem join, date-bracketed, revenue
+    * aggregated and top-k'd with a deterministic tiebreak. */
+  private def qShipPriority(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val cutoff = lit("1998-06-01 00:00:00").cast("timestamp")
+    t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > cutoff)
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** Sliding-window token chunking, 16-token chunks with 4-token
     * overlap (Packing.chunkTokens) — RAG/embedding prep. */
   private def qChunking(s: SparkSession, dir: String): DataFrame = {
@@ -1698,6 +1741,8 @@ object SparkEntry {
     "q110_pagerank" -> (qPageRank _),
     "q111_chunking" -> (qChunking _),
     "q112_ppr" -> (qPprExpand _),
+    "q113_ahash_dup" -> (qAhashDup _),
+    "q114_ship_priority" -> (qShipPriority _),
   )
 
   // -------------------------------------------------------------------
@@ -3659,6 +3704,57 @@ object SparkEntry {
          |SELECT id, round(r, 6) AS ppr FROM r5
          |ORDER BY id""".stripMargin
     },
+
+    // aHash replayed from the synthetic fixture's closed form: gray =
+    // Σ_c (id + 7x + 13y + 31c) % 256, integer box-downsample to a 4×2
+    // grid, cross-multiplied brightness test — decode-free oracle for
+    // the decode-real Spark side
+    "q113_ahash_dup" ->
+      """WITH base AS (SELECT doc_id, doc_id % 16 + 1 AS w,
+        |    doc_id % 8 + 1 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h,
+        |    unnest(generate_series(0, w - 1)) AS x FROM base),
+        |px AS (SELECT doc_id, w, h, x,
+        |    unnest(generate_series(0, h - 1)) AS y FROM xs),
+        |g AS (SELECT doc_id,
+        |    (y * 2 // h) * 4 + (x * 4 // w) AS cell,
+        |    (doc_id + 7*x + 13*y) % 256 + (doc_id + 7*x + 13*y + 31) % 256
+        |      + (doc_id + 7*x + 13*y + 62) % 256 AS gray
+        |  FROM px),
+        |cells AS (SELECT doc_id, cell, sum(gray) AS cs, count(*) AS cc
+        |  FROM g GROUP BY doc_id, cell),
+        |tot AS (SELECT doc_id, sum(cs) AS ts, sum(cc) AS tc
+        |  FROM cells GROUP BY doc_id),
+        |allc AS (SELECT b.doc_id, c.cell FROM base b
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS cell) c),
+        |bits AS (SELECT a.doc_id, a.cell,
+        |    CASE WHEN coalesce(cs, 0) * tc > ts * coalesce(cc, 0)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM allc a
+        |  LEFT JOIN cells USING (doc_id, cell)
+        |  JOIN tot USING (doc_id)),
+        |hs AS (SELECT doc_id,
+        |    CAST(sum(bit * (CAST(1 AS BIGINT) << cell)) AS BIGINT) AS ahash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) <= 1 AS is_dup
+        |FROM hs a JOIN hs b
+        |  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 8
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q114_ship_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     // chunkSize=16, overlap=4 -> stride 12; last start =
     // floor((n-overlap-1)/stride)*stride clamped at 0

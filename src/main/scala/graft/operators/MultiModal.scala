@@ -493,4 +493,61 @@ object MultiModal {
       .mapPartitions(_.grouped(batchSize).flatMap(g => decodeBatch(g.toSeq)))
       .toDF()
   }
+
+  /** Average-hash (aHash) perceptual fingerprint over REAL decoded
+    * pixels — the classic near-duplicate-image signal: box-downsample
+    * the grayscale image to a gw×gh grid, set bit i when cell i is
+    * brighter than the global mean. Everything is INTEGER arithmetic:
+    * gray = r+g+b (no luma weights, no division), the exact
+    * box-downsample maps pixel (x, y) to cell (y·gh div h, x·gw div w),
+    * and the brightness test cross-multiplies
+    * (cellSum·totalCount > totalSum·cellCount) instead of comparing
+    * means — so an external oracle reproduces every bit from the
+    * fixture's closed form without decoding anything. Batched decode
+    * per partition like [[imagePixelStats]]; payload bytes never leave
+    * the executor. Cells with no pixels (image narrower than the grid)
+    * hash to 0-bits on both sides. */
+  def imageAHash(df: DataFrame, gw: Int = 4, gh: Int = 2,
+      batchSize: Int = 64): DataFrame = {
+    require(gw > 0 && gh > 0 && gw * gh <= 63,
+      "grid must fit a signed 64-bit hash")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def hashBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Long, Long, Long)] =
+      batch.map { case (id, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        require(img != null, s"undecodable payload for id $id")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val cs = new Array[Long](gw * gh)
+        val cc = new Array[Long](gw * gh)
+        var ts = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            val cell = (y * gh / h) * gw + (x * gw / w)
+            cs(cell) += gray
+            cc(cell) += 1
+            ts += gray
+            x += 1
+          }
+          y += 1
+        }
+        val tc = w.toLong * h
+        var hash = 0L
+        var i = 0
+        while (i < gw * gh) {
+          if (cs(i) * tc > ts * cc(i)) hash |= 1L << i
+          i += 1
+        }
+        (id, hash, w.toLong, h.toLong)
+      }
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(g => hashBatch(g.toSeq)))
+      .toDF("doc_id", "ahash", "width", "height")
+  }
 }

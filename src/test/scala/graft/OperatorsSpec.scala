@@ -314,6 +314,33 @@ class OperatorsSpec extends SparkSpec {
     assert(pf == "png")
   }
 
+  test("ImageIO tier: aHash bits match the closed form; uniform image hashes 0") {
+    import spark.implicits._
+    val ids = Seq(3L, 17L, 42L).toDF("doc_id")
+    val hs = MultiModal.imageAHash(
+        MultiModal.syntheticImage(ids, "doc_id", "png"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- Seq(3L, 17L, 42L)) {
+      // brute-force reference from the generator's closed form
+      val (w, h) = ((id % 16 + 1).toInt, (id % 8 + 1).toInt)
+      val cs = new Array[Long](8); val cc = new Array[Long](8)
+      var ts = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val gray = (0 to 2).map(c => (id + 7 * x + 13 * y + 31 * c) % 256).sum
+        val cell = (y * 2 / h) * 4 + (x * 4 / w)
+        cs(cell) += gray; cc(cell) += 1; ts += gray
+      }
+      val expected = (0 until 8)
+        .filter(i => cs(i) * (w.toLong * h) > ts * cc(i))
+        .map(1L << _).sum
+      assert(hs(id) == expected, s"ahash mismatch for id=$id")
+    }
+    // a uniform image has no cell brighter than the mean -> hash 0
+    val flat = Seq((7L, MultiModal.encodeImageIO("png", 8, 8,
+      (_, _, _) => 128))).toDF("doc_id", "payload")
+    assert(MultiModal.imageAHash(flat).head().getLong(1) == 0L)
+  }
+
   test("multimodal stub plumbing: payload, metadata, frame sampling") {
     val df = MultiModal.sampleFrames(
       MultiModal.frameIndexStub(

@@ -365,4 +365,21 @@ class PlanSpec extends SparkSpec {
     // and the final frame stays cartesian-free end to end
     assert(!plan("q110_pagerank").toLowerCase.contains("cartesianproduct"))
   }
+
+  test("q113 ahash: block-keyed EQUI pairing, no cartesian/range join") {
+    val p = plan("q113_ahash_dup")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"cartesian in ahash pairing:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join leaked into ahash pairing:\n$p")
+  }
+
+  test("q114 ship priority: filters push to scans, dims broadcast, top-k heaped") {
+    val p = plan("q114_ship_priority")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k not a distributed heap:\n$p")
+  }
 }
