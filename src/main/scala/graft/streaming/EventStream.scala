@@ -602,6 +602,50 @@ object EventStream {
     }
   }
 
+  /** Streaming corpus ingestion deduplicated against the PERSISTED
+    * signature index (Dedup.writeSignatureIndex): every micro-batch
+    * probes the index (band-partition-pruned bucket collisions), novel
+    * docs append to `outPath` AND are upserted into the index so the
+    * NEXT batch — and any concurrent batch pipeline — dedups against
+    * them; duplicate docs land in `dupPath` with their corpus-hit
+    * count for audit. The q81 incremental-dedup loop closed into a
+    * continuously-running ingest: index state lives on disk (restart-
+    * safe, shared across streams), not in executor memory — the
+    * complement of [[dedupStream]]'s in-memory digest-TTL state, for
+    * when "seen before" must mean the WHOLE historical corpus, not a
+    * retention window.
+    *
+    * Scale shape per batch: the batch (small side) minhashes itself and
+    * probes via the broadcast-batch join; the upsert appends
+    * bucket-sorted files without touching existing postings
+    * ([[graft.operators.Dedup.upsertSignatureIndex]]);
+    * [[graft.operators.Dedup.compactSignatureIndex]] restores
+    * one-file-per-band during maintenance windows. */
+  def indexDedupWriter(stream: DataFrame, indexPath: String,
+      outPath: String, dupPath: String, textCol: String, idCol: String,
+      k: Int = 8, bands: Int = 4, shingleN: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint(true) // one stable snapshot
+          val verdicts = graft.operators.Dedup.dedupAgainstIndex(
+            b, textCol, idCol, indexPath, k, bands, shingleN)
+          val flagged = b.join(verdicts, Seq(idCol))
+            .withColumn("batch_id", lit(batchId))
+            .localCheckpoint(true) // settle BEFORE the index mutates
+          flagged.filter(col("is_dup"))
+            .write.mode("append").parquet(dupPath)
+          val novel = flagged.filter(!col("is_dup"))
+            .drop("n_hits", "is_dup")
+          novel.write.mode("append").parquet(outPath)
+          graft.operators.Dedup.upsertSignatureIndex(
+            novel, textCol, idCol, indexPath, k, bands, shingleN)
+        }
+        ()
+    }
+  }
+
   /** Streaming distribution-drift guard: the incremental form of
     * Profiling.psiDrift. The reference histogram is frozen batch-side
     * ([[refHistogram]]) and rides the closure; stream state is ONE

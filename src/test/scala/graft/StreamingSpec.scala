@@ -947,4 +947,61 @@ class StreamingSpec extends SparkSpec {
     assert(unseen.getString(unseen.fieldIndex("drift_group")) == "zz")
     assert(unseen.isNullAt(unseen.fieldIndex("drift_psi")))
   }
+
+  test("index-backed streaming dedup: whole-corpus memory, cross-batch, restart-safe") {
+    import spark.implicits._
+    val idxDir = Files.createTempDirectory("graft-sdidx").toString
+    val feedDir = Files.createTempDirectory("graft-sdfeed").toString
+    val outDir = Files.createTempDirectory("graft-sdout").toString + "/out"
+    val dupDir = Files.createTempDirectory("graft-sddup").toString + "/dup"
+
+    // historical corpus already indexed before the stream starts
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeSignatureIndex(corpus, "text", "doc_id", idxDir)
+
+    def feed(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(feedDir)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // batch 1: one copy of the historical corpus, one novel doc
+    feed(Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "totally unrelated corpus content about engines")))
+    val q = EventStream.indexDedupWriter(
+      spark.readStream.schema(schema).parquet(feedDir),
+      idxDir, outDir, dupDir, "text", "doc_id").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a copy of batch 1's NOVEL doc (cross-batch dedup via
+      // the index upsert) plus another fresh doc
+      feed(Seq(
+        (20L, "totally unrelated corpus content about engines"),
+        (21L, "brand new never seen text with many unique words here")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(11L, 21L), s"novel set wrong: $out")
+    val dups = spark.read.parquet(dupDir)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getLong(r.fieldIndex("n_hits"))).toMap
+    assert(dups.keySet == Set(10L, 20L), s"dup set wrong: $dups")
+    assert(dups.values.forall(_ >= 1L))
+    // the on-disk index now covers the streamed novel docs too: a fresh
+    // (restarted) probe flags copies of them without any stream state
+    val probe = graft.operators.Dedup.dedupAgainstIndex(
+      Seq((30L, "brand new never seen text with many unique words here"))
+        .toDF("doc_id", "text"), "text", "doc_id", idxDir)
+      .head()
+    assert(probe.getBoolean(2), "index missed a streamed novel doc after restart")
+  }
 }
