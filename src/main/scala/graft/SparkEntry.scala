@@ -615,6 +615,33 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** Part/supplier catalog breadth (the TPC-H Q16 shape): distinct
+    * suppliers per (brand, type) — a two-phase distinct aggregate over
+    * the part-lineitem join. */
+  private def qPartSupplier(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.part.join(t.lineitem, col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"), col("p_type"))
+  }
+
+  /** Ranking-function breadth over the corpus: per-language quartile
+    * (ntile), cumulative distribution and dense rank of document
+    * length, with a unique ordering so every engine agrees. */
+  private def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    t.documents.select(col("lang"), col("doc_id"), col("n_chars"),
+      ntile(4).over(w).as("quartile"),
+      round(cume_dist().over(w), 6).as("cume"),
+      dense_rank().over(w).as("drank"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** Sliding-window token chunking, 16-token chunks with 4-token
     * overlap (Packing.chunkTokens) — RAG/embedding prep. */
   private def qChunking(s: SparkSession, dir: String): DataFrame = {
@@ -1743,6 +1770,8 @@ object SparkEntry {
     "q112_ppr" -> (qPprExpand _),
     "q113_ahash_dup" -> (qAhashDup _),
     "q114_ship_priority" -> (qShipPriority _),
+    "q115_part_supplier" -> (qPartSupplier _),
+    "q116_window_rank" -> (qWindowRank _),
   )
 
   // -------------------------------------------------------------------
@@ -3755,6 +3784,22 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q115_part_supplier" ->
+      """SELECT p_brand, p_type,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q116_window_rank" ->
+      """SELECT lang, doc_id, n_chars,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  CAST(dense_rank() OVER w AS INT) AS drank
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |ORDER BY lang, doc_id""".stripMargin,
 
     // chunkSize=16, overlap=4 -> stride 12; last start =
     // floor((n-overlap-1)/stride)*stride clamped at 0
