@@ -642,6 +642,35 @@ object SparkEntry {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Set-operation breadth: INTERSECT and EXCEPT between behavioral
+    * cohorts at (user, day) grain — days a user both clicked and
+    * purchased without reporting an error. */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    def cohort(ev: String) =
+      t.events.filter(col("event_type") === ev)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+    cohort("click").intersect(cohort("purchase"))
+      .except(cohort("error"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Calendar-function breadth over event timestamps: month/quarter
+    * truncation, month end, quarter-of-year, and day arithmetic —
+    * the portable subset both engines define identically. */
+  private def qDatetime(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.events.select(col("event_id"),
+        col("ts").cast("date").as("day"),
+        date_trunc("month", col("ts")).cast("date").as("month_start"),
+        last_day(col("ts")).as("month_end"),
+        quarter(col("ts")).as("qtr"),
+        datediff(col("ts").cast("date"), lit("2020-01-01").cast("date"))
+          .as("days_since"),
+        add_months(col("ts").cast("date"), 3).as("plus_quarter"))
+      .orderBy(col("event_id"))
+  }
+
   /** Sliding-window token chunking, 16-token chunks with 4-token
     * overlap (Packing.chunkTokens) — RAG/embedding prep. */
   private def qChunking(s: SparkSession, dir: String): DataFrame = {
@@ -1772,6 +1801,8 @@ object SparkEntry {
     "q114_ship_priority" -> (qShipPriority _),
     "q115_part_supplier" -> (qPartSupplier _),
     "q116_window_rank" -> (qWindowRank _),
+    "q117_setops" -> (qSetOps _),
+    "q118_datetime" -> (qDatetime _),
   )
 
   // -------------------------------------------------------------------
@@ -3800,6 +3831,28 @@ object SparkEntry {
         |FROM documents
         |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
         |ORDER BY lang, doc_id""".stripMargin,
+
+    "q117_setops" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day
+        |FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id, CAST(ts AS DATE) AS day
+        |FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT user_id, CAST(ts AS DATE) AS day
+        |FROM events WHERE event_type = 'error'
+        |ORDER BY user_id, day""".stripMargin,
+
+    "q118_datetime" ->
+      """SELECT event_id, CAST(ts AS DATE) AS day,
+        |  CAST(date_trunc('month', ts) AS DATE) AS month_start,
+        |  last_day(CAST(ts AS DATE)) AS month_end,
+        |  CAST(quarter(ts) AS INT) AS qtr,
+        |  CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE))
+        |    AS INT) AS days_since,
+        |  CAST(CAST(ts AS DATE) + INTERVAL 3 MONTH AS DATE)
+        |    AS plus_quarter
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // chunkSize=16, overlap=4 -> stride 12; last start =
     // floor((n-overlap-1)/stride)*stride clamped at 0
