@@ -43,6 +43,40 @@ class FormatsSpec extends SparkSpec {
     assert(a.sameElements(b), "json roundtrip value drift")
   }
 
+  test("z-order layout prunes files on BOTH columns; plain sort only on one") {
+    import spark.implicits._
+    import graft.operators.Layout
+    // uniform 256x256 grid of (a, b) points
+    val grid = spark.range(256 * 256)
+      .select((col("id") / 256).cast("long").as("a"),
+        pmod(col("id"), lit(256)).cast("long").as("b"))
+    val nFiles = 16
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z").toString + "/z"
+    Layout.zOrderWrite(grid, "a", "b", zDir, nFiles, bits = 8)
+
+    val aDir = java.nio.file.Files.createTempDirectory("graft-a").toString + "/a"
+    grid.repartitionByRange(nFiles, col("a"))
+      .sortWithinPartitions(col("a"))
+      .write.mode("overwrite").parquet(aDir)
+
+    // same rows either way
+    assert(spark.read.parquet(zDir).count() == 256L * 256L)
+
+    // a narrow band on each dimension (1/16 of the domain)
+    val zA = Layout.pruneFraction(spark, zDir, "a", 64, 79)
+    val zB = Layout.pruneFraction(spark, zDir, "b", 64, 79)
+    val sA = Layout.pruneFraction(spark, aDir, "a", 64, 79)
+    val sB = Layout.pruneFraction(spark, aDir, "b", 64, 79)
+    // plain a-sort: perfect on a, useless on b (every file spans all b)
+    assert(sA <= 0.25, s"a-sorted layout should prune on a (got $sA)")
+    assert(sB >= 0.99, s"a-sorted layout can't prune on b (got $sB)")
+    // aligned z-order over ~16 files = exact 64x64 tiles: a 16-wide
+    // band on either dimension hits one tile row/column (4 tiles; the
+    // range partitioner may materialize 15-16 files, so allow 4/15)
+    assert(zA <= 0.28, s"z-order failed to prune on a (got $zA)")
+    assert(zB <= 0.28, s"z-order failed to prune on b (got $zB)")
+  }
+
   test("csv roundtrip with header + explicit schema preserves values") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
     docs.write.mode("overwrite").option("header", "true")
