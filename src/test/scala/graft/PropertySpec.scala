@@ -118,6 +118,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkTokens invariants: full coverage, exact overlap, bounded sizes") {
+    val cases = for {
+      n <- Gen.choose(1, 60)
+      chunk <- Gen.choose(2, 20)
+      overlap <- Gen.choose(0, 10).map(o => math.min(o, chunk - 1))
+    } yield (n, chunk, overlap)
+    samples(cases, 20).foreach { case (n, chunk, overlap) =>
+      val text = (1 to n).map(i => s"w$i").mkString(" ")
+      val out = operators.Packing
+        .chunkTokens(Seq((1L, text)).toDF("doc_id", "text"),
+          "text", "doc_id", chunk, overlap)
+        .orderBy("chunk_idx")
+        .select("chunk_idx", "start_pos", "n_tokens", "chunk_text")
+        .as[(Int, Long, Int, String)].collect()
+      val stride = chunk - overlap
+      // indices are 0..k contiguous, starts at stride spacing
+      out.zipWithIndex.foreach { case ((idx, start, _, _), i) =>
+        assert(idx == i && start == i.toLong * stride,
+          s"bad chunk grid (n=$n c=$chunk o=$overlap): ${out.toSeq}")
+      }
+      // every token covered exactly by the union of chunks, in order
+      val tokens = out.flatMap(_._4.split(" "))
+      val expected = out.flatMap { case (_, s, len, _) =>
+        (s.toInt + 1) to (s.toInt + len) }.map(i => s"w$i")
+      assert(tokens.sameElements(expected))
+      val covered = out.flatMap { case (_, s, len, _) =>
+        s.toInt until (s.toInt + len) }.toSet
+      assert(covered == (0 until n).toSet,
+        s"coverage gap (n=$n c=$chunk o=$overlap)")
+      // all chunks are full except possibly the last; none exceeds chunk
+      assert(out.forall(_._3 <= chunk))
+      out.dropRight(1).foreach { case (_, _, len, _) =>
+        assert(len == chunk, s"non-tail chunk short (n=$n c=$chunk o=$overlap)")
+      }
+      // consecutive chunks share exactly `overlap` tokens
+      out.sliding(2).foreach {
+        case Array((_, _, _, t1), (_, _, _, t2)) =>
+          val a = t1.split(" "); val b = t2.split(" ")
+          assert(a.takeRight(overlap).sameElements(b.take(overlap)))
+        case _ => ()
+      }
+    }
+  }
+
   test("chunkDedup conservation: kept chunks == distinct chunks in corpus") {
     val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
     val cases = for {
