@@ -671,6 +671,32 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Hard-negative mining (Similarity.hardNegatives): top-3 nearest
+    * different-label candidates per query — contrastive training
+    * pairs. */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Similarity.hardNegatives(t.embeddings,
+        t.embeddings.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-language bigram-LM quality gate: q107's transition-aware
+    * score composed with the exact-percentile keep gate
+    * (TextAnalysis.qualityQuantileGate, q = 0.25) — drop the
+    * lowest-fluency quartile per language. */
+  private def qBigramGate(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val scored = TextAnalysis.bigramLogProb(t.documents, "text", "doc_id")
+      .filter(col("n_bigrams") > 0)
+      .join(t.documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    TextAnalysis.qualityQuantileGate(scored, "lang", "logprob", 0.25)
+      .select(col("lang"), col("doc_id"), col("logprob"),
+        col("threshold"), col("kept"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** Sliding-window token chunking, 16-token chunks with 4-token
     * overlap (Packing.chunkTokens) — RAG/embedding prep. */
   private def qChunking(s: SparkSession, dir: String): DataFrame = {
@@ -1803,6 +1829,8 @@ object SparkEntry {
     "q116_window_rank" -> (qWindowRank _),
     "q117_setops" -> (qSetOps _),
     "q118_datetime" -> (qDatetime _),
+    "q119_hard_negatives" -> (qHardNegatives _),
+    "q120_bigram_gate" -> (qBigramGate _),
   )
 
   // -------------------------------------------------------------------
@@ -3853,6 +3881,57 @@ object SparkEntry {
         |  CAST(CAST(ts AS DATE) + INTERVAL 3 MONTH AS DATE)
         |    AS plus_quarter
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q119_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    label AS q_label FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv,
+         |    label AS c_label FROM embeddings),
+         |scored AS (SELECT query_id, q_label, cand_id, c_label,
+         |    round(${cosineSql("qv", "cv")}, 6) AS sim
+         |  FROM c, q WHERE q_label <> c_label),
+         |ranked AS (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, q_label, cand_id, c_label, sim,
+         |  CAST("rank" AS INT) AS "rank"
+         |FROM ranked WHERE "rank" <= 3
+         |ORDER BY query_id, "rank"""".stripMargin,
+
+    // q107's LM replayed, then the exact-percentile keep gate per lang
+    "q120_bigram_gate" ->
+      s"""WITH docs_norm AS (SELECT doc_id, $normTextSql AS norm FROM documents),
+         |arrs AS (SELECT doc_id, ${wsTokensSql("norm")} AS arr
+         |  FROM docs_norm),
+         |toks AS (SELECT doc_id, unnest(arr) AS tok,
+         |    unnest(generate_series(1, len(arr))) AS pos FROM arrs),
+         |bi AS (SELECT * FROM (SELECT doc_id, pos, tok,
+         |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM toks) WHERE prev IS NOT NULL),
+         |c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+         |  FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS total FROM c1),
+         |c2 AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS c2
+         |  FROM bi GROUP BY prev, tok),
+         |lp AS (SELECT b.doc_id, b.pos,
+         |    ln(7e-1 * c2.c2 / p.c1 + (1.0e0 - 7e-1) * c1.c1 / t.total)
+         |      AS lp
+         |  FROM bi b
+         |  JOIN c2 ON c2.prev = b.prev AND c2.tok = b.tok
+         |  JOIN c1 p ON p.tok = b.prev
+         |  JOIN c1 ON c1.tok = b.tok, tot t),
+         |agg AS (SELECT doc_id,
+         |    round(list_aggregate(list(lp ORDER BY pos), 'sum')
+         |      / count(*), 6) AS logprob
+         |  FROM lp GROUP BY doc_id),
+         |sc AS (SELECT d.lang, a.doc_id, a.logprob
+         |  FROM agg a JOIN documents d USING (doc_id)),
+         |th AS (SELECT lang, round(quantile_cont(logprob, 0.25), 6)
+         |    AS threshold FROM sc GROUP BY lang)
+         |SELECT sc.lang, sc.doc_id, sc.logprob, th.threshold,
+         |  sc.logprob >= th.threshold AS kept
+         |FROM sc JOIN th USING (lang)
+         |ORDER BY sc.lang, sc.doc_id""".stripMargin,
 
     // chunkSize=16, overlap=4 -> stride 12; last start =
     // floor((n-overlap-1)/stride)*stride clamped at 0

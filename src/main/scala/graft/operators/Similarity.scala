@@ -767,6 +767,30 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Hard-negative mining for embedding-model training: for each query
+    * vector, the k most similar candidates with a DIFFERENT label —
+    * the "looks close, should be far" pairs contrastive training wants.
+    * Exact brute-force form with the [[bruteForceKnn]] contract
+    * (broadcast queries, rounded-sim + id tiebreak); at 100 TB compose
+    * the IVF probe first and filter labels in the pruned candidate set
+    * instead. */
+  def hardNegatives(candidates: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("q_label"), norm(col(vecCol)).as("qn"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      col(labelCol).as("c_label"), norm(col(vecCol)).as("cn"))
+    val scored = c.join(broadcast(q), col("q_label") =!= col("c_label"))
+      .withColumn("sim", round(dot(col("qv"), col("cv")) /
+        nullif(col("qn") * col("cn"), lit(0.0)), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("q_label"), col("cand_id"),
+        col("c_label"), col("sim"), col("rank"))
+  }
+
   // ------------------------------------------------------------------
   // SQ8 scalar quantization — the memory-compression rung between
   // full-precision flat search and PQ: one byte per dimension (4× less
