@@ -494,6 +494,58 @@ object MultiModal {
       .toDF()
   }
 
+  /** Fault-tolerant variant of [[imagePixelStats]] for corpus-scale
+    * runs: a payload the codec rejects yields a quarantine row
+    * (`decode_ok = false`, NULL stats, the error class) instead of
+    * failing the job — at 100 TB a handful of corrupt blobs in a crawl
+    * is the NORMAL case, and one must not kill a million-task job. The
+    * strict form stays the default everywhere correctness is being
+    * proved; this is the ingest-path wrapper. One row out per row in,
+    * so downstream `filter(decode_ok)` + the quarantine count preserve
+    * the E1 per-item fault-isolation contract. */
+  def imagePixelStatsTolerant(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def one(id: Long, payload: Array[Byte])
+        : (Long, Boolean, String, Option[Long], Option[Long], Option[Long],
+           Option[Double], Option[Double], Option[Double]) =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null)
+          (id, false, "UNRECOGNIZED_FORMAT", None, None, None, None, None, None)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          (id, true, null, Some(w.toLong), Some(h.toLong),
+            Some(img.getRaster.getNumBands.toLong),
+            Some(sr.toDouble / n), Some(sg.toDouble / n), Some(sb.toDouble / n))
+        }
+      } catch {
+        case e: Exception =>
+          (id, false, e.getClass.getSimpleName, None, None, None,
+            None, None, None)
+      }
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map {
+        case (id, p) => one(id, p) }))
+      .toDF("doc_id", "decode_ok", "decode_error", "width", "height",
+        "channels", "mean_r", "mean_g", "mean_b")
+  }
+
   /** Average-hash (aHash) perceptual fingerprint over REAL decoded
     * pixels — the classic near-duplicate-image signal: box-downsample
     * the grayscale image to a gw×gh grid, set bit i when cell i is

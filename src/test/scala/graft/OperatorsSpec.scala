@@ -341,6 +341,27 @@ class OperatorsSpec extends SparkSpec {
     assert(MultiModal.imageAHash(flat).head().getLong(1) == 0L)
   }
 
+  test("tolerant decode: corrupt payloads quarantine, good payloads unaffected") {
+    import spark.implicits._
+    val good = MultiModal.syntheticImage(Seq(5L).toDF("doc_id"), "doc_id", "png")
+    val bad = Seq(
+      (90L, Array[Byte](1, 2, 3, 4)),                     // garbage
+      (91L, Array.empty[Byte]))                           // empty
+      .toDF("doc_id", "payload")
+    val out = MultiModal.imagePixelStatsTolerant(good.unionByName(bad))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(5L).getBoolean(1), "good payload flagged")
+    // tolerant stats equal the strict path's for decodable rows
+    val strict = MultiModal.imagePixelStats(good).head()
+    assert(out(5L).getLong(3) == strict.getLong(1) &&
+      math.abs(out(5L).getDouble(6) - strict.getDouble(4)) < 1e-12)
+    Seq(90L, 91L).foreach { id =>
+      val r = out(id)
+      assert(!r.getBoolean(1) && !r.isNullAt(2), s"corrupt $id not quarantined")
+      assert(r.isNullAt(3) && r.isNullAt(6), s"corrupt $id leaked stats")
+    }
+  }
+
   test("multimodal stub plumbing: payload, metadata, frame sampling") {
     val df = MultiModal.sampleFrames(
       MultiModal.frameIndexStub(
