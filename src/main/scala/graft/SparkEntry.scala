@@ -498,15 +498,28 @@ object SparkEntry {
       coalesce(sum(col("id1") + col("id2")), lit(0L)).as("pair_checksum"))
   }
 
+  /** Lang-blocked bounded candidate pairs (id2 ∈ (id1, id1+window]),
+    * built with a BLOCK-key EQUI-join: each left row posts to its own
+    * and the next id-block of size `window`, so the join intermediate
+    * is ~2 rows per doc instead of the per-language cartesian the
+    * naive lang-join + range-filter materializes before filtering.
+    * Identical pair set; the oracles keep the declarative range form. */
+  private def langBlockedPairs(t: Tables, window: Int): DataFrame = {
+    val blk = (c: Column) => floor(c / lit(window)).cast("long")
+    val d1 = t.documents.select(col("lang"), col("doc_id").as("id1"))
+      .withColumn("blk",
+        explode(array(blk(col("id1")), blk(col("id1")) + 1)))
+    val d2 = t.documents.select(col("lang"), col("doc_id").as("id2"),
+      blk(col("doc_id")).as("blk"))
+    d1.join(d2, Seq("lang", "blk"))
+      .filter(col("id2") > col("id1") && col("id2") <= col("id1") + window)
+      .select(col("id1"), col("id2"))
+  }
+
   /** n-gram Jaccard verification over blocked candidate pairs. */
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    val d1 = t.documents.select(col("lang"), col("doc_id").as("id1"))
-    val d2 = t.documents.select(col("lang"), col("doc_id").as("id2"))
-    val pairs = d1.join(d2, Seq("lang"))
-      .filter(col("id2") > col("id1") && col("id2") <= col("id1") + 3)
-      .select(col("id1"), col("id2"))
-    Dedup.ngramJaccard(t.documents, pairs, "text", "doc_id")
+    Dedup.ngramJaccard(t.documents, langBlockedPairs(t, 3), "text", "doc_id")
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
   }
@@ -549,12 +562,8 @@ object SparkEntry {
   /** Shared edge build for the graph queries (q110, q112): lang-blocked
     * bounded pairs sharing >= 1 shingle, symmetrized. */
   private def shingleGraph(t: Tables): DataFrame = {
-    val d1 = t.documents.select(col("lang"), col("doc_id").as("id1"))
-    val d2 = t.documents.select(col("lang"), col("doc_id").as("id2"))
-    val pairs = d1.join(d2, Seq("lang"))
-      .filter(col("id2") > col("id1") && col("id2") <= col("id1") + 10)
-      .select(col("id1"), col("id2"))
-    val e0 = Dedup.sharedShingleEdges(t.documents, pairs, "text", "doc_id")
+    val e0 = Dedup.sharedShingleEdges(t.documents,
+      langBlockedPairs(t, 10), "text", "doc_id")
     e0.unionByName(e0.select(col("id2").as("id1"), col("id1").as("id2")))
   }
 
@@ -1238,12 +1247,8 @@ object SparkEntry {
     * character-level verdict instead of shingle overlap. */
   private def qEditDistance(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    val d1 = t.documents.select(col("lang"), col("doc_id").as("id1"))
-    val d2 = t.documents.select(col("lang"), col("doc_id").as("id2"))
-    val pairs = d1.join(d2, Seq("lang"))
-      .filter(col("id2") > col("id1") && col("id2") <= col("id1") + 3)
-      .select(col("id1"), col("id2"))
-    Dedup.editDistanceVerify(t.documents, pairs, "text", "doc_id")
+    Dedup.editDistanceVerify(t.documents, langBlockedPairs(t, 3),
+        "text", "doc_id")
       .select(col("id1"), col("id2"), col("len1"), col("len2"),
         col("edit_dist"), col("dist_ratio"), col("near_dup"))
       .orderBy(col("id1"), col("id2"))
@@ -1253,12 +1258,8 @@ object SparkEntry {
     * signal Jaccard misses; same pair frame as q32. */
   private def qContainment(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    val d1 = t.documents.select(col("lang"), col("doc_id").as("id1"))
-    val d2 = t.documents.select(col("lang"), col("doc_id").as("id2"))
-    val pairs = d1.join(d2, Seq("lang"))
-      .filter(col("id2") > col("id1") && col("id2") <= col("id1") + 3)
-      .select(col("id1"), col("id2"))
-    Dedup.shingleContainment(t.documents, pairs, "text", "doc_id")
+    Dedup.shingleContainment(t.documents, langBlockedPairs(t, 3),
+        "text", "doc_id")
       .select(col("id1"), col("id2"), col("n_inter"), col("n1"), col("n2"),
         col("containment"))
       .orderBy(col("id1"), col("id2"))
