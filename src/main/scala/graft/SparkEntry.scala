@@ -706,6 +706,16 @@ object SparkEntry {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** DSIR-style importance weights against the English-docs target LM
+    * (TextAnalysis.importanceWeights) — domain-matched data selection
+    * without a classifier. */
+  private def qDsir(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    TextAnalysis.importanceWeights(t.documents, "text", "doc_id",
+        col("lang") === "en")
+      .orderBy(col("doc_id"))
+  }
+
   /** Sliding-window token chunking, 16-token chunks with 4-token
     * overlap (Packing.chunkTokens) — RAG/embedding prep. */
   private def qChunking(s: SparkSession, dir: String): DataFrame = {
@@ -1832,6 +1842,7 @@ object SparkEntry {
     "q118_datetime" -> (qDatetime _),
     "q119_hard_negatives" -> (qHardNegatives _),
     "q120_bigram_gate" -> (qBigramGate _),
+    "q121_dsir" -> (qDsir _),
   )
 
   // -------------------------------------------------------------------
@@ -3933,6 +3944,31 @@ object SparkEntry {
          |  sc.logprob >= th.threshold AS kept
          |FROM sc JOIN th USING (lang)
          |ORDER BY sc.lang, sc.doc_id""".stripMargin,
+
+    // add-half smoothed target/corpus unigram LMs, position-sorted fold
+    "q121_dsir" ->
+      s"""WITH docs_norm AS (SELECT doc_id, lang, $normTextSql AS norm
+         |  FROM documents),
+         |arrs AS (SELECT doc_id, lang, ${wsTokensSql("norm")} AS arr
+         |  FROM docs_norm),
+         |toks AS (SELECT doc_id, lang = 'en' AS tgt, unnest(arr) AS tok,
+         |    unnest(generate_series(1, len(arr))) AS pos FROM arrs),
+         |cc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_c
+         |  FROM toks GROUP BY tok),
+         |ct AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_t
+         |  FROM toks WHERE tgt GROUP BY tok),
+         |tot AS (SELECT CAST(sum(c_c) AS BIGINT) AS t_c,
+         |    CAST(count(*) AS BIGINT) AS vocab FROM cc),
+         |tt AS (SELECT CAST(sum(c_t) AS BIGINT) AS t_t FROM ct),
+         |lp AS (SELECT k.doc_id, k.pos,
+         |    ln((coalesce(ct.c_t, 0) + 5e-1) / (tt.t_t + 5e-1 * tot.vocab))
+         |    - ln((cc.c_c + 5e-1) / (tot.t_c + 5e-1 * tot.vocab)) AS lp
+         |  FROM toks k JOIN cc USING (tok) LEFT JOIN ct USING (tok),
+         |    tot, tt)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+         |  round(list_aggregate(list(lp ORDER BY pos), 'sum') / count(*), 6)
+         |    AS log_ratio
+         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // chunkSize=16, overlap=4 -> stride 12; last start =
     // floor((n-overlap-1)/stride)*stride clamped at 0

@@ -769,6 +769,50 @@ object TextAnalysis {
         col("logprob"))
   }
 
+  /** Importance weights for targeted data selection (the DSIR recipe,
+    * Xie et al. 2023, in its dependency-free unigram form): score every
+    * document by the mean per-token log-likelihood RATIO between a
+    * target-domain LM and the general-corpus LM, both trained here with
+    * add-half smoothing over the corpus vocabulary. High scores mark
+    * documents that look like the target domain — feed the weights to
+    * the A-ES weighted sampler to assemble a domain-matched training
+    * mix without a classifier.
+    *
+    * Scale shape: two token-grain count tables + three scalars (target
+    * total, corpus total, vocab size); scoring is one token-grain
+    * equi-join; the per-document fold runs position-sorted so the sum
+    * has one IEEE order. Smoothing keeps target-OOV tokens finite, and
+    * the corpus LM contains every scored token by construction. */
+  def importanceWeights(docs: DataFrame, textCol: String, idCol: String,
+      targetCol: Column): DataFrame = {
+    val toks = docs.withColumn("__target", targetCol)
+      .select(col(idCol).as("_id"), col("__target"),
+        posexplode(GF.wsTokens(Dedup.normalizeText(col(textCol))))
+          .as(Seq("pos", "tok")))
+    val cCorpus = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_c"))
+    val cTarget = toks.filter(col("__target"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
+    val totals = cCorpus.agg(sum(col("c_c")).as("t_c"),
+      count(lit(1)).as("vocab"))
+    val tTarget = cTarget.agg(sum(col("c_t")).as("t_t"))
+    toks
+      .join(cCorpus, Seq("tok"))
+      .join(cTarget, Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(tTarget))
+      .withColumn("lp",
+        log((coalesce(col("c_t"), lit(0L)) + lit(0.5)) /
+            (col("t_t") + lit(0.5) * col("vocab")))
+          - log((col("c_c") + lit(0.5)) /
+            (col("t_c") + lit(0.5) * col("vocab"))))
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("arr"))
+      .select(col("_id").as(idCol), size(col("arr")).as("n_tokens"),
+        round(aggregate(col("arr"), lit(0.0d),
+            (acc, x) => acc + x.getField("lp")) / size(col("arr")), 6)
+          .as("log_ratio"))
+  }
+
   /** Boilerplate span detection (the C4/RefinedWeb "repeated n-gram"
     * heuristic re-expressed at corpus scale): an n-token shingle that
     * occurs in ≥ `minDf` DISTINCT documents is boilerplate; every token

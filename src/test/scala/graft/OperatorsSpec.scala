@@ -341,6 +341,23 @@ class OperatorsSpec extends SparkSpec {
     assert(MultiModal.imageAHash(flat).head().getLong(1) == 0L)
   }
 
+  test("importance weights: target-domain docs outscore off-domain docs") {
+    import spark.implicits._
+    // target docs share a distinctive vocabulary; off-domain docs don't
+    val docs = (
+      (1L to 20L).map(i => (i, "en", s"alpha beta gamma delta tok$i")) ++
+      (21L to 40L).map(i => (i, "es", s"uno dos tres cuatro tok$i")))
+      .toDF("doc_id", "lang", "text")
+    val w = TextAnalysis.importanceWeights(docs, "text", "doc_id",
+        col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val enMean = (1L to 20L).map(w).sum / 20
+    val esMean = (21L to 40L).map(w).sum / 20
+    assert(enMean > esMean + 0.5,
+      s"no selection signal: en=$enMean es=$esMean")
+    assert(w.size == 40)
+  }
+
   test("tolerant decode: corrupt payloads quarantine, good payloads unaffected") {
     import spark.implicits._
     val good = MultiModal.syntheticImage(Seq(5L).toDF("doc_id"), "doc_id", "png")
