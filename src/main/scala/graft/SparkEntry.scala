@@ -706,6 +706,35 @@ object SparkEntry {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Canonical-representative selection — the step that actually ENDS
+    * a dedup pipeline: within every LSH duplicate cluster (q44's
+    * machinery) keep the highest-quality member (q37's score, id
+    * tiebreak). WindowGroupLimit prunes the per-cluster argmax. */
+  private def qCanonical(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val sig = Dedup.minhashSignature(t.documents, "text", "doc_id", k = 8)
+    val pairs = Dedup.candidatePairs(
+      Dedup.lshBuckets(sig, "doc_id", k = 8, bands = 4), "doc_id")
+    val labels = Dedup.duplicateClusters(pairs)
+    val q = TextAnalysis
+      .qualityScore(t.documents.select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id"), col("quality_score"))
+    val j = labels.join(q, labels("id") === q("doc_id"))
+      .select(col("cluster"), col("id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("quality_score").desc, col("id"))
+    val winners = j.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("id").as("winner_id"),
+        col("quality_score").as("best_quality"))
+    j.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+      .join(winners, Seq("cluster"))
+      .select(col("cluster"), col("n_members"), col("winner_id"),
+        col("best_quality"))
+      .orderBy(col("cluster"))
+  }
+
   /** DSIR-style importance weights against the English-docs target LM
     * (TextAnalysis.importanceWeights) — domain-matched data selection
     * without a classifier. */
@@ -1843,6 +1872,7 @@ object SparkEntry {
     "q119_hard_negatives" -> (qHardNegatives _),
     "q120_bigram_gate" -> (qBigramGate _),
     "q121_dsir" -> (qDsir _),
+    "q122_canonical" -> (qCanonical _),
   )
 
   // -------------------------------------------------------------------
@@ -1951,7 +1981,7 @@ object SparkEntry {
        |    ${wsTokensSql("text")} AS toks,
        |    ${wsTokensSql("lower(text)")} AS ltoks
        |  FROM documents),
-       |sig AS (SELECT doc_id,
+       |qsig AS (SELECT doc_id,
        |  len(toks) AS n_tokens,
        |  round(length(array_to_string(toks, ''))::DOUBLE /
        |    nullif(len(toks), 0)::DOUBLE, 6) AS mean_token_len,
@@ -1970,7 +2000,7 @@ object SparkEntry {
        |    0.4 * least(n_tokens::DOUBLE / 50.0, 1.0) +
        |    0.4 * least(stopword_ratio * 5.0, 1.0) +
        |    0.2 * (1.0 - least(punct_ratio * 4.0, 1.0)))), 6) AS quality_score
-       |  FROM sig)""".stripMargin
+       |  FROM qsig)""".stripMargin
   }
 
   /** DuckDB equivalent of Similarity.planeProjection for bit j. */
@@ -3944,6 +3974,30 @@ object SparkEntry {
          |  sc.logprob >= th.threshold AS kept
          |FROM sc JOIN th USING (lang)
          |ORDER BY sc.lang, sc.doc_id""".stripMargin,
+
+    // q44's transitive closure composed with q37's quality CTEs: the
+    // per-cluster argmax (quality desc, id asc) is the canonical doc
+    "q122_canonical" ->
+      s"""WITH RECURSIVE $lshPairsCteSql,
+         |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION SELECT id2 AS a, id1 AS b FROM pairs),
+         |closure(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a),
+         |labels AS (SELECT a AS id, min(b) AS cluster
+         |  FROM closure GROUP BY a),
+         |$qualityCtesSql,
+         |j AS (SELECT l.cluster, l.id, q.quality_score
+         |  FROM labels l JOIN qsc q ON q.doc_id = l.id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY quality_score DESC, id) AS rn FROM j),
+         |m AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM j GROUP BY cluster)
+         |SELECT r.cluster, m.n_members, r.id AS winner_id,
+         |  r.quality_score AS best_quality
+         |FROM r JOIN m USING (cluster) WHERE rn = 1
+         |ORDER BY r.cluster""".stripMargin,
 
     // add-half smoothed target/corpus unigram LMs, position-sorted fold
     "q121_dsir" ->
