@@ -636,6 +636,7 @@ object TextAnalysis {
       path: String, nBuckets: Int = 64,
       skipExisting: Boolean = true): Long = {
     val spark = batch.sparkSession
+    healBm25Stats(spark, path)
     val fresh0 = if (!skipExisting) batch else {
       val ids = batch.select(col(idCol).as("doc_id")).distinct()
       val existing = spark.read.parquet(s"$path/doclen")
@@ -676,6 +677,22 @@ object TextAnalysis {
     nAdded
   }
 
+  /** Heal a BM25 index whose stats swap crashed between the delete and
+    * the rename (stats gone, `.stats.tmp` holding the sole copy): land
+    * the tmp as stats. Called on entry by every reader/writer — the
+    * same roll-forward-first discipline as CorpusLake.recoverShard. */
+  private def healBm25Stats(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val stats = new HPath(s"$path/stats")
+    val fs = FileSystem.get(stats.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new HPath(s"$path/.stats.tmp")
+    if (!fs.exists(stats) && fs.exists(tmp))
+      require(fs.rename(tmp, stats),
+        s"healBm25Stats: failed to restore $stats from $tmp")
+  }
+
   /** BM25 top-k against a persisted index: hash the (few) query terms
     * to their buckets, read ONLY those posting partitions (hive
     * partition pruning) and within them only the term's row groups
@@ -691,6 +708,7 @@ object TextAnalysis {
       queryTerms: Seq[String], k: Int = 10, k1: Double = 1.2,
       b: Double = 0.75, nBuckets: Int = 64): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    healBm25Stats(spark, path)
     val buckets = queryTerms
       .map(t => Math.floorMod(GF.hash32Jvm(t), nBuckets)).distinct
     val postings = spark.read.parquet(s"$path/postings")

@@ -327,6 +327,17 @@ class DeltaOpsSpec extends SparkSpec {
     val replayed = TextAnalysis.bm25FromIndex(spark, dir, terms, k = 10)
       .collect().map(_.toString).sorted
     assert(direct.sameElements(replayed), "replayed upsert changed scores")
+
+    // crash window between the stats delete and rename: only the tmp
+    // remains — the next probe must heal (roll forward) and score as if
+    // the swap had completed
+    val statsDir = new java.io.File(s"$dir/stats")
+    val tmpDir = new java.io.File(s"$dir/.stats.tmp")
+    assert(statsDir.renameTo(tmpDir))
+    val healed = TextAnalysis.bm25FromIndex(spark, dir, terms, k = 10)
+      .collect().map(_.toString).sorted
+    assert(direct.sameElements(healed), "stats crash-heal changed scores")
+    assert(statsDir.exists && !tmpDir.exists, "heal did not land stats")
   }
 
   test("chunkTokens: coverage, overlap and tail invariants") {
