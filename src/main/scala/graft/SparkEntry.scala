@@ -735,6 +735,22 @@ object SparkEntry {
       .orderBy(col("cluster"))
   }
 
+  /** Semi-structured JSON extraction from the event props payload
+    * (get_json_object → typed aggregation) — the schema-on-read path
+    * for property bags that never got promoted to columns. */
+  private def qJsonProps(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        round(avg(col("k")), 6).as("avg_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** DSIR-style importance weights against the English-docs target LM
     * (TextAnalysis.importanceWeights) — domain-matched data selection
     * without a classifier. */
@@ -1873,6 +1889,7 @@ object SparkEntry {
     "q120_bigram_gate" -> (qBigramGate _),
     "q121_dsir" -> (qDsir _),
     "q122_canonical" -> (qCanonical _),
+    "q123_json_props" -> (qJsonProps _),
   )
 
   // -------------------------------------------------------------------
@@ -3998,6 +4015,14 @@ object SparkEntry {
          |  r.quality_score AS best_quality
          |FROM r JOIN m USING (cluster) WHERE rn = 1
          |ORDER BY r.cluster""".stripMargin,
+
+    "q123_json_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+        |  round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // add-half smoothed target/corpus unigram LMs, position-sorted fold
     "q121_dsir" ->

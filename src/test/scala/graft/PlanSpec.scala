@@ -382,4 +382,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k not a distributed heap:\n$p")
   }
+
+  test("q121 dsir: LM joins at token grain, counts partial, no cartesian") {
+    val p = plan("q121_dsir")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"cartesian in dsir:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"LM counts not map-side combined:\n$p")
+  }
+
+  test("q122 canonical: per-cluster argmax prunes as WindowGroupLimit") {
+    val p = plan("q122_canonical")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn=1 argmax not group-limit pruned:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"cartesian in canonical selection:\n$p")
+  }
 }
