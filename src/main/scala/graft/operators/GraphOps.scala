@@ -40,11 +40,19 @@ object GraphOps {
     require(iters >= 1, "iters must be >= 1")
     require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val verts = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint(false)
-    val n = verts.count() // metadata-plane scalar (rank normalization)
-    val ew = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+      .localCheckpoint(false)
+    // ONE degree aggregation yields the vertex set, out-degrees and the
+    // no-in-edge set together — one shuffle and one materialization
+    // where three separate derivations would each pay their own
+    val deg = e.select(col("src").as("id"), lit(1L).as("od"), lit(0L).as("ind"))
+      .unionByName(e.select(col("dst").as("id"), lit(0L).as("od"),
+        lit(1L).as("ind")))
+      .groupBy(col("id"))
+      .agg(sum(col("od")).as("outdeg"), sum(col("ind")).as("indeg"))
+      .localCheckpoint(false)
+    val n = deg.count() // metadata-plane scalar (rank normalization)
+    val verts = deg.select(col("id"))
+    val ew = e.join(deg.select(col("id").as("src"), col("outdeg")),
         Seq("src"))
       .localCheckpoint(false) // edges + degrees materialize ONCE
     val base = (1.0 - damping) / n
@@ -53,10 +61,8 @@ object GraphOps {
     // vertex-grain left join from every iteration — each round is just
     // the src join + the dst aggregation, two shuffles instead of
     // three.
-    val noIn = verts
-      .join(e.select(col("dst").as("id")).distinct(), Seq("id"), "left_anti")
+    val noIn = deg.filter(col("indeg") === 0L)
       .select(col("id"), lit(base).as("r"))
-      .localCheckpoint(false)
     var ranks = verts.select(col("id"), lit(1.0 / n).as("r"))
     for (i <- 1 to iters) {
       val contribs = ew
@@ -106,15 +112,18 @@ object GraphOps {
     require(iters >= 1, "iters must be >= 1")
     require(seedIds.nonEmpty, "seedIds must be non-empty")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val verts = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint(false)
-    val seedV = verts.filter(col("id").isin(seedIds: _*))
+      .localCheckpoint(false)
+    val deg = e.select(col("src").as("id"), lit(1L).as("od"))
+      .unionByName(e.select(col("dst").as("id"), lit(0L).as("od")))
+      .groupBy(col("id")).agg(sum(col("od")).as("outdeg"))
+      .localCheckpoint(false)
+    val verts = deg.select(col("id"))
+    val seedV = deg.filter(col("id").isin(seedIds: _*)).select(col("id"))
       .localCheckpoint(false)
     val nS = seedV.count()
     require(nS > 0, "no seed is a vertex of the graph")
     val resetVal = (1.0 - damping) / nS
-    val ew = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+    val ew = e.join(deg.select(col("id").as("src"), col("outdeg")),
         Seq("src"))
       .localCheckpoint(false)
     // the restart mass lands on every seed every round, whether or not
