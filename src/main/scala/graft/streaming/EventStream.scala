@@ -638,6 +638,12 @@ object EventStream {
             .write.mode("append").parquet(dupPath)
           val novel = flagged.filter(!col("is_dup"))
             .drop("n_hits", "is_dup")
+          // out BEFORE index, deliberately: a crash between the two
+          // leaves a doc in the corpus but not the index, so a future
+          // copy may be admitted once more (duplicate — harmless, the
+          // batch pipeline catches it). The reverse order would leave
+          // content in the index but NOT in the corpus: every future
+          // copy flagged as dup, the content lost forever.
           novel.write.mode("append").parquet(outPath)
           graft.operators.Dedup.upsertSignatureIndex(
             novel, textCol, idCol, indexPath, k, bands, shingleN)
