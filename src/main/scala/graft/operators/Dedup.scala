@@ -587,9 +587,13 @@ object Dedup {
     val spark = batch.sparkSession
     val fresh0 = if (!skipExisting) batch else {
       val ids = batch.select(col(idCol).as("corpus_id")).distinct()
+      // broadcast semi-join FIRST so the batch-id filter reaches the
+      // posting scan map-side; distinct() then runs over the handful of
+      // surviving rows, never a shuffle of the whole index
       val existing = spark.read.parquet(s"$path/buckets")
-        .select(col("corpus_id")).distinct()
+        .select(col("corpus_id"))
         .join(broadcast(ids), Seq("corpus_id"))
+        .distinct()
         .localCheckpoint(true) // materialize BEFORE touching the index
       batch.join(existing.withColumnRenamed("corpus_id", idCol),
         Seq(idCol), "left_anti")

@@ -14,6 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Per-destination in-mass for one synchronous round: src-sorted
+    * IEEE fold (oracle-replayable bit-for-bit) or plain partial-agg sum
+    * for scale. Shared by [[pageRank]] and [[personalizedPageRank]] so
+    * the fold semantics cannot diverge between them. */
+  private def massOf(contribs: DataFrame,
+      deterministicFold: Boolean): DataFrame =
+    if (deterministicFold)
+      contribs.groupBy(col("dst"))
+        .agg(sort_array(collect_list(
+          struct(col("src"), col("contrib")))).as("arr"))
+        .select(col("dst"),
+          aggregate(col("arr"), lit(0.0d),
+            (acc, x) => acc + x.getField("contrib")).as("m"))
+    else
+      contribs.groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+
   /** PageRank (Brin & Page 1998) over a directed edge list, `iters`
     * synchronous rounds of
     * `r' = (1−d)/N + d · Σ_{u→v} r(u)/outdeg(u)`.
@@ -69,16 +85,7 @@ object GraphOps {
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst"), col("src"),
           (col("r") / col("outdeg")).as("contrib"))
-      val mass =
-        if (deterministicFold)
-          contribs.groupBy(col("dst"))
-            .agg(sort_array(collect_list(
-              struct(col("src"), col("contrib")))).as("arr"))
-            .select(col("dst"),
-              aggregate(col("arr"), lit(0.0d),
-                (acc, x) => acc + x.getField("contrib")).as("m"))
-        else
-          contribs.groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+      val mass = massOf(contribs, deterministicFold)
       ranks = mass
         .select(col("dst").as("id"),
           (lit(base) + lit(damping) * col("m")).as("r"))
@@ -138,16 +145,7 @@ object GraphOps {
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst"), col("src"),
           (col("r") / col("outdeg")).as("contrib"))
-      val mass =
-        if (deterministicFold)
-          contribs.groupBy(col("dst"))
-            .agg(sort_array(collect_list(
-              struct(col("src"), col("contrib")))).as("arr"))
-            .select(col("dst"),
-              aggregate(col("arr"), lit(0.0d),
-                (acc, x) => acc + x.getField("contrib")).as("m"))
-        else
-          contribs.groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+      val mass = massOf(contribs, deterministicFold)
       ranks = mass
         .select(col("dst").as("id"), (lit(damping) * col("m")).as("r"))
         .unionByName(seedsConst)

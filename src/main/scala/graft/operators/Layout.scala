@@ -49,8 +49,9 @@ object Layout {
     val parted =
       if (aligned) {
         val span = (1L << (2 * bits)) / nFiles max 1L
-        z.withColumn("__zb", floor(col("__z").cast("double") / span)
-            .cast("long"))
+        // integer division — a double floor() loses exactness for
+        // bits > 26 (z up to 2^62 exceeds the 2^53 mantissa)
+        z.withColumn("__zb", expr(s"__z div ${span}L"))
           .repartitionByRange(nFiles, col("__zb"))
           .sortWithinPartitions(col("__z"))
           .drop("__zb")
@@ -66,13 +67,16 @@ object Layout {
     * Test/ops instrumentation — one tiny agg per file. */
   def pruneFraction(spark: org.apache.spark.sql.SparkSession, path: String,
       c: String, lo: Long, hi: Long): Double = {
-    val files = new java.io.File(path).listFiles()
+    val listed = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+    val files = listed
       .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
     require(files.nonEmpty, s"no parquet files under $path")
     val hit = files.count { f =>
       val r = spark.read.parquet(f)
         .agg(min(col(c)).cast("long"), max(col(c)).cast("long")).head()
-      !(r.getLong(1) < lo || r.getLong(0) > hi)
+      // a zero-row file has null stats and can never contain a match
+      !r.isNullAt(0) && !(r.getLong(1) < lo || r.getLong(0) > hi)
     }
     hit.toDouble / files.length
   }

@@ -592,7 +592,10 @@ object MultiModal {
         var hash = 0L
         var i = 0
         while (i < gw * gh) {
-          if (cs(i) * tc > ts * cc(i)) hash |= 1L << i
+          // cross-multiply in BigInt: cs·tc can pass Long.MaxValue for
+          // ~1e8-pixel images, and the SQL oracle compares in exact
+          // (HUGEINT) arithmetic — the bits must agree there too
+          if (BigInt(cs(i)) * tc > BigInt(ts) * cc(i)) hash |= 1L << i
           i += 1
         }
         (id, hash, w.toLong, h.toLong)

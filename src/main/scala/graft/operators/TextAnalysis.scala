@@ -639,19 +639,24 @@ object TextAnalysis {
     healBm25Stats(spark, path)
     val fresh0 = if (!skipExisting) batch else {
       val ids = batch.select(col(idCol).as("doc_id")).distinct()
+      // semi-join first, distinct after — see upsertSignatureIndex
       val existing = spark.read.parquet(s"$path/doclen")
-        .select(col("doc_id")).distinct()
+        .select(col("doc_id"))
         .join(broadcast(ids), Seq("doc_id"))
+        .distinct()
         .localCheckpoint(true) // materialize BEFORE touching the index
       batch.join(existing.withColumnRenamed("doc_id", idCol),
         Seq(idCol), "left_anti")
     }
     val fresh = fresh0.localCheckpoint(false)
-    val nAdded = fresh.count()
+    val toks = fresh.select(col(idCol).as("doc_id"),
+      explode(GF.wsTokens(Dedup.normalizeText(col(textCol)))).as("tok"))
+      .localCheckpoint(false)
+    // a BM25 corpus is docs with >= 1 token: zero-token docs can never
+    // match a query and are SKIPPED (not counted) so re-crawling a feed
+    // that contains them still converges to nAdded == 0
+    val nAdded = toks.select(col("doc_id")).distinct().count()
     if (nAdded > 0) {
-      val toks = fresh.select(col(idCol).as("doc_id"),
-        explode(GF.wsTokens(Dedup.normalizeText(col(textCol)))).as("tok"))
-        .localCheckpoint(false)
       toks.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
         .withColumn("bucket", pmod(GF.hash32(col("tok")), lit(nBuckets)))
         .repartition(col("bucket"))
@@ -757,14 +762,17 @@ object TextAnalysis {
   def bigramLogProb(docs: DataFrame, textCol: String, idCol: String,
       lambda: Double = 0.7): DataFrame = {
     val w = Window.partitionBy(col("_id")).orderBy(col("pos"))
-    val bi = docs.select(col(idCol).as("_id"),
+    // tokenize ONCE; the unigram table and the bigram stream both read
+    // the same materialized token frame (the normalize+tokenize pass is
+    // the corpus-grain cost here)
+    val toks = docs.select(col(idCol).as("_id"),
         posexplode(GF.wsTokens(Dedup.normalizeText(col(textCol))))
           .as(Seq("pos", "tok")))
+      .localCheckpoint(false)
+    val bi = toks
       .withColumn("prev", lag(col("tok"), 1).over(w))
       .filter(col("prev").isNotNull)
-    val c1 = docs.select(col(idCol).as("_id"),
-        explode(GF.wsTokens(Dedup.normalizeText(col(textCol)))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val c1 = toks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
     val total = c1.agg(sum(col("c1")).as("total"))
     val c2 = bi.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c2"))
     val scored = bi.join(c2, Seq("prev", "tok"))

@@ -631,7 +631,22 @@ object EventStream {
           val b = batch.localCheckpoint(true) // one stable snapshot
           val verdicts = graft.operators.Dedup.dedupAgainstIndex(
             b, textCol, idCol, indexPath, k, bands, shingleN)
+          // within-batch guard: the index only covers PRIOR batches, so
+          // exact copies arriving together would all probe novel. Keep
+          // the lowest-id copy per normalized-content digest; extras
+          // are duplicates. (Within-batch NEAR-dups beyond exact copies
+          // are next-batch/batch-pipeline territory.)
+          val wd = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__digest")).orderBy(col(idCol))
+          val withinDup = b.select(col(idCol),
+              md5(graft.operators.Dedup.normalizeText(col(textCol)))
+                .as("__digest"))
+            .withColumn("__rn", row_number().over(wd))
+            .select(col(idCol), (col("__rn") > 1).as("within_dup"))
           val flagged = b.join(verdicts, Seq(idCol))
+            .join(withinDup, Seq(idCol))
+            .withColumn("is_dup", col("is_dup") || col("within_dup"))
+            .drop("within_dup")
             .withColumn("batch_id", lit(batchId))
             .localCheckpoint(true) // settle BEFORE the index mutates
           flagged.filter(col("is_dup"))
@@ -645,8 +660,15 @@ object EventStream {
           // content in the index but NOT in the corpus: every future
           // copy flagged as dup, the content lost forever.
           novel.write.mode("append").parquet(outPath)
+          // skipExisting = false: the novel set is CONTENT-novel by the
+          // probe, so its signatures must enter the index even when a
+          // doc_id was seen before with different content — id-based
+          // skipping would leave reused-id content permanently
+          // unindexed (an unbounded dedup blind spot). Postings are a
+          // bag, so extra rows per id are harmless.
           graft.operators.Dedup.upsertSignatureIndex(
-            novel, textCol, idCol, indexPath, k, bands, shingleN)
+            novel, textCol, idCol, indexPath, k, bands, shingleN,
+            skipExisting = false)
         }
         ()
     }

@@ -347,11 +347,18 @@ class PlanSpec extends SparkSpec {
     // the rank loop truncates lineage per round (localCheckpoint), so
     // the final frame's plan is just the checkpointed scan — audit the
     // edge-construction stage directly instead (the data-sized part)
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, explode, array, floor, lit}
     val t = Tables(spark, sf("sf0.001"))
+    // the SAME block-keyed build production's langBlockedPairs uses —
+    // the naive lang-join + range filter this replaced was a per-lang
+    // cartesian before the filter
+    val blk = (c: org.apache.spark.sql.Column) =>
+      floor(c / lit(10)).cast("long")
     val d1 = t.documents.select(col("lang"), col("doc_id").as("id1"))
-    val d2 = t.documents.select(col("lang"), col("doc_id").as("id2"))
-    val pairs = d1.join(d2, Seq("lang"))
+      .withColumn("blk", explode(array(blk(col("id1")), blk(col("id1")) + 1)))
+    val d2 = t.documents.select(col("lang"), col("doc_id").as("id2"),
+      blk(col("doc_id")).as("blk"))
+    val pairs = d1.join(d2, Seq("lang", "blk"))
       .filter(col("id2") > col("id1") && col("id2") <= col("id1") + 10)
       .select(col("id1"), col("id2"))
     val e0 = graft.operators.Dedup
@@ -360,6 +367,8 @@ class PlanSpec extends SparkSpec {
       .explainString(ExplainMode.fromString("formatted"))
     assert(!p.toLowerCase.contains("cartesianproduct"),
       s"cartesian in pagerank edge build:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair build degenerated to a range join:\n$p")
     assert(p.contains("LeftSemi"),
       s"shared-shingle existence not a semi join:\n$p")
     // and the final frame stays cartesian-free end to end

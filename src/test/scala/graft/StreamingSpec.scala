@@ -981,27 +981,36 @@ class StreamingSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       // batch 2: a copy of batch 1's NOVEL doc (cross-batch dedup via
-      // the index upsert) plus another fresh doc
+      // the index upsert), a fresh doc, a SAME-BATCH copy of that fresh
+      // doc (the index can't know it yet — the within-batch digest
+      // guard must), and batch-1's id 11 reused with NEW content (must
+      // be admitted AND indexed despite the seen id)
       feed(Seq(
         (20L, "totally unrelated corpus content about engines"),
-        (21L, "brand new never seen text with many unique words here")))
+        (21L, "brand new never seen text with many unique words here"),
+        (22L, "brand new never seen text with many unique words here"),
+        (11L, "reused identifier carrying completely different words")))
       q.processAllAvailable()
     } finally q.stop()
 
     val out = spark.read.parquet(outDir)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(out == Set(11L, 21L), s"novel set wrong: $out")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(out == Seq(11L, 11L, 21L), s"novel set wrong: $out")
     val dups = spark.read.parquet(dupDir)
       .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
         r.getLong(r.fieldIndex("n_hits"))).toMap
-    assert(dups.keySet == Set(10L, 20L), s"dup set wrong: $dups")
-    assert(dups.values.forall(_ >= 1L))
+    assert(dups.keySet == Set(10L, 20L, 22L), s"dup set wrong: $dups")
+    // same-batch extra has zero CORPUS hits — flagged by the digest guard
+    assert(dups(22L) == 0L && dups(10L) >= 1L && dups(20L) >= 1L)
     // the on-disk index now covers the streamed novel docs too: a fresh
-    // (restarted) probe flags copies of them without any stream state
+    // (restarted) probe flags copies of them without any stream state —
+    // including the reused-id content (the skipExisting=false path)
     val probe = graft.operators.Dedup.dedupAgainstIndex(
-      Seq((30L, "brand new never seen text with many unique words here"))
+      Seq((30L, "brand new never seen text with many unique words here"),
+        (31L, "reused identifier carrying completely different words"))
         .toDF("doc_id", "text"), "text", "doc_id", idxDir)
-      .head()
-    assert(probe.getBoolean(2), "index missed a streamed novel doc after restart")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(probe(30L), "index missed a streamed novel doc after restart")
+    assert(probe(31L), "reused-id content never entered the index")
   }
 }
