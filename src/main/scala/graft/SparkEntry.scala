@@ -548,6 +548,16 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Two-stage retrieval (Similarity.sq8Rerank): SQ8 byte-code coarse
+    * top-12 reranked by exact cosine to top-5. */
+  private def qSq8Rerank(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Similarity.sq8Rerank(t.embeddings,
+        t.embeddings.filter(col("vec_id") < 8),
+        "vec_id", "embedding", kCoarse = 12, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** PageRank over the shared-shingle similarity graph
     * (GraphOps.pageRank, 5 rounds) — hub scoring of near-dup
     * neighborhoods. Edges: lang-blocked bounded pairs (q32's
@@ -1890,6 +1900,7 @@ object SparkEntry {
     "q121_dsir" -> (qDsir _),
     "q122_canonical" -> (qCanonical _),
     "q123_json_props" -> (qJsonProps _),
+    "q124_sq8_rerank" -> (qSq8Rerank _),
   )
 
   // -------------------------------------------------------------------
@@ -2019,6 +2030,24 @@ object SparkEntry {
        |    0.2 * (1.0 - least(punct_ratio * 4.0, 1.0)))), 6) AS quality_score
        |  FROM qsig)""".stripMargin
   }
+
+  /** Shared SQ8 dequantization CTE chain (ends at `q(query_id, qv)` and
+    * `c(cand_id, cv)`) — the DuckDB replay of Similarity.sq8Stats +
+    * sq8Reconstruct, shared by q109 and the q124 rerank. */
+  private val sq8CtesSql: String =
+    s"""dims AS (SELECT vec_id, unnest(embedding) AS v,
+       |    unnest(generate_series(1, len(embedding))) AS d
+       |  FROM embeddings),
+       |st AS (SELECT d, min(CAST(v AS DOUBLE)) AS mn,
+       |    max(CAST(v AS DOUBLE)) AS mx FROM dims GROUP BY d),
+       |rec AS (SELECT vec_id, list(CASE WHEN mx - mn = 0 THEN mn
+       |      ELSE greatest(least(round((CAST(v AS DOUBLE) - mn)
+       |          / (mx - mn) * 255), 255.0e0), 0.0e0)
+       |        * (mx - mn) / 255.0e0 + mn END ORDER BY d) AS cv
+       |  FROM dims JOIN st USING (d) GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS cand_id, cv FROM rec)""".stripMargin
 
   /** DuckDB equivalent of Similarity.planeProjection for bit j. */
   private def planeProjSql(j: Int): String =
@@ -3777,25 +3806,38 @@ object SparkEntry {
          |ORDER BY a.doc_id""".stripMargin,
 
     "q109_sq8_knn" ->
-      s"""WITH dims AS (SELECT vec_id, unnest(embedding) AS v,
-         |    unnest(generate_series(1, len(embedding))) AS d
-         |  FROM embeddings),
-         |st AS (SELECT d, min(CAST(v AS DOUBLE)) AS mn,
-         |    max(CAST(v AS DOUBLE)) AS mx FROM dims GROUP BY d),
-         |rec AS (SELECT vec_id, list(CASE WHEN mx - mn = 0 THEN mn
-         |      ELSE greatest(least(round((CAST(v AS DOUBLE) - mn)
-         |          / (mx - mn) * 255), 255.0e0), 0.0e0)
-         |        * (mx - mn) / 255.0e0 + mn END ORDER BY d) AS cv
-         |  FROM dims JOIN st USING (d) GROUP BY vec_id),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv
-         |  FROM embeddings WHERE vec_id < 8),
-         |c AS (SELECT vec_id AS cand_id, cv FROM rec),
+      s"""WITH $sq8CtesSql,
          |scored AS (SELECT query_id, cand_id,
          |    round(${cosineSql("qv", "cv")}, 6) AS sim
          |  FROM c, q WHERE query_id <> cand_id),
          |ranked AS (SELECT *, row_number() OVER
          |    (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS "rank"
          |  FROM scored)
+         |SELECT query_id, cand_id, sim, CAST("rank" AS INT) AS "rank"
+         |FROM ranked WHERE "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin,
+
+    // SQ8 coarse top-12 (q109's chain) reranked by exact cosine on the
+    // raw embeddings
+    "q124_sq8_rerank" ->
+      s"""WITH $sq8CtesSql,
+         |coarse_sc AS (SELECT query_id, cand_id,
+         |    round(${cosineSql("qv", "cv")}, 6) AS sim
+         |  FROM c, q WHERE query_id <> cand_id),
+         |coarse AS (SELECT query_id, cand_id FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, cand_id) AS rn FROM coarse_sc)
+         |  WHERE rn <= 12),
+         |cf AS (SELECT vec_id AS cand_id, embedding AS cv2
+         |  FROM embeddings),
+         |rer AS (SELECT k.query_id, k.cand_id,
+         |    round(${cosineSql("qv", "cv2")}, 6) AS sim
+         |  FROM coarse k
+         |  JOIN cf ON cf.cand_id = k.cand_id
+         |  JOIN q ON q.query_id = k.query_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS "rank"
+         |  FROM rer)
          |SELECT query_id, cand_id, sim, CAST("rank" AS INT) AS "rank"
          |FROM ranked WHERE "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,

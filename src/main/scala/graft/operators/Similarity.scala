@@ -832,6 +832,34 @@ object Similarity {
     zip_with(scaled, typedLit(mins), (r, m) => r + m)
   }
 
+  /** Two-stage retrieval: SQ8 byte-code scan selects `kCoarse`
+    * candidates per query, exact full-precision cosine reranks them to
+    * the final `k` — the standard serving shape when the corpus only
+    * fits in memory compressed: the wide scan reads 1 byte/dim, full
+    * vectors load only for the ~kCoarse survivors. Recall vs the exact
+    * scan is whatever the coarse stage preserves — measure it with
+    * [[annRecallAtK]], tune kCoarse. */
+  def sq8Rerank(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, kCoarse: Int, k: Int): DataFrame = {
+    require(kCoarse >= k, "kCoarse must be >= k")
+    val coarse = sq8Knn(vectors, queries, idCol, vecCol, kCoarse)
+      .select(col("query_id"), col("cand_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = vectors.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val scored = coarse
+      .join(c, Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("sim", round(dot(col("qv"), col("cv")) /
+        nullif(col("qn") * col("cn"), lit(0.0)), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
   /** Brute-force cosine top-k over the SQ8-dequantized corpus — the
     * quality-vs-memory measurement for the SQ8 rung (compare against
     * [[bruteForceKnn]] to price the recall cost of byte codes, exactly
