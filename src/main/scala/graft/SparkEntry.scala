@@ -548,6 +548,27 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion
+    * (TextAnalysis.rrfFuse): BM25 lexical top-10 fused with the
+    * embedding cosine top-10 of query vector 0 — score scales never
+    * compared, only ranks. */
+  private def qRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val lexical = TextAnalysis.bm25TopK(t.documents, "text", "doc_id",
+        Seq("spark", "window", "join"), k = 10)
+      .withColumn("rank", row_number().over(w))
+    val semantic = Similarity.bruteForceKnn(
+        t.embeddings.filter(col("vec_id") === 0), t.embeddings,
+        "vec_id", "embedding", k = 10)
+      .select(col("cand_id").as("doc_id"), col("rank"))
+    TextAnalysis.rrfFuse(
+        Seq("bm25" -> lexical, "cosine" -> semantic),
+        "doc_id", "rank", k = 10)
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
   /** Two-stage retrieval (Similarity.sq8Rerank): SQ8 byte-code coarse
     * top-12 reranked by exact cosine to top-5. */
   private def qSq8Rerank(s: SparkSession, dir: String): DataFrame = {
@@ -1901,6 +1922,7 @@ object SparkEntry {
     "q122_canonical" -> (qCanonical _),
     "q123_json_props" -> (qJsonProps _),
     "q124_sq8_rerank" -> (qSq8Rerank _),
+    "q125_rrf_fusion" -> (qRrfFusion _),
   )
 
   // -------------------------------------------------------------------
@@ -3816,6 +3838,52 @@ object SparkEntry {
          |SELECT query_id, cand_id, sim, CAST("rank" AS INT) AS "rank"
          |FROM ranked WHERE "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
+
+    // q106's BM25 chain ranked 1..10 + the cosine top-10 of query
+    // vector 0, fused by sum of 1/(60 + rank) in (ranker, rank) order
+    "q125_rrf_fusion" ->
+      s"""WITH docs_norm AS (SELECT doc_id, $normTextSql AS norm FROM documents),
+         |toks AS (SELECT doc_id, unnest(${wsTokensSql("norm")}) AS tok
+         |  FROM docs_norm),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |q AS (SELECT doc_id, tok FROM toks
+         |  WHERE tok IN ('spark', 'window', 'join')),
+         |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM q GROUP BY tok),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM q GROUP BY doc_id, tok),
+         |sc AS (SELECT t.doc_id, t.tok,
+         |    ln(1.0e0 + (c.n_docs - d.df + 5e-1) / (d.df + 5e-1)) *
+         |    (t.tf * (1.2e0 + 1.0e0) / (t.tf + 1.2e0 * ((1.0e0 - 7.5e-1)
+         |      + 7.5e-1 * CAST(l.dl AS DOUBLE) * c.n_docs / c.sum_dl)))
+         |      AS s
+         |  FROM tf t JOIN dfq d USING (tok) JOIN dl l USING (doc_id),
+         |    corpus c),
+         |bm AS (SELECT doc_id,
+         |    round(list_aggregate(list(s ORDER BY tok), 'sum'), 6) AS bm25
+         |  FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10),
+         |bmr AS (SELECT doc_id, row_number() OVER
+         |    (ORDER BY bm25 DESC, doc_id) AS rank FROM bm),
+         |qv0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cos AS (SELECT vec_id AS doc_id,
+         |    round(${cosineSql("qv", "cv")}, 6) AS sim
+         |  FROM (SELECT vec_id, embedding AS cv FROM embeddings
+         |    WHERE vec_id <> 0), qv0),
+         |ct AS (SELECT doc_id, sim FROM cos
+         |  ORDER BY sim DESC, doc_id LIMIT 10),
+         |cr AS (SELECT doc_id, row_number() OVER
+         |    (ORDER BY sim DESC, doc_id) AS rank FROM ct),
+         |fused AS (SELECT doc_id, 'bm25' AS ranker, rank FROM bmr
+         |  UNION ALL SELECT doc_id, 'cosine' AS ranker, rank FROM cr),
+         |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_rankers,
+         |    round(list_aggregate(
+         |      list(1.0e0 / (6e1 + rank) ORDER BY ranker, rank),
+         |      'sum'), 6) AS rrf
+         |  FROM fused GROUP BY doc_id)
+         |SELECT doc_id, n_rankers, rrf FROM agg
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     // SQ8 coarse top-12 (q109's chain) reranked by exact cosine on the
     // raw embeddings

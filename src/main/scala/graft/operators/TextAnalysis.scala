@@ -745,6 +745,32 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Reciprocal Rank Fusion (Cormack et al. 2009) — the standard
+    * hybrid-retrieval combiner: fuse any number of (name, ranking)
+    * lists into one by `Σ 1/(c + rank)`, rank-based so wildly different
+    * score scales (BM25 vs cosine) need no calibration. Per-id fold
+    * runs (ranker, rank)-sorted so the IEEE sum has one order; ids
+    * absent from a ranker simply contribute nothing. Top-k plans as
+    * TakeOrderedAndProject. */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String,
+      rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val tagged = rankings.map { case (name, df) =>
+      df.select(col(idCol).as("_id"), lit(name).as("_ranker"),
+        col(rankCol).cast("long").as("_rank"))
+    }.reduce(_ unionByName _)
+    tagged.groupBy(col("_id"))
+      .agg(sort_array(collect_list(
+        struct(col("_ranker"), col("_rank")))).as("arr"))
+      .select(col("_id").as(idCol),
+        size(col("arr")).as("n_rankers"),
+        round(aggregate(col("arr"), lit(0.0d),
+          (acc, x) => acc + lit(1.0) /
+            (lit(c.toDouble) + x.getField("_rank"))), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Interpolated bigram language model — the next step up from
     * [[unigramLogProb]]'s quality signal: score each document by the
     * mean log of `λ·P(w₂|w₁) + (1−λ)·P(w₂)` over its bigrams, with
