@@ -841,6 +841,8 @@ object Similarity {
     * [[annRecallAtK]], tune kCoarse. */
   def sq8Rerank(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, kCoarse: Int, k: Int): DataFrame = {
+    // argument order follows the SQ8 family (sq8Knn: vectors first),
+    // NOT bruteForceKnn's (queries, candidates) — mind the call site
     require(kCoarse >= k, "kCoarse must be >= k")
     val coarse = sq8Knn(vectors, queries, idCol, vecCol, kCoarse)
       .select(col("query_id"), col("cand_id"))
@@ -848,8 +850,11 @@ object Similarity {
       norm(col(vecCol)).as("qn"))
     val c = vectors.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"))
-    val scored = coarse
-      .join(c, Seq("cand_id"))
+    // the survivor list is |queries|·kCoarse rows — broadcast it so the
+    // corpus prunes map-side instead of shuffling every vector (and its
+    // freshly computed norm) into a sort-merge join
+    val scored = c
+      .join(broadcast(coarse), Seq("cand_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("sim", round(dot(col("qv"), col("cv")) /
         nullif(col("qn") * col("cn"), lit(0.0)), 6))

@@ -628,31 +628,39 @@ object EventStream {
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val b = batch.localCheckpoint(true) // one stable snapshot
+          // Probe at ROW grain through a composite (id, content-digest)
+          // key: ids are NOT unique within a crawl micro-batch (replays,
+          // reused ids carrying different content), and an id-grain
+          // probe would either cross-product the joins below or damn a
+          // reused id's novel content alongside its duplicate sibling.
+          // Byte-identical (id, content) repeats collapse to one row.
+          val b = batch
+            .withColumn("__digest",
+              md5(graft.operators.Dedup.normalizeText(col(textCol))))
+            .withColumn("__key", concat_ws("#",
+              col(idCol).cast("string"), col("__digest")))
+            .dropDuplicates("__key")
+            .localCheckpoint(true) // one stable snapshot
           val verdicts = graft.operators.Dedup.dedupAgainstIndex(
-            b, textCol, idCol, indexPath, k, bands, shingleN)
+            b, textCol, "__key", indexPath, k, bands, shingleN)
           // within-batch guard: the index only covers PRIOR batches, so
           // exact copies arriving together would all probe novel. Keep
-          // the lowest-id copy per normalized-content digest; extras
-          // are duplicates. (Within-batch NEAR-dups beyond exact copies
-          // are next-batch/batch-pipeline territory.)
+          // the first copy per normalized-content digest; extras are
+          // duplicates. (Within-batch NEAR-dups beyond exact copies are
+          // next-batch/batch-pipeline territory.)
           val wd = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("__digest")).orderBy(col(idCol))
-          val withinDup = b.select(col(idCol),
-              md5(graft.operators.Dedup.normalizeText(col(textCol)))
-                .as("__digest"))
+            .partitionBy(col("__digest")).orderBy(col("__key"))
+          val flagged = b.join(verdicts, Seq("__key"))
             .withColumn("__rn", row_number().over(wd))
-            .select(col(idCol), (col("__rn") > 1).as("within_dup"))
-          val flagged = b.join(verdicts, Seq(idCol))
-            .join(withinDup, Seq(idCol))
-            .withColumn("is_dup", col("is_dup") || col("within_dup"))
-            .drop("within_dup")
+            .withColumn("is_dup", col("is_dup") || col("__rn") > 1)
+            .drop("__rn")
             .withColumn("batch_id", lit(batchId))
             .localCheckpoint(true) // settle BEFORE the index mutates
           flagged.filter(col("is_dup"))
+            .drop("__digest", "__key")
             .write.mode("append").parquet(dupPath)
           val novel = flagged.filter(!col("is_dup"))
-            .drop("n_hits", "is_dup")
+            .drop("n_hits", "is_dup", "__digest", "__key")
           // out BEFORE index, deliberately: a crash between the two
           // leaves a doc in the corpus but not the index, so a future
           // copy may be admitted once more (duplicate — harmless, the

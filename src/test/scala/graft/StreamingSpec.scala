@@ -988,14 +988,20 @@ class StreamingSpec extends SparkSpec {
       feed(Seq(
         (20L, "totally unrelated corpus content about engines"),
         (21L, "brand new never seen text with many unique words here"),
+        (21L, "brand new never seen text with many unique words here"),
         (22L, "brand new never seen text with many unique words here"),
-        (11L, "reused identifier carrying completely different words")))
+        (11L, "reused identifier carrying completely different words"),
+        (12L, "first body of text under a twice used identifier"),
+        (12L, "second body of text under a twice used identifier")))
       q.processAllAvailable()
     } finally q.stop()
 
+    // (21, same text) twice collapses to ONE admitted row (row-grain
+    // key dedup); id 12's two DIFFERENT contents are both novel and
+    // both admitted — neither cross-products nor damns its sibling
     val out = spark.read.parquet(outDir)
       .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
-    assert(out == Seq(11L, 11L, 21L), s"novel set wrong: $out")
+    assert(out == Seq(11L, 11L, 12L, 12L, 21L), s"novel set wrong: $out")
     val dups = spark.read.parquet(dupDir)
       .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
         r.getLong(r.fieldIndex("n_hits"))).toMap
