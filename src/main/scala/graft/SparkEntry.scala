@@ -548,6 +548,22 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** LSH banding recall/precision against exact-Jaccard ground truth
+    * (Dedup.lshPairRecall) on the shared bounded-window domain — the
+    * (k, bands) tuning measurement. */
+  private def qLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val sig = Dedup.minhashSignature(t.documents, "text", "doc_id", k = 8)
+    val cand = Dedup.candidatePairs(
+      Dedup.lshBuckets(sig, "doc_id", k = 8, bands = 4), "doc_id")
+    val window = langBlockedPairs(t, 10).localCheckpoint(false)
+    val candW = cand.join(window, Seq("id1", "id2"), "left_semi")
+    val truth = Dedup.ngramJaccard(t.documents, window, "text", "doc_id")
+      .filter(col("jaccard") >= 0.01)
+      .select(col("id1"), col("id2"))
+    Dedup.lshPairRecall(candW, truth)
+  }
+
   /** Hybrid retrieval via Reciprocal Rank Fusion
     * (TextAnalysis.rrfFuse): BM25 lexical top-10 fused with the
     * embedding cosine top-10 of query vector 0 — score scales never
@@ -1923,6 +1939,7 @@ object SparkEntry {
     "q123_json_props" -> (qJsonProps _),
     "q124_sq8_rerank" -> (qSq8Rerank _),
     "q125_rrf_fusion" -> (qRrfFusion _),
+    "q126_lsh_recall" -> (qLshRecall _),
   )
 
   // -------------------------------------------------------------------
@@ -3838,6 +3855,41 @@ object SparkEntry {
          |SELECT query_id, cand_id, sim, CAST("rank" AS INT) AS "rank"
          |FROM ranked WHERE "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
+
+    // LSH candidates ∩ window vs exact-Jaccard truth (>= 1e-2) on the
+    // same window domain; counts + guarded ratio rounds
+    "q126_lsh_recall" ->
+      s"""WITH $lshPairsCteSql,
+         |wprs AS (SELECT d1.doc_id AS id1, d2.doc_id AS id2
+         |  FROM documents d1 JOIN documents d2 ON d1.lang = d2.lang
+         |  AND d2.doc_id > d1.doc_id AND d2.doc_id <= d1.doc_id + 10),
+         |candw AS (SELECT p.id1, p.id2 FROM pairs p
+         |  JOIN wprs w ON w.id1 = p.id1 AND w.id2 = p.id2),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.id1, p.id2, count(*) AS n_inter
+         |  FROM wprs p
+         |  JOIN sh a ON a.doc_id = p.id1
+         |  JOIN sh b ON b.doc_id = p.id2 AND a.shingle = b.shingle
+         |  GROUP BY p.id1, p.id2),
+         |truth AS (SELECT p.id1, p.id2
+         |  FROM wprs p
+         |  LEFT JOIN inter ON inter.id1 = p.id1 AND inter.id2 = p.id2
+         |  JOIN sizes s1 ON s1.doc_id = p.id1
+         |  JOIN sizes s2 ON s2.doc_id = p.id2
+         |  WHERE round(CAST(coalesce(n_inter, 0) AS DOUBLE) /
+         |    (s1.n_sh + s2.n_sh - coalesce(n_inter, 0)), 6) >= 1e-2),
+         |hit AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM truth t JOIN candw c ON c.id1 = t.id1 AND c.id2 = t.id2)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM candw) AS n_candidates,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+         |  (SELECT n_hit FROM hit) AS n_hit,
+         |  round((SELECT n_hit FROM hit) / nullif(
+         |    CAST((SELECT count(*) FROM truth) AS DOUBLE), 0.0e0), 6)
+         |    AS recall,
+         |  round((SELECT n_hit FROM hit) / nullif(
+         |    CAST((SELECT count(*) FROM candw) AS DOUBLE), 0.0e0), 6)
+         |    AS "precision"""".stripMargin,
 
     // q106's BM25 chain ranked 1..10 + the cosine top-10 of query
     // vector 0, fused by sum of 1/(60 + rank) in (ranker, rank) order

@@ -259,6 +259,32 @@ object Dedup {
           (col("n1") + col("n2") - col("n_inter")), 6))
   }
 
+  /** LSH tuning measurement — the dedup analog of the ANN recall
+    * harness: against a ground-truth pair set (exact Jaccard over a
+    * bounded window) at threshold `t`, report how many true pairs the
+    * LSH candidate set recalls and how many of its candidates are true
+    * (recall / precision of the banding scheme). THE measurement that
+    * justifies a (k, bands) choice before a 100 TB dedup run.
+    *
+    * Both inputs are pair frames (id1, id2) with id1 < id2; joins are
+    * pair-keyed semi-joins — nothing quadratic. Returns one row. */
+  def lshPairRecall(candidates: DataFrame, truth: DataFrame): DataFrame = {
+    val cand = candidates.select(col("id1"), col("id2")).distinct()
+      .localCheckpoint(false)
+    val tru = truth.select(col("id1"), col("id2")).distinct()
+      .localCheckpoint(false)
+    val hit = tru.join(cand, Seq("id1", "id2"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(tru.agg(count(lit(1)).as("n_true")))
+      .crossJoin(hit)
+      .select(col("n_candidates"), col("n_true"), col("n_hit"),
+        round(col("n_hit") / nullif(col("n_true").cast("double"), lit(0.0)),
+          6).as("recall"),
+        round(col("n_hit") / nullif(col("n_candidates").cast("double"),
+          lit(0.0)), 6).as("precision"))
+  }
+
   /** Similarity-graph edges: the candidate pairs that share at least
     * one n-gram shingle — the boolean form of [[ngramJaccard]] for
     * consumers (clustering, PageRank) that only need edge existence.
