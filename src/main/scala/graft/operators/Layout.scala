@@ -67,10 +67,17 @@ object Layout {
     * Test/ops instrumentation — one tiny agg per file. */
   def pruneFraction(spark: org.apache.spark.sql.SparkSession, path: String,
       c: String, lo: Long, hi: Long): Double = {
-    val listed = Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty)
+    // list via the Hadoop FileSystem API (like CorpusLake/Dedup) so the
+    // report works on hdfs://, s3a:// etc., not just the local FS
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val root = new HPath(path)
+    val fs = FileSystem.get(root.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val listed =
+      if (fs.exists(root)) fs.listStatus(root) else Array.empty[org.apache.hadoop.fs.FileStatus]
     val files = listed
-      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
     require(files.nonEmpty, s"no parquet files under $path")
     val hit = files.count { f =>
       val r = spark.read.parquet(f)

@@ -340,9 +340,16 @@ object MultiModal {
     * with codegen'd expressions — scan-speed corpus audio stats, no
     * sample decode. Non-WAV payloads get is_wav=false and null fields. */
   def decodeWavMeta(df: DataFrame): DataFrame = {
+    // The fixed-offset field reads below are only valid for the
+    // canonical 44-byte-header layout, so the predicate pins the chunk
+    // TAGS too ("fmt " at byte 12, "data" at byte 36): a legal WAV with
+    // LIST/fact chunks or WAVE_FORMAT_EXTENSIBLE gets is_wav = false
+    // (decline to parse) rather than silently-garbage field values.
     val isWav = length(col("payload")) >= 44 &&
-      hex(substring(col("payload"), 1, 4)) === "52494646" && // "RIFF"
-      hex(substring(col("payload"), 9, 4)) === "57415645"    // "WAVE"
+      hex(substring(col("payload"), 1, 4)) === "52494646" &&  // "RIFF"
+      hex(substring(col("payload"), 9, 4)) === "57415645" &&  // "WAVE"
+      hex(substring(col("payload"), 13, 4)) === "666D7420" && // "fmt "
+      hex(substring(col("payload"), 37, 4)) === "64617461"    // "data"
     val nCh = leU16(col("payload"), 22)
     val rate = leU32(col("payload"), 24)
     val dataSize = leU32(col("payload"), 40)

@@ -665,21 +665,34 @@ object TextAnalysis {
         .parquet(s"$path/postings")
       toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
         .write.mode("append").parquet(s"$path/doclen")
-      // stats LAST, via tmp + rename swap (small, one row)
-      import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-      val stats = new HPath(s"$path/stats")
-      val fs = FileSystem.get(stats.toUri,
-        spark.sparkContext.hadoopConfiguration)
-      val tmp = new HPath(s"$path/.stats.tmp")
-      fs.delete(tmp, true)
-      spark.read.parquet(s"$path/doclen")
-        .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        .write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(stats, true)
-      require(fs.rename(tmp, stats), s"failed to land $tmp as $stats")
     }
+    // Stats rewrite runs UNCONDITIONALLY, not only when nAdded > 0: a
+    // crash after the appends but before the swap leaves doclen ahead
+    // of stats, and the re-run finds every batch doc already present
+    // (nAdded == 0) — gating the rewrite on nAdded would freeze that
+    // staleness forever. Re-deriving from doclen costs the same doc-
+    // grain scan a staleness CHECK would, so always roll forward.
+    rewriteBm25Stats(spark, path)
     nAdded
+  }
+
+  /** Re-derive the one-row stats table from doclen (deduped at doc
+    * grain, so replayed crashed appends don't double-count) and swap it
+    * in crash-safely via tmp + rename. */
+  private def rewriteBm25Stats(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val stats = new HPath(s"$path/stats")
+    val fs = FileSystem.get(stats.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new HPath(s"$path/.stats.tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(s"$path/doclen")
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(stats, true)
+    require(fs.rename(tmp, stats), s"failed to land $tmp as $stats")
   }
 
   /** Heal a BM25 index whose stats swap crashed between the delete and

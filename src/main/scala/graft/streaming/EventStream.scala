@@ -541,9 +541,17 @@ object EventStream {
     import spark.implicits._
     val edges = refHist.toSeq.map { case (g, (lo, hi, _)) => (g, lo, hi) }
       .toDF(grpCol, "lo", "hi")
+    // NULL metric values carry no position in the histogram: drop them
+    // here rather than let a null bin NPE the fold below and kill the
+    // whole ingest stream (one bad row in a messy crawl batch must not
+    // take down the gate). Null-heavy batches still face the gate on
+    // their non-null mass; a KNOWN group whose batch values are all
+    // null yields no histogram rows and is simply absent from the
+    // result (no current mass -> no drift evidence either way).
     val known = graft.operators.Profiling
-      .histogram(batch.select(col(grpCol).cast("string").as(grpCol),
-        col(valCol).cast("double").as(valCol)), valCol, grpCol, edges, bins)
+      .histogram(batch.filter(col(valCol).isNotNull)
+        .select(col(grpCol).cast("string").as(grpCol),
+          col(valCol).cast("double").as(valCol)), valCol, grpCol, edges, bins)
       .collect().groupBy(_.getString(0))
       .map { case (g, rows) =>
         val counts = Array.fill(bins)(0L)

@@ -340,6 +340,37 @@ class DeltaOpsSpec extends SparkSpec {
     assert(statsDir.exists && !tmpDir.exists, "heal did not land stats")
   }
 
+  test("bm25 upsert: replay after a crash before the stats rewrite heals stats") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-crash").toString
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    TextAnalysis.writeBm25Index(half1, "text", "doc_id", dir)
+    // snapshot the half1-only corpus scalars — the STALE state a crash
+    // between the postings/doclen appends and the stats rewrite leaves
+    val stale = spark.read.parquet(s"$dir/stats")
+      .select("n_docs", "sum_dl").collect().head
+    assert(TextAnalysis.upsertBm25Index(half2, "text", "doc_id", dir) ==
+      half2.count())
+    // simulate that crash: postings/doclen hold the full corpus but
+    // stats still describe half1 only
+    import spark.implicits._
+    Seq((stale.getLong(0), stale.getLong(1))).toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    // the crash re-run finds every doc already present (nAdded == 0) —
+    // it must STILL re-derive stats from doclen, or bm25FromIndex
+    // scores diverge from the direct scan forever
+    assert(TextAnalysis.upsertBm25Index(half2, "text", "doc_id", dir) == 0L)
+    val terms = Seq("spark", "window", "join")
+    val direct = TextAnalysis.bm25TopK(docs, "text", "doc_id", terms, k = 10)
+      .collect().map(_.toString).sorted
+    val served = TextAnalysis.bm25FromIndex(spark, dir, terms, k = 10)
+      .collect().map(_.toString).sorted
+    assert(direct.sameElements(served),
+      "stale stats survived a replayed upsert")
+  }
+
   test("chunkTokens: coverage, overlap and tail invariants") {
     val df = Seq(
       (1L, (1 to 30).map(i => s"t$i").mkString(" ")), // 30 tokens

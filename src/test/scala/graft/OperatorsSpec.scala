@@ -270,6 +270,18 @@ class OperatorsSpec extends SparkSpec {
     assert(st.getLong(st.fieldIndex("sum_sq")) == all.map(v => v * v).sum)
     assert(st.getLong(st.fieldIndex("n_frames")) == nFrames)
 
+    // a RIFF/WAVE container whose first chunk is LIST (legal WAV,
+    // non-canonical layout): the fixed-offset field reads would return
+    // garbage, so the decoder must DECLINE (is_wav = false) instead of
+    // reporting mis-read sample_rate/n_channels/n_frames
+    val listChunk = bytes.clone()
+    "LIST".getBytes("US-ASCII").copyToArray(listChunk, 12)
+    val nonCanon = MultiModal.decodeWavMeta(
+      Seq((3L, listChunk)).toDF("doc_id", "payload"))
+      .select("is_wav", "sample_rate").collect().head
+    assert(!nonCanon.getBoolean(0) && nonCanon.isNullAt(1),
+      "non-canonical WAV layout must be declined, not mis-parsed")
+
     // negative samples survive the 16-bit round-trip exactly
     val neg = MultiModal.encodeWavPcm16(8000, 1, 3, (i, _) => -1000 + i)
     val stNeg = MultiModal.wavSampleStats(

@@ -929,12 +929,23 @@ class StreamingSpec extends SparkSpec {
       // batch 3: a language the reference has never seen -> drift
       feed((3001L to 3050L).map(i => (i, "zz", (50 + i % 100).toLong)))
       q.processAllAvailable()
+      // batch 4: in-distribution but with NULL metric rows mixed in —
+      // the gate must drop the nulls (one bad row must not NPE the
+      // whole ingest stream) and admit on the non-null mass
+      (4001L to 4100L).map(i =>
+        (i, if (i % 2 == 0) "en" else "es",
+          if (i % 10 == 0) None else Some((50 + i % 100).toLong)))
+        .toDF("doc_id", "lang", "n_chars").coalesce(1)
+        .write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
     } finally q.stop()
 
-    // both drifted batches quarantined, lake untouched since batch 1
+    // drifted batches quarantined; clean + null-bearing batches admitted
     val lake = CorpusLake.read(spark, lakeDir)
-    assert(lake.count() == 300L, "a drifted batch leaked into the lake")
-    assert(lake.filter(col("doc_id") >= 2000L).count() == 0L)
+    assert(lake.count() == 400L, "a drifted batch leaked into the lake")
+    assert(lake.filter(col("doc_id").between(2000L, 3999L)).count() == 0L)
+    assert(lake.filter(col("doc_id") >= 4000L).count() == 100L,
+      "null-bearing in-distribution batch was not admitted")
     val quar = spark.read.parquet(quarDir)
     assert(quar.count() == 150L, "quarantine is missing drifted rows")
     assert(quar.select("batch_id").distinct().count() == 2L)
