@@ -1809,6 +1809,117 @@ object SparkEntry {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** Exact per-language quantiles of document length at VALUE grain —
+    * no row sort, no sketch (Profiling.exactQuantilesByValue). */
+  private def qExactQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Profiling.exactQuantilesByValue(t.documents, "n_chars", "lang",
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+      .orderBy(col("lang"), col("q"))
+  }
+
+  /** Encoding-quality scoring over a corpus salted with deterministic
+    * transcoding damage (TextAnalysis.encodingQuality): replacement
+    * chars, control bytes, mojibake signatures, ascii ratio. */
+  private def qEncQuality(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    // salt: doc_id%4==0 gets a mis-decoded accent, %5==0 mis-decoded
+    // curly quotes, %7==0 a replacement char, %11==0 a BEL control byte
+    val salted = t.documents.select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 4 === 0, lit(" cafÃ©"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit(" â€œokâ€")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit(" x�y")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(" ab")).otherwise(lit("")))
+      .as("text"))
+    TextAnalysis.encodingQuality(salted, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Point-in-interval join, bucket-blocked (TimeSeriesOps
+    * .pointInIntervalJoin): events matched to incident windows derived
+    * from the nation dim; per-window event count / distinct users /
+    * value total. */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val windows = t.nation.select(
+      col("n_nationkey").as("window_id"),
+      (lit("2024-01-01").cast("timestamp") +
+        make_dt_interval(col("n_nationkey"))).as("start_ts"),
+      (lit("2024-01-01").cast("timestamp") +
+        make_dt_interval(col("n_nationkey"),
+          (col("n_nationkey") % 3 + 1) * 6)).as("end_ts"))
+    TimeSeriesOps.pointInIntervalJoin(t.events, "ts", windows,
+        "start_ts", "end_ts", bucketUs = 6L * 3600L * 1000000L)
+      .groupBy(col("iv_window_id").as("window_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("window_id"))
+  }
+
+  /** Zipf's-law fit of the corpus vocabulary (TextAnalysis.zipfFit):
+    * one row, OLS over the top-100 token ranks. */
+  private def qZipf(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    TextAnalysis.zipfFit(t.documents, "text", topN = 100)
+  }
+
+  /** Domain-blocklist filter with parent-domain semantics
+    * (Curation.domainBlocklist): per (source, blocking entry) counts
+    * over synthesized crawl URLs. */
+  private def qBlocklist(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val withUrl = t.documents.select(col("doc_id"), col("source"),
+      concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("ads."))
+          .when(col("doc_id") % 3 === 1, lit("www."))
+          .otherwise(lit("")),
+        col("source"), lit(".example."),
+        when(col("doc_id") % 2 === 0, lit("com")).otherwise(lit("net")),
+        lit("/page/"), col("doc_id")).as("url"))
+    Curation.domainBlocklist(withUrl, "url", "doc_id",
+        Seq("src0.example.com", "example.net", "ads.src1.example.com"))
+      .groupBy(col("source"),
+        coalesce(col("blocked_by"), lit("-")).as("blocked_by"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("source"), col("blocked_by"))
+  }
+
+  /** URL canonicalization dedup (GF.canonicalizeUrl): four cosmetic
+    * variants per page (tracking params, www + trailing slash, fragment
+    * + gclid, mixed-case host) collapse to one canonical key. */
+  private def qUrlCanon(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val urls = t.documents.select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 4 === 2, lit("https://www.example.com"))
+          .otherwise(lit("https://Example.com")),
+        lit("/Docs/"), (col("doc_id") / 4).cast("long"),
+        when(col("doc_id") % 4 === 1, lit("?utm_source=feed&utm_medium=rss"))
+          .when(col("doc_id") % 4 === 2, lit("/"))
+          .when(col("doc_id") % 4 === 3, lit("?gclid=xyz#section"))
+          .otherwise(lit(""))).as("url"))
+    urls.select(col("doc_id"), GF.canonicalizeUrl(col("url")).as("canon"))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("min_doc"))
+      .orderBy(col("canon"))
+  }
+
+  /** Inter-arrival bot detection (EventAnalytics.botScore) over events
+    * with a deterministically compressed "scripted" cohort (every 5th
+    * user's clock divided by 10⁵). */
+  private def qBotDetect(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("user_id"), col("event_id"),
+      when(col("user_id") % 5 === 0,
+        floor(unix_micros(col("ts")) / 100000L).cast("long"))
+        .otherwise(unix_micros(col("ts"))).as("us"))
+    EventAnalytics.botScore(ev, minEvents = 20L)
+      .orderBy(col("user_id"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -1940,6 +2051,13 @@ object SparkEntry {
     "q124_sq8_rerank" -> (qSq8Rerank _),
     "q125_rrf_fusion" -> (qRrfFusion _),
     "q126_lsh_recall" -> (qLshRecall _),
+    "q127_exact_quantiles" -> (qExactQuantiles _),
+    "q128_enc_quality" -> (qEncQuality _),
+    "q129_interval_join" -> (qIntervalJoin _),
+    "q130_zipf" -> (qZipf _),
+    "q131_blocklist" -> (qBlocklist _),
+    "q132_url_canon" -> (qUrlCanon _),
+    "q133_bot_detect" -> (qBotDetect _),
   )
 
   // -------------------------------------------------------------------
@@ -4495,5 +4613,162 @@ object SparkEntry {
          |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
          |  round(sum(n_tokens)::DOUBLE / 512, 6) AS fill_ratio
          |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    // value-grain exact quantiles: the oracle replays the SAME
+    // cumulative-window formulation (equivalent to percentile_disc —
+    // smallest v whose cumulative count reaches q*n; the q*n threshold
+    // is the identical IEEE multiply on both engines)
+    "q127_exact_quantiles" ->
+      """WITH c AS (SELECT lang, n_chars AS v, count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (SELECT lang, v,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n FROM c),
+        |qs AS (SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0, 0.99e0]) AS q)
+        |SELECT lang, q, min(v) AS value FROM w, qs
+        |WHERE CAST(cum AS DOUBLE) >= q * n
+        |GROUP BY lang, q ORDER BY lang, q""".stripMargin,
+
+    // the salt reproduces the Spark side's escapes via chr():
+    // 195/169 = mis-decoded e-acute, 226/8364/339 = mis-decoded curly
+    // quotes, 65533 = replacement char, 7 = BEL
+    "q128_enc_quality" ->
+      """WITH s AS (SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ' caf' || chr(195) || chr(169)
+        |          ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(226) || chr(8364) ||
+        |          chr(339) || 'ok' || chr(226) || chr(8364) || chr(157)
+        |          ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN ' x' || chr(65533) || 'y'
+        |          ELSE '' END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN ' a' || chr(7) || 'b'
+        |          ELSE '' END) AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id, length(t) AS len,
+        |    length(t) - length(replace(t, chr(65533), '')) AS n_repl,
+        |    length(t) - length(regexp_replace(t,
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')) AS n_ctrl,
+        |    (length(t) - length(replace(t, chr(195), ''))) +
+        |      (length(t) - length(replace(t, chr(226) || chr(8364), '')))
+        |        // 2 AS n_moji,
+        |    length(t) - length(regexp_replace(t, '[^\x00-\x7f]', '', 'g'))
+        |      AS n_na
+        |  FROM s)
+        |SELECT doc_id, CAST(n_repl AS BIGINT) AS n_replacement,
+        |  CAST(n_ctrl AS BIGINT) AS n_ctrl,
+        |  CAST(n_moji AS BIGINT) AS n_mojibake,
+        |  CASE WHEN len > 0 THEN round((len - n_na)::DOUBLE / len, 6)
+        |       ELSE 1.0e0 END AS ascii_ratio,
+        |  (n_repl = 0 AND n_ctrl = 0 AND n_moji = 0) AS enc_clean
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q129_interval_join" ->
+      """WITH w AS (SELECT n_nationkey AS window_id,
+        |    TIMESTAMP '2024-01-01' + to_days(n_nationkey) AS start_ts,
+        |    TIMESTAMP '2024-01-01' + to_days(n_nationkey) +
+        |      to_hours(((n_nationkey % 3) + 1) * 6) AS end_ts
+        |  FROM nation)
+        |SELECT w.window_id, count(*) AS n_events,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |  round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN w ON e.ts >= w.start_ts AND e.ts < w.end_ts
+        |GROUP BY w.window_id ORDER BY w.window_id""".stripMargin,
+
+    "q130_zipf" ->
+      s"""WITH docs_norm AS (SELECT doc_id, $normTextSql AS norm
+         |    FROM documents),
+         |toks AS (SELECT unnest(${wsTokensSql("norm")}) AS tok
+         |  FROM docs_norm),
+         |f AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+         |top AS (SELECT tok, freq FROM f ORDER BY freq DESC, tok LIMIT 100),
+         |r AS (SELECT
+         |    ln(CAST(row_number() OVER (ORDER BY freq DESC, tok) AS DOUBLE))
+         |      AS x,
+         |    ln(CAST(freq AS DOUBLE)) AS y FROM top),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+         |    sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx,
+         |    sum(y*y) AS syy FROM r)
+         |SELECT n AS n_ranks,
+         |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+         |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
+         |    AS intercept,
+         |  round((n*sxy - sx*sy) * (n*sxy - sx*sy) /
+         |    ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+         |FROM s""".stripMargin,
+
+    "q131_blocklist" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'ads.'
+        |                        WHEN doc_id % 3 = 1 THEN 'www.'
+        |                        ELSE '' END) ||
+        |    source || '.example.' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'net' END) ||
+        |    '/page/' || doc_id AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, source,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host FROM d),
+        |b AS (SELECT unnest(['src0.example.com', 'example.net',
+        |    'ads.src1.example.com']) AS entry),
+        |m AS (SELECT h.doc_id, max_by(b.entry, length(b.entry))
+        |      AS blocked_by
+        |  FROM h JOIN b ON h.host = b.entry OR h.host LIKE '%.' || b.entry
+        |  GROUP BY h.doc_id)
+        |SELECT h.source, coalesce(m.blocked_by, '-') AS blocked_by,
+        |  count(*) AS n
+        |FROM h LEFT JOIN m USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the canonicalization chain mirrors GF.canonicalizeUrl step for
+    // step (RE2 'g' flag = Spark's replace-all; '\1' = Spark's '$1')
+    "q132_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 2 THEN 'https://www.example.com'
+        |          ELSE 'https://Example.com' END)
+        |    || '/Docs/' || (doc_id // 4)
+        |    || (CASE WHEN doc_id % 4 = 1 THEN '?utm_source=feed&utm_medium=rss'
+        |             WHEN doc_id % 4 = 2 THEN '/'
+        |             WHEN doc_id % 4 = 3 THEN '?gclid=xyz#section'
+        |             ELSE '' END) AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*', '', 'g')
+        |  AS u FROM u),
+        |c2 AS (SELECT doc_id, regexp_replace(u,
+        |  '([?&])(utm_[^=&]*|gclid|fbclid)=[^&]*', '\1', 'g') AS u FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(
+        |  regexp_replace(u, '&&+', '&', 'g'), '\?&', '?', 'g') AS u FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '', 'g')
+        |  AS u FROM c3),
+        |c5 AS (SELECT doc_id,
+        |    lower(regexp_extract(u,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) ||
+        |    substr(u, length(regexp_extract(u,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1) AS u FROM c4),
+        |c6 AS (SELECT doc_id, regexp_replace(u,
+        |  '^([a-z][a-z0-9+.-]*://)www\.', '\1', 'g') AS u FROM c5),
+        |c7 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |    '^(https://[^/:?#]+):443([/?].*)?$', '\1\2', 'g'),
+        |    '^(http://[^/:?#]+):80([/?].*)?$', '\1\2', 'g') AS u FROM c6),
+        |c8 AS (SELECT doc_id, regexp_replace(u, '([^/])/$', '\1', 'g')
+        |  AS canon FROM c7)
+        |SELECT canon, count(*) AS n_variants, min(doc_id) AS min_doc
+        |FROM c8 GROUP BY canon ORDER BY canon""".stripMargin,
+
+    "q133_bot_detect" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CASE WHEN user_id % 5 = 0 THEN epoch_us(ts) // 100000
+        |         ELSE epoch_us(ts) END AS us
+        |  FROM events),
+        |g AS (SELECT user_id, us - lag(us) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS gap FROM e),
+        |a AS (SELECT user_id, count(*) AS n_events,
+        |    quantile_cont(gap, 0.5) AS median_gap_us,
+        |    round(avg(CASE WHEN gap IS NULL THEN NULL
+        |                   WHEN gap < 1000000 THEN 1.0
+        |                   ELSE 0.0 END), 6) AS fast_frac
+        |  FROM g GROUP BY user_id)
+        |SELECT user_id, n_events, median_gap_us, fast_frac,
+        |  (n_events >= 20 AND median_gap_us < 1000000.0) AS is_bot
+        |FROM a ORDER BY user_id""".stripMargin,
   )
 }

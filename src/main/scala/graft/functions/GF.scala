@@ -140,4 +140,45 @@ object GF {
       lit("catalog"), catalogId, lit("dataset"), datasetId,
       lit("distribution"), distributionId, lit("download"),
       coalesce(fileName, concat(distributionId, lit(".csv"))))
+
+  /** URL canonicalization for crawl dedup: collapse the cosmetic
+    * variants that make one page look like many documents. Steps, in
+    * order (each a regexp/string transform — pure codegen'd expression
+    * chain, replayable by any engine with regexp_replace):
+    *
+    *  1. drop the fragment (`#...` never reaches the server);
+    *  2. drop tracking params (`utm_*`, `gclid`, `fbclid`) keeping the
+    *     `?`/`&` structure of what remains intact;
+    *  3. lowercase the scheme://host prefix (the path stays
+    *     case-sensitive per RFC 3986);
+    *  4. strip a `www.` host prefix and an explicit default port
+    *     (`:80` http / `:443` https);
+    *  5. strip one trailing `/` from a non-root path.
+    *
+    * Deliberately NOT done: percent-decoding and query-param
+    * reordering (both can change server semantics). */
+  def canonicalizeUrl(u: Column): Column = {
+    // 1-2: fragment, then tracking params; a removed leading param
+    // leaves "?&" or "&&" behind — squeeze separators, then strip a
+    // dangling trailing "?"/"&"
+    val noFrag = regexp_replace(trim(u), "#.*", "")
+    val noTrack = regexp_replace(noFrag,
+      "([?&])(utm_[^=&]*|gclid|fbclid)=[^&]*", "$1")
+    val squeezed = regexp_replace(
+      regexp_replace(noTrack, "&&+", "&"), "\\?&", "?")
+    val tidy = regexp_replace(squeezed, "[?&]+$", "")
+    // 3: lowercase scheme://host[:port] only
+    val prefix = regexp_extract(tidy, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val rest = substring(tidy, length(prefix) + 1, lit(Int.MaxValue))
+    val lowered = concat(lower(prefix), rest)
+    // 4: www. prefix, default ports
+    val noWww = regexp_replace(lowered, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
+    // (no lookarounds anywhere in this chain: the external oracle's
+    // regex engine is RE2, which has none)
+    val noPort = regexp_replace(
+      regexp_replace(noWww, "^(https://[^/:?#]+):443([/?].*)?$", "$1$2"),
+      "^(http://[^/:?#]+):80([/?].*)?$", "$1$2")
+    // 5: one trailing slash on a non-root path
+    regexp_replace(noPort, "([^/])/$", "$1")
+  }
 }

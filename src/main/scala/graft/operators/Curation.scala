@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the decision stage of a training-data
@@ -114,5 +114,42 @@ object Curation {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(valCol).cast("double"))
     df.withColumn("pct_rank", round(percent_rank().over(w), 6))
+  }
+
+  /** Extract the lowercased host of a URL column (scheme-mandatory;
+    * port/path/query stripped). Empty string when no host parses. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+
+  /** Domain-blocklist filter with PARENT-DOMAIN semantics: a doc is
+    * blocked when its URL host equals a blocklist entry OR sits under
+    * one (`a.b.example.com` matches entry `example.com`) — the standard
+    * crawl-exclusion rule (spam/SEO/adult domain lists block whole
+    * registrable domains, not single hosts).
+    *
+    * Scale shape: each host explodes to its ≤ #labels dot-suffixes and
+    * equi-joins the BROADCAST blocklist — a real-world blocklist is
+    * 10⁴-10⁶ entries (broadcastable), the corpus side stays an
+    * equi-join at (doc, suffix) grain; no LIKE scan, no cartesian.
+    * Returns the input plus `host` and `blocked_by` (the most specific
+    * — longest — matching entry; null when kept). */
+  def domainBlocklist(docs: DataFrame, urlCol: String, idCol: String,
+      blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val blockDf = blocked.map(_.toLowerCase).distinct.toDF("_entry")
+    val withHost = docs.withColumn("host", urlHost(col(urlCol)))
+    // all dot-suffixes of the host: a.b.c -> [a.b.c, b.c, c]
+    val sufs = withHost.select(col(idCol).as("_bid"),
+        explode(expr("transform(sequence(1, size(split(host, '[.]'))), " +
+          "i -> array_join(slice(split(host, '[.]'), i, " +
+          "size(split(host, '[.]'))), '.'))")).as("_suffix"))
+      .join(broadcast(blockDf), col("_suffix") === col("_entry"))
+      .groupBy(col("_bid"))
+      // suffixes of one host all differ in length, so the longest match
+      // is unique — no tiebreak needed
+      .agg(max_by(col("_entry"), length(col("_entry"))).as("blocked_by"))
+    withHost.join(sufs.withColumnRenamed("_bid", idCol), Seq(idCol), "left")
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch analytics over the event stream table — ordered-sequence
@@ -129,5 +130,42 @@ object EventAnalytics {
       .groupBy(col("cohort_week"),
         (col("week") - col("cohort_week")).as("week_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
+  /** Inter-arrival bot heuristic: per user, the gap statistics that
+    * separate organic traffic from scripted clients — event count,
+    * median gap, fraction of sub-`fastUs` gaps, and the verdict
+    * (`is_bot` = at least `minEvents` events AND median gap under
+    * `fastUs`). The standard first-pass abuse filter an events
+    * warehouse runs before sessionized metrics are trusted.
+    *
+    * Gaps are exact integer µs via one user-keyed lag window (ties on
+    * identical timestamps break by the event id, so the ordering is
+    * total and engine-portable); the median is `percentile` over each
+    * user's own gaps — row grain, but partitioned BY USER: the window
+    * and the aggregation both shuffle on the user key, never a global
+    * sort. The median stays in µs: the interpolated value is a
+    * MIDPOINT OF INTEGERS (exact in double on any engine) — dividing
+    * to seconds first would put it on a rounding boundary where engine
+    * FP paths differ by an ulp. Single-event users have no gaps and
+    * are never bots. */
+  def botScore(events: DataFrame, userCol: String = "user_id",
+      usCol: String = "us", idCol: String = "event_id",
+      minEvents: Long = 20L, fastUs: Long = 1000000L): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(usCol), col(idCol))
+    events
+      .withColumn("_gap", col(usCol) - lag(col(usCol), 1).over(w))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        percentile(col("_gap"), lit(0.5)).as("median_gap_us"),
+        // over GAPS, not events: the first event has no gap and stays
+        // out of both numerator and denominator (avg skips nulls)
+        round(avg(when(col("_gap").isNotNull,
+          when(col("_gap") < fastUs, 1.0).otherwise(0.0))), 6)
+          .as("fast_frac"))
+      .withColumn("is_bot",
+        col("n_events") >= minEvents &&
+          col("median_gap_us") < fastUs.toDouble)
   }
 }

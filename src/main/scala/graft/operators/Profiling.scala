@@ -270,4 +270,43 @@ object Profiling {
         round(stddev(col("v")), 6).as("std"),
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"))
+
+  /** EXACT per-group quantiles computed at VALUE grain — the scale path
+    * for percentiles of discrete-ish 100 TB signals (document lengths,
+    * token counts, latencies in ms): `groupBy (group, value)` partially
+    * aggregates row-grain data down to the distinct-value domain
+    * BEFORE anything sorts, a per-group cumulative window then runs
+    * over only #distinct-values rows, and each requested q picks the
+    * SMALLEST value whose cumulative count reaches q·n — exact
+    * `percentile_disc` semantics, no interpolation arithmetic and no
+    * sketch error. Contrast the row-grain paths: an exact sort-based
+    * percentile shuffles every row to a sort, `approx_percentile`
+    * trades exactness for memory; this is exact AND shuffles only the
+    * value histogram.
+    *
+    * The q·n threshold is compared in double (`cum >= q * n`) — the
+    * same IEEE multiply on any engine, so an external oracle replaying
+    * the window form matches bit-for-bit. Returns (group, q, value)
+    * for every q in `qs`. */
+  def exactQuantilesByValue(df: DataFrame, valCol: String,
+      groupCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol), col(valCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+    val totW = Window.partitionBy(col(groupCol))
+    counts
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(totW))
+      // explode the few requested quantiles against the value-grain
+      // frame; min(v) over the rows clearing the threshold IS the
+      // discrete quantile — a partial-aggregatable min, no extra sort
+      .select(col(groupCol), col("v"), col("cum"), col("n"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .filter(col("cum").cast("double") >= col("q") * col("n"))
+      .groupBy(col(groupCol), col("q"))
+      .agg(min(col("v")).as("value"))
+  }
 }

@@ -919,4 +919,80 @@ object TextAnalysis {
         round(coalesce(col("n_boiler"), lit(0L)) / col("n_tokens"), 6)
           .as("boiler_ratio"))
   }
+
+  /** Encoding-quality scoring: the crawl-hygiene filter that catches
+    * transcoding damage BEFORE a corpus trains on it. Per document:
+    *  - `n_replacement` — U+FFFD replacement characters (a decoder
+    *    already gave up on those bytes);
+    *  - `n_ctrl` — C0/C1-adjacent control characters other than
+    *    tab/LF/CR (binary junk inside "text");
+    *  - `n_mojibake` — signature characters of UTF-8 read as
+    *    Latin-1/cp1252: 'Ã' (lead byte 0xC3 mis-decoded) and the
+    *    'â€' pair (0xE2 0x80 — curly quotes/dashes mangled);
+    *  - `ascii_ratio` — share of 7-bit chars, 6 dp (a *legitimately*
+    *    non-Latin document scores low here but clean on the damage
+    *    counters — the columns separate "not English" from "broken");
+    *  - `enc_clean` — no replacement, control or mojibake hits.
+    *
+    * All counters are length-difference folds over literal
+    * replacements — pure codegen'd per-row expressions, zero shuffle,
+    * and exactly replayable by any engine with `replace`/
+    * `regexp_replace`. */
+  def encodingQuality(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val t = col(textCol)
+    val len = length(t)
+    val nRepl = len - length(regexp_replace(t, "�", ""))
+    val nCtrl = len - length(regexp_replace(t,
+      "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""))
+    val nMoji = (len - length(regexp_replace(t, "Ã", ""))) +
+      (len - length(regexp_replace(t, "â€", ""))) / lit(2L)
+    val nNonAscii = len - length(regexp_replace(t, "[^\\x00-\\x7f]", ""))
+    df.select(col(idCol),
+      nRepl.cast("long").as("n_replacement"),
+      nCtrl.cast("long").as("n_ctrl"),
+      nMoji.cast("long").as("n_mojibake"),
+      when(len > 0, round((len - nNonAscii).cast("double") / len, 6))
+        .otherwise(lit(1.0)).as("ascii_ratio"),
+      (nRepl === 0 && nCtrl === 0 && nMoji === 0).as("enc_clean"))
+  }
+
+  /** Zipf's-law fit over the corpus vocabulary: OLS of ln(freq) on
+    * ln(rank) across the top `topN` tokens (rank 1 = most frequent;
+    * ties broken by token so the ranking is total). A natural corpus
+    * slopes ≈ −1; templated/machine-generated text bends the curve —
+    * this is the one-row "does my corpus look like language" check.
+    *
+    * Scale shape: token frequencies are one partial-agg shuffle at
+    * vocab grain; the top-N cut plans as TakeOrderedAndProject (no
+    * global sort); the regression runs over topN rows — metadata
+    * scale. Sums round at 6 dp like every other FP aggregate here.
+    * Returns one row: (n_ranks, slope, intercept, r2). */
+  def zipfFit(docs: DataFrame, textCol: String,
+      topN: Int = 100): DataFrame = {
+    require(topN >= 2, "need at least two ranks to fit")
+    val freq = docs
+      .select(explode(GF.wsTokens(Dedup.normalizeText(col(textCol))))
+        .as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(topN)
+    val ranked = freq
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("tok"))))
+      .select(log(col("rank")).as("x"),
+        log(col("freq")).as("y"))
+    ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_ranks"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n"), 6).as("intercept"),
+        round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+           (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
 }

@@ -457,4 +457,43 @@ object TimeSeriesOps {
         round(col("s_abs").cast("double") / (col("n") * 100.0), 6)
           .as("shift"))
   }
+
+  /** Point-in-interval join, bucketed: match each point (timestamp
+    * `tsCol`, µs precision) to every interval whose half-open
+    * [start, end) contains it — incident windows over event logs,
+    * validity ranges over measurements. A naive range join has no
+    * equi-key, so Spark plans BroadcastNestedLoopJoin — all points ×
+    * all intervals, the classic 100 TB killer. Here both sides bucket
+    * time into `bucketUs`-wide cells: each interval EXPLODES to the
+    * (bounded: len/bucket + 1) buckets it overlaps, points map to
+    * exactly one bucket, and the match becomes an EQUI-join on bucket
+    * followed by the exact range predicate. Shuffle is keyed by
+    * time-bucket — co-temporal rows co-locate, and AQE handles a hot
+    * bucket like any skewed key.
+    *
+    * Pick `bucketUs` ≈ the typical interval length: shorter buckets
+    * multiply interval replicas, longer ones widen the per-bucket
+    * candidate set. Inner semantics (unmatched points drop); interval
+    * columns arrive prefixed `iv_`. */
+  def pointInIntervalJoin(points: DataFrame, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketUs: Long = 86400000000L): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val iv = intervals.columns.foldLeft(intervals) { (df, c) =>
+      df.withColumnRenamed(c, s"iv_$c") }
+    val ivB = iv.withColumn("_bucket",
+      explode(sequence(
+        floor(unix_micros(col(s"iv_$startCol")) / bucketUs).cast("long"),
+        // end is EXCLUSIVE: an interval ending exactly on a bucket
+        // boundary does not reach into that bucket
+        floor((unix_micros(col(s"iv_$endCol")) - 1) / bucketUs)
+          .cast("long"))))
+    points
+      .withColumn("_bucket",
+        floor(unix_micros(col(tsCol)) / bucketUs).cast("long"))
+      .join(ivB, Seq("_bucket"))
+      .filter(col(tsCol) >= col(s"iv_$startCol") &&
+        col(tsCol) < col(s"iv_$endCol"))
+      .drop("_bucket")
+  }
 }

@@ -62,4 +62,22 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Set((0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),
       (1L, 0L, 1L), (1L, 1L, 1L)), got)
   }
+
+  test("botScore: scripted cadence flagged, organic and sparse users not") {
+    // user 1: 30 events 100ms apart (bot); user 2: 30 events 60s apart
+    // (organic); user 3: 3 events 50ms apart (too few to call)
+    val ev = ((0 until 30).map(i => (1L, 100L + i.toLong, i * 100000L)) ++
+      (0 until 30).map(i => (2L, 200L + i.toLong, i * 60000000L)) ++
+      (0 until 3).map(i => (3L, 300L + i.toLong, i * 50000L)))
+      .toDF("user_id", "event_id", "us")
+    val got = EventAnalytics.botScore(ev, minEvents = 20L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("is_bot"))
+    assert(got(1L).getAs[Double]("median_gap_us") == 100000.0)
+    assert(got(1L).getAs[Double]("fast_frac") == 1.0)
+    assert(!got(2L).getAs[Boolean]("is_bot"))
+    assert(got(2L).getAs[Double]("fast_frac") == 0.0)
+    assert(!got(3L).getAs[Boolean]("is_bot"),
+      "3 fast events alone must not convict")
+  }
 }

@@ -918,4 +918,101 @@ class OperatorsSpec extends SparkSpec {
       .select("id").as[Long].collect()
     assert(s3.forall(_ > 390) && s3.length == 10)
   }
+
+  test("encodingQuality: replacement/control/mojibake counters and ascii ratio") {
+    val df = Seq(
+      (1L, "clean ascii text"),
+      (2L, "bad � byte � here"),        // 2 replacement chars
+      (3L, "ctrl but tab\tand\nnewline ok"),
+      // "caf\u00e9 \u201cquoted\u201d" mis-decoded as Latin-1:
+      // one 0xC3 lead byte + two 0xE2 0x80 pairs
+      (4L, "caf\u00c3\u00a9 \u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d"),
+      (5L, "日本語のテキスト"))                    // non-ascii but CLEAN
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.encodingQuality(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 0 && out(1L).getBoolean(5))
+    assert(out(2L).getLong(1) == 2 && !out(2L).getBoolean(5))
+    assert(out(3L).getLong(2) == 2 && !out(3L).getBoolean(5))
+    assert(out(4L).getLong(3) == 3 && !out(4L).getBoolean(5)) // 1×Ã + 2×â€
+    assert(out(5L).getLong(1) == 0 && out(5L).getLong(2) == 0 &&
+      out(5L).getLong(3) == 0 && out(5L).getBoolean(5),
+      "legitimately non-Latin text must score clean")
+    assert(out(5L).getDouble(4) < 0.5 && out(1L).getDouble(4) == 1.0)
+  }
+
+  test("zipfFit: recovers the slope of an exactly Zipfian corpus") {
+    // freq(rank) = round(1000 / rank): slope should land near -1
+    val toks = (1 to 50).flatMap { r =>
+      Seq.fill(math.round(1000.0 / r).toInt)(s"w${"%02d".format(r)}") }
+    val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val row = TextAnalysis.zipfFit(df, "text", topN = 50).collect().head
+    assert(row.getLong(0) == 50L)
+    val slope = row.getDouble(1)
+    assert(slope > -1.05 && slope < -0.95, s"slope $slope not ~ -1")
+    assert(row.getDouble(3) > 0.999, s"r2 ${row.getDouble(3)} not ~ 1")
+  }
+
+  test("canonicalizeUrl: variants collapse, semantics-bearing parts survive") {
+    import graft.functions.GF
+    val urls = Seq(
+      (1L, "https://www.Example.com/a/b?utm_source=x&id=3&utm_campaign=y#frag"),
+      (2L, "https://example.com:443/a/b?id=3"),
+      (3L, "http://example.com:80/"),
+      (4L, "http://example.com/"),
+      (5L, "https://example.com/path/?gclid=abc"),
+      (6L, "https://example.com/CaseSensitive/Path"),
+      (7L, "https://example.com/a?utm_a=1&utm_b=2&keep=1"))
+      .toDF("id", "url")
+    val canon = urls.select(col("id"), GF.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(canon(1L) == "https://example.com/a/b?id=3", canon(1L))
+    assert(canon(2L) == "https://example.com/a/b?id=3")
+    assert(canon(3L) == "http://example.com")
+    assert(canon(4L) == "http://example.com")
+    assert(canon(5L) == "https://example.com/path")
+    assert(canon(6L) == "https://example.com/CaseSensitive/Path",
+      "path case must survive")
+    assert(canon(7L) == "https://example.com/a?keep=1", canon(7L))
+  }
+
+  test("domainBlocklist: parent-domain semantics, longest match wins, broadcast plan") {
+    val df = Seq(
+      (1L, "https://ads.tracker.example.com/x"),
+      (2L, "https://example.com/fine"),
+      (3L, "https://notexample.com/fine"),      // substring, NOT subdomain
+      (4L, "https://sub.blocked.net/y"),
+      (5L, "no-scheme-at-all"))
+      .toDF("doc_id", "url")
+    val out = Curation.domainBlocklist(df, "url", "doc_id",
+      Seq("tracker.example.com", "example.com", "blocked.net"))
+    val by = out.collect().map(r =>
+      r.getLong(0) -> Option(r.getAs[String]("blocked_by"))).toMap
+    assert(by(1L).contains("tracker.example.com"),
+      "most specific (longest) entry must win")
+    assert(by(2L).contains("example.com"))
+    assert(by(3L).isEmpty, "substring of a blocked domain is NOT blocked")
+    assert(by(4L).contains("blocked.net"))
+    assert(by(5L).isEmpty)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "blocklist side must broadcast")
+    assert(!plan.contains("NestedLoop"), "no nested-loop in blocklist plan")
+  }
+
+  test("exactQuantilesByValue matches a row-grain sorted computation") {
+    val rows = for (g <- Seq("a", "b"); i <- 1 to 137)
+      yield (g, if (g == "a") (i % 13).toLong else (i * i % 29).toLong)
+    val df = rows.toDF("grp", "v")
+    val qs = Seq(0.25, 0.5, 0.9, 1.0)
+    val got = Profiling.exactQuantilesByValue(df, "v", "grp", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+      .toMap
+    for (g <- Seq("a", "b"); q <- qs) {
+      val sorted = rows.filter(_._1 == g).map(_._2).sorted
+      // percentile_disc: smallest v with cum/n >= q
+      val expect = sorted(math.ceil(q * sorted.size).toInt - 1)
+      assert(got((g, q)) == expect, s"($g, $q): ${got((g, q))} != $expect")
+    }
+  }
 }

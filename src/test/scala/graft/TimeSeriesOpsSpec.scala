@@ -276,4 +276,32 @@ class TimeSeriesOpsSpec extends SparkSpec {
         "g", "x", "y").collect().head
     assert(f.getLong(3) == 0L && f.getLong(2) == 1L)
   }
+
+  test("pointInIntervalJoin: half-open matches across bucket boundaries, no nested loop") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val hourUs = 3600L * 1000000L
+    // points every 10 min for 6 h
+    val pts = (0L until 36L).map(i => (i, i * 600L * 1000000L))
+      .toDF("pid", "us")
+      .select(col("pid"), timestamp_micros(col("us")).as("ts"))
+    // window A [0:30, 1:30) spans a bucket boundary; B [2:00, 3:00)
+    // ends EXACTLY on one — its end bucket must not be probed
+    val ivs = Seq(
+      ("A", 1800L * 1000000L, 5400L * 1000000L),
+      ("B", 7200L * 1000000L, 10800L * 1000000L))
+      .toDF("win", "s_us", "e_us")
+      .select(col("win"), timestamp_micros(col("s_us")).as("start_ts"),
+        timestamp_micros(col("e_us")).as("end_ts"))
+    val out = TimeSeriesOps.pointInIntervalJoin(pts, "ts", ivs,
+        "start_ts", "end_ts", bucketUs = hourUs)
+    val got = out.collect()
+      .map(r => r.getAs[String]("iv_win") -> r.getLong(0))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    // A: minutes [30, 90) -> points 3..8; B: [120, 180) -> 12..17
+    assert(got("A") == (3L to 8L).toSet, got("A").toSeq.sorted)
+    assert(got("B") == (12L to 17L).toSet, got("B").toSeq.sorted)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"interval join fell back to a nested loop:\n$plan")
+  }
 }
