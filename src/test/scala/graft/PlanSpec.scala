@@ -407,4 +407,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesianproduct"),
       s"cartesian in canonical selection:\n$p")
   }
+
+  test("q127 exact quantiles: value-grain partial agg feeds the window, no row sort") {
+    val p = plan("q127_exact_quantiles")
+    // the (lang, value) count must combine map-side BEFORE any exchange
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"value-grain count not map-side combined:\n$p")
+    // the quantile path itself must sort only WITHIN the lang-keyed
+    // window (hashpartitioning); the sole range exchange allowed is the
+    // final presentation orderBy over the (lang, q) result rows
+    assert(p.sliding("rangepartitioning".length).count(
+      _ == "rangepartitioning") <= 1,
+      s"global sort leaked into quantile path:\n$p")
+    assert(p.contains("hashpartitioning(lang"),
+      s"quantile window not keyed by group:\n$p")
+  }
+
+  test("q129 interval join: bucket equi-join, never a nested loop") {
+    val p = plan("q129_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.toLowerCase.contains("cartesianproduct"),
+      s"range join fell back to all-pairs:\n$p")
+  }
+
+  test("q130 zipf: top-N cut is a distributed heap, not a global sort") {
+    val p = plan("q130_zipf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocabulary top-N not heap-pruned:\n$p")
+  }
+
+  test("q131 blocklist: suffix join broadcasts the blocklist side") {
+    val p = plan("q131_blocklist")
+    assert(p.contains("BroadcastHashJoin"),
+      s"blocklist not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"suffix match leaked a nested loop:\n$p")
+  }
 }
