@@ -1920,6 +1920,28 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** SCD2 validity intervals from the event change log
+    * (EventAnalytics.validityIntervals): consecutive identical states
+    * collapse, each surviving change carries its half-open window. */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+    EventAnalytics.validityIntervals(ev, "user_id", "us", "event_id",
+        "event_type")
+      .orderBy(col("user_id"), col("valid_from"), col("state"))
+  }
+
+  /** Temperature-scaled mixture allocation over sources
+    * (Sampling.temperatureAllocation): weight ∝ √count, exact integer
+    * token budget via largest-remainder apportionment. */
+  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Sampling.temperatureAllocation(t.documents, "source",
+        budget = 1000000L)
+      .orderBy(col("source"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -2058,6 +2080,8 @@ object SparkEntry {
     "q131_blocklist" -> (qBlocklist _),
     "q132_url_canon" -> (qUrlCanon _),
     "q133_bot_detect" -> (qBotDetect _),
+    "q134_scd2" -> (qScd2 _),
+    "q135_temperature_mix" -> (qTemperatureMix _),
   )
 
   // -------------------------------------------------------------------
@@ -4770,5 +4794,39 @@ object SparkEntry {
         |SELECT user_id, n_events, median_gap_us, fast_frac,
         |  (n_events >= 20 AND median_gap_us < 1000000.0) AS is_bot
         |FROM a ORDER BY user_id""".stripMargin,
+
+    "q134_scd2" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type FROM events),
+        |c AS (SELECT user_id, event_type, us,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS prev FROM e),
+        |ch AS (SELECT user_id, event_type AS state, us AS valid_from
+        |  FROM c WHERE prev IS NULL OR event_type <> prev),
+        |iv AS (SELECT user_id, state, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from, state) AS valid_to FROM ch)
+        |SELECT user_id, state, valid_from, valid_to FROM iv
+        |ORDER BY user_id, valid_from, state""".stripMargin,
+
+    // √count weights: sqrt is IEEE-correctly-rounded on every engine
+    // (pow is not), the denominator folds group-sorted, the leftover is
+    // an integer sum — every double in the apportionment is bit-equal
+    "q135_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs,
+        |    sqrt(count(*)) AS w FROM documents GROUP BY source),
+        |tot AS (SELECT list_aggregate(list(w ORDER BY source), 'sum')
+        |    AS tot FROM c),
+        |i AS (SELECT source, n_docs, w / tot AS weight,
+        |    CAST(floor(1000000 * (w / tot)) AS BIGINT) AS base,
+        |    1000000 * (w / tot) - floor(1000000 * (w / tot)) AS rem
+        |  FROM c, tot),
+        |l AS (SELECT 1000000 - sum(base) AS leftover FROM i),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source)
+        |    AS rk FROM i)
+        |SELECT source, n_docs, round(weight, 6) AS weight,
+        |  base + (CASE WHEN rk <= (SELECT leftover FROM l)
+        |          THEN 1 ELSE 0 END) AS alloc
+        |FROM r ORDER BY source""".stripMargin,
   )
 }

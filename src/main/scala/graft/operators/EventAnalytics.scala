@@ -168,4 +168,29 @@ object EventAnalytics {
         col("n_events") >= minEvents &&
           col("median_gap_us") < fastUs.toDouble)
   }
+
+  /** SCD2-style validity intervals from a change log: treat each row
+    * as the observed state of `keyCol` at `tsCol`, COLLAPSE runs of
+    * identical consecutive states (a re-crawl that observed no change
+    * is not a new version), and emit one row per surviving change with
+    * its half-open validity window — `valid_to` = next change's
+    * timestamp, null while current. The standard "latest-known state
+    * as of T" materialization every warehouse keeps for dimensions.
+    *
+    * Scale shape: two key-partitioned windows (dedup-lag + lead) over
+    * the SAME (key, time) ordering — one shuffle, sorts amortized
+    * across both. Ties at identical timestamps break by `idCol` so
+    * the ordering is total; state comparison is null-safe. */
+  def validityIntervals(changes: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val collapsed = changes
+      .withColumn("_prev", lag(col(stateCol), 1).over(w))
+      .filter(!(col(stateCol) <=> col("_prev")))
+      .select(col(keyCol), col(stateCol).as("state"),
+        col(tsCol).as("valid_from"))
+    val w2 = Window.partitionBy(col(keyCol))
+      .orderBy(col("valid_from"), col("state"))
+    collapsed.withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+  }
 }

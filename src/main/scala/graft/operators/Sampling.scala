@@ -164,4 +164,48 @@ object Sampling {
       epoch: Int): DataFrame =
     docs.withColumn("shuffle_key", shuffleKey(col(idCol), epoch))
       .orderBy(col("shuffle_key"), col(idCol))
+
+  /** Temperature-scaled mixture allocation — the standard multilingual
+    * /multi-source rebalancing rule (weight ∝ countᵅ, α < 1 up-weights
+    * small sources) turned into an EXACT integer token budget per
+    * group via largest-remainder apportionment: floor every ideal
+    * share, then hand the leftover units to the largest fractional
+    * remainders (group-name tiebreak). Allocations always sum to
+    * `budget` exactly.
+    *
+    * Determinism discipline: group counts partial-aggregate to one row
+    * per group (metadata scale); the weight denominator folds in
+    * group-sorted order so the IEEE sum has exactly one order on any
+    * engine; α = 0.5 routes through `sqrt` — correctly rounded by
+    * IEEE 754, unlike `pow`, so an external oracle reproduces every
+    * double bit-for-bit and the floor/remainder ranking can never
+    * diverge at a boundary. The leftover count is a sum of LONGS
+    * (order-free). Returns (group, n_docs, weight, alloc). */
+  def temperatureAllocation(df: DataFrame, grpCol: String,
+      budget: Long, alpha: Double = 0.5): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val counts = df.groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_raw",
+        if (alpha == 0.5) sqrt(col("n_docs"))
+        else pow(col("n_docs"), alpha))
+    val tot = counts
+      .agg(sort_array(collect_list(struct(col(grpCol), col("w_raw"))))
+        .as("arr"))
+      .select(aggregate(col("arr"), lit(0.0d),
+        (acc, x) => acc + x.getField("w_raw")).as("tot"))
+    val ideal = counts.crossJoin(broadcast(tot))
+      .withColumn("weight", col("w_raw") / col("tot"))
+      .withColumn("base", floor(lit(budget) * col("weight")).cast("long"))
+      .withColumn("rem", lit(budget) * col("weight") - col("base"))
+    val leftover = ideal.agg(
+      (lit(budget) - sum(col("base"))).as("leftover"))
+    val rankW = Window.orderBy(col("rem").desc, col(grpCol))
+    ideal.crossJoin(broadcast(leftover))
+      .withColumn("_rk", row_number().over(rankW))
+      .select(col(grpCol), col("n_docs"),
+        round(col("weight"), 6).as("weight"),
+        (col("base") + when(col("_rk") <= col("leftover"), 1L)
+          .otherwise(0L)).as("alloc"))
+  }
 }

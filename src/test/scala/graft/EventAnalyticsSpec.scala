@@ -80,4 +80,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(!got(3L).getAs[Boolean]("is_bot"),
       "3 fast events alone must not convict")
   }
+
+  test("validityIntervals: runs collapse, half-open windows chain, ties break by id") {
+    // user 1: A A B B A -> intervals A[10,30) B[30,50) A[50,null);
+    // user 2: single observation -> one open interval;
+    // same-ts tie (40a/41b at ts 50 for user 3) ordered by event_id
+    val ev = Seq(
+      (1L, 10L, 100L, "A"), (1L, 20L, 101L, "A"), (1L, 30L, 102L, "B"),
+      (1L, 40L, 103L, "B"), (1L, 50L, 104L, "A"),
+      (2L, 5L, 200L, "X"),
+      (3L, 50L, 300L, "P"), (3L, 50L, 301L, "Q"))
+      .toDF("user_id", "us", "event_id", "state0")
+    val iv = EventAnalytics.validityIntervals(ev, "user_id", "us",
+        "event_id", "state0")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    val u1 = iv.filter(_._1 == 1L).sortBy(_._3)
+    assert(u1.toSeq == Seq((1L, "A", 10L, 30L), (1L, "B", 30L, 50L),
+      (1L, "A", 50L, -1L)), u1.toSeq)
+    assert(iv.filter(_._1 == 2L).toSeq == Seq((2L, "X", 5L, -1L)))
+    // P (event 300) precedes Q (event 301) at the tied timestamp
+    val u3 = iv.filter(_._1 == 3L).sortBy(_._2)
+    assert(u3.toSeq == Seq((3L, "P", 50L, 50L), (3L, "Q", 50L, -1L)),
+      u3.toSeq)
+  }
 }

@@ -1000,6 +1000,20 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop"), "no nested-loop in blocklist plan")
   }
 
+  test("temperatureAllocation: sqrt weights, largest-remainder sums to budget exactly") {
+    val df = (Seq.fill(1)("a") ++ Seq.fill(4)("b") ++ Seq.fill(16)("c"))
+      .zipWithIndex.map { case (g, i) => (g, i.toLong) }.toDF("grp", "id")
+    val got = Sampling.temperatureAllocation(df, "grp", budget = 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // sqrt counts 1/2/4, tot 7 -> ideals 10/7, 20/7, 40/7 ->
+    // bases 1, 2, 5 (sum 8), remainders .428/.857/.714 -> b and c top up
+    assert(got("a") == ((1L, 0.142857, 1L)), got("a"))
+    assert(got("b") == ((4L, 0.285714, 3L)), got("b"))
+    assert(got("c") == ((16L, 0.571429, 6L)), got("c"))
+    assert(got.values.map(_._3).sum == 10L, "allocations must sum to budget")
+  }
+
   test("exactQuantilesByValue matches a row-grain sorted computation") {
     val rows = for (g <- Seq("a", "b"); i <- 1 to 137)
       yield (g, if (g == "a") (i % 13).toLong else (i * i % 29).toLong)
