@@ -1942,6 +1942,25 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** C4/Gopher rule-based quality filter (TextAnalysis.gopherRules)
+    * over documents salted with deterministic line structure: every doc
+    * gets a terminal period, every 3rd bullet lines, every 4th an
+    * unpunctuated trailing line, every 10th a lorem-ipsum footer. */
+  private def qGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val salted = t.documents.select(col("doc_id"), concat(
+      col("text"), lit("."),
+      when(col("doc_id") % 3 === 0,
+        lit("\n- item one\n- item two")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        lit("\nTrailing line without punct")).otherwise(lit("")),
+      when(col("doc_id") % 10 === 0,
+        lit("\nLorem ipsum dolor sit amet.")).otherwise(lit("")))
+      .as("text"))
+    TextAnalysis.gopherRules(salted, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -2082,6 +2101,7 @@ object SparkEntry {
     "q133_bot_detect" -> (qBotDetect _),
     "q134_scd2" -> (qScd2 _),
     "q135_temperature_mix" -> (qTemperatureMix _),
+    "q136_gopher_rules" -> (qGopherRules _),
   )
 
   // -------------------------------------------------------------------
@@ -4828,5 +4848,48 @@ object SparkEntry {
         |  base + (CASE WHEN rk <= (SELECT leftover FROM l)
         |          THEN 1 ELSE 0 END) AS alloc
         |FROM r ORDER BY source""".stripMargin,
+
+    // stopword list generated from the SAME Scala constant gopherRules
+    // uses; bullet-class char via chr(8226) so no non-ascii literal
+    "q136_gopher_rules" -> {
+      val enStops = TextAnalysis.StopwordsByLang.toMap.apply("en")
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH s AS (SELECT doc_id, text || '.' ||
+         |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- item one' ||
+         |          chr(10) || '- item two' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 4 = 0 THEN chr(10) ||
+         |          'Trailing line without punct' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 10 = 0 THEN chr(10) ||
+         |          'Lorem ipsum dolor sit amet.' ELSE '' END) AS t
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(${wsTokensSql("t")}) AS BIGINT) AS n_words,
+         |    round(CAST(list_aggregate(list_transform(${wsTokensSql("t")},
+         |      x -> len(x)), 'sum') AS DOUBLE) /
+         |      len(${wsTokensSql("t")}), 6) AS mean_word_len,
+         |    list_filter(list_transform(string_split(t, chr(10)),
+         |      l -> trim(l)), l -> len(l) > 0) AS lines,
+         |    CAST(len(list_filter(list_distinct(
+         |      ${wsTokensSql("lower(t)")}), x -> x IN ($enStops)))
+         |      AS BIGINT) AS n_stop_hits,
+         |    contains(lower(t), 'lorem ipsum') AS has_lorem
+         |  FROM s),
+         |r AS (SELECT doc_id, n_words, mean_word_len,
+         |    round(CAST(len(list_filter(lines,
+         |      l -> regexp_matches(l, '[.!?"]$$'))) AS DOUBLE) /
+         |      len(lines), 6) AS frac_lines_end_punct,
+         |    round(CAST(len(list_filter(lines,
+         |      l -> regexp_matches(l, '^[-*' || chr(8226) || ']')))
+         |      AS DOUBLE) / len(lines), 6) AS frac_bullet_lines,
+         |    n_stop_hits, has_lorem
+         |  FROM m)
+         |SELECT doc_id, n_words, mean_word_len, frac_lines_end_punct,
+         |  frac_bullet_lines, n_stop_hits, has_lorem,
+         |  (n_words >= 10 AND n_words <= 100000 AND
+         |   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+         |   frac_lines_end_punct >= 0.3 AND frac_bullet_lines <= 0.9 AND
+         |   n_stop_hits >= 2 AND NOT has_lorem) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -1014,6 +1014,31 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.map(_._3).sum == 10L, "allocations must sum to budget")
   }
 
+  test("gopherRules: line heuristics, stopword floor, lorem flag, keep verdict") {
+    val df = Seq(
+      // clean prose: ends in punct, stopwords, sane word lengths
+      (1L, "the quick fox runs to a house and sleeps in that barn today ok."),
+      // bullet-heavy (2 of 3 lines) + unpunctuated
+      (2L, "the list of a thing is that:\n- one\n- two"),
+      // lorem boilerplate
+      (3L, "the text of a page is that one.\nLorem Ipsum dolor sit."),
+      // no stopwords at all
+      (4L, "zzz qqq www rrr ttt yyy uuu iii ooo ppp aaa sss."))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(df, "text", "doc_id", minWords = 5L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"), got(1L).toString)
+    assert(got(1L).getAs[Double]("frac_lines_end_punct") == 1.0)
+    assert(got(2L).getAs[Double]("frac_bullet_lines") == 2.0 / 3.0 ||
+      got(2L).getAs[Double]("frac_bullet_lines") == 0.666667)
+    assert(!got(2L).getAs[Boolean]("keep"),
+      "unpunctuated bullet list must fail the end-punct rule")
+    assert(got(3L).getAs[Boolean]("has_lorem") && !got(3L).getAs[Boolean]("keep"))
+    assert(got(4L).getAs[Long]("n_stop_hits") == 0L &&
+      !got(4L).getAs[Boolean]("keep"),
+      "stopword-free noise must fail the >= 2 stopwords rule")
+  }
+
   test("exactQuantilesByValue matches a row-grain sorted computation") {
     val rows = for (g <- Seq("a", "b"); i <- 1 to 137)
       yield (g, if (g == "a") (i % 13).toLong else (i * i % 29).toLong)
