@@ -1961,6 +1961,30 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Code-vs-prose routing (TextAnalysis.codeDetect) over documents
+    * salted with deterministic code blocks for every 4th doc. */
+  private def qCodeDetect(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val salted = t.documents.select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 4 === 0, lit(
+        "\ndef load(path):\n    return read(path);\nimport os\nx = 1;"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("\nplain trailing prose line"))
+        .otherwise(lit(""))).as("text"))
+    TextAnalysis.codeDetect(salted, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** MP4 container triage (MultiModal.decodeMp4Meta): header-only box
+    * walk over closed-form fixtures (every 2nd led by a free box, so
+    * fixed-offset shortcuts would fail). */
+  private def qMp4Meta(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    MultiModal.decodeMp4Meta(MultiModal.syntheticMp4(
+        t.documents.select(col("doc_id")), "doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -2102,6 +2126,8 @@ object SparkEntry {
     "q134_scd2" -> (qScd2 _),
     "q135_temperature_mix" -> (qTemperatureMix _),
     "q136_gopher_rules" -> (qGopherRules _),
+    "q137_code_detect" -> (qCodeDetect _),
+    "q138_mp4_meta" -> (qMp4Meta _),
   )
 
   // -------------------------------------------------------------------
@@ -4891,5 +4917,43 @@ object SparkEntry {
          |   n_stop_hits >= 2 AND NOT has_lorem) AS keep
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    "q137_code_detect" ->
+      """WITH s AS (SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'def load(path):'
+        |      || chr(10) || '    return read(path);' || chr(10) ||
+        |      'import os' || chr(10) || 'x = 1;' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+        |      'plain trailing prose line' ELSE '' END) AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    list_filter(string_split(t, chr(10)),
+        |      l -> len(trim(l)) > 0) AS lines, t
+        |  FROM s),
+        |r AS (SELECT doc_id,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    round(CAST(len(list_filter(lines, l ->
+        |      regexp_matches(l, '^(    |\t)') OR
+        |      regexp_matches(trim(l), '[;{}]$') OR
+        |      regexp_matches(trim(l), '^(def|class|import|function|return|var|let|const|if|for|while)\b')))
+        |      AS DOUBLE) / len(lines), 6) AS frac_code_lines,
+        |    round(CAST(length(t) - length(regexp_replace(t,
+        |      '[\[\]{}();=<>]', '', 'g')) AS DOUBLE) / length(t), 6)
+        |      AS symbol_ratio
+        |  FROM m)
+        |SELECT doc_id, n_lines, frac_code_lines, symbol_ratio,
+        |  (frac_code_lines >= 0.3 OR symbol_ratio >= 0.05) AS is_code
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // closed forms of the MP4 fixtures: the oracle never sees a byte —
+    // matching proves the box walk recovered every field exactly
+    "q138_mp4_meta" ->
+      """SELECT doc_id, true AS is_mp4, 'isom' AS major_brand,
+        |  CAST(1000 * (doc_id % 4 + 1) AS BIGINT) AS timescale,
+        |  CAST(500 * doc_id + 1000 AS BIGINT) AS duration,
+        |  CAST((500 * doc_id + 1000) * 1000 //
+        |    (1000 * (doc_id % 4 + 1)) AS BIGINT) AS duration_ms,
+        |  CAST(doc_id % 3 + 1 AS BIGINT) AS n_tracks
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

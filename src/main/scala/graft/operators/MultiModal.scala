@@ -421,6 +421,117 @@ object MultiModal {
       .toDF()
   }
 
+  // ------------------------------------------------------------------
+  // MP4 container metadata (ISO/IEC 14496-12 ISO base media file
+  // format — public spec). REAL box walking, header-only: no codec is
+  // touched, which is exactly how a corpus triage pass should read
+  // video at 100 TB (duration/brand/track-count from a few hundred
+  // bytes, never a frame decode). Boxes are [u32be size][4cc type]
+  // [payload]; moov/trak are pure containers, mvhd v0 carries
+  // timescale (u32 @ +12 of payload) and duration (u32 @ +16).
+  // ------------------------------------------------------------------
+
+  /** Encode a minimal valid MP4: ftyp + (optionally a free box first —
+    * real muxers do this, parsers must WALK, not assume offsets) +
+    * moov[ mvhd + one empty trak per track ]. */
+  def encodeMp4(timescale: Int, duration: Long, nTracks: Int,
+      freeBoxFirst: Boolean = false): Array[Byte] = {
+    require(timescale > 0 && duration >= 0 && nTracks >= 0)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
+        .put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 2, 0) ++ "iso2mp41".getBytes("US-ASCII"))
+    val mvhdPayload = java.nio.ByteBuffer.allocate(100)
+      .putInt(0)                     // version 0 + flags
+      .putInt(0).putInt(0)           // ctime, mtime
+      .putInt(timescale)
+      .putInt(duration.toInt)
+      .array()
+    val traks = (0 until nTracks)
+      .map(_ => box("trak", Array.empty[Byte]))
+      .foldLeft(Array.empty[Byte])(_ ++ _)
+    val moov = box("moov", box("mvhd", mvhdPayload) ++ traks)
+    val free = if (freeBoxFirst) box("free", Array.fill(16)(0: Byte))
+      else Array.empty[Byte]
+    ftyp ++ free ++ moov
+  }
+
+  /** Decoded MP4 header facts: brand, movie timescale/duration (+ the
+    * derived duration_ms, exact integer µ-arithmetic) and track count. */
+  final case class Mp4Meta(doc_id: Long, is_mp4: Boolean,
+      major_brand: String, timescale: Long, duration: Long,
+      duration_ms: Long, n_tracks: Long)
+
+  /** REAL MP4 box walk, partition-batched like [[wavSampleStats]]:
+    * top-level boxes scan for ftyp (brand) and moov; moov's children
+    * scan for mvhd (v0 timescale/duration) and trak (count). Payloads
+    * that don't start with a well-formed ftyp come back
+    * `is_mp4 = false` with null-ish fields instead of throwing — a
+    * crawl's "video/mp4" label lies often enough that a million-task
+    * job must shrug, not die. */
+  def decodeMp4Meta(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def walk(id: Long, bytes: Array[Byte]): Mp4Meta = {
+      val bad = Mp4Meta(id, is_mp4 = false, "", 0L, 0L, 0L, 0L)
+      val b = java.nio.ByteBuffer.wrap(bytes) // ISO boxes are BIG-endian
+      def boxType(off: Int): String =
+        new String(bytes, off + 4, 4, "US-ASCII")
+      if (bytes.length < 16 || boxType(0) != "ftyp") return bad
+      val brand = new String(bytes, 8, 4, "US-ASCII")
+      var off = 0
+      var moovOff = -1
+      var moovEnd = -1
+      while (off + 8 <= bytes.length && moovOff < 0) {
+        val size = b.getInt(off)
+        if (size < 8 || off + size > bytes.length) return bad
+        if (boxType(off) == "moov") { moovOff = off; moovEnd = off + size }
+        off += size
+      }
+      if (moovOff < 0) return bad
+      var ts = 0L; var dur = 0L; var tracks = 0L; var sawMvhd = false
+      var c = moovOff + 8
+      while (c + 8 <= moovEnd) {
+        val size = b.getInt(c)
+        if (size < 8 || c + size > moovEnd) return bad
+        boxType(c) match {
+          case "mvhd" if size >= 28 && bytes(c + 8) == 0 =>
+            ts = b.getInt(c + 20).toLong & 0xffffffffL
+            dur = b.getInt(c + 24).toLong & 0xffffffffL
+            sawMvhd = true
+          case "trak" => tracks += 1
+          case _ => ()
+        }
+        c += size
+      }
+      if (!sawMvhd || ts == 0) return bad
+      Mp4Meta(id, is_mp4 = true, brand, ts, dur, dur * 1000L / ts, tracks)
+    }
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map {
+        case (id, p) => walk(id, p)
+      }))
+      .toDF()
+  }
+
+  /** Deterministic MP4 fixture per id: timescale = 1000·(id%4+1),
+    * duration = 500·id + 1000 ticks, tracks = id%3+1, every 2nd file
+    * led by a free box — closed forms an external oracle recomputes
+    * without the bytes. */
+  def syntheticMp4(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      (id, encodeMp4((1000 * (id % 4 + 1)).toInt, 500L * id + 1000L,
+        (id % 3 + 1).toInt, freeBoxFirst = id % 2 == 0))
+    }).toDF(idCol, "payload")
+  }
+
   /** Attach a synthetic binary payload derived from a text column (in a
     * real pipeline this is the raw image/audio bytes read from the
     * lake). */

@@ -1012,6 +1012,42 @@ object TextAnalysis {
         col("n_stop_hits") >= 2L && !col("has_lorem"))
   }
 
+  /** Code-vs-prose detection — the routing signal a pretraining
+    * pipeline needs before language-specific filters apply (code is
+    * GOOD data routed to a code mixture, not noise to delete; prose
+    * rules like [[gopherRules]] would wrongly kill it). Per document:
+    *
+    *  - `frac_code_lines` — share of non-empty lines that look like
+    *    code: indented 4+ spaces or a tab, ending in `; { }`, or
+    *    starting with a programming keyword
+    *    (def/class/import/function/return/var/let/const/if/for/while);
+    *  - `symbol_ratio` — share of `[]{}();=<>` characters;
+    *  - `is_code` — frac_code_lines ≥ 0.3 or symbol_ratio ≥ 0.05.
+    *
+    * Pure per-row expressions, zero shuffle, engine-replayable. */
+  def codeDetect(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    // lines keep their leading whitespace (indentation IS the signal);
+    // only all-whitespace lines drop
+    val lines = filter(split(col(textCol), "\n"),
+      l => length(trim(l)) > 0)
+    val nLines = size(lines)
+    val codeLine = (l: Column) =>
+      l.rlike("^(    |\\t)") || trim(l).rlike("[;{}]$") ||
+        trim(l).rlike(
+          "^(def|class|import|function|return|var|let|const|if|for|while)\\b")
+    val fracCode = when(nLines > 0,
+      round(size(filter(lines, codeLine)).cast("double") / nLines, 6))
+    val len = length(col(textCol))
+    val symRatio = when(len > 0,
+      round((len - length(regexp_replace(col(textCol),
+        "[\\[\\]{}();=<>]", ""))).cast("double") / len, 6))
+    df.select(col(idCol), nLines.cast("long").as("n_lines"),
+        fracCode.as("frac_code_lines"), symRatio.as("symbol_ratio"))
+      .withColumn("is_code",
+        col("frac_code_lines") >= 0.3 || col("symbol_ratio") >= 0.05)
+  }
+
   /** Zipf's-law fit over the corpus vocabulary: OLS of ln(freq) on
     * ln(rank) across the top `topN` tokens (rank 1 = most frequent;
     * ties broken by token so the ranking is total). A natural corpus

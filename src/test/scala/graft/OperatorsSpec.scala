@@ -1039,6 +1039,44 @@ class OperatorsSpec extends SparkSpec {
       "stopword-free noise must fail the >= 2 stopwords rule")
   }
 
+  test("mp4 box walk: round-trip, free-box offsets, garbage declined") {
+    val good = MultiModal.encodeMp4(timescale = 3000, duration = 4500L,
+      nTracks = 2)
+    val freed = MultiModal.encodeMp4(timescale = 1000, duration = 999L,
+      nTracks = 3, freeBoxFirst = true)
+    val df = Seq(
+      (1L, good), (2L, freed),
+      (3L, "this is certainly not an mp4 container".getBytes("UTF-8")),
+      (4L, good.take(10))) // truncated mid-box
+      .toDF("doc_id", "payload")
+    val out = MultiModal.decodeMp4Meta(df)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(1) && out(1L).getString(2) == "isom")
+    assert(out(1L).getLong(3) == 3000L && out(1L).getLong(4) == 4500L)
+    assert(out(1L).getLong(5) == 1500L && out(1L).getLong(6) == 2L)
+    // the free box shifts moov: fixed offsets would mis-read, the walk
+    // must not
+    assert(out(2L).getBoolean(1) && out(2L).getLong(3) == 1000L &&
+      out(2L).getLong(4) == 999L && out(2L).getLong(6) == 3L)
+    assert(!out(3L).getBoolean(1), "garbage accepted as mp4")
+    assert(!out(4L).getBoolean(1), "truncated container accepted")
+  }
+
+  test("codeDetect: indentation/terminator/keyword lines, prose stays prose") {
+    val df = Seq(
+      (1L, "def main():\n    x = compute();\n    return x;\nimport sys"),
+      (2L, "the cat sat on the mat\nand then it slept all day"),
+      (3L, "mostly prose here\n    but one indented line"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.codeDetect(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("is_code"))
+    assert(got(1L).getAs[Double]("frac_code_lines") == 1.0)
+    assert(!got(2L).getAs[Boolean]("is_code"))
+    assert(got(2L).getAs[Double]("symbol_ratio") == 0.0)
+    assert(got(3L).getAs[Double]("frac_code_lines") == 0.5)
+  }
+
   test("exactQuantilesByValue matches a row-grain sorted computation") {
     val rows = for (g <- Seq("a", "b"); i <- 1 to 137)
       yield (g, if (g == "a") (i % 13).toLong else (i * i % 29).toLong)
