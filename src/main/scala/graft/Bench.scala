@@ -148,7 +148,21 @@ object Bench {
     // artifact is captured tail-first, so a truncated capture that loses
     // the head keeps the headline (r5 lost the total + 36 per-query
     // numbers because "value" led the line).
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"query_mins":$qmins,"errors":$errsJson,"n_queries":${ok.size},"worst_query":"$worstName","worst":$worstT,"value":$total}""")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"query_mins":$qmins,"errors":$errsJson,"n_queries":${ok.size},"worst_query":"$worstName","worst":$worstT,"value":$total}"""
+    println(line)
+    // The stdout capture has tail-truncated the per-query numbers three
+    // rounds running (r7 kept 62 of 138). Persist the COMPLETE artifact
+    // to a file as well, so the full per-query medians + mins always
+    // survive regardless of how stdout is captured.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench: could not write $outPath: $e")
+    }
     spark.stop()
   }
 }

@@ -4718,9 +4718,14 @@ object SparkEntry {
         |    length(t) - length(replace(t, chr(65533), '')) AS n_repl,
         |    length(t) - length(regexp_replace(t,
         |      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')) AS n_ctrl,
-        |    (length(t) - length(replace(t, chr(195), ''))) +
-        |      (length(t) - length(replace(t, chr(226) || chr(8364), '')))
-        |        // 2 AS n_moji,
+        |    len(regexp_extract_all(t, '\x{00C3}[\x{0080}-\x{00BF}' ||
+        |      '\x{20AC}\x{201A}\x{0192}\x{201E}\x{2026}\x{2020}' ||
+        |      '\x{2021}\x{02C6}\x{2030}\x{0160}\x{2039}\x{0152}' ||
+        |      '\x{017D}\x{2018}\x{2019}\x{201C}\x{201D}\x{2022}' ||
+        |      '\x{2013}\x{2014}\x{02DC}\x{2122}\x{0161}\x{203A}' ||
+        |      '\x{0153}\x{017E}\x{0178}]')) +
+        |      len(regexp_extract_all(t, chr(226) || chr(8364)))
+        |        AS n_moji,
         |    length(t) - length(regexp_replace(t, '[^\x00-\x7f]', '', 'g'))
         |      AS n_na
         |  FROM s)
@@ -4846,9 +4851,11 @@ object SparkEntry {
         |    event_type FROM events),
         |c AS (SELECT user_id, event_type, us,
         |    lag(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY us, event_id) AS prev FROM e),
+        |      ORDER BY us, event_id) AS prev,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS rn FROM e),
         |ch AS (SELECT user_id, event_type AS state, us AS valid_from
-        |  FROM c WHERE prev IS NULL OR event_type <> prev),
+        |  FROM c WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
         |iv AS (SELECT user_id, state, valid_from,
         |    lead(valid_from) OVER (PARTITION BY user_id
         |      ORDER BY valid_from, state) AS valid_to FROM ch)

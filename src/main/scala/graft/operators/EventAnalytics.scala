@@ -186,7 +186,11 @@ object EventAnalytics {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
     val collapsed = changes
       .withColumn("_prev", lag(col(stateCol), 1).over(w))
-      .filter(!(col(stateCol) <=> col("_prev")))
+      .withColumn("_rn", row_number().over(w))
+      // the first observation is kept EXPLICITLY: when its state is
+      // null, `null <=> lag(...)=null` is true and a bare
+      // change-predicate would drop the key's first interval entirely
+      .filter(col("_rn") === 1 || !(col(stateCol) <=> col("_prev")))
       .select(col(keyCol), col(stateCol).as("state"),
         col(tsCol).as("valid_from"))
     val w2 = Window.partitionBy(col(keyCol))

@@ -488,7 +488,10 @@ object MultiModal {
       var moovEnd = -1
       while (off + 8 <= bytes.length && moovOff < 0) {
         val size = b.getInt(off)
-        if (size < 8 || off + size > bytes.length) return bad
+        // compare in Long: a lying crawl payload can declare a box size
+        // near Int.MaxValue, and a 32-bit `off + size` wraps negative,
+        // passes the guard, and sends getInt out of bounds
+        if (size < 8 || off.toLong + size > bytes.length) return bad
         if (boxType(off) == "moov") { moovOff = off; moovEnd = off + size }
         off += size
       }
@@ -497,7 +500,7 @@ object MultiModal {
       var c = moovOff + 8
       while (c + 8 <= moovEnd) {
         val size = b.getInt(c)
-        if (size < 8 || c + size > moovEnd) return bad
+        if (size < 8 || c.toLong + size > moovEnd) return bad
         boxType(c) match {
           case "mvhd" if size >= 28 && bytes(c + 8) == 0 =>
             ts = b.getInt(c + 20).toLong & 0xffffffffL
@@ -514,7 +517,10 @@ object MultiModal {
     df.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map {
-        case (id, p) => walk(id, p)
+        // any residual malformed-container surprise quarantines as a
+        // bad row instead of killing the task — the docstring's promise
+        case (id, p) => scala.util.Try(walk(id, p))
+          .getOrElse(Mp4Meta(id, is_mp4 = false, "", 0L, 0L, 0L, 0L))
       }))
       .toDF()
   }

@@ -926,9 +926,13 @@ object TextAnalysis {
     *    already gave up on those bytes);
     *  - `n_ctrl` — C0/C1-adjacent control characters other than
     *    tab/LF/CR (binary junk inside "text");
-    *  - `n_mojibake` — signature characters of UTF-8 read as
-    *    Latin-1/cp1252: 'Ã' (lead byte 0xC3 mis-decoded) and the
-    *    'â€' pair (0xE2 0x80 — curly quotes/dashes mangled);
+    *  - `n_mojibake` — signature pairs of UTF-8 read as
+    *    Latin-1/cp1252: 'Ã' (lead byte 0xC3 mis-decoded) but ONLY when
+    *    followed by a mis-decoded continuation byte (U+0080–U+00BF, or
+    *    one of cp1252's remaps of 0x80–0x9F such as €™œ), and the
+    *    'â€' pair (0xE2 0x80 — curly quotes/dashes mangled). A bare
+    *    'Ã' before an ASCII letter is natural language ("SÃO PAULO",
+    *    "NÃO") and does NOT count;
     *  - `ascii_ratio` — share of 7-bit chars, 6 dp (a *legitimately*
     *    non-Latin document scores low here but clean on the damage
     *    counters — the columns separate "not English" from "broken");
@@ -945,8 +949,17 @@ object TextAnalysis {
     val nRepl = len - length(regexp_replace(t, "�", ""))
     val nCtrl = len - length(regexp_replace(t,
       "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""))
-    val nMoji = (len - length(regexp_replace(t, "Ã", ""))) +
-      (len - length(regexp_replace(t, "â€", ""))) / lit(2L)
+    // 'Ã' alone is legitimate text (Portuguese "SÃO", "NÃO"); real
+    // UTF-8-as-Latin-1 damage pairs the 0xC3 lead with a mis-decoded
+    // continuation byte — raw U+0080–U+00BF, or the character cp1252
+    // remaps that byte to (0x80–0x9F → €‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ)
+    val contClass = "\\x{0080}-\\x{00bf}" +
+      "\\u20ac\\u201a\\u0192\\u201e\\u2026\\u2020\\u2021\\u02c6" +
+      "\\u2030\\u0160\\u2039\\u0152\\u017d\\u2018\\u2019\\u201c" +
+      "\\u201d\\u2022\\u2013\\u2014\\u02dc\\u2122\\u0161\\u203a" +
+      "\\u0153\\u017e\\u0178"
+    val nMoji = regexp_count(t, lit(s"Ã[$contClass]")) +
+      regexp_count(t, lit("â€"))
     val nNonAscii = len - length(regexp_replace(t, "[^\\x00-\\x7f]", ""))
     df.select(col(idCol),
       nRepl.cast("long").as("n_replacement"),

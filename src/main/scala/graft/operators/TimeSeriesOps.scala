@@ -481,6 +481,12 @@ object TimeSeriesOps {
     require(bucketUs > 0, "bucketUs must be positive")
     val iv = intervals.columns.foldLeft(intervals) { (df, c) =>
       df.withColumnRenamed(c, s"iv_$c") }
+      // a corrupt row with end <= start can never match the half-open
+      // predicate — and UNFILTERED it feeds sequence(hi, lo), whose
+      // default step -1 materializes the full DESCENDING bucket range:
+      // one interval spanning years backwards explodes to millions of
+      // replicas before the exact filter discards them all
+      .filter(col(s"iv_$endCol") > col(s"iv_$startCol"))
     val ivB = iv.withColumn("_bucket",
       explode(sequence(
         floor(unix_micros(col(s"iv_$startCol")) / bucketUs).cast("long"),

@@ -104,4 +104,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(u3.toSeq == Seq((3L, "P", 50L, 50L), (3L, "Q", 50L, -1L)),
       u3.toSeq)
   }
+
+  test("validityIntervals: a key whose FIRST observed state is null keeps its interval") {
+    // null <=> lag(null-on-first-row) is true, so a bare change filter
+    // silently dropped the leading interval; null→A and A→null are
+    // still genuine transitions
+    val ev = Seq(
+      (1L, 10L, 100L, null.asInstanceOf[String]),
+      (1L, 20L, 101L, null.asInstanceOf[String]), // run of nulls collapses
+      (1L, 30L, 102L, "A"),
+      (1L, 40L, 103L, null.asInstanceOf[String]))
+      .toDF("user_id", "us", "event_id", "state0")
+    val iv = EventAnalytics.validityIntervals(ev, "user_id", "us",
+        "event_id", "state0")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) "∅" else r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sortBy(_._3)
+    assert(iv.toSeq == Seq((1L, "∅", 10L, 30L), (1L, "A", 30L, 40L),
+      (1L, "∅", 40L, -1L)), iv.toSeq)
+  }
 }

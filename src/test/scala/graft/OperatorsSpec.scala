@@ -927,7 +927,11 @@ class OperatorsSpec extends SparkSpec {
       // "caf\u00e9 \u201cquoted\u201d" mis-decoded as Latin-1:
       // one 0xC3 lead byte + two 0xE2 0x80 pairs
       (4L, "caf\u00c3\u00a9 \u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d"),
-      (5L, "日本語のテキスト"))                    // non-ascii but CLEAN
+      (5L, "日本語のテキスト"),                    // non-ascii but CLEAN
+      // natural-language A-tilde: Ã followed by ASCII is NOT mojibake
+      (6L, "SÃO PAULO NÃO café"),
+      // cp1252-remapped continuation: Ã + ™ (0xC3 0x99 mis-decoded)
+      (7L, "broken Ã™ pair"))
       .toDF("doc_id", "text")
     val out = TextAnalysis.encodingQuality(df, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r).toMap
@@ -939,6 +943,10 @@ class OperatorsSpec extends SparkSpec {
       out(5L).getLong(3) == 0 && out(5L).getBoolean(5),
       "legitimately non-Latin text must score clean")
     assert(out(5L).getDouble(4) < 0.5 && out(1L).getDouble(4) == 1.0)
+    assert(out(6L).getLong(3) == 0 && out(6L).getBoolean(5),
+      "all-caps Portuguese is not transcoding damage")
+    assert(out(7L).getLong(3) == 1 && !out(7L).getBoolean(5),
+      "cp1252-remapped continuation must still count")
   }
 
   test("zipfFit: recovers the slope of an exactly Zipfian corpus") {
@@ -1060,6 +1068,32 @@ class OperatorsSpec extends SparkSpec {
       out(2L).getLong(4) == 999L && out(2L).getLong(6) == 3L)
     assert(!out(3L).getBoolean(1), "garbage accepted as mp4")
     assert(!out(4L).getBoolean(1), "truncated container accepted")
+  }
+
+  test("mp4 box walk: lying box sizes near Int.MaxValue quarantine, not crash") {
+    // a well-formed ftyp followed by a box declaring size 0x7ffffff8:
+    // 32-bit `off + size` wraps negative and once passed a bounds guard
+    val good = MultiModal.encodeMp4(timescale = 1000, duration = 2000L,
+      nTracks = 1)
+    val lying = good.clone()
+    // ftyp is 24 bytes (16-byte payload), so moov starts at offset 24
+    lying(24) = 0x7f.toByte; lying(25) = 0xff.toByte
+    lying(26) = 0xff.toByte; lying(27) = 0xf8.toByte
+    // moov child (mvhd at moov+8 = 32) declaring a huge size (wraps
+    // against moovEnd in 32-bit arithmetic)
+    val lyingChild = good.clone()
+    val moovOff = 24
+    lyingChild(moovOff + 8) = 0x7f.toByte
+    lyingChild(moovOff + 9) = 0xff.toByte
+    lyingChild(moovOff + 10) = 0xff.toByte
+    lyingChild(moovOff + 11) = 0xf8.toByte
+    val df = Seq((1L, lying), (2L, lyingChild), (3L, good))
+      .toDF("doc_id", "payload")
+    val out = MultiModal.decodeMp4Meta(df)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out(1L).getBoolean(1), "overflowing top-level size must decline")
+    assert(!out(2L).getBoolean(1), "overflowing moov child size must decline")
+    assert(out(3L).getBoolean(1), "control stays decodable")
   }
 
   test("codeDetect: indentation/terminator/keyword lines, prose stays prose") {

@@ -304,4 +304,24 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop"),
       s"interval join fell back to a nested loop:\n$plan")
   }
+
+  test("pointInIntervalJoin: an inverted interval is discarded BEFORE the explode") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val hourUs = 3600L * 1000000L
+    val pts = Seq((1L, 1800L * 1000000L)).toDF("pid", "us")
+      .select(col("pid"), timestamp_micros(col("us")).as("ts"))
+    // C is corrupt: end < start by ~8 years. Unfiltered, sequence(hi,
+    // lo) would default to step -1 and materialize ~70k descending
+    // hour buckets for this one row; the guard must drop it instead.
+    val ivs = Seq(
+      ("A", 0L, hourUs),
+      ("C", 250000L * hourUs, 0L))
+      .toDF("win", "s_us", "e_us")
+      .select(col("win"), timestamp_micros(col("s_us")).as("start_ts"),
+        timestamp_micros(col("e_us")).as("end_ts"))
+    val out = TimeSeriesOps.pointInIntervalJoin(pts, "ts", ivs,
+        "start_ts", "end_ts", bucketUs = hourUs)
+    val got = out.collect().map(_.getAs[String]("iv_win")).toSeq
+    assert(got == Seq("A"), got)
+  }
 }
