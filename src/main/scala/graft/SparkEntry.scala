@@ -564,6 +564,33 @@ object SparkEntry {
     Dedup.lshPairRecall(candW, truth)
   }
 
+  /** Mega-bucket cap on LSH candidate generation
+    * (Dedup.candidatePairs maxBucketSize): over-cap (band, bucket)
+    * groups demote from all-pairs to star expansion. One row asserting
+    * (a) a cap larger than every bucket reproduces the uncapped pair
+    * set exactly, and (b) the tight-cap pair set + over-bucket counts
+    * match a closed-form replay. */
+  private def qLshBucketCap(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val sig = Dedup.minhashSignature(t.documents, "text", "doc_id", k = 8)
+    val buckets = Dedup.lshBuckets(sig, "doc_id", k = 8, bands = 4)
+      .localCheckpoint(false)
+    val unc = Dedup.candidatePairs(buckets, "doc_id")
+    val capped = Dedup.candidatePairs(buckets, "doc_id", maxBucketSize = 2)
+    val cappedLarge =
+      Dedup.candidatePairs(buckets, "doc_id", maxBucketSize = 1000000)
+    val over = Dedup.overCapBuckets(buckets, "doc_id", 2)
+    unc.agg(count(lit(1)).as("n_uncapped"))
+      .crossJoin(broadcast(
+        cappedLarge.agg(count(lit(1)).as("n_capped_large"))))
+      .crossJoin(broadcast(capped.agg(count(lit(1)).as("n_capped"),
+        coalesce(sum(col("id1") + col("id2")), lit(0L)).cast("long")
+          .as("pair_checksum"))))
+      .crossJoin(broadcast(over.agg(count(lit(1)).as("n_over_buckets"),
+        coalesce(sum(col("n_docs")), lit(0L)).cast("long")
+          .as("n_over_docs"))))
+  }
+
   /** Hybrid retrieval via Reciprocal Rank Fusion
     * (TextAnalysis.rrfFuse): BM25 lexical top-10 fused with the
     * embedding cosine top-10 of query vector 0 — score scales never
@@ -2128,6 +2155,7 @@ object SparkEntry {
     "q136_gopher_rules" -> (qGopherRules _),
     "q137_code_detect" -> (qCodeDetect _),
     "q138_mp4_meta" -> (qMp4Meta _),
+    "q139_lsh_bucket_cap" -> (qLshBucketCap _),
   )
 
   // -------------------------------------------------------------------
@@ -4962,5 +4990,48 @@ object SparkEntry {
         |    (1000 * (doc_id % 4 + 1)) AS BIGINT) AS duration_ms,
         |  CAST(doc_id % 3 + 1 AS BIGINT) AS n_tracks
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // star expansion replay: buckets over the cap pair every member
+    // with the bucket's min-id hub instead of all-pairs; a cap above
+    // every bucket size must reproduce the uncapped pair set
+    "q139_lsh_bucket_cap" ->
+      s"""WITH $lshBucketsCteSql,
+         |sized AS (SELECT doc_id, band, bucket,
+         |    count(*) OVER (PARTITION BY band, bucket) AS n,
+         |    min(doc_id) OVER (PARTITION BY band, bucket) AS hub
+         |  FROM buckets),
+         |unc AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+         |  FROM buckets l JOIN buckets r
+         |  ON l.band = r.band AND l.bucket = r.bucket
+         |    AND l.doc_id < r.doc_id),
+         |cap4 AS (SELECT DISTINCT id1, id2 FROM (
+         |  SELECT l.doc_id AS id1, r.doc_id AS id2
+         |    FROM sized l JOIN sized r
+         |    ON l.band = r.band AND l.bucket = r.bucket
+         |      AND l.doc_id < r.doc_id
+         |    WHERE l.n <= 2
+         |  UNION ALL
+         |  SELECT hub AS id1, doc_id AS id2 FROM sized
+         |    WHERE n > 2 AND doc_id <> hub)),
+         |big AS (SELECT DISTINCT id1, id2 FROM (
+         |  SELECT l.doc_id AS id1, r.doc_id AS id2
+         |    FROM sized l JOIN sized r
+         |    ON l.band = r.band AND l.bucket = r.bucket
+         |      AND l.doc_id < r.doc_id
+         |    WHERE l.n <= 1000000
+         |  UNION ALL
+         |  SELECT hub AS id1, doc_id AS id2 FROM sized
+         |    WHERE n > 1000000 AND doc_id <> hub)),
+         |ovr AS (SELECT band, bucket, count(*) AS n_docs FROM buckets
+         |  GROUP BY band, bucket HAVING count(*) > 2)
+         |SELECT
+         |  (SELECT count(*) FROM unc) AS n_uncapped,
+         |  (SELECT count(*) FROM big) AS n_capped_large,
+         |  (SELECT count(*) FROM cap4) AS n_capped,
+         |  (SELECT CAST(coalesce(sum(id1 + id2), 0) AS BIGINT) FROM cap4)
+         |    AS pair_checksum,
+         |  (SELECT count(*) FROM ovr) AS n_over_buckets,
+         |  (SELECT CAST(coalesce(sum(n_docs), 0) AS BIGINT) FROM ovr)
+         |    AS n_over_docs""".stripMargin,
   )
 }

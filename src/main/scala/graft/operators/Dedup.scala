@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GF
 
@@ -220,15 +221,63 @@ object Dedup {
     * "parse once, reuse" pattern. Unlike `.cache()`, checkpoint blocks
     * are released by the ContextCleaner when the frame is unreferenced,
     * so long-lived sessions don't leak storage. The join itself
-    * shuffles only (band, bucket) keys. */
-  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
+    * shuffles only (band, bucket) keys.
+    *
+    * `maxBucketSize` bounds the one remaining quadratic hazard: the
+    * within-bucket self-join emits |bucket|² rows, and real crawls
+    * produce degenerate mega-buckets (thousands of empty/boilerplate
+    * docs sharing one signature) that would dominate the stage. A
+    * bucket over the cap switches from all-pairs to a STAR expansion —
+    * every member paired with the bucket's min-id hub, n−1 pairs
+    * instead of n(n−1)/2. Connectivity survives (connected-components
+    * clustering links the whole bucket through the hub, and the
+    * verify step still scores each emitted pair); only the redundant
+    * intra-bucket edges are dropped. With the default cap the
+    * behavior — and the plan — is exactly the uncapped original.
+    * [[overCapBuckets]] reports what was demoted. */
+  def candidatePairs(buckets: DataFrame, idCol: String,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val b = buckets.localCheckpoint(false)
-    val l = b.select(col("band"), col("bucket"), col(idCol).as("id1"))
-    val r = b.select(col("band"), col("bucket"), col(idCol).as("id2"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
+    if (maxBucketSize == Int.MaxValue) {
+      val l = b.select(col("band"), col("bucket"), col(idCol).as("id1"))
+      val r = b.select(col("band"), col("bucket"), col(idCol).as("id2"))
+      l.join(r, Seq("band", "bucket"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2")).distinct()
+    } else {
+      require(maxBucketSize >= 2,
+        s"maxBucketSize=$maxBucketSize cannot emit any pair")
+      // bucket size + hub in one unordered window pass over the same
+      // (band, bucket) keys the join shuffles on anyway
+      val w = Window.partitionBy(col("band"), col("bucket"))
+      val sized = b
+        .withColumn("_n", count(lit(1)).over(w))
+        .withColumn("_hub", min(col(idCol)).over(w))
+        .localCheckpoint(false)
+      val small = sized.filter(col("_n") <= maxBucketSize)
+      val l = small.select(col("band"), col("bucket"), col(idCol).as("id1"))
+      val r = small.select(col("band"), col("bucket"), col(idCol).as("id2"))
+      val allPairs = l.join(r, Seq("band", "bucket"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"))
+      // hub = min(id) of the bucket, so id1 < id2 holds by construction
+      val star = sized
+        .filter(col("_n") > maxBucketSize && col(idCol) =!= col("_hub"))
+        .select(col("_hub").as("id1"), col(idCol).as("id2"))
+      allPairs.union(star).distinct()
+    }
   }
+
+  /** Monitoring companion of [[candidatePairs]]'s cap: the (band,
+    * bucket) groups whose size exceeds `maxBucketSize` — the buckets
+    * that were demoted to star expansion — with their sizes. Emit its
+    * count next to a capped dedup run so a degenerate-signature surge
+    * is visible, not silent. */
+  def overCapBuckets(buckets: DataFrame, idCol: String,
+      maxBucketSize: Int): DataFrame =
+    buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucketSize)
 
   /** Exact n-gram Jaccard similarity for given candidate pairs.
     * Explodes each side's shingle set once and counts intersections —

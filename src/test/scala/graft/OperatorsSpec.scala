@@ -116,6 +116,41 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("candidatePairs cap: a 10k-doc mega-bucket emits star pairs, not 50M") {
+    // every doc lands in the same (band, bucket); a normal bucket of 3
+    // rides along to prove small buckets keep all-pairs semantics
+    val mega = (0L until 10000L).map(i => (i, 0, "deadbeef"))
+    val small = (20000L until 20003L).map(i => (i, 1, "cafe"))
+    val buckets = (mega ++ small).toDF("doc_id", "band", "bucket")
+    val capped = Dedup.candidatePairs(buckets, "doc_id",
+      maxBucketSize = 100)
+    val got = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // star: 9999 hub pairs; small bucket: 3 all-pairs
+    assert(got.length == 9999 + 3, s"got ${got.length}")
+    assert(got.filter(_._1 == 0L).length == 9999,
+      "mega-bucket must collapse to min-id star")
+    assert(got.toSet.contains((20000L, 20001L)) &&
+      got.toSet.contains((20000L, 20002L)) &&
+      got.toSet.contains((20001L, 20002L)))
+    val over = Dedup.overCapBuckets(buckets, "doc_id", 100).collect()
+    assert(over.length == 1 && over.head.getAs[Long]("n_docs") == 10000L)
+    // the capped path must stay shuffle-keyed equi-joins: no nested
+    // loop, no cartesian anywhere in the physical plan
+    val p = capped.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"capped candidate generation lost the equi-join:\n$p")
+  }
+
+  test("candidatePairs cap: cap above every bucket size reproduces uncapped pairs") {
+    val sig = Dedup.minhashSignature(docs, "text", "doc_id", k = 8)
+    val buckets = Dedup.lshBuckets(sig, "doc_id", 8, 4)
+    val unc = Dedup.candidatePairs(buckets, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val cap = Dedup.candidatePairs(buckets, "doc_id", maxBucketSize = 1000)
+      .as[(Long, Long)].collect().toSet
+    assert(unc == cap)
+  }
+
   test("ngram jaccard: identical=1, near-dup in (0,1), disjoint=0") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id1", "id2")
     val j = Dedup.ngramJaccard(docs, pairs, "text", "doc_id")
