@@ -287,13 +287,40 @@ object Profiling {
     * The q·n threshold is compared in double (`cum >= q * n`) — the
     * same IEEE multiply on any engine, so an external oracle replaying
     * the window form matches bit-for-bit. Returns (group, q, value)
-    * for every q in `qs`. */
+    * for every q in `qs`.
+    *
+    * The whole trick DEPENDS on a small distinct-value domain: on a
+    * continuous double column every value is distinct, the histogram
+    * degenerates to row grain and the per-group cumulative window
+    * becomes a single-task sort of the whole group. A fractional
+    * `valCol` therefore REQUIRES `valuePrecision` — the declared
+    * number of decimal places the caller's domain actually has; values
+    * are rounded to it before the group-by, which bounds the domain
+    * and makes the quantiles exact at that precision. Integral-typed
+    * columns pass through untouched. */
   def exactQuantilesByValue(df: DataFrame, valCol: String,
-      groupCol: String, qs: Seq[Double]): DataFrame = {
+      groupCol: String, qs: Seq[Double],
+      valuePrecision: Option[Int] = None): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       "quantiles must lie in (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val counts = df.groupBy(col(groupCol), col(valCol).as("v"))
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    val continuous = df.schema(valCol).dataType match {
+      case DoubleType | FloatType | _: DecimalType => true
+      case _ => false
+    }
+    require(!continuous || valuePrecision.isDefined,
+      s"exactQuantilesByValue: '$valCol' is fractional — a continuous " +
+        "domain is all-distinct, which collapses the value-grain plan " +
+        "into a row-grain single-task sort per group. Pass " +
+        "valuePrecision=Some(d) to round to your domain's actual " +
+        "precision (exact at d decimals), or use approxQuantiles / " +
+        "histogram for genuinely continuous signals")
+    val v = valuePrecision match {
+      case Some(d) => round(col(valCol), d)
+      case None => col(valCol)
+    }
+    val counts = df.groupBy(col(groupCol), v.as("v"))
       .agg(count(lit(1)).as("cnt"))
     val cumW = Window.partitionBy(col(groupCol)).orderBy(col("v"))
     val totW = Window.partitionBy(col(groupCol))

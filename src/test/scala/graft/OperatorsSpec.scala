@@ -1161,4 +1161,24 @@ class OperatorsSpec extends SparkSpec {
       assert(got((g, q)) == expect, s"($g, $q): ${got((g, q))} != $expect")
     }
   }
+
+  test("exactQuantilesByValue: continuous double requires a declared precision") {
+    // all-distinct doubles collapse the value-grain plan to a
+    // single-task row sort per group — the guard must fail FAST
+    val df = (1 to 100).map(i => ("g", i + 0.123456789 * i))
+      .toDF("grp", "v")
+    val e = intercept[IllegalArgumentException] {
+      Profiling.exactQuantilesByValue(df, "v", "grp", Seq(0.5))
+    }
+    assert(e.getMessage.contains("valuePrecision"), e.getMessage)
+    // with the precision declared, values round and quantiles are
+    // exact at that precision
+    val got = Profiling.exactQuantilesByValue(df, "v", "grp", Seq(0.5),
+        valuePrecision = Some(1))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // Spark round() is HALF_UP on doubles — mirror it exactly
+    val sorted = (1 to 100).map(i => BigDecimal(i + 0.123456789 * i)
+      .setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble).sorted
+    assert(got(0.5) == sorted(49), s"${got(0.5)} != ${sorted(49)}")
+  }
 }
