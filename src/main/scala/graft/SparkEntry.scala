@@ -2012,6 +2012,17 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-track MP4 descent (MultiModal.decodeMp4Tracks): tkhd
+    * id/dims, hdlr handler, stsd codec fourcc per track of the
+    * synthetic fixtures — every field closed-form in (doc_id, track
+    * ordinal) for the oracle. */
+  private def qMp4Tracks(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    MultiModal.decodeMp4Tracks(MultiModal.syntheticMp4(
+        t.documents.select(col("doc_id")), "doc_id"))
+      .orderBy(col("doc_id"), col("track_id"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -2156,6 +2167,7 @@ object SparkEntry {
     "q137_code_detect" -> (qCodeDetect _),
     "q138_mp4_meta" -> (qMp4Meta _),
     "q139_lsh_bucket_cap" -> (qLshBucketCap _),
+    "q140_mp4_tracks" -> (qMp4Tracks _),
   )
 
   // -------------------------------------------------------------------
@@ -5033,5 +5045,20 @@ object SparkEntry {
          |  (SELECT count(*) FROM ovr) AS n_over_buckets,
          |  (SELECT CAST(coalesce(sum(n_docs), 0) AS BIGINT) FROM ovr)
          |    AS n_over_docs""".stripMargin,
+
+    // per-track closed forms of the synthetic fixture: track ordinal t
+    // in 0..doc_id%3, even t = video (avc1, 160·(t+1)×90·(t+1)), odd
+    // t = audio (mp4a, no dims)
+    "q140_mp4_tracks" ->
+      """SELECT doc_id, CAST(t + 1 AS BIGINT) AS track_id,
+        |  CASE WHEN t % 2 = 0 THEN 'vide' ELSE 'soun' END AS handler,
+        |  CAST(CASE WHEN t % 2 = 0 THEN 160 * (t + 1) ELSE 0 END
+        |    AS BIGINT) AS width,
+        |  CAST(CASE WHEN t % 2 = 0 THEN 90 * (t + 1) ELSE 0 END
+        |    AS BIGINT) AS height,
+        |  CASE WHEN t % 2 = 0 THEN 'avc1' ELSE 'mp4a' END AS codec
+        |FROM (SELECT doc_id, unnest(range(doc_id % 3 + 1)) AS t
+        |      FROM documents)
+        |ORDER BY doc_id, track_id""".stripMargin,
   )
 }

@@ -451,9 +451,33 @@ object MultiModal {
       .putInt(timescale)
       .putInt(duration.toInt)
       .array()
-    val traks = (0 until nTracks)
-      .map(_ => box("trak", Array.empty[Byte]))
-      .foldLeft(Array.empty[Byte])(_ ++ _)
+    // real track internals, closed-form in the track ordinal t: even
+    // tracks are video (avc1, 160·(t+1) × 90·(t+1)), odd are audio
+    // (mp4a, no dims) — so a per-track oracle recomputes every field
+    // from (doc_id, t) without the bytes
+    val traks = (0 until nTracks).map { t =>
+      val vide = t % 2 == 0
+      val w = if (vide) 160 * (t + 1) else 0
+      val h = if (vide) 90 * (t + 1) else 0
+      val tkhdP = java.nio.ByteBuffer.allocate(84)
+      tkhdP.putInt(12, t + 1)       // track_ID
+      tkhdP.putInt(76, w << 16)     // width, 16.16 fixed
+      tkhdP.putInt(80, h << 16)     // height, 16.16 fixed
+      val hdlrP = java.nio.ByteBuffer.allocate(12)
+      (if (vide) "vide" else "soun").getBytes("US-ASCII")
+        .zipWithIndex.foreach { case (c, i) => hdlrP.put(8 + i, c) }
+      val codec = if (vide) "avc1" else "mp4a"
+      val entry = java.nio.ByteBuffer.allocate(8)
+      entry.putInt(0, 8)
+      codec.getBytes("US-ASCII").zipWithIndex
+        .foreach { case (c, i) => entry.put(4 + i, c) }
+      val stsdP = java.nio.ByteBuffer.allocate(8)
+      stsdP.putInt(4, 1)            // entry_count
+      val stbl = box("stbl", box("stsd", stsdP.array() ++ entry.array()))
+      val mdia = box("mdia", box("hdlr", hdlrP.array()) ++
+        box("minf", stbl))
+      box("trak", box("tkhd", tkhdP.array()) ++ mdia)
+    }.foldLeft(Array.empty[Byte])(_ ++ _)
     val moov = box("moov", box("mvhd", mvhdPayload) ++ traks)
     val free = if (freeBoxFirst) box("free", Array.fill(16)(0: Byte))
       else Array.empty[Byte]
@@ -521,6 +545,85 @@ object MultiModal {
         // bad row instead of killing the task — the docstring's promise
         case (id, p) => scala.util.Try(walk(id, p))
           .getOrElse(Mp4Meta(id, is_mp4 = false, "", 0L, 0L, 0L, 0L))
+      }))
+      .toDF()
+  }
+
+  /** One decoded MP4 track: tkhd identity + dimensions, hdlr handler
+    * class, stsd sample-entry codec fourcc — the fields a video
+    * routing/mixture policy keys on. */
+  final case class Mp4Track(doc_id: Long, track_id: Long,
+      handler: String, width: Long, height: Long, codec: String)
+
+  /** Per-track MP4 descent — the level below [[decodeMp4Meta]]'s movie
+    * triage: walks moov → trak → { tkhd (track id, 16.16-fixed
+    * width/height), mdia → hdlr (handler fourcc: vide/soun), mdia →
+    * minf → stbl → stsd (first sample-entry codec fourcc) }. Emits one
+    * row PER TRACK (none for payloads that don't parse — quarantine at
+    * movie grain is [[decodeMp4Meta]]'s job). Same partition-batched
+    * mapPartitions shape and the same shrug-don't-die contract: all
+    * bounds compared in Long, any surprise yields zero rows for that
+    * doc. */
+  def decodeMp4Tracks(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def walk(id: Long, bytes: Array[Byte]): Seq[Mp4Track] = {
+      val b = java.nio.ByteBuffer.wrap(bytes)
+      def boxType(off: Int): String =
+        new String(bytes, off + 4, 4, "US-ASCII")
+      // children of the byte range [from, end): (type, payloadStart,
+      // boxEnd) triples; empty on any malformed size
+      def children(from: Int, end: Int): Seq[(String, Int, Int)] = {
+        val out = Seq.newBuilder[(String, Int, Int)]
+        var off = from
+        while (off + 8 <= end) {
+          val size = b.getInt(off)
+          if (size < 8 || off.toLong + size > end) return Seq.empty
+          out += ((boxType(off), off + 8, off + size))
+          off += size
+        }
+        out.result()
+      }
+      def child(from: Int, end: Int, typ: String): Option[(Int, Int)] =
+        children(from, end).collectFirst { case (t, s, e) if t == typ => (s, e) }
+      if (bytes.length < 16 || boxType(0) != "ftyp") return Seq.empty
+      child(0, bytes.length, "moov").toSeq.flatMap { case (ms, me) =>
+        children(ms, me).collect { case ("trak", ts, te) =>
+          val tkhd = child(ts, te, "tkhd")
+          // tkhd v0 payload: track_ID @ +12, width/height 16.16 fixed
+          // @ +76/+80 (84-byte payload)
+          val (trackId, w, h) = tkhd match {
+            case Some((s, e)) if e - s >= 84 && bytes(s) == 0 =>
+              (b.getInt(s + 12).toLong & 0xffffffffL,
+                (b.getInt(s + 76) >>> 16).toLong,
+                (b.getInt(s + 80) >>> 16).toLong)
+            case _ => (0L, 0L, 0L)
+          }
+          val mdia = child(ts, te, "mdia")
+          // hdlr payload: version/flags(4) pre_defined(4) handler(4)
+          val handler = mdia.flatMap { case (s, e) => child(s, e, "hdlr") }
+            .collect { case (s, e) if e - s >= 12 =>
+              new String(bytes, s + 8, 4, "US-ASCII") }
+            .getOrElse("")
+          // stsd payload: version/flags(4) entry_count(4), then the
+          // first sample entry [u32 size][4cc codec]
+          val codec = (for {
+            (ms2, me2) <- mdia
+            (fs, fe) <- child(ms2, me2, "minf")
+            (bs, be) <- child(fs, fe, "stbl")
+            (ss, se) <- child(bs, be, "stsd")
+            if se - ss >= 16 && b.getInt(ss + 4) >= 1
+          } yield new String(bytes, ss + 12, 4, "US-ASCII"))
+            .getOrElse("")
+          Mp4Track(id, trackId, handler, w, h, codec)
+        }
+      }
+    }
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap {
+        case (id, p) => scala.util.Try(walk(id, p))
+          .getOrElse(Seq.empty)
       }))
       .toDF()
   }

@@ -1131,6 +1131,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L).getBoolean(1), "control stays decodable")
   }
 
+  test("mp4 track descent: tkhd dims, hdlr class, stsd codec per track") {
+    val threeTracks = MultiModal.encodeMp4(timescale = 1000,
+      duration = 2000L, nTracks = 3, freeBoxFirst = true)
+    val noTracks = MultiModal.encodeMp4(timescale = 1000,
+      duration = 1000L, nTracks = 0)
+    val df = Seq(
+      (1L, threeTracks), (2L, noTracks),
+      (3L, "not an mp4 at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val rows = MultiModal.decodeMp4Tracks(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).sortBy(t => (t._1, t._2))
+    // doc 1: vide/soun/vide with growing dims; docs 2 and 3 emit none
+    assert(rows.toSeq == Seq(
+      (1L, 1L, "vide", 160L, 90L, "avc1"),
+      (1L, 2L, "soun", 0L, 0L, "mp4a"),
+      (1L, 3L, "vide", 480L, 270L, "avc1")), rows.toSeq)
+  }
+
   test("codeDetect: indentation/terminator/keyword lines, prose stays prose") {
     val df = Seq(
       (1L, "def main():\n    x = compute();\n    return x;\nimport sys"),
