@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.CatalogReader
 
@@ -8,65 +8,104 @@ import graft.sources.CatalogReader
   * validate_catalog against the config/schemas JSON-Schemas + harvest
   * filtering).
   *
-  * Each schema rule is a violation query over the exploded views; the
-  * union of violations is the error report (the reference's
-  * reporte-catalogo-errores), and the harvest filter (P4) keeps datasets
-  * with zero violations.
+  * The schema-expressible rules — required keys, `pattern`s, `format`
+  * email/uri, the temporal interval — are DRIVEN by draft-04 schema
+  * files via [[SchemaRules]] (built-in resources under
+  * `graft/schemas/`, overridable per call), mirroring the reference's
+  * generic-validator design (`base.py:423-453`): editing a schema file
+  * changes enforcement with no code change. Each parsed rule becomes a
+  * violation query over the exploded views; the union of violations is
+  * the error report (the reference's reporte-catalogo-errores), and
+  * the harvest filter (P4) keeps datasets with zero violations.
+  *
+  * Relational checks a JSON Schema cannot express stay code: field-id
+  * uniqueness across the catalog, field-title uniqueness per
+  * distribution, dataset.theme referencing themeTaxonomy ids, and the
+  * temporal start ≤ end ordering (attached to the schema's temporal
+  * rule).
   */
 object CatalogValidator {
 
-  private val AccrualPattern =
-    "^(R/P\\d+(\\.\\d+)?[YMWD]|R/PT\\d+[HMS]|eventual)$"
+  private def nonEmpty(c: Column): Column = c.isNotNull && length(c) > 0
 
-  /** draft-04 `format: email` (catalog.json:14-21, dataset.json:18-29). */
-  private val EmailPattern = "^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$"
+  private def violation(df: DataFrame, level: String, idCol: String,
+      cond: Column, rule: String): DataFrame =
+    df.filter(cond).select(lit(level).as("level"),
+      col(idCol).cast("string").as("identifier"), lit(rule).as("rule"))
 
-  /** draft-04 `format: uri` — absolute URI with a scheme
-    * (catalog.json:30, dataset.json:75-81, distribution.json:9-16). */
-  private val UriPattern = "^[a-zA-Z][a-zA-Z0-9+.\\-]*:\\S+$"
+  private def missing(df: DataFrame, level: String, idCol: String,
+      required: Seq[String]): Seq[DataFrame] =
+    required.filter(df.columns.contains).map(c =>
+      df.filter(col(c).isNull)
+        .select(lit(level).as("level"), col(idCol).cast("string")
+          .as("identifier"), lit(s"missing required: $c").as("rule"))) ++
+      required.filterNot(df.columns.contains).map(c =>
+        df.limit(1).select(lit(level).as("level"),
+          col(idCol).cast("string").as("identifier"),
+          lit(s"missing required: $c").as("rule")))
 
-  /** `temporalOrNull` ISO interval (mixed-types.json:35-41): two ISO
-    * date(/time)s joined by '/'. */
-  private val TemporalPattern =
-    "^\\d{4}-\\d{2}-\\d{2}(T\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?)?(([+-]\\d{2}:\\d{2})|Z)?" +
-      "/\\d{4}-\\d{2}-\\d{2}(T\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?)?(([+-]\\d{2}:\\d{2})|Z)?$"
+  /** Does the (possibly nested) column path resolve in this frame's
+    * schema? Schema files may constrain fields a given catalog never
+    * materializes. */
+  private def hasPath(df: DataFrame, path: Seq[String]): Boolean = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    def go(dt: DataType, p: Seq[String]): Boolean = (dt, p) match {
+      case (_, Nil) => true
+      case (s: StructType, h +: t) =>
+        s.find(_.name == h).exists(f => go(f.dataType, t))
+      case _ => false
+    }
+    go(df.schema, path)
+  }
 
   /** Violation rows `(level, identifier, rule)` for the whole catalog
-    * document. */
-  def violations(spark: SparkSession, catalog: DataFrame): DataFrame = {
+    * document. `schemaDir` points at a directory of
+    * `{catalog,dataset,distribution}.json` draft-04 files to validate
+    * against; None uses the built-in profile schemas. */
+  def violations(spark: SparkSession, catalog: DataFrame,
+      schemaDir: Option[String] = None): DataFrame = {
     val datasets = CatalogReader.datasets(catalog)
     val distributions = CatalogReader.distributions(catalog)
     val fields = CatalogReader.fields(catalog)
 
-    def missing(df: DataFrame, level: String, idCol: String,
-        required: Seq[String]): Seq[DataFrame] =
-      required.filter(df.columns.contains).map(c =>
-        df.filter(col(c).isNull)
-          .select(lit(level).as("level"), col(idCol).cast("string")
-            .as("identifier"), lit(s"missing required: $c").as("rule"))) ++
-        required.filterNot(df.columns.contains).map(c =>
-          df.limit(1).select(lit(level).as("level"),
-            col(idCol).cast("string").as("identifier"),
-            lit(s"missing required: $c").as("rule")))
+    def schema(level: String): SchemaRules.LevelSchema = schemaDir match {
+      case Some(d) => SchemaRules.load(s"$d/$level.json")
+      case None => SchemaRules.loadDefault(level)
+    }
 
-    // required keys per config/schemas/{catalog,dataset,distribution}.json
-    val catalogReq = missing(catalog, "catalog", "catalog_id",
-      Seq("dataset", "title", "description", "publisher",
-        "superThemeTaxonomy"))
-    val datasetReq = missing(datasets, "dataset", "dataset_id",
-      Seq("title", "description", "publisher", "superTheme", "distribution",
-        "accrualPeriodicity", "issued"))
-    val distributionReq = missing(distributions, "distribution",
-      "distribution_id", Seq("title", "issued"))
+    val levels = Seq(
+      ("catalog", catalog, "catalog_id"),
+      ("dataset", datasets, "dataset_id"),
+      ("distribution", distributions, "distribution_id"))
 
-    val accrual = datasets
-      .filter(col("accrualPeriodicity").isNotNull &&
-        !col("accrualPeriodicity").rlike(AccrualPattern))
-      .select(lit("dataset").as("level"),
-        col("dataset_id").as("identifier"),
-        lit("invalid accrualPeriodicity").as("rule"))
+    // schema-driven: required keys + per-property pattern/format rules
+    val schemaChecks = levels.flatMap { case (level, df, idCol) =>
+      val ls = schema(level)
+      val req = missing(df, level, idCol, ls.required)
+      val props = ls.rules.filter(r => hasPath(df, r.path)).flatMap { r =>
+        val c = col(r.dotted)
+        // draft-04 anyOf: valid if ANY alternative matches, so the
+        // violation is failing them ALL (null/empty is optionality,
+        // guarded by nonEmpty)
+        val failsAll = r.patterns.map(p => !c.rlike(p)).reduce(_ && _)
+        val base = violation(df, level, idCol, nonEmpty(c) && failsAll,
+          r.rule)
+        if (r.kind == "temporal") {
+          // interval semantics the pattern can't express: start <= end
+          val tStart = to_date(regexp_extract(c,
+            "^(\\d{4}-\\d{2}-\\d{2})", 1))
+          val tEnd = to_date(regexp_extract(c,
+            "/(\\d{4}-\\d{2}-\\d{2})", 1))
+          Seq(base, violation(df, level, idCol,
+            nonEmpty(c) && c.rlike(r.patterns.head) && tStart > tEnd,
+            "temporal interval start after end"))
+        } else Seq(base)
+      }
+      req ++ props
+    }
 
-    // field ids unique within the catalog; titles unique per distribution
+    // relational checks beyond JSON-Schema: field ids unique within
+    // the catalog; titles unique per distribution
     val dupIds = fields.filter(col("field_id").isNotNull)
       .groupBy(col("catalog_id"), col("field_id"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
@@ -79,63 +118,6 @@ object CatalogValidator {
         concat_ws(":", col("distribution_id"), col("field_title"))
           .as("identifier"),
         lit("duplicate field title in distribution").as("rule"))
-
-    // --- format depth (email / uri / temporal / theme references) ---
-    def nonEmpty(c: org.apache.spark.sql.Column) =
-      c.isNotNull && length(c) > 0
-    def violation(df: DataFrame, level: String, idCol: String,
-        cond: org.apache.spark.sql.Column, rule: String): DataFrame =
-      df.filter(cond).select(lit(level).as("level"),
-        col(idCol).cast("string").as("identifier"), lit(rule).as("rule"))
-
-    val emailChecks = Seq(
-      violation(catalog, "catalog", "catalog_id",
-        nonEmpty(col("publisher.mbox")) &&
-          !col("publisher.mbox").rlike(EmailPattern),
-        "invalid email: publisher.mbox"),
-      violation(datasets, "dataset", "dataset_id",
-        nonEmpty(col("publisher.mbox")) &&
-          !col("publisher.mbox").rlike(EmailPattern),
-        "invalid email: publisher.mbox"),
-      violation(datasets, "dataset", "dataset_id",
-        nonEmpty(col("contactPoint.hasEmail")) &&
-          !col("contactPoint.hasEmail").rlike(EmailPattern),
-        "invalid email: contactPoint.hasEmail"))
-
-    val uriChecks = Seq(
-      violation(catalog, "catalog", "catalog_id",
-        nonEmpty(col("superThemeTaxonomy")) &&
-          !col("superThemeTaxonomy").rlike(UriPattern),
-        "invalid uri: superThemeTaxonomy"),
-      violation(datasets, "dataset", "dataset_id",
-        nonEmpty(col("landingPage")) &&
-          !col("landingPage").rlike(UriPattern),
-        "invalid uri: landingPage"),
-      violation(distributions, "distribution", "distribution_id",
-        nonEmpty(col("downloadURL")) &&
-          !col("downloadURL").rlike(UriPattern),
-        "invalid uri: downloadURL"),
-      violation(distributions, "distribution", "distribution_id",
-        nonEmpty(col("accessURL")) &&
-          !col("accessURL").rlike(UriPattern),
-        "invalid uri: accessURL"))
-
-    // temporalOrNull: the interval must match the pattern AND parse to
-    // start <= end (interval semantics, mixed-types.json:35-41)
-    val temporalStart = to_date(regexp_extract(col("temporal"),
-      "^(\\d{4}-\\d{2}-\\d{2})", 1))
-    val temporalEnd = to_date(regexp_extract(col("temporal"),
-      "/(\\d{4}-\\d{2}-\\d{2})", 1))
-    val temporalChecks = Seq(
-      violation(datasets, "dataset", "dataset_id",
-        nonEmpty(col("temporal")) &&
-          !col("temporal").rlike(TemporalPattern),
-        "invalid temporal interval"),
-      violation(datasets, "dataset", "dataset_id",
-        nonEmpty(col("temporal")) &&
-          col("temporal").rlike(TemporalPattern) &&
-          temporalStart > temporalEnd,
-        "temporal interval start after end"))
 
     // dataset.theme values must reference themeTaxonomy ids
     // (theme.json + pydatajson's taxonomy check)
@@ -152,10 +134,8 @@ object CatalogValidator {
         concat(lit("theme not in themeTaxonomy: "), col("theme_ref"))
           .as("rule"))
 
-    (catalogReq ++ datasetReq ++ distributionReq ++
-      Seq(accrual, dupIds, dupTitles) ++
-      emailChecks ++ uriChecks ++ temporalChecks ++
-      Seq(badThemeRefs)).reduce(_ union _)
+    (schemaChecks ++ Seq(dupIds, dupTitles, badThemeRefs))
+      .reduce(_ union _)
   }
 
   /** P4 — harvest filter: the datasets view restricted to datasets with

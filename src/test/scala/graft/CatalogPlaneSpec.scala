@@ -205,4 +205,49 @@ class CatalogPlaneSpec extends SparkSpec {
     assert(r2(0).getDate(0).toString == "2021-01-01" &&
       r2(0).getDouble(1) == 7.5)
   }
+
+  test("validation is schema-file-driven: editing a schema changes enforcement") {
+    import graft.operators.SchemaRules
+    // parse unit: required + anyOf patterns + formats + $ref temporal
+    val ds = SchemaRules.loadDefault("dataset")
+    assert(ds.required.contains("accrualPeriodicity"))
+    val accrual = ds.rules.find(_.dotted == "accrualPeriodicity").get
+    assert(accrual.patterns.size == 3) // three anyOf branches
+    assert(ds.rules.find(_.dotted == "publisher.mbox").get.kind == "email")
+    assert(ds.rules.find(_.dotted == "temporal").get.kind == "temporal")
+
+    val json = """{"identifier":"c9","title":"t","description":"d",
+      |"publisher":{"name":"p"},"superThemeTaxonomy":"http://x",
+      |"dataset":[
+      | {"identifier":"1","title":"ok","description":"d",
+      |  "publisher":{"name":"p"},"superTheme":["A"],
+      |  "accrualPeriodicity":"quarterly","issued":"2020-01-01",
+      |  "distribution":[{"identifier":"1.1","title":"t","issued":"2020",
+      |    "field":[{"id":"f1","title":"ft1"}]}]}
+      |]}""".stripMargin.replace("\n", "")
+    val p = workDir.resolve("val9.json")
+    Files.writeString(p, json)
+    val catalog = CatalogReader.readJson(spark, p.toString, "c9")
+
+    // built-in profile: "quarterly" violates the R/P… pattern
+    val builtIn = CatalogValidator.violations(spark, catalog)
+      .select("rule").as[String].collect().toSet
+    assert(builtIn.contains("invalid accrualPeriodicity"))
+
+    // drop-in schema dir that ALLOWS the word "quarterly" — no code change
+    val dir = workDir.resolve("schemas")
+    Files.createDirectories(dir)
+    for (lvl <- Seq("catalog", "dataset", "distribution")) {
+      val in = getClass.getResourceAsStream(s"/graft/schemas/$lvl.json")
+      val txt = new String(in.readAllBytes()); in.close()
+      Files.writeString(dir.resolve(s"$lvl.json"),
+        if (lvl == "dataset")
+          txt.replace("\"^eventual$\"", "\"^(eventual|quarterly)$\"")
+        else txt)
+    }
+    val custom = CatalogValidator
+      .violations(spark, catalog, Some(dir.toString))
+      .select("rule").as[String].collect().toSet
+    assert(!custom.contains("invalid accrualPeriodicity"))
+  }
 }
