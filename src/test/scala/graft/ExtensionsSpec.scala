@@ -14,6 +14,7 @@ class ExtensionsSpec extends AnyFunSuite {
       .appName("graft-ext-test")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     GraftExtensions.register(s)
