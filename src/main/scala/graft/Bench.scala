@@ -96,7 +96,12 @@ object Bench {
     val third = selected.size / 3
     val passOrders = Seq(selected, selected.reverse,
       selected.drop(third) ++ selected.take(third))
-    for (pass <- 1 to 3; (name, fn) <- passOrders(pass - 1)
+    // Diagnostic knob (scaling runs at sf1.0 take minutes per pass, and
+    // a single pass answers "is it ~linear"); the gate always runs the
+    // default 3 so medians stay noise-robust.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+      .max(1).min(3)
+    for (pass <- 1 to passes; (name, fn) <- passOrders(pass - 1)
         if !errs0.contains(name)) {
       if (pass == 1) {
         // warm THIS query untimed right before its first timed run
