@@ -8,9 +8,10 @@ import org.apache.spark.sql.SparkSession
   *    every query's 3-run median and min, errors, totals.
   *  - ONE stdout JSON line sized to survive a 2000-char tail capture:
   *    `{"metric":"total","unit":"sec","sf":...,"full":"BENCH_full
-  *    .json","queries":{30 slowest medians},"errors":{},
-  *    "n_queries":N,"worst_query":...,"worst":N,"value":total}` —
-  *    headline fields LAST so even a truncated capture keeps them.
+  *    .json","passes":N,"calib":{...},"queries":{30 slowest medians},
+  *    "failed":[names],"n_queries":N,"worst_query":...,"worst":N,
+  *    "value":total}` — headline fields LAST so even a truncated
+  *    capture keeps them; full error strings live only in the file.
   *
   * Timing design — the gate artifact must be trustworthy:
   *  - Per-query number = MEDIAN of 3 timed runs taken in 3 INTERLEAVED
@@ -83,7 +84,28 @@ object Bench {
       System.gc()
     }
 
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    // Host-calibration probe (r8 verdict: the 46s→71s cross-round bench
+    // shift was environmental — r7 code reproduced r8 timings — and
+    // cost a judge session to prove). Two fixed-size probes, repeated
+    // 3×, min taken (a min only needs one clean sample):
+    //  - cpu_sec: compute-bound range-sum — JVM+scheduler+codegen speed,
+    //    independent of SF and disk;
+    //  - scan_sec: cold-ish scan of the fixed-size `region` table —
+    //    parquet footer + task-launch + I/O path.
+    // Totals are comparable across rounds ONLY at similar calib values;
+    // a uniform total shift at shifted calib is the host, not the code.
+    def probeMin(run: () => Unit): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val calibCpu = probeMin(() =>
+      spark.range(100000000L).selectExpr("sum(id * 3 + 1)").collect())
+    val calibScan = probeMin { () =>
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      spark.sqlContext.clearCache()
+    }
 
     val times = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     val errs0 = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -99,8 +121,9 @@ object Bench {
     // Diagnostic knob (scaling runs at sf1.0 take minutes per pass, and
     // a single pass answers "is it ~linear"); the gate always runs the
     // default 3 so medians stay noise-robust.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-      .max(1).min(3)
+    val passes = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").trim.toInt)
+      .getOrElse(3).max(1).min(3)
     for (pass <- 1 to passes; (name, fn) <- passOrders(pass - 1)
         if !errs0.contains(name)) {
       if (pass == 1) {
@@ -161,8 +184,15 @@ object Bench {
     // stdout capture is a 2000-char tail, which a 140-query map can
     // never fit (r5-r7 each lost 40-76 per-query numbers to
     // truncation). The file is the artifact of record.
-    val fullLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"query_mins":$qmins,"errors":$errsJson,"n_queries":${ok.size},"worst_query":"$worstName","worst":$worstT,"value":$total}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val calibJson =
+      s"""{"cpu_sec":${r3(calibCpu)},"scan_sec":${r3(calibScan)}}"""
+    val fullLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","passes":$passes,"calib":$calibJson,"queries":$qs,"query_mins":$qmins,"errors":$errsJson,"n_queries":${ok.size},"worst_query":"$worstName","worst":$worstT,"value":$total}"""
+    // a single-pass diagnostic artifact must not silently overwrite and
+    // impersonate the 3-pass gate artifact (the "passes" field records
+    // it either way, but a distinct default filename prevents the mixup)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (passes < 3) s"BENCH_full_p$passes.json" else "BENCH_full.json")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),
@@ -178,11 +208,15 @@ object Bench {
     // regression-relevant set; the full map lives in BENCH_full.json
     // ("full" field). Headline fields stay LAST so even a truncated
     // capture keeps them.
-    def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val slow = ok.sortBy(-_._2).take(30)
       .map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","full":"$outPath","queries":$slow,"errors":$errsJson,"n_queries":${ok.size},"worst_query":"$worstName","worst":${r3(worstT)},"value":${r3(total)}}"""
+    // stdout carries only the FAILING QUERY NAMES — full error strings
+    // (escaped, up to ~200 chars each) live in BENCH_full.json; a few
+    // failures would otherwise blow the 2000-char tail budget
+    val errNames = results.collect { case (k, _, _, Some(_)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","full":"$outPath","passes":$passes,"calib":$calibJson,"queries":$slow,"failed":$errNames,"n_queries":${ok.size},"worst_query":"$worstName","worst":${r3(worstT)},"value":${r3(total)}}"""
     println(line)
     if (line.length > 1800)
       System.err.println(s"bench: WARNING stdout line ${line.length} chars may truncate in a 2000-char tail capture")

@@ -121,10 +121,14 @@ object ScaleUp {
       (x, j) => (x.cast("double") * 0.6 +
         sin(col("vec_id") * 0.131 + j.cast("double") * 0.979 +
           col("_rep") * 1.7) * 0.8 * norm / sqrt(dim)).cast(FloatType))
+    // empty-array guard: sequence(0, size-1) on size=0 is sequence(0,-1)
+    // = [0,-1], which would turn an empty embedding into a 2-element
+    // garbage array for replicas > 0 — keep empties empty
     write(replicate(t.embeddings)
       .withColumn("vec_id", off("vec_id", vK))
       .withColumn("embedding",
-        when(col("_rep") === 0, col("embedding")).otherwise(noisy)),
+        when(col("_rep") === 0 || size(col("embedding")) === 0,
+          col("embedding")).otherwise(noisy)),
       "embeddings")
     spark.stop()
   }
