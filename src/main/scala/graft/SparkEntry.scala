@@ -575,7 +575,8 @@ object SparkEntry {
     val sig = Dedup.minhashSignature(t.documents, "text", "doc_id", k = 8)
     val buckets = Dedup.lshBuckets(sig, "doc_id", k = 8, bands = 4)
       .localCheckpoint(false)
-    val unc = Dedup.candidatePairs(buckets, "doc_id")
+    val unc = Dedup.candidatePairs(buckets, "doc_id",
+      maxBucketSize = Int.MaxValue)
     val capped = Dedup.candidatePairs(buckets, "doc_id", maxBucketSize = 2)
     val cappedLarge =
       Dedup.candidatePairs(buckets, "doc_id", maxBucketSize = 1000000)
@@ -3494,7 +3495,8 @@ object SparkEntry {
          |batchdocs AS (SELECT DISTINCT doc_id FROM documents
          |  WHERE doc_id % 2 = 1)
          |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
-         |  coalesce(h.n_hits, 0) > 0 AS is_dup
+         |  coalesce(h.n_hits, 0) > 0 AS is_dup,
+         |  false AS hits_capped
          |FROM batchdocs d LEFT JOIN hits h USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 

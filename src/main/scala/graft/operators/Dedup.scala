@@ -18,6 +18,14 @@ import graft.functions.GF
   */
 object Dedup {
 
+  /** Default LSH bucket-size cap for production dedup paths (r8 verdict:
+    * the cap existed but nothing turned it on). 1024 keeps every
+    * honest near-dup bucket intact — real duplicate groups are orders
+    * of magnitude smaller — while bounding the degenerate-signature
+    * blow-up (empty/boilerplate docs sharing one signature) to star
+    * expansion. Pass `Int.MaxValue` for the uncapped all-pairs plan. */
+  val DefaultMaxBucketSize: Int = 1024
+
   /** Canonical text normalization applied before hashing: lowercase,
     * strip non-alphanumerics to spaces, collapse whitespace. */
   def normalizeText(c: Column): Column =
@@ -232,11 +240,13 @@ object Dedup {
     * instead of n(n−1)/2. Connectivity survives (connected-components
     * clustering links the whole bucket through the hub, and the
     * verify step still scores each emitted pair); only the redundant
-    * intra-bucket edges are dropped. With the default cap the
-    * behavior — and the plan — is exactly the uncapped original.
+    * intra-bucket edges are dropped. The cap is ON by default
+    * ([[DefaultMaxBucketSize]]); any bucket under the cap — i.e. every
+    * bucket of a healthy corpus — emits exactly the uncapped pair set.
+    * `Int.MaxValue` selects the uncapped plan (no window pass).
     * [[overCapBuckets]] reports what was demoted. */
   def candidatePairs(buckets: DataFrame, idCol: String,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val b = buckets.localCheckpoint(false)
     if (maxBucketSize == Int.MaxValue) {
       val l = b.select(col("band"), col("bucket"), col(idCol).as("id1"))
@@ -247,22 +257,30 @@ object Dedup {
     } else {
       require(maxBucketSize >= 2,
         s"maxBucketSize=$maxBucketSize cannot emit any pair")
-      // bucket size + hub in one unordered window pass over the same
-      // (band, bucket) keys the join shuffles on anyway
-      val w = Window.partitionBy(col("band"), col("bucket"))
-      val sized = b
-        .withColumn("_n", count(lit(1)).over(w))
-        .withColumn("_hub", min(col(idCol)).over(w))
+      // Bucket sizes + hubs reduce at BUCKET grain (partial-aggregatable
+      // groupBy — map-side combine collapses each bucket to one row
+      // before the shuffle), never a window sort over the postings; the
+      // over-cap set is metadata-scale and BROADCASTS, so with zero
+      // over-cap buckets — every healthy corpus — the anti-join passes
+      // rows map-side and the all-pairs join plan is the uncapped
+      // original plus one bucket-grain agg.
+      val overCap = b.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("_n"), min(col(idCol)).as("_hub"))
+        .filter(col("_n") > maxBucketSize)
         .localCheckpoint(false)
-      val small = sized.filter(col("_n") <= maxBucketSize)
+      val overKeys = overCap.select(col("band"), col("bucket"))
+      val small = b.join(broadcast(overKeys), Seq("band", "bucket"),
+        "left_anti")
       val l = small.select(col("band"), col("bucket"), col(idCol).as("id1"))
       val r = small.select(col("band"), col("bucket"), col(idCol).as("id2"))
       val allPairs = l.join(r, Seq("band", "bucket"))
         .filter(col("id1") < col("id2"))
         .select(col("id1"), col("id2"))
       // hub = min(id) of the bucket, so id1 < id2 holds by construction
-      val star = sized
-        .filter(col("_n") > maxBucketSize && col(idCol) =!= col("_hub"))
+      val star = b
+        .join(broadcast(overCap.select(col("band"), col("bucket"),
+          col("_hub"))), Seq("band", "bucket"))
+        .filter(col(idCol) =!= col("_hub"))
         .select(col("_hub").as("id1"), col(idCol).as("id2"))
       allPairs.union(star).distinct()
     }
@@ -735,28 +753,78 @@ object Dedup {
 
   /** Probe a persisted signature index with a NEW batch of docs: each
     * batch doc is flagged `is_dup` when any of its band buckets
-    * collides with a corpus posting. Returns one row per batch doc with
-    * the count of DISTINCT corpus docs hit.
+    * collides with a corpus posting. Returns one row per batch doc:
+    * `(id, n_hits, is_dup, hits_capped)`.
     *
     * Scale: the batch (the small side, typically many orders of
     * magnitude below the corpus) computes its own buckets and joins the
     * index on (band, bucket); the batch side broadcasts when small, so
     * the corpus postings stream through executors without a shuffle.
-    * The left join back onto the batch ids preserves zero-hit docs. */
+    * The left join back onto the batch ids preserves zero-hit docs.
+    *
+    * `maxBucketSize` (ON by default, [[DefaultMaxBucketSize]]) bounds
+    * the probe's quadratic hazard: a degenerate index bucket holding B
+    * postings hit by b batch docs emits b×B join rows. Over-cap buckets
+    * contribute only their `maxBucketSize` smallest corpus_ids, so
+    * `n_hits` is exact below the cap and a lower bound above it —
+    * `is_dup` is always exact (cap ≥ 1 keeps at least one posting).
+    * Docs whose count was truncated carry `hits_capped = true` — the
+    * [[overCapBuckets]] signal at row grain, so a degenerate-signature
+    * surge in the index is visible in every probe report.
+    *
+    * Cap cost shape: index bucket sizes reduce at bucket grain on a
+    * two-column pruned scan (partial-aggregatable — one metadata-scale
+    * action decides the plan). With zero over-cap buckets — every
+    * healthy index — the probe plan is EXACTLY the uncapped original;
+    * otherwise the over-cap keys broadcast, healthy postings pass the
+    * anti-join map-side, and only mega-bucket postings pay the
+    * truncation sort. */
   def dedupAgainstIndex(batch: DataFrame, textCol: String, idCol: String,
       indexPath: String, k: Int = 8, bands: Int = 4,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val spark = batch.sparkSession
     val index = spark.read.parquet(s"$indexPath/buckets")
     val probe = lshBuckets(minhashSignature(batch, textCol, idCol, k, shingleN),
       idCol, k, bands)
-    val hits = probe.join(index, Seq("band", "bucket"))
+    require(maxBucketSize >= 1,
+      s"maxBucketSize=$maxBucketSize cannot keep any posting")
+    val overCap =
+      if (maxBucketSize == Int.MaxValue) None
+      else {
+        val oc = index.select(col("band"), col("bucket"))
+          .groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > maxBucketSize)
+          .select(col("band"), col("bucket"))
+          .localCheckpoint(true) // metadata-scale; decides the plan
+        if (oc.isEmpty) None else Some(oc)
+      }
+    val postings = overCap match {
+      case None => index.withColumn("_capped", lit(false))
+      case Some(oc) =>
+        val ok = index
+          .join(broadcast(oc), Seq("band", "bucket"), "left_anti")
+          .withColumn("_capped", lit(false))
+        val cappedIdx = index
+          .join(broadcast(oc), Seq("band", "bucket"), "left_semi")
+          .withColumn("_rn", row_number().over(Window
+            .partitionBy(col("band"), col("bucket"))
+            .orderBy(col("corpus_id"))))
+          .filter(col("_rn") <= maxBucketSize)
+          .drop("_rn")
+          .withColumn("_capped", lit(true))
+        ok.unionByName(cappedIdx)
+    }
+    val hits = probe.join(postings, Seq("band", "bucket"))
       .groupBy(col(idCol))
-      .agg(countDistinct(col("corpus_id")).as("n_hits"))
+      .agg(countDistinct(col("corpus_id")).as("n_hits"),
+        bool_or(col("_capped")).as("hits_capped"))
     batch.select(col(idCol)).distinct()
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("n_hits"), lit(0L)) > 0L).as("is_dup"))
+        (coalesce(col("n_hits"), lit(0L)) > 0L).as("is_dup"),
+        coalesce(col("hits_capped"), lit(false)).as("hits_capped"))
   }
 }

@@ -631,7 +631,8 @@ object EventStream {
     * one-file-per-band during maintenance windows. */
   def indexDedupWriter(stream: DataFrame, indexPath: String,
       outPath: String, dupPath: String, textCol: String, idCol: String,
-      k: Int = 8, bands: Int = 4, shingleN: Int = 3)
+      k: Int = 8, bands: Int = 4, shingleN: Int = 3,
+      maxBucketSize: Int = graft.operators.Dedup.DefaultMaxBucketSize)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -649,8 +650,12 @@ object EventStream {
               col(idCol).cast("string"), col("__digest")))
             .dropDuplicates("__key")
             .localCheckpoint(true) // one stable snapshot
+          // capped probe (default on): duplicate rows carry n_hits +
+          // hits_capped into dupPath, so a degenerate-signature surge
+          // in the index shows up in the audit table per batch
           val verdicts = graft.operators.Dedup.dedupAgainstIndex(
-            b, textCol, "__key", indexPath, k, bands, shingleN)
+            b, textCol, "__key", indexPath, k, bands, shingleN,
+            maxBucketSize)
           // within-batch guard: the index only covers PRIOR batches, so
           // exact copies arriving together would all probe novel. Keep
           // the first copy per normalized-content digest; extras are
@@ -668,7 +673,7 @@ object EventStream {
             .drop("__digest", "__key")
             .write.mode("append").parquet(dupPath)
           val novel = flagged.filter(!col("is_dup"))
-            .drop("n_hits", "is_dup", "__digest", "__key")
+            .drop("n_hits", "is_dup", "hits_capped", "__digest", "__key")
           // out BEFORE index, deliberately: a crash between the two
           // leaves a doc in the corpus but not the index, so a future
           // copy may be admitted once more (duplicate — harmless, the

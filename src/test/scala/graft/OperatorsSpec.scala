@@ -144,11 +144,44 @@ class OperatorsSpec extends SparkSpec {
   test("candidatePairs cap: cap above every bucket size reproduces uncapped pairs") {
     val sig = Dedup.minhashSignature(docs, "text", "doc_id", k = 8)
     val buckets = Dedup.lshBuckets(sig, "doc_id", 8, 4)
-    val unc = Dedup.candidatePairs(buckets, "doc_id")
+    val unc = Dedup.candidatePairs(buckets, "doc_id",
+        maxBucketSize = Int.MaxValue)
       .as[(Long, Long)].collect().toSet
     val cap = Dedup.candidatePairs(buckets, "doc_id", maxBucketSize = 1000)
       .as[(Long, Long)].collect().toSet
     assert(unc == cap)
+  }
+
+  test("candidatePairs DEFAULT path: a >1024-doc mega-bucket is star-demoted without opting in") {
+    // r8 verdict: the cap existed but no production path set it — the
+    // default must bound the blow-up on its own
+    val mega = (0L until 1500L).map(i => (i, 0, "deadbeef"))
+    val buckets = mega.toDF("doc_id", "band", "bucket")
+    val got = Dedup.candidatePairs(buckets, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 1499,
+      s"default candidatePairs must cap a 1500-doc bucket: ${got.length}")
+    assert(got.forall(_._1 == 0L), "star pairs must anchor at the min-id hub")
+  }
+
+  test("dedupAgainstIndex DEFAULT path: over-cap index bucket truncates n_hits and flags hits_capped") {
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = (0L until 1030L).map(i => (i, txt)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sigidx-defcap").toString
+    Dedup.writeSignatureIndex(corpus, "text", "doc_id", dir)
+    val batch = Seq((5000L, txt),
+      (5001L, "brand new never seen text with many unique words here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstIndex(batch, "text", "doc_id", dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3)))).toMap
+    // 1030 identical corpus docs share all 4 band buckets; the capped
+    // probe keeps the 1024 smallest corpus_ids per bucket (same set in
+    // every band), so n_hits is the cap and the truncation is flagged
+    assert(out(5000L) == ((1024L, true, true)), s"capped probe wrong: $out")
+    assert(out(5001L) == ((0L, false, false)), s"fresh doc wrong: $out")
   }
 
   test("ngram jaccard: identical=1, near-dup in (0,1), disjoint=0") {
