@@ -60,23 +60,38 @@ object CatalogValidator {
 
   /** Violation rows `(level, identifier, rule)` for the whole catalog
     * document. `schemaDir` points at a directory of
-    * `{catalog,dataset,distribution}.json` draft-04 files to validate
-    * against; None uses the built-in profile schemas. */
+    * `{catalog,dataset,distribution,field,theme}.json` draft-04 files
+    * to validate against — levels missing from the directory fall back
+    * to the built-in profile schemas (partial overrides compose);
+    * None uses the built-ins throughout. */
   def violations(spark: SparkSession, catalog: DataFrame,
       schemaDir: Option[String] = None): DataFrame = {
     val datasets = CatalogReader.datasets(catalog)
     val distributions = CatalogReader.distributions(catalog)
     val fields = CatalogReader.fields(catalog)
+    // raw (unprefixed) field/theme object views: schema property paths
+    // are the reference's own member names (field.json `id`/`title`/…,
+    // theme.json `id`/`label`/…), so the schema-driven rules evaluate
+    // against the object shape, not the engine's prefixed report view
+    val fieldObjs = distributions
+      .select(explode(col("field")).as("f")).select(col("f.*"))
+    val themeObjs = catalog
+      .select(explode_outer(col("themeTaxonomy")).as("th"))
+      .select(col("th.*"))
 
     def schema(level: String): SchemaRules.LevelSchema = schemaDir match {
-      case Some(d) => SchemaRules.load(s"$d/$level.json")
-      case None => SchemaRules.loadDefault(level)
+      case Some(d) if java.nio.file.Files
+          .exists(java.nio.file.Paths.get(d, s"$level.json")) =>
+        SchemaRules.load(s"$d/$level.json")
+      case _ => SchemaRules.loadDefault(level)
     }
 
     val levels = Seq(
       ("catalog", catalog, "catalog_id"),
       ("dataset", datasets, "dataset_id"),
-      ("distribution", distributions, "distribution_id"))
+      ("distribution", distributions, "distribution_id"),
+      ("field", fieldObjs, "id"),
+      ("theme", themeObjs, "id"))
 
     // schema-driven: required keys + per-property pattern/format rules
     val schemaChecks = levels.flatMap { case (level, df, idCol) =>

@@ -454,15 +454,30 @@ object MultiModal {
     // real track internals, closed-form in the track ordinal t: even
     // tracks are video (avc1, 160·(t+1) × 90·(t+1)), odd are audio
     // (mp4a, no dims) — so a per-track oracle recomputes every field
-    // from (doc_id, t) without the bytes
+    // from (doc_id, t) without the bytes. Odd tracks encode tkhd
+    // VERSION 1 (64-bit times: track_ID @ +20, dims @ +84/+88 of a
+    // 92-byte payload) so one fixture file exercises both layouts —
+    // v1 tkhd is legal and common in long videos
     val traks = (0 until nTracks).map { t =>
       val vide = t % 2 == 0
       val w = if (vide) 160 * (t + 1) else 0
       val h = if (vide) 90 * (t + 1) else 0
-      val tkhdP = java.nio.ByteBuffer.allocate(84)
-      tkhdP.putInt(12, t + 1)       // track_ID
-      tkhdP.putInt(76, w << 16)     // width, 16.16 fixed
-      tkhdP.putInt(80, h << 16)     // height, 16.16 fixed
+      val tkhdP =
+        if (t % 2 == 0) java.nio.ByteBuffer.allocate(84)
+        else {
+          val p = java.nio.ByteBuffer.allocate(92)
+          p.put(0, 1: Byte)         // version 1
+          p
+        }
+      if (t % 2 == 0) {
+        tkhdP.putInt(12, t + 1)     // track_ID
+        tkhdP.putInt(76, w << 16)   // width, 16.16 fixed
+        tkhdP.putInt(80, h << 16)   // height, 16.16 fixed
+      } else {
+        tkhdP.putInt(20, t + 1)     // track_ID (after 8-byte times)
+        tkhdP.putInt(84, w << 16)
+        tkhdP.putInt(88, h << 16)
+      }
       val hdlrP = java.nio.ByteBuffer.allocate(12)
       (if (vide) "vide" else "soun").getBytes("US-ASCII")
         .zipWithIndex.foreach { case (c, i) => hdlrP.put(8 + i, c) }
@@ -551,12 +566,16 @@ object MultiModal {
 
   /** One decoded MP4 track: tkhd identity + dimensions, hdlr handler
     * class, stsd sample-entry codec fourcc — the fields a video
-    * routing/mixture policy keys on. */
-  final case class Mp4Track(doc_id: Long, track_id: Long,
-      handler: String, width: Long, height: Long, codec: String)
+    * routing/mixture policy keys on. The tkhd triple is Option-al: an
+    * unknown tkhd version or short payload DECLINES to nulls instead
+    * of emitting a silent (0, 0, 0) row that reads like a parsed
+    * zero-size track (r8 verdict). */
+  final case class Mp4Track(doc_id: Long, track_id: Option[Long],
+      handler: String, width: Option[Long], height: Option[Long],
+      codec: String)
 
   /** Per-track MP4 descent — the level below [[decodeMp4Meta]]'s movie
-    * triage: walks moov → trak → { tkhd (track id, 16.16-fixed
+    * triage: walks moov → trak → { tkhd v0 OR v1 (track id, 16.16-fixed
     * width/height), mdia → hdlr (handler fourcc: vide/soun), mdia →
     * minf → stbl → stsd (first sample-entry codec fourcc) }. Emits one
     * row PER TRACK (none for payloads that don't parse — quarantine at
@@ -591,13 +610,19 @@ object MultiModal {
         children(ms, me).collect { case ("trak", ts, te) =>
           val tkhd = child(ts, te, "tkhd")
           // tkhd v0 payload: track_ID @ +12, width/height 16.16 fixed
-          // @ +76/+80 (84-byte payload)
+          // @ +76/+80 (84 bytes). v1 (64-bit create/modify times):
+          // track_ID @ +20, dims @ +84/+88 (92 bytes) — legal and
+          // common in long videos. Anything else declines to nulls.
           val (trackId, w, h) = tkhd match {
             case Some((s, e)) if e - s >= 84 && bytes(s) == 0 =>
-              (b.getInt(s + 12).toLong & 0xffffffffL,
-                (b.getInt(s + 76) >>> 16).toLong,
-                (b.getInt(s + 80) >>> 16).toLong)
-            case _ => (0L, 0L, 0L)
+              (Some(b.getInt(s + 12).toLong & 0xffffffffL),
+                Some((b.getInt(s + 76) >>> 16).toLong),
+                Some((b.getInt(s + 80) >>> 16).toLong))
+            case Some((s, e)) if e - s >= 92 && bytes(s) == 1 =>
+              (Some(b.getInt(s + 20).toLong & 0xffffffffL),
+                Some((b.getInt(s + 84) >>> 16).toLong),
+                Some((b.getInt(s + 88) >>> 16).toLong))
+            case _ => (None, None, None)
           }
           val mdia = child(ts, te, "mdia")
           // hdlr payload: version/flags(4) pre_defined(4) handler(4)

@@ -250,4 +250,53 @@ class CatalogPlaneSpec extends SparkSpec {
       .select("rule").as[String].collect().toSet
     assert(!custom.contains("invalid accrualPeriodicity"))
   }
+
+  test("field/theme levels are schema-file-driven: a drop-in field.json edit changes enforcement") {
+    import graft.operators.SchemaRules
+    // built-ins mirror the reference's field.json/theme.json (type-only
+    // constraints — base.py:423-453 validates them generically), so
+    // they parse to zero pattern rules and change nothing by default
+    assert(SchemaRules.loadDefault("field").rules.isEmpty)
+    assert(SchemaRules.loadDefault("theme").rules.isEmpty)
+
+    val json = """{"identifier":"c10","title":"t","description":"d",
+      |"publisher":{"name":"p"},"superThemeTaxonomy":"http://x",
+      |"themeTaxonomy":[{"id":"TH 1","label":"l","description":"d"}],
+      |"dataset":[
+      | {"identifier":"1","title":"ok","description":"d",
+      |  "publisher":{"name":"p"},"superTheme":["A"],
+      |  "accrualPeriodicity":"R/P1M","issued":"2020-01-01",
+      |  "distribution":[{"identifier":"1.1","title":"t","issued":"2020",
+      |    "field":[{"id":"bad id!","title":"ft1"},
+      |             {"id":"good_id","title":"ft2"}]}]}
+      |]}""".stripMargin.replace("\n", "")
+    val p = workDir.resolve("val10.json")
+    Files.writeString(p, json)
+    val catalog = CatalogReader.readJson(spark, p.toString, "c10")
+
+    // default profile: no field/theme pattern rules → no violations
+    val builtIn = CatalogValidator.violations(spark, catalog)
+      .filter(col("level").isin("field", "theme"))
+      .select("rule").as[String].collect().toSet
+    assert(builtIn.isEmpty, s"default field/theme must be unconstrained: $builtIn")
+
+    // drop-in PARTIAL override dir: only field.json + theme.json with
+    // id patterns — the other levels fall back to built-ins
+    val dir = workDir.resolve("schemas10")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("field.json"),
+      """{"type":"object","properties":{
+        |"id":{"type":"string","pattern":"^[A-Za-z0-9_]+$"}}}""".stripMargin)
+    Files.writeString(dir.resolve("theme.json"),
+      """{"type":"object","properties":{
+        |"id":{"type":"string","pattern":"^[A-Za-z0-9]+$"}}}""".stripMargin)
+    val custom = CatalogValidator
+      .violations(spark, catalog, Some(dir.toString))
+      .filter(col("level").isin("field", "theme"))
+      .select("level", "identifier", "rule").as[(String, String, String)]
+      .collect().toSet
+    assert(custom.contains(("field", "bad id!", "invalid id")), s"$custom")
+    assert(custom.contains(("theme", "TH 1", "invalid id")), s"$custom")
+    assert(!custom.exists(_._2 == "good_id"), s"$custom")
+  }
 }

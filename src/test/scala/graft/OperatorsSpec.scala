@@ -1176,11 +1176,27 @@ class OperatorsSpec extends SparkSpec {
     val rows = MultiModal.decodeMp4Tracks(df).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         r.getLong(3), r.getLong(4), r.getString(5))).sortBy(t => (t._1, t._2))
-    // doc 1: vide/soun/vide with growing dims; docs 2 and 3 emit none
+    // doc 1: vide/soun/vide with growing dims (track 2 encodes tkhd v1
+    // — the fixture covers both layouts); docs 2 and 3 emit none
     assert(rows.toSeq == Seq(
       (1L, 1L, "vide", 160L, 90L, "avc1"),
       (1L, 2L, "soun", 0L, 0L, "mp4a"),
       (1L, 3L, "vide", 480L, 270L, "avc1")), rows.toSeq)
+  }
+
+  test("mp4 track descent: unknown tkhd version declines to nulls, never silent zeros") {
+    val one = MultiModal.encodeMp4(timescale = 1000, duration = 1000L,
+      nTracks = 1)
+    val idx = one.indexOfSlice("tkhd".getBytes("US-ASCII"))
+    assert(idx > 0)
+    one(idx + 4) = 9 // payload byte 0 = version: unknown
+    val rows = MultiModal.decodeMp4Tracks(
+      Seq((1L, one)).toDF("doc_id", "payload")).collect()
+    assert(rows.length == 1, "track row must still emit (hdlr/stsd parse)")
+    val r = rows.head
+    assert(r.isNullAt(1) && r.isNullAt(3) && r.isNullAt(4),
+      s"unknown tkhd version must null the (id, w, h) triple: $r")
+    assert(r.getString(2) == "vide" && r.getString(5) == "avc1")
   }
 
   test("codeDetect: indentation/terminator/keyword lines, prose stays prose") {
