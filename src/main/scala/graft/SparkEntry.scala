@@ -1186,8 +1186,13 @@ object SparkEntry {
     * the per-vector verdict a curation pipeline acts on. */
   private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    val withBucket = t.embeddings.withColumn("lsh_blk",
-      Similarity.lshBucketExpr(col("embedding"), nBits = 8))
+    // adaptive-depth blocking: 8 base bits exactly as before at test
+    // scale (no block exceeds the cap there, so the oracle's fixed
+    // 8-bit replay still matches); dense/over-cap blocks sub-split
+    // with more hyperplane bits instead of going |block|² — the ×100
+    // scaling run caught fixed-depth at 187M pairs / ×121 per decade
+    val withBucket = Similarity.adaptiveLshBlocks(t.embeddings,
+      "embedding", "lsh_blk", baseBits = 8)
     val pairs = Similarity.cosineNearDupPairs(withBucket, "vec_id",
       "embedding", "lsh_blk", threshold = 0.2)
     Dedup.duplicateClusters(pairs)

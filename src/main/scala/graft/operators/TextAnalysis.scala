@@ -346,9 +346,14 @@ object TextAnalysis {
     * keep decision is engine-portable. */
   def qualityQuantileGate(scored: DataFrame, strataCol: String,
       scoreCol: String, q: Double): DataFrame = {
-    val thresholds = scored.groupBy(col(strataCol))
+    // lazy-checkpointed: the threshold agg AND the gate join both
+    // consume `scored`, whose lineage is typically the expensive part
+    // (the full scoring battery) — without this it evaluates twice,
+    // which the ×100 scaling run measured as ~2× the whole query
+    val s = scored.localCheckpoint(false)
+    val thresholds = s.groupBy(col(strataCol))
       .agg(round(percentile(col(scoreCol), lit(q)), 6).as("threshold"))
-    scored.join(broadcast(thresholds), Seq(strataCol))
+    s.join(broadcast(thresholds), Seq(strataCol))
       .withColumn("kept", col(scoreCol) >= col("threshold"))
   }
 

@@ -184,6 +184,42 @@ class OperatorsSpec extends SparkSpec {
     assert(out(5001L) == ((0L, false, false)), s"fresh doc wrong: $out")
   }
 
+  test("adaptiveLshBlocks: under-cap corpora match fixed-depth exactly; dense blocks refine to the cap") {
+    import graft.operators.Similarity
+    val vecs = (0L until 600L).map(i =>
+      (i, (0 until 64).map(d => math.sin(i * 0.37 + d * 1.13)).toArray))
+      .toDF("vec_id", "embedding")
+    // parity: cap above n ⇒ the blocking IS fixed-depth baseBits
+    val fixed = vecs.withColumn("blk",
+        Similarity.lshBucketExpr(col("embedding"), nBits = 4) +
+          lit(4L << 24))
+      .select("vec_id", "blk").as[(Long, Long)].collect().toMap
+    val par = Similarity.adaptiveLshBlocks(vecs, "embedding", "blk",
+        baseBits = 4, maxBlockSize = 1000)
+      .select("vec_id", "blk").as[(Long, Long)].collect().toMap
+    assert(par == fixed, "cap above every block must reproduce fixed depth")
+    // refinement: tiny cap forces deeper bits; every block lands at or
+    // under the cap unless it hit the maxBits floor
+    val ref = Similarity.adaptiveLshBlocks(vecs, "embedding", "blk",
+      baseBits = 1, maxBlockSize = 64, refineStep = 2, maxBits = 19)
+    assert(ref.count() == 600, "refinement must not drop or duplicate rows")
+    val sizes = ref.groupBy(col("blk")).agg(count(lit(1)).as("n"))
+      .select((col("blk") / lit(1L << 24)).cast("int").as("bits"), col("n"))
+      .as[(Int, Long)].collect()
+    assert(sizes.forall { case (bits, n) => n <= 64 || bits == 19 },
+      s"over-cap block below the maxBits floor survived: ${sizes.toSeq}")
+    assert(sizes.exists(_._1 > 1), "dense base blocks must have refined")
+    // refinement only SPLITS: deeper co-blocking implies base co-blocking
+    val baseBlk = vecs.withColumn("blk",
+        Similarity.lshBucketExpr(col("embedding"), nBits = 1))
+      .select("vec_id", "blk").as[(Long, Long)].collect().toMap
+    val refBlk = ref.select("vec_id", "blk").as[(Long, Long)]
+      .collect().toMap
+    val byRef = refBlk.toSeq.groupBy(_._2).values
+    assert(byRef.forall(g => g.map(kv => baseBlk(kv._1)).distinct.size == 1),
+      "a refined block must sit inside one base block")
+  }
+
   test("ngram jaccard: identical=1, near-dup in (0,1), disjoint=0") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id1", "id2")
     val j = Dedup.ngramJaccard(docs, pairs, "text", "doc_id")
