@@ -2029,6 +2029,45 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("track_id"))
   }
 
+  /** Cross-document duplicated-span coverage (Dedup.duplicateSpans):
+    * rolling 20-char grams at every position, grams shared by >= 2
+    * distinct docs mark spans, per-doc interval-union coverage — the
+    * alignment-free "memorized substring" pass chunk dedup misses. */
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Dedup.duplicateSpans(t.documents, "text", "doc_id", gramLen = 20)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-budget curriculum phases (Sampling.curriculumPhases): score
+    * = distinct-token ratio (lexical-diversity quality proxy), order
+    * (score desc, id), phase = floor(tokens-before / 2000) via the
+    * scalable two-pass (bin-offset + per-bin window) running sum. */
+  private def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ws = GF.wsTokens(col("text"))
+    val scored = t.documents.select(col("doc_id"),
+      size(ws).cast("long").as("n_tokens"),
+      (size(array_distinct(ws)).cast("double") /
+        size(ws).cast("double")).as("score"))
+    Sampling.curriculumPhases(scored, "score", "n_tokens", "doc_id",
+        phaseBudget = 2000L)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("score"), 4).as("score"), col("phase"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-channel audio features (MultiModal.wavChannelFeatures) over
+    * the closed-form WAV fixtures: zero crossings, silence frames,
+    * peak, per-channel DC sum — all exact integers the oracle
+    * recomputes from the generator formula without the bytes. */
+  private def qAudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    MultiModal.wavChannelFeatures(MultiModal.syntheticWav(
+        t.documents.select(col("doc_id")), "doc_id"))
+      .orderBy(col("doc_id"), col("channel"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -2174,6 +2213,9 @@ object SparkEntry {
     "q138_mp4_meta" -> (qMp4Meta _),
     "q139_lsh_bucket_cap" -> (qLshBucketCap _),
     "q140_mp4_tracks" -> (qMp4Tracks _),
+    "q141_dup_spans" -> (qDupSpans _),
+    "q142_curriculum" -> (qCurriculum _),
+    "q143_audio_features" -> (qAudioFeatures _),
   )
 
   // -------------------------------------------------------------------
@@ -5067,5 +5109,79 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(range(doc_id % 3 + 1)) AS t
         |      FROM documents)
         |ORDER BY doc_id, track_id""".stripMargin,
+
+    // rolling 20-gram at every position; duplicated = held by >= 2
+    // DISTINCT docs (intra-doc repeats collapse first); union coverage
+    // of fixed-length sorted intervals = sum(least(20, pos - prev)),
+    // 20 for the first
+    "q141_dup_spans" ->
+      """WITH g AS (SELECT doc_id, i AS pos, substr(text, i, 20) AS gram
+        |  FROM documents,
+        |    unnest(generate_series(1, length(text) - 19)) AS t(i)
+        |  WHERE length(text) >= 20),
+        |d AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+        |  GROUP BY gram HAVING count(*) >= 2),
+        |dp AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+        |lg AS (SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM dp),
+        |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_pos,
+        |    CAST(sum(CASE WHEN prev IS NULL THEN 20
+        |      ELSE least(20, pos - prev) END) AS BIGINT) AS dup_chars
+        |  FROM lg GROUP BY doc_id)
+        |SELECT d0.doc_id, CAST(length(d0.text) AS BIGINT) AS doc_len,
+        |  coalesce(cov.n_dup_pos, 0) AS n_dup_pos,
+        |  coalesce(cov.dup_chars, 0) AS dup_chars,
+        |  round(CAST(coalesce(cov.dup_chars, 0) AS DOUBLE) /
+        |    length(d0.text), 4) AS dup_frac
+        |FROM documents d0 LEFT JOIN cov USING (doc_id)
+        |ORDER BY d0.doc_id""".stripMargin,
+
+    // oracle runs the NAIVE global running sum the operator's two-pass
+    // plan is provably equal to (binning is order-consistent with the
+    // sort key, so offsets + per-bin cumsum = the global cumsum)
+    "q142_curriculum" -> {
+      val ws = wsTokensSql("text")
+      s"""WITH tk AS (SELECT doc_id,
+         |    CAST(len($ws) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct($ws)) AS DOUBLE) / len($ws) AS score
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, round(score, 4) AS score,
+         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    // 2000 AS BIGINT) AS phase
+         |FROM tk ORDER BY doc_id""".stripMargin
+    },
+
+    // closed forms of the WAV fixture generator (rate = 8000+(id%4)·
+    // 4000 unused here; nch = id%2+1, frames = id%50+10, s(i,ch) =
+    // ((id·31+i·7+ch·13) % 2001) − 1000); a crossing is a flip of the
+    // s >= 0 predicate between consecutive frames of the same channel
+    "q143_audio_features" ->
+      """WITH base AS (SELECT doc_id, doc_id % 2 + 1 AS nch,
+        |    doc_id % 50 + 10 AS frames FROM documents),
+        |fr AS (SELECT doc_id, nch, frames,
+        |    unnest(generate_series(0, frames - 1)) AS i FROM base),
+        |smp AS (SELECT doc_id, frames, i,
+        |    unnest(generate_series(0, nch - 1)) AS ch FROM fr),
+        |v AS (SELECT doc_id, frames, ch, i,
+        |    ((doc_id * 31 + i * 7 + ch * 13) % 2001) - 1000 AS s
+        |  FROM smp),
+        |lg AS (SELECT doc_id, ch, i, s,
+        |    lag(s) OVER (PARTITION BY doc_id, ch ORDER BY i) AS prev
+        |  FROM v),
+        |agg AS (SELECT doc_id, ch,
+        |    CAST(count(*) AS BIGINT) AS n_frames,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL
+        |      AND (s >= 0) <> (prev >= 0) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS zero_crossings,
+        |    CAST(sum(CASE WHEN abs(s) < 100 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS silence_n,
+        |    CAST(max(abs(s)) AS BIGINT) AS peak,
+        |    CAST(sum(s) AS BIGINT) AS sum_samples
+        |  FROM lg GROUP BY doc_id, ch)
+        |SELECT doc_id, CAST(ch AS BIGINT) AS channel, n_frames,
+        |  zero_crossings, silence_n, peak, sum_samples
+        |FROM agg ORDER BY doc_id, channel""".stripMargin,
   )
 }

@@ -468,6 +468,75 @@ object Dedup {
       .withColumnRenamed("_id", idCol)
   }
 
+  /** Cross-document duplicated-SPAN detection: for every document, how
+    * much of its text is covered by a substring of length >= `gramLen`
+    * that also appears verbatim in at least one OTHER document. This is
+    * the alignment-free complement to [[chunkDedup]]: chunk dedup only
+    * sees duplication that lands on chunk boundaries, while a rolling
+    * gram at every character position catches a copied paragraph at any
+    * offset — the "remove long repeated substrings from the training
+    * set" pass (cf. dedup literature on substring-level duplication;
+    * memorized spans survive document-level dedup).
+    *
+    * Shape: (doc, pos, gram) rows at stride `stride` (1 = exact), one
+    * groupBy at gram grain to find grams present in >= 2 distinct docs
+    * (two-level: distinct (gram, doc) first, so a gram repeated 1000×
+    * inside one doc contributes ONE row to the distinct-doc count), a
+    * semi-join back, then per-doc interval-union coverage. Because all
+    * intervals have the same length L and positions are sorted, the
+    * union length is sum(min(L, pos - prev_pos)) with L for the first —
+    * one lag window partitioned BY DOC (never a global window).
+    *
+    * Scale notes (100 TB): gram rows are bounded by total corpus chars /
+    * stride with fixed L-byte keys, so the gram shuffle is O(corpus
+    * bytes · L / stride) — at crawl scale run stride = L/2 (guarantees
+    * detection of any duplicated span >= 2L-1 chars, halves the shuffle
+    * twice over) and raise gramLen to 40-50. The dup-gram frame after
+    * the HAVING filter is duplicated-content-sized, far smaller than
+    * the corpus; the coverage window is doc-partitioned. No collect, no
+    * global sort. */
+  def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+      gramLen: Int = 20, stride: Int = 1): DataFrame = {
+    require(gramLen >= 2 && stride >= 1, "gramLen >= 2, stride >= 1")
+    val base = docs.select(col(idCol).as("_id"),
+      col(textCol).as("_text"), length(col(textCol)).as("_len"))
+    // 1-based positions to match substr(); last valid start = len-L+1.
+    // gram is computed in the same codegen stage as the explode, so the
+    // full text never crosses an exchange — only L-char grams do.
+    val positions = base.filter(col("_len") >= gramLen)
+      .select(col("_id"), col("_len"), col("_text"),
+        explode(sequence(lit(1), col("_len") - (gramLen - 1),
+          lit(stride))).as("pos"))
+      .select(col("_id"), col("_len"), col("pos"),
+        col("_text").substr(col("pos"), lit(gramLen)).as("gram"))
+    // grams held by >= 2 distinct docs; distinct (gram, doc) first so an
+    // intra-doc repeat can't fake a cross-doc hit (and the count agg
+    // runs at duplicated-gram grain, partial-aggregatable)
+    val dupGrams = positions.select(col("gram"), col("_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("_docs"))
+      .filter(col("_docs") >= 2)
+      .select(col("gram"))
+    val dupPos = positions.join(dupGrams, Seq("gram"), "left_semi")
+    // interval-union coverage: fixed-length intervals sorted by pos, so
+    // each one adds min(L, pos - prev_pos) new chars (L for the first)
+    val w = Window.partitionBy(col("_id")).orderBy(col("pos"))
+    val covered = dupPos
+      .withColumn("_delta", col("pos") - lag(col("pos"), 1).over(w))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_dup_pos"),
+        sum(when(col("_delta").isNull, lit(gramLen.toLong))
+          .otherwise(least(lit(gramLen.toLong), col("_delta").cast("long"))))
+          .as("dup_chars"))
+    base.select(col("_id"), col("_len"))
+      .join(covered, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        col("_len").cast("long").as("doc_len"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+          col("_len").cast("double"), 4).as("dup_frac"))
+  }
+
   /** Duplicate clusters: connected components over candidate/duplicate
     * pairs, labeling every member with the MIN doc id of its component —
     * the step that turns pairwise near-dup hits into "keep one per

@@ -208,4 +208,59 @@ object Sampling {
         (col("base") + when(col("_rk") <= col("leftover"), 1L)
           .otherwise(0L)).as("alloc"))
   }
+
+  /** Token-budget curriculum phases: order the corpus by `scoreCol`
+    * DESC (ties by id), walk it accumulating `tokensCol`, and assign
+    * each document phase = floor(tokens-before-it / phaseBudget) — the
+    * curriculum/annealing data schedule ("highest-quality docs fill
+    * phase 0, train on phases in order"; quality-ordered multi-epoch
+    * schedules in LLM data curation).
+    *
+    * The naive plan is a global-ORDER-BY running sum — a single-
+    * partition window that serializes the corpus through one task. This
+    * runs the scalable two-pass split instead:
+    *  1. coarse-bin the score (`floor(score · scoreBins)`), aggregate
+    *     token mass per bin — bins are metadata-scale (<= scoreBins+1
+    *     rows), so the running offset over bins is a trivially cheap
+    *     window on a tiny frame, then broadcast back;
+    *  2. the exact running sum runs per-bin: a window PARTITIONED by
+    *     bin, ordered (score desc, id) — parallel across bins, which is
+    *     exactly how a range-partitioned global sort would lay the data
+    *     out anyway.
+    * Docs in bin b before-count = (mass of all finer/higher bins) +
+    * (running sum within b), which equals the global running sum
+    * because binning is order-consistent with the sort key.
+    *
+    * Caveat the binning inherits from range partitioning: a single
+    * score value holding >> 1/scoreBins of total tokens makes one bin
+    * big; its window still parallelizes nothing within the bin. That is
+    * a data-skew property (same fix as any sort skew: finer bins or a
+    * secondary split key). */
+  def curriculumPhases(docs: DataFrame, scoreCol: String,
+      tokensCol: String, idCol: String, phaseBudget: Long,
+      scoreBins: Int = 1000): DataFrame = {
+    require(phaseBudget > 0, "phaseBudget must be positive")
+    val binned = docs.withColumn("_bin",
+      floor(col(scoreCol).cast("double") * scoreBins).cast("long"))
+    val binMass = binned.groupBy(col("_bin"))
+      .agg(sum(col(tokensCol).cast("long")).as("_mass"))
+    // running offset over DESC-ordered bins; single-partition window on
+    // a metadata-scale frame (scoreBins rows), then broadcast
+    val wBins = Window.orderBy(col("_bin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = binMass
+      .withColumn("_off", coalesce(sum(col("_mass")).over(wBins), lit(0L)))
+      .select(col("_bin"), col("_off"))
+    val wIn = Window.partitionBy(col("_bin"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    binned.join(broadcast(offsets), Seq("_bin"))
+      .withColumn("_before",
+        col("_off") + coalesce(sum(col(tokensCol).cast("long")).over(wIn),
+          lit(0L)))
+      // integer `div`, not double `/`: token totals at 100 TB exceed
+      // the 2^53 double mantissa and floor(double) would misassign
+      .withColumn("phase", expr(s"_before div ${phaseBudget}L"))
+      .drop("_bin", "_off", "_before")
+  }
 }

@@ -652,6 +652,73 @@ class OperatorsSpec extends SparkSpec {
     assert(md5s(2L) == cMd5)
   }
 
+  test("duplicateSpans: cross-doc grams mark spans, interval union merges overlaps") {
+    import spark.implicits._
+    val sharedA = "0123456789abcdefghijklmno"     // 25 chars: 6 gram starts
+    val sharedB = "ABCDEFGHIJKLMNOPQRST"          // exactly 20: 1 gram
+    val docs = Seq(
+      (1L, sharedA + "xxxxxxxxxx"),               // shared prefix
+      (2L, "yyyyyyyyyy" + sharedA),               // same span, any offset
+      (3L, "zzzz"),                               // below gramLen
+      (4L, "q" * 25),                             // intra-doc-only repeat
+      (5L, sharedA + "uuuuu" + sharedB),          // two DISJOINT dup spans
+      (6L, sharedB + "vvvvvvvvvv")).toDF("doc_id", "text")
+    val r = graft.operators.Dedup
+      .duplicateSpans(docs, "text", "doc_id", gramLen = 20)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    // 6 overlapping positions union to exactly the 25 shared chars
+    assert(r(1L) == ((35L, 6L, 25L, 0.7143)), r(1L))
+    assert(r(2L) == ((35L, 6L, 25L, 0.7143)), r(2L))
+    // too short for a single gram: zero coverage, still reported
+    assert(r(3L) == ((4L, 0L, 0L, 0.0)), r(3L))
+    // the same gram repeated WITHIN one doc is not cross-doc duplication
+    assert(r(4L) == ((25L, 0L, 0L, 0.0)), r(4L))
+    // disjoint spans don't merge: 25 + 20 covered of 50
+    assert(r(5L) == ((50L, 7L, 45L, 0.9)), r(5L))
+    assert(r(6L) == ((30L, 1L, 20L, 0.6667)), r(6L))
+  }
+
+  test("curriculumPhases: two-pass cumsum equals naive global running sum") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i =>
+      (i, ((i * 37) % 97).toDouble / 97.0, (i % 13) + 1L))
+    val docs = rows.toDF("doc_id", "score", "tokens")
+    val got = Sampling.curriculumPhases(docs, "score", "tokens",
+        "doc_id", phaseBudget = 50L, scoreBins = 10)
+      .select("doc_id", "phase").as[(Long, Long)].collect().toMap
+    // oracle: the naive single-stream walk the two-pass plan replaces
+    var cum = 0L
+    val want = rows.sortBy { case (id, s, _) => (-s, id) }
+      .map { case (id, _, t) => val p = cum / 50L; cum += t; id -> p }
+      .toMap
+    assert(got == want)
+    assert(got.values.min == 0L, "phases start at 0")
+    // coarse bins (10) force many docs per bin AND ties across docs:
+    // correctness must come from offsets + in-bin order, not luck
+    assert(rows.map(_._2).distinct.size < rows.size)
+  }
+
+  test("wavChannelFeatures: zero crossings, silence, peak per channel") {
+    import spark.implicits._
+    // ch0: 5,-5,0,-3 — flips at 5→-5, -5→0 (0 counts non-negative),
+    // 0→-3: three crossings; all four frames under the silence bar
+    // ch1: 200,150,99,-100 — one crossing, one silent frame (99)
+    val samples = Array(Array(5, -5, 0, -3), Array(200, 150, 99, -100))
+    val bytes = MultiModal.encodeWavPcm16(8000, 2, 4,
+      (i, ch) => samples(ch)(i))
+    val r = MultiModal.wavChannelFeatures(
+        Seq((7L, bytes)).toDF("doc_id", "payload"))
+      .orderBy("channel").collect()
+    val c0 = r(0)
+    assert(c0.getLong(2) == 4L && c0.getLong(3) == 3L, c0)
+    assert(c0.getLong(4) == 4L && c0.getLong(5) == 5L, c0)
+    assert(c0.getLong(6) == -3L, c0)
+    val c1 = r(1)
+    assert(c1.getLong(3) == 1L && c1.getLong(4) == 1L, c1)
+    assert(c1.getLong(5) == 200L && c1.getLong(6) == 349L, c1)
+  }
+
   test("corpusStats: exact percentiles interpolate like quantile_cont") {
     import spark.implicits._
     val docs = (1L to 101L).map(i => (i, "en", i * 10))
