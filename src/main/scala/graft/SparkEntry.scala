@@ -680,6 +680,170 @@ object SparkEntry {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Difference-hash near-duplicate image pairs (q113's gradient
+    * cousin): REAL PNG decode → integer-exact dHash
+    * (MultiModal.imageDHash — horizontal brightness gradients, robust
+    * to global exposure shifts that flip aHash bits) → the same
+    * bounded-window hamming pairing as q113. Running both hashes and
+    * OR-ing the pair sets is the production near-dup-image recipe. */
+  private def qDhashDup(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val fx = MultiModal.syntheticImage(
+      t.documents.select("doc_id"), "doc_id", "png")
+    val hs = MultiModal.imageDHash(fx).localCheckpoint(false)
+    val a = hs.select(col("doc_id").as("id1"), col("dhash").as("h1"))
+      .withColumn("blk", explode(array(
+        floor(col("id1") / lit(8)).cast("long"),
+        floor(col("id1") / lit(8)).cast("long") + 1)))
+    val b = hs.select(col("doc_id").as("id2"), col("dhash").as("h2"),
+      floor(col("id2") / lit(8)).cast("long").as("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("id2") > col("id1") && col("id2") <= col("id1") + 8)
+      .select(col("id1"), col("id2"),
+        expr("CAST(bit_count(h1 ^ h2) AS BIGINT)").as("hamming"))
+      .withColumn("is_dup", col("hamming") <= 1)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Embedding-store hygiene audit (Profiling.embeddingHygiene): per
+    * label — dimension consistency, non-finite values, all-zero
+    * vectors, L2-norm envelope. The per-ingest-batch admission check
+    * that keeps a broken encoder checkpoint out of the ANN index. */
+  private def qEmbeddingHygiene(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Profiling.embeddingHygiene(t.embeddings, "embedding", "label")
+      .orderBy(col("label"))
+  }
+
+  /** Graded retrieval metrics (Similarity.retrievalMetrics): MRR and
+    * nDCG@10 of the exact cosine top-10 against label-match relevance —
+    * the position-aware evaluation behind every reranker/cutoff
+    * decision; q97's recall only says WHETHER the right ids appear. */
+  private def qRetrievalMetrics(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ranked = Similarity.bruteForceKnn(
+      t.embeddings.filter(col("vec_id") < 8), t.embeddings,
+      "vec_id", "embedding", k = 10)
+    val truth = t.embeddings.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("label"))
+      .join(t.embeddings.select(col("vec_id").as("cand_id"), col("label")),
+        Seq("label"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id")
+    Similarity.retrievalMetrics(ranked, truth, k = 10)
+      .orderBy(col("query_id"))
+  }
+
+  /** End-to-end image near-dup clustering: decode once, fingerprint
+    * with BOTH perceptual hashes (aHash catches global-structure dups,
+    * dHash catches exposure-shifted ones), OR the bounded-window
+    * hamming pair sets, then connected components
+    * (Dedup.duplicateClusters) — the full image-dedup pipeline as one
+    * composition, cluster sizes as the report. */
+  private def qImageClusters(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val fx = MultiModal.syntheticImage(
+      t.documents.select("doc_id"), "doc_id", "png")
+      .localCheckpoint(false) // encode once, hash twice
+    def pairsOf(hs: DataFrame, hcol: String): DataFrame = {
+      val a = hs.select(col("doc_id").as("id1"), col(hcol).as("h1"))
+        .withColumn("blk", explode(array(
+          floor(col("id1") / lit(8)).cast("long"),
+          floor(col("id1") / lit(8)).cast("long") + 1)))
+      val b = hs.select(col("doc_id").as("id2"), col(hcol).as("h2"),
+        floor(col("id2") / lit(8)).cast("long").as("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("id2") > col("id1") && col("id2") <= col("id1") + 8)
+        .filter(expr("bit_count(h1 ^ h2)") <= 1)
+        .select(col("id1"), col("id2"))
+    }
+    val pairs = pairsOf(MultiModal.imageAHash(fx), "ahash")
+      .unionByName(pairsOf(MultiModal.imageDHash(fx), "dhash"))
+      .distinct()
+    Dedup.duplicateClusters(pairs)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Langid confidence calibration (Profiling.confidenceCalibration):
+    * confidence = best stopword-hit score over token count, correctness
+    * = prediction vs the corpus's true `lang` column — the reliability
+    * diagram that says whether the router's confidence can gate
+    * routing decisions. Scores computed once (withLangScores); the
+    * prediction is re-derived from the score columns with the same
+    * max-score, alphabetical-tie, zero→"und" rule as langId. */
+  private def qLangidCalibration(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val scored = TextAnalysis.withLangScores(t.documents, "text")
+    val langsSorted = TextAnalysis.StopwordsByLang.map(_._1).sorted
+    val best = greatest(langsSorted.map(l => col(s"score_$l")): _*)
+    var pred: Column = lit("und")
+    for (l <- langsSorted.reverse)
+      pred = when(col(s"score_$l") === col("best"), lit(l)).otherwise(pred)
+    val nTok = size(GF.wsTokens(lower(col("text"))))
+    val perDoc = scored
+      .withColumn("best", best)
+      .withColumn("n_toks", nTok)
+      .select(
+        round(when(col("n_toks") > 0,
+          col("best").cast("double") / col("n_toks"))
+          .otherwise(lit(0.0)), 6).as("conf"),
+        (when(col("best") === 0, lit("und")).otherwise(pred)
+          === col("lang")).cast("int").as("ok"))
+    Profiling.confidenceCalibration(perDoc, "conf", "ok")
+      .orderBy(col("bin"))
+  }
+
+  /** Cheapest-supplier-per-part (the TPC-H Q2 shape over the
+    * lineitem-derived supply relation): per-(part, supplier) min unit
+    * price, per-part winner picked by a window min + filter — the
+    * correlated-subquery DECORRELATION pattern (one window over the
+    * grouped frame instead of one subquery per part) — decorated with
+    * supplier/nation through broadcast joins. */
+  private def qMinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val supply = t.lineitem
+      .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+      .agg(round(min(col("l_extendedprice") / col("l_quantity")), 4)
+        .as("unit_cost"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("partkey"))
+    supply.withColumn("min_cost", min(col("unit_cost")).over(w))
+      .filter(col("unit_cost") === col("min_cost"))
+      .join(broadcast(t.supplier), col("suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.part.filter(col("p_size") < 10)),
+        col("partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"),
+        col("s_name").as("supplier"), col("n_name").as("nation"),
+        col("unit_cost"))
+      .orderBy(col("p_partkey"), col("supplier"))
+  }
+
+  /** Above-global-threshold parts (the TPC-H Q11 shape): per-part
+    * revenue kept when it exceeds 1.5× the MEAN part revenue — a
+    * scale-invariant threshold (TPC-H divides its fraction by SF for
+    * the same reason: a fixed share of total selects nothing once the
+    * part domain grows). The global aggregate is a 1-row frame
+    * CROSS-joined back (broadcast) — the scalar-subquery shape without
+    * a driver-side collect. */
+  private def qImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    // part-grain revenue is materialized once (localCheckpoint): both
+    // the total and the filter branch read it — ONE lineitem scan, not
+    // two, without relying on ReuseExchange firing
+    val rev = t.lineitem.groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("v"))
+      .localCheckpoint(false)
+    val tot = rev.agg(sum(col("v")).as("total"),
+      count(lit(1)).as("n_parts"))
+    rev.crossJoin(broadcast(tot))
+      .filter(col("v") > col("total") / col("n_parts") * lit(1.5))
+      .select(col("l_partkey").as("partkey"), round(col("v"), 2).as("value"))
+      .orderBy(col("value").desc, col("partkey"))
+  }
+
   /** Shipping-priority revenue top-10 (the TPC-H Q3 shape): segment
     * filter → orders join → lineitem join, date-bracketed, revenue
     * aggregated and top-k'd with a deterministic tiebreak. */
@@ -2216,6 +2380,13 @@ object SparkEntry {
     "q141_dup_spans" -> (qDupSpans _),
     "q142_curriculum" -> (qCurriculum _),
     "q143_audio_features" -> (qAudioFeatures _),
+    "q144_dhash_dup" -> (qDhashDup _),
+    "q145_embedding_hygiene" -> (qEmbeddingHygiene _),
+    "q146_retrieval_metrics" -> (qRetrievalMetrics _),
+    "q147_image_clusters" -> (qImageClusters _),
+    "q148_min_cost_supplier" -> (qMinCostSupplier _),
+    "q149_important_parts" -> (qImportantParts _),
+    "q150_langid_calibration" -> (qLangidCalibration _),
   )
 
   // -------------------------------------------------------------------
@@ -5183,5 +5354,228 @@ object SparkEntry {
         |SELECT doc_id, CAST(ch AS BIGINT) AS channel, n_frames,
         |  zero_crossings, silence_n, peak, sum_samples
         |FROM agg ORDER BY doc_id, channel""".stripMargin,
+
+    // q113's closed-form fixture replayed through the dHash bit rule:
+    // 5x2 cell grid, bit (y*4+x) when right cell mean > left cell mean
+    // (cross-multiplied, empty cells are 0/0 -> bit 0)
+    "q144_dhash_dup" ->
+      """WITH base AS (SELECT doc_id, doc_id % 16 + 1 AS w,
+        |    doc_id % 8 + 1 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h,
+        |    unnest(generate_series(0, w - 1)) AS x FROM base),
+        |px AS (SELECT doc_id, w, h, x,
+        |    unnest(generate_series(0, h - 1)) AS y FROM xs),
+        |g AS (SELECT doc_id,
+        |    (y * 2 // h) * 5 + (x * 5 // w) AS cell,
+        |    (doc_id + 7*x + 13*y) % 256 + (doc_id + 7*x + 13*y + 31) % 256
+        |      + (doc_id + 7*x + 13*y + 62) % 256 AS gray
+        |  FROM px),
+        |cells AS (SELECT doc_id, cell, sum(gray) AS cs, count(*) AS cc
+        |  FROM g GROUP BY doc_id, cell),
+        |allc AS (SELECT b.doc_id, c.cell FROM base b
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS cell) c),
+        |cc0 AS (SELECT a.doc_id, a.cell, coalesce(cs, 0) AS cs,
+        |    coalesce(cc, 0) AS cc
+        |  FROM allc a LEFT JOIN cells USING (doc_id, cell)),
+        |bits AS (SELECT l.doc_id, (l.cell // 5) * 4 + (l.cell % 5) AS bi,
+        |    CASE WHEN r.cs * l.cc > l.cs * r.cc THEN 1 ELSE 0 END AS bit
+        |  FROM cc0 l JOIN cc0 r
+        |  ON r.doc_id = l.doc_id AND r.cell = l.cell + 1
+        |  WHERE l.cell % 5 < 4),
+        |hs AS (SELECT doc_id,
+        |    CAST(sum(bit * (CAST(1 AS BIGINT) << bi)) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) <= 1 AS is_dup
+        |FROM hs a JOIN hs b
+        |  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 8
+        |ORDER BY id1, id2""".stripMargin,
+
+    // per-vector folds run left-to-right in both engines (HOF aggregate
+    // vs list_aggregate), so the 6-dp norms agree bit-for-bit
+    "q145_embedding_hygiene" ->
+      """WITH v AS (SELECT label, len(embedding) AS dim,
+        |    CASE WHEN len(list_filter(embedding,
+        |        x -> NOT isfinite(CAST(x AS DOUBLE)))) > 0
+        |      THEN 1 ELSE 0 END AS bad,
+        |    CASE WHEN len(list_filter(embedding,
+        |        x -> CAST(x AS DOUBLE) <> 0)) = 0
+        |      THEN 1 ELSE 0 END AS zer,
+        |    round(sqrt(coalesce(list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 0)), 6)
+        |      AS nrm
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(min(dim) AS BIGINT) AS dim_min,
+        |  CAST(max(dim) AS BIGINT) AS dim_max,
+        |  CAST(sum(bad) AS BIGINT) AS n_nonfinite,
+        |  CAST(sum(zer) AS BIGINT) AS n_zero,
+        |  min(nrm) AS norm_min, max(nrm) AS norm_max,
+        |  round(avg(nrm), 4) AS norm_mean
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
+
+    // log2 replayed as ln(x)/ln(2) — the exact arithmetic shape of
+    // Spark's log(base, x), so the 6-dp metrics agree
+    "q146_retrieval_metrics" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         |scored AS (SELECT query_id, cand_id,
+         |    round(${cosineSql("qv", "cv")}, 6) AS sim
+         |  FROM c, q WHERE query_id <> cand_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rnk
+         |  FROM scored),
+         |truth AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id
+         |  FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 8),
+         |rel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+         |  FROM truth GROUP BY 1),
+         |hits AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |    min(r.rnk) AS fr,
+         |    sum(CAST(1.0 AS DOUBLE) /
+         |      (ln(CAST(r.rnk AS DOUBLE) + 1) / ln(CAST(2.0 AS DOUBLE))))
+         |      AS dcg
+         |  FROM ranked r JOIN truth t
+         |  ON t.query_id = r.query_id AND t.cand_id = r.cand_id
+         |  WHERE r.rnk <= 10 GROUP BY 1),
+         |idcg AS (SELECT query_id, n_rel,
+         |    list_aggregate(list_transform(
+         |      generate_series(1, least(n_rel, 10)),
+         |      i -> CAST(1.0 AS DOUBLE) /
+         |        (ln(CAST(i AS DOUBLE) + 1) / ln(CAST(2.0 AS DOUBLE)))),
+         |      'sum') AS ideal
+         |  FROM rel)
+         |SELECT i.query_id, i.n_rel, coalesce(h.n_hits, 0) AS n_hits,
+         |  round(coalesce(CAST(1.0 AS DOUBLE) / h.fr, 0), 6) AS rr,
+         |  round(coalesce(h.dcg, 0) / i.ideal, 6) AS ndcg
+         |FROM idcg i LEFT JOIN hits h USING (query_id)
+         |ORDER BY query_id""".stripMargin,
+
+    // q113's aHash and q144's dHash replayed over ONE shared pixel CTE,
+    // pair sets OR'd, then the q44-style recursive closure
+    "q147_image_clusters" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, doc_id % 16 + 1 AS w,
+        |    doc_id % 8 + 1 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h,
+        |    unnest(generate_series(0, w - 1)) AS x FROM base),
+        |px AS (SELECT doc_id, w, h, x,
+        |    unnest(generate_series(0, h - 1)) AS y FROM xs),
+        |pxg AS (SELECT doc_id, w, h, x, y,
+        |    (doc_id + 7*x + 13*y) % 256 + (doc_id + 7*x + 13*y + 31) % 256
+        |      + (doc_id + 7*x + 13*y + 62) % 256 AS gray
+        |  FROM px),
+        |acl AS (SELECT doc_id, (y * 2 // h) * 4 + (x * 4 // w) AS cell,
+        |    gray FROM pxg),
+        |ac AS (SELECT doc_id, cell, sum(gray) AS cs, count(*) AS cc
+        |  FROM acl GROUP BY doc_id, cell),
+        |atot AS (SELECT doc_id, sum(cs) AS ts, sum(cc) AS tc
+        |  FROM ac GROUP BY doc_id),
+        |aall AS (SELECT b.doc_id, c.cell FROM base b
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS cell) c),
+        |abits AS (SELECT a.doc_id, a.cell,
+        |    CASE WHEN coalesce(cs, 0) * tc > ts * coalesce(cc, 0)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM aall a LEFT JOIN ac USING (doc_id, cell)
+        |  JOIN atot USING (doc_id)),
+        |ahs AS (SELECT doc_id,
+        |    CAST(sum(bit * (CAST(1 AS BIGINT) << cell)) AS BIGINT) AS hv
+        |  FROM abits GROUP BY doc_id),
+        |dcl AS (SELECT doc_id, (y * 2 // h) * 5 + (x * 5 // w) AS cell,
+        |    gray FROM pxg),
+        |dc AS (SELECT doc_id, cell, sum(gray) AS cs, count(*) AS cc
+        |  FROM dcl GROUP BY doc_id, cell),
+        |dall AS (SELECT b.doc_id, c.cell FROM base b
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS cell) c),
+        |dcc0 AS (SELECT a.doc_id, a.cell, coalesce(cs, 0) AS cs,
+        |    coalesce(cc, 0) AS cc
+        |  FROM dall a LEFT JOIN dc USING (doc_id, cell)),
+        |dbits AS (SELECT l.doc_id, (l.cell // 5) * 4 + (l.cell % 5) AS bi,
+        |    CASE WHEN r.cs * l.cc > l.cs * r.cc THEN 1 ELSE 0 END AS bit
+        |  FROM dcc0 l JOIN dcc0 r
+        |  ON r.doc_id = l.doc_id AND r.cell = l.cell + 1
+        |  WHERE l.cell % 5 < 4),
+        |dhs AS (SELECT doc_id,
+        |    CAST(sum(bit * (CAST(1 AS BIGINT) << bi)) AS BIGINT) AS hv
+        |  FROM dbits GROUP BY doc_id),
+        |apairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM ahs a JOIN ahs b
+        |  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 8
+        |  WHERE bit_count(xor(a.hv, b.hv)) <= 1),
+        |dpairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM dhs a JOIN dhs b
+        |  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 8
+        |  WHERE bit_count(xor(a.hv, b.hv)) <= 1),
+        |pairs AS (SELECT id1, id2 FROM apairs
+        |  UNION SELECT id1, id2 FROM dpairs),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION SELECT id2 AS a, id1 AS b FROM pairs),
+        |closure(a, b) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a),
+        |labels AS (SELECT a AS id, min(b) AS cluster
+        |  FROM closure GROUP BY a)
+        |SELECT cluster, count(*) AS n_members
+        |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "q148_min_cost_supplier" ->
+      """WITH supply AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |    round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |best AS (SELECT *, min(unit_cost) OVER (PARTITION BY partkey)
+        |    AS min_cost FROM supply)
+        |SELECT p_partkey, p_name, s_name AS supplier, n_name AS nation,
+        |  unit_cost
+        |FROM best
+        |JOIN supplier ON suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN part ON partkey = p_partkey
+        |WHERE unit_cost = min_cost AND p_size < 10
+        |ORDER BY p_partkey, supplier""".stripMargin,
+
+    "q149_important_parts" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    sum(l_extendedprice * (1 - l_discount)) AS v
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(v) AS total,
+        |    CAST(count(*) AS BIGINT) AS n_parts FROM rev)
+        |SELECT l_partkey AS partkey, round(v, 2) AS value
+        |FROM rev, tot WHERE v > total / n_parts * 1.5
+        |ORDER BY value DESC, partkey""".stripMargin,
+
+    // scores replayed from the SAME stopword constants as q36; gap is
+    // computed from the rounded bin aggregates on both sides
+    "q150_langid_calibration" -> {
+      val langs = TextAnalysis.StopwordsByLang.sortBy(_._1)
+      val scoreCols = TextAnalysis.StopwordsByLang.map { case (l, words) =>
+        s"len(list_filter(toks, w -> list_contains(${sqlStringList(words)}, w))) AS score_$l"
+      }.mkString(",\n  ")
+      val mx = langs.map(l => s"score_${l._1}").mkString("greatest(", ", ", ")")
+      val guess = langs.map { case (l, _) =>
+        s"WHEN score_$l = best THEN '$l'"
+      }.mkString("\n      ")
+      s"""WITH t AS (SELECT doc_id, lang AS lang_true,
+         |    ${wsTokensSql("lower(text)")} AS toks FROM documents),
+         |sc AS (SELECT doc_id, lang_true, len(toks) AS n_toks,
+         |  $scoreCols
+         |  FROM t),
+         |b AS (SELECT *, $mx AS best FROM sc),
+         |p AS (SELECT
+         |    round(CASE WHEN n_toks > 0
+         |      THEN CAST(best AS DOUBLE) / n_toks ELSE 0 END, 6) AS conf,
+         |    CASE WHEN (CASE WHEN best = 0 THEN 'und'
+         |      $guess
+         |      END) = lang_true THEN 1 ELSE 0 END AS ok
+         |  FROM b),
+         |bn AS (SELECT CAST(least(floor(conf * 10), 9) AS INT) AS bin,
+         |    conf, ok FROM p)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(avg(conf), 4) AS mean_conf, round(avg(ok), 4) AS accuracy,
+         |  round(abs(round(avg(conf), 4) - round(avg(ok), 4)), 4) AS gap
+         |FROM bn GROUP BY bin ORDER BY bin""".stripMargin
+    },
   )
 }

@@ -918,4 +918,69 @@ object MultiModal {
       .mapPartitions(_.grouped(batchSize).flatMap(g => hashBatch(g.toSeq)))
       .toDF("doc_id", "ahash", "width", "height")
   }
+
+  /** Difference-hash (dHash) perceptual fingerprint — the gradient
+    * cousin of [[imageAHash]]: box-downsample the grayscale image to a
+    * (gw+1)×gh grid and set bit (y·gw + x) when cell (x+1, y) is
+    * brighter than cell (x, y). dHash is robust to global
+    * brightness/contrast shifts that flip aHash bits (the per-bit
+    * comparison is local, not against the global mean), so the two
+    * hashes disagree on exactly the near-dups that differ by exposure —
+    * run both and OR the pair sets. Same integer discipline as aHash:
+    * gray = r+g+b, exact box-downsample (x·(gw+1) div w, y·gh div h),
+    * and the brighter-than test cross-multiplies
+    * (csR·ccL > csL·ccR) so an external oracle replays every bit from
+    * the fixture's closed form. Empty cells (image narrower than the
+    * grid) have sum=count=0, making both products 0 — bit 0 on both
+    * sides, deterministically. */
+  def imageDHash(df: DataFrame, gw: Int = 4, gh: Int = 2,
+      batchSize: Int = 64): DataFrame = {
+    require(gw > 0 && gh > 0 && gw * gh <= 63,
+      "bit grid must fit a signed 64-bit hash")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = gw + 1
+    def hashBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Long, Long, Long)] =
+      batch.map { case (id, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        require(img != null, s"undecodable payload for id $id")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val cs = new Array[Long](cols * gh)
+        val cc = new Array[Long](cols * gh)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            val cell = (y * gh / h) * cols + (x * cols / w)
+            cs(cell) += gray
+            cc(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var gy = 0
+        while (gy < gh) {
+          var gx = 0
+          while (gx < gw) {
+            val l = gy * cols + gx
+            val r = l + 1
+            // cross-multiplied mean compare in BigInt — same overflow
+            // discipline as aHash; the oracle compares in HUGEINT
+            if (BigInt(cs(r)) * cc(l) > BigInt(cs(l)) * cc(r))
+              hash |= 1L << (gy * gw + gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        (id, hash, w.toLong, h.toLong)
+      }
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(g => hashBatch(g.toSeq)))
+      .toDF("doc_id", "dhash", "width", "height")
+  }
 }

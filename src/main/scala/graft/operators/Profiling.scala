@@ -271,6 +271,70 @@ object Profiling {
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"))
 
+  /** Embedding-integrity audit at VECTOR grain — the admission check a
+    * 100 TB embedding store runs per ingest batch before any vector
+    * reaches an ANN index: dimension consistency (a resized encoder
+    * shows up as dim_min != dim_max), non-finite values (one NaN
+    * poisons every dot product it touches), all-zero vectors (cosine
+    * against them is 0/0), and the L2-norm envelope (collapsed or
+    * exploding norms flag a broken encoder checkpoint long before
+    * recall drops).
+    *
+    * One pass, one shuffle at group grain: every per-vector signal is
+    * a sequential HOF fold over the array (the same left-to-right
+    * order an external oracle's list fold uses, so the rounded norms
+    * agree bit-for-bit), and the groupBy partially aggregates to
+    * #groups rows before the exchange. */
+  def embeddingHygiene(emb: DataFrame, vecCol: String,
+      grpCol: String): DataFrame = {
+    val asD = transform(col(vecCol), x => x.cast("double"))
+    // x - x == 0 exactly for finite x; NaN and +-Inf both yield NaN,
+    // and Spark's NaN = 0 comparison is false -> flagged non-finite
+    val nonFinite = exists(asD, x => !((x - x) === lit(0.0)))
+    val allZero = forall(asD, x => x === lit(0.0))
+    val norm = round(sqrt(aggregate(asD, lit(0.0),
+      (acc, x) => acc + x * x)), 6)
+    emb.select(col(grpCol), size(col(vecCol)).as("dim"),
+        nonFinite.cast("int").as("bad"), allZero.cast("int").as("zer"),
+        norm.as("nrm"))
+      .groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dim")).cast("long").as("dim_min"),
+        max(col("dim")).cast("long").as("dim_max"),
+        sum(col("bad")).cast("long").as("n_nonfinite"),
+        sum(col("zer")).cast("long").as("n_zero"),
+        min(col("nrm")).as("norm_min"),
+        max(col("nrm")).as("norm_max"),
+        round(avg(col("nrm")), 4).as("norm_mean"))
+  }
+
+  /** Classifier-calibration report — does confidence MEAN anything?
+    * Bins predictions by confidence (equal-width, conf ∈ [0,1], top
+    * bin closed) and compares each bin's mean confidence against its
+    * realized accuracy; the per-bin |gap| is the reliability-diagram
+    * reading behind an ECE number. A well-calibrated router (langid,
+    * quality classifier, code-vs-prose) can be thresholded by
+    * confidence; an uncalibrated one needs this table to pick cutoffs.
+    *
+    * One pass, one shuffle at bin grain (≤ `bins` rows out):
+    * `df` needs a confidence column in [0,1] and a 0/1 correctness
+    * column. gap is computed from the ROUNDED bin aggregates so an
+    * external oracle replaying the same rounding agrees exactly. */
+  def confidenceCalibration(df: DataFrame, confCol: String,
+      correctCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    df.select(
+        least(floor(col(confCol) * bins), lit(bins - 1)).cast("int")
+          .as("bin"),
+        col(confCol), col(correctCol).cast("int").as("ok"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col(confCol)), 4).as("mean_conf"),
+        round(avg(col("ok")), 4).as("accuracy"))
+      .withColumn("gap",
+        round(abs(col("mean_conf") - col("accuracy")), 4))
+  }
+
   /** EXACT per-group quantiles computed at VALUE grain — the scale path
     * for percentiles of discrete-ish 100 TB signals (document lengths,
     * token counts, latencies in ms): `groupBy (group, value)` partially

@@ -829,6 +829,47 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Graded retrieval-quality metrics — MRR and nDCG@k of a ranked
+    * result list against a relevance set, per query. recallAtK answers
+    * "did the right ids appear"; this answers "did they appear EARLY",
+    * which is what a reranker or serving cutoff actually optimizes.
+    * RR = 1/rank of the first relevant hit (0 if none in the top k);
+    * DCG = Σ 1/log2(rank+1) over relevant hits; nDCG normalizes by the
+    * ideal DCG of min(n_rel, k) front-loaded hits, so a query with few
+    * relevant docs isn't penalized for physically unreachable gain.
+    *
+    * Scale shape: one (query, cand) equi-join between the result lists
+    * and the relevance pairs, two partial aggregations at query grain —
+    * evaluation cost is proportional to lists × relevance, never the
+    * corpus. The ideal-DCG denominator is a sequential HOF fold over
+    * sequence(1, min(n_rel, k)) — the same left-to-right order an
+    * external oracle's list fold uses. Zero-hit queries are kept with
+    * rr = ndcg = 0. */
+  def retrievalMetrics(ranked: DataFrame, truth: DataFrame, k: Int,
+      queryCol: String = "query_id", candCol: String = "cand_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val rel = truth.groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_rel"))
+    val hits = ranked.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(candCol), col(rankCol))
+      .join(truth.select(col(queryCol), col(candCol)),
+        Seq(queryCol, candCol))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col(rankCol)).as("first_rank"),
+        sum(lit(1.0) / log(2.0, col(rankCol).cast("double") + 1))
+          .as("dcg"))
+    val idcg = aggregate(
+      sequence(lit(1), least(col("n_rel"), lit(k)).cast("int")),
+      lit(0.0), (acc, i) => acc + lit(1.0) / log(2.0, i.cast("double") + 1))
+    rel.join(hits, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(lit(1.0) / col("first_rank"), lit(0.0)), 6).as("rr"),
+        round(coalesce(col("dcg"), lit(0.0)) / idcg, 6).as("ndcg"))
+  }
+
   /** Hard-negative mining for embedding-model training: for each query
     * vector, the k most similar candidates with a DIFFERENT label —
     * the "looks close, should be far" pairs contrastive training wants.

@@ -457,6 +457,84 @@ class OperatorsSpec extends SparkSpec {
     assert(MultiModal.imageAHash(flat).head().getLong(1) == 0L)
   }
 
+  test("ImageIO tier: dHash bits match the closed form; exposure shift leaves dHash fixed") {
+    import spark.implicits._
+    val ids = Seq(3L, 17L, 42L).toDF("doc_id")
+    val hs = MultiModal.imageDHash(
+        MultiModal.syntheticImage(ids, "doc_id", "png"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- Seq(3L, 17L, 42L)) {
+      val (w, h) = ((id % 16 + 1).toInt, (id % 8 + 1).toInt)
+      val cs = new Array[Long](10); val cc = new Array[Long](10)
+      for (y <- 0 until h; x <- 0 until w) {
+        val gray = (0 to 2).map(c => (id + 7 * x + 13 * y + 31 * c) % 256).sum
+        val cell = (y * 2 / h) * 5 + (x * 5 / w)
+        cs(cell) += gray; cc(cell) += 1
+      }
+      var expected = 0L
+      for (gy <- 0 until 2; gx <- 0 until 4) {
+        val l = gy * 5 + gx
+        if (cs(l + 1) * cc(l) > cs(l) * cc(l + 1))
+          expected |= 1L << (gy * 4 + gx)
+      }
+      assert(hs(id) == expected, s"dhash mismatch for id=$id")
+    }
+    // a global exposure shift (no clipping) preserves every left-right
+    // gradient comparison, so dHash is invariant — the property aHash
+    // (compare-to-global-mean) does not have in general
+    val base = (x: Int, y: Int, c: Int) => 40 + 10 * x + 5 * y + c
+    val img1 = Seq((1L, MultiModal.encodeImageIO("png", 8, 4, base)))
+      .toDF("doc_id", "payload")
+    val img2 = Seq((1L, MultiModal.encodeImageIO("png", 8, 4,
+      (x, y, c) => base(x, y, c) + 60))).toDF("doc_id", "payload")
+    val d1 = MultiModal.imageDHash(img1).head().getLong(1)
+    val d2 = MultiModal.imageDHash(img2).head().getLong(1)
+    assert(d1 == d2 && d1 != 0L, s"dhash not exposure-invariant: $d1 vs $d2")
+  }
+
+  test("embeddingHygiene flags NaN vectors, zero vectors, and dim drift") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", Array(3.0f, 4.0f)),       // norm 5
+      ("a", Array(0.0f, 0.0f)),       // all-zero
+      ("a", Array(Float.NaN, 1.0f)),  // non-finite
+      ("b", Array(1.0f, 0.0f, 0.0f)), // dim 3
+      ("b", Array(0.0f, 2.0f)))       // dim 2 -> drift inside group b
+      .toDF("grp", "embedding")
+    val got = Profiling.embeddingHygiene(rows, "embedding", "grp")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 3, "n_vecs")
+    assert(a.getLong(2) == 2 && a.getLong(3) == 2, "dims consistent in a")
+    assert(a.getLong(4) == 1, "one non-finite vector")
+    assert(a.getLong(5) == 1, "one zero vector")
+    val b = got("b")
+    assert(b.getLong(2) == 2 && b.getLong(3) == 3, "dim drift visible")
+    assert(b.getLong(4) == 0 && b.getLong(5) == 0)
+    assert(b.getDouble(6) == 1.0 && b.getDouble(7) == 2.0, "norm envelope")
+  }
+
+  test("retrievalMetrics: rr and ndcg match the closed form; zero-hit query kept") {
+    import spark.implicits._
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2)).toDF("query_id", "cand_id", "rank")
+    val truth = Seq((1L, 11L), (1L, 12L), (1L, 99L), (2L, 77L))
+      .toDF("query_id", "cand_id")
+    val got = Similarity.retrievalMetrics(ranked, truth, k = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    val m1 = got(1L)
+    assert(m1.getLong(1) == 3 && m1.getLong(2) == 2, "n_rel / n_hits")
+    assert(m1.getDouble(3) == 0.5, "first hit at rank 2 -> rr 1/2")
+    val dcg = 1.0 / lg2(3) + 1.0 / lg2(4)      // hits at ranks 2, 3
+    val idcg = 1.0 + 1.0 / lg2(3) + 1.0 / lg2(4) // 3 relevant, k=3
+    assert(math.abs(m1.getDouble(4) - dcg / idcg) < 1e-6, "ndcg")
+    val m2 = got(2L)
+    assert(m2.getLong(2) == 0 && m2.getDouble(3) == 0.0 &&
+      m2.getDouble(4) == 0.0, "zero-hit query kept with zeros")
+  }
+
   test("importance weights: target-domain docs outscore off-domain docs") {
     import spark.implicits._
     // target docs share a distinctive vocabulary; off-domain docs don't

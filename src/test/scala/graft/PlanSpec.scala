@@ -383,6 +383,24 @@ class PlanSpec extends SparkSpec {
       s"range join leaked into ahash pairing:\n$p")
   }
 
+  test("q144 dhash: block-keyed EQUI pairing, no cartesian/range join") {
+    val p = plan("q144_dhash_dup")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"cartesian in dhash pairing:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join leaked into dhash pairing:\n$p")
+  }
+
+  test("q146 retrieval metrics: list-grain equi-joins, no cartesian") {
+    val p = plan("q146_retrieval_metrics")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"cartesian in retrieval metrics:\n$p")
+    // knn scoring broadcasts the 8-query side; the truth join stays equi
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n$p")
+  }
+
   test("q114 ship priority: filters push to scans, dims broadcast, top-k heaped") {
     val p = plan("q114_ship_priority")
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
