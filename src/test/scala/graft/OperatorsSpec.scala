@@ -514,6 +514,23 @@ class OperatorsSpec extends SparkSpec {
     assert(b.getDouble(6) == 1.0 && b.getDouble(7) == 2.0, "norm envelope")
   }
 
+  test("confidenceCalibration: bin edges, top-bin closure, gap from rounded aggs") {
+    import spark.implicits._
+    val preds = Seq(
+      (0.05, 1), (0.08, 0),   // bin 0: mean_conf 0.065, acc 0.5
+      (0.95, 1), (1.0, 1),    // conf=1.0 must land in bin 9, not bin 10
+      (0.30, 0))              // bin 3 alone
+      .toDF("conf", "ok")
+    val got = Profiling.confidenceCalibration(preds, "conf", "ok")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got.keySet == Set(0, 3, 9), s"bins: ${got.keySet}")
+    assert(got(0).getLong(1) == 2 && got(0).getDouble(2) == 0.065 &&
+      got(0).getDouble(3) == 0.5)
+    assert(got(0).getDouble(4) == 0.435, "gap |0.065 - 0.5|")
+    assert(got(9).getLong(1) == 2 && got(9).getDouble(3) == 1.0)
+    assert(got(3).getDouble(3) == 0.0 && got(3).getDouble(4) == 0.3)
+  }
+
   test("retrievalMetrics: rr and ndcg match the closed form; zero-hit query kept") {
     import spark.implicits._
     val ranked = Seq(

@@ -401,6 +401,25 @@ class PlanSpec extends SparkSpec {
       s"query side not broadcast:\n$p")
   }
 
+  test("q148 min-cost supplier: correlated min decorrelated to ONE window, dims broadcast") {
+    val p = plan("q148_min_cost_supplier")
+    assert(p.contains("Window"), s"per-part min not a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+    // the p_size filter reaches the part scan
+    assert(p.contains("LessThan(p_size,10)") || p.contains("p_size"),
+      s"part filter missing:\n$p")
+  }
+
+  test("q149 important parts: global threshold is a broadcast 1-row join, single agg grain") {
+    val p = plan("q149_important_parts")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"global total not broadcast back:\n$p")
+    assert(!p.toLowerCase.contains("sortmergejoin"),
+      s"1-row threshold join degenerated to a shuffle join:\n$p")
+  }
+
   test("q114 ship priority: filters push to scans, dims broadcast, top-k heaped") {
     val p = plan("q114_ship_priority")
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
