@@ -765,6 +765,18 @@ object SparkEntry {
       .orderBy(col("cluster"))
   }
 
+  /** Multi-probe LSH ANN (Similarity.lshMultiProbeKnn): q35's bucket
+    * probe widened to the 2 smallest-margin bit flips (probes=3) — the
+    * recall lever that fans out only the broadcast query side, never
+    * the index. */
+  private def qMultiProbeLsh(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Similarity.lshMultiProbeKnn(t.embeddings,
+        t.embeddings.filter(col("vec_id") < 8),
+        "vec_id", "embedding", nBits = 8, k = 5, probes = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Langid confidence calibration (Profiling.confidenceCalibration):
     * confidence = best stopword-hit score over token count, correctness
     * = prediction vs the corpus's true `lang` column — the reliability
@@ -2387,6 +2399,7 @@ object SparkEntry {
     "q148_min_cost_supplier" -> (qMinCostSupplier _),
     "q149_important_parts" -> (qImportantParts _),
     "q150_langid_calibration" -> (qLangidCalibration _),
+    "q151_multiprobe_lsh" -> (qMultiProbeLsh _),
   )
 
   // -------------------------------------------------------------------
@@ -5576,6 +5589,45 @@ object SparkEntry {
          |  round(avg(conf), 4) AS mean_conf, round(avg(ok), 4) AS accuracy,
          |  round(abs(round(avg(conf), 4) - round(avg(ok), 4)), 4) AS gap
          |FROM bn GROUP BY bin ORDER BY bin""".stripMargin
+    },
+
+    // q35's plane projections reused; each query's probe set = home
+    // bucket + the 2 smallest-|projection| bit flips (ties by bit)
+    "q151_multiprobe_lsh" -> {
+      val projs = (0 until 8).map(j => s"${planeProjSql(j)} AS p$j")
+        .mkString(",\n  ")
+      val bucket = (0 until 8)
+        .map(j => s"(CASE WHEN p$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      val probeRows = (0 until 8).map(j =>
+        s"SELECT vec_id, abs(p$j) AS a, $j AS j, CAST(${1L << j} AS BIGINT) AS m FROM sig WHERE vec_id < 8")
+        .mkString("\nUNION ALL\n")
+      s"""WITH sig AS (SELECT vec_id,
+         |  $projs
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, $bucket AS bucket FROM sig),
+         |pl AS (
+         |$probeRows),
+         |fl AS (SELECT vec_id, m, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY a, j) AS rn FROM pl),
+         |masks AS (SELECT vec_id, CAST(0 AS BIGINT) AS m
+         |  FROM b WHERE vec_id < 8
+         |  UNION ALL SELECT vec_id, m FROM fl WHERE rn <= 2),
+         |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv,
+         |    xor(b.bucket, mk.m) AS bucket
+         |  FROM embeddings e JOIN b ON e.vec_id = b.vec_id
+         |  JOIN masks mk ON mk.vec_id = e.vec_id WHERE e.vec_id < 8),
+         |c AS (SELECT e.vec_id AS cand_id, e.embedding AS cv, b.bucket
+         |  FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+         |scored AS (
+         |  SELECT query_id, cand_id, round(${cosineSql("qv", "cv")}, 6) AS sim
+         |  FROM c JOIN q USING (bucket) WHERE query_id <> cand_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, cand_id, sim, CAST("rank" AS INT) AS "rank"
+         |FROM ranked WHERE "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin
     },
   )
 }

@@ -206,6 +206,57 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
+  /** Multi-probe LSH ANN: queries probe their own bucket PLUS the
+    * buckets reached by flipping the (probes−1) hyperplane bits with
+    * the smallest |projection| margin — the bits most likely to have
+    * landed on the wrong side for a true neighbor. The classic recall
+    * lever that does NOT grow the index: candidates still live in
+    * exactly one bucket each; only the (tiny, broadcast) query side
+    * fans out ×probes. probes=1 is bit-identical to [[lshKnn]].
+    *
+    * Margin ranking is deterministic (ties broken by bit index) and
+    * every arithmetic step — projection fold, abs, sort — is the same
+    * sequential form an external oracle replays, so the probed bucket
+    * SET agrees across engines exactly. */
+  def lshMultiProbeKnn(vectors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, nBits: Int, k: Int, probes: Int,
+      dims: Int = 64): DataFrame = {
+    require(probes >= 1 && probes <= nBits + 1,
+      s"probes=$probes out of [1, ${nBits + 1}]")
+    val withSig = vectors
+      .withColumn("bucket", lshBucketExpr(col(vecCol), nBits, dims))
+      .select(col(idCol), col(vecCol), col("bucket"),
+        norm(col(vecCol)).as("nrm"))
+      .localCheckpoint(false)
+    val cand = withSig.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cv"), col("bucket"), col("nrm").as("cn"))
+    // per-query probe masks: 0 (the home bucket) plus single-bit flips
+    // of the smallest-margin planes, ranked by (|proj|, bit index)
+    val entries = array((0 until nBits).map(j =>
+      struct(abs(planeProjection(col(vecCol), j, dims)).as("a"),
+        lit(j).as("j"), lit(1L << j).as("mask"))): _*)
+    val masks = concat(array(lit(0L)),
+      transform(slice(array_sort(entries), 1, probes - 1),
+        s => s.getField("mask")))
+    val q = queries.select(col(idCol))
+      .join(withSig, Seq(idCol))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col("bucket").as("qbucket"), col("nrm").as("qn"),
+        explode(masks).as("mask"))
+      .withColumn("bucket", col("qbucket").bitwiseXOR(col("mask")))
+      .drop("qbucket", "mask")
+    val scored = cand.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim",
+        round(dot(col("qv"), col("cv")) /
+          nullif(col("qn") * col("cn"), lit(0.0)), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
     * its nearest centroid ("cell"); a query searches only its cell's
     * posting list — the classic IVF-flat structure. At 100 TB the

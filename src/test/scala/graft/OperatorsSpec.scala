@@ -514,6 +514,36 @@ class OperatorsSpec extends SparkSpec {
     assert(b.getDouble(6) == 1.0 && b.getDouble(7) == 2.0, "norm envelope")
   }
 
+  test("lshMultiProbeKnn: probes=1 equals lshKnn; more probes never lose recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 120L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") < 6)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val single = Similarity.lshKnn(vecs, qs, "vec_id", "embedding",
+      nBits = 6, k = 4, dims = 16)
+    val mp1 = Similarity.lshMultiProbeKnn(vecs, qs, "vec_id", "embedding",
+      nBits = 6, k = 4, probes = 1, dims = 16)
+    assert(asSet(mp1) == asSet(single), "probes=1 must equal lshKnn")
+    // recall vs exact truth is monotone in probes: the candidate set
+    // only grows, so every true neighbor found at p probes survives
+    val exact = Similarity.bruteForceKnn(qs, vecs, "vec_id", "embedding", 4)
+    val mp3 = Similarity.lshMultiProbeKnn(vecs, qs, "vec_id", "embedding",
+      nBits = 6, k = 4, probes = 3, dims = 16)
+    def recall(df: org.apache.spark.sql.DataFrame) =
+      Similarity.recallAtK(df, exact, k = 4)
+        .agg(sum(col("n_hits"))).head().getLong(0)
+    val (r1, r3) = (recall(mp1), recall(mp3))
+    assert(r3 >= r1, s"multi-probe lost recall: $r3 < $r1")
+    // and on this fixture the extra probes actually find something
+    val c1 = mp1.count(); val c3 = mp3.count()
+    assert(c3 >= c1, "probe fan-out cannot shrink the result")
+  }
+
   test("confidenceCalibration: bin edges, top-bin closure, gap from rounded aggs") {
     import spark.implicits._
     val preds = Seq(
