@@ -777,6 +777,89 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Leakage-safe train/val/test split (Sampling.clusterSplit): q44's
+    * LSH duplicate clusters feed the split key, so two near-duplicate
+    * documents can never straddle train and validation. Per-split doc
+    * and cluster counts (clusters are whole by construction — the
+    * oracle recomputes the closure independently and must land on the
+    * same partition of the same clusters). */
+  private def qLeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val sig = Dedup.minhashSignature(t.documents, "text", "doc_id", k = 8)
+    val pairs = Dedup.candidatePairs(
+      Dedup.lshBuckets(sig, "doc_id", k = 8, bands = 4), "doc_id")
+    val labels = Dedup.duplicateClusters(pairs)
+    Sampling.clusterSplit(t.documents, "doc_id", labels)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split_key")).as("n_clusters"))
+      .orderBy(col("split"))
+  }
+
+  /** k-anonymity audit (Profiling.kAnonymity) over the customer
+    * quasi-identifier pair (nation, market segment) at k = 10 — the
+    * "is any row re-identifiable by its released attributes" gate. */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Profiling.kAnonymity(t.customer,
+      Seq("c_nationkey", "c_mktsegment"), k = 10)
+  }
+
+  /** Truncated dyadic EWMA (TimeSeriesOps.dyadicEwma, k = 8) over
+    * per-event-type value series in exact integer cents — exponential
+    * smoothing whose numerator/denominator are integer sums, so the
+    * smoothed value is reproducible bit-for-bit on any engine. */
+  private def qEwma(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val e = t.events.select(col("event_type"), col("event_id"),
+      col("ts"), round(col("value") * 100).cast("long").as("cents"))
+    TimeSeriesOps.dyadicEwma(e, Seq("event_type"),
+        Seq(col("ts"), col("event_id")), "cents", k = 8)
+      .select(col("event_type"), col("event_id"), col("cents"),
+        col("ewma_num"), col("ewma_den"), col("ewma"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  /** Water-filling token-budget allocation (Sampling.budgetAllocation):
+    * per-source char masses, hash-derived milliweights (portable, no
+    * literal table), budget = 2× the corpus, repeat ceiling 3 epochs —
+    * high-weight sources hit their cap and the surplus redistributes.
+    * The budget scalar is a 1-row aggregate collect (metadata scale). */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val masses = t.documents.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("available"))
+      .withColumn("weight_mw",
+        lit(10L) + pmod(GF.hash32(col("source")), lit(191L)))
+    val total = masses.agg(sum(col("available")).as("t"))
+      .first().getLong(0)
+    Sampling.budgetAllocation(masses, "source", "available", "weight_mw",
+        budget = 2L * total, maxEpochs = 3)
+      .orderBy(col("source"))
+  }
+
+  /** DEFLATE compression ratio (TextAnalysis.compressionRatio) — the
+    * whole-redundancy quality signal. DEFLATE is not SQL-expressible,
+    * so this query has no DuckDB oracle (driver rows-only check); the
+    * unit suite pins closed-form fixtures and an independent per-row
+    * java.util.zip recompute. */
+  private def qDeflateRatio(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    TextAnalysis.compressionRatio(t.documents, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-label centroid-distance outliers
+    * (Profiling.centroidOutliers, q = 0.05): cosine of every embedding
+    * against its label centroid, flagged at or below the label's exact
+    * 5th-percentile — the mislabeled/garbage-vector screen. */
+  private def qEmbeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Profiling.centroidOutliers(t.embeddings, "vec_id", "embedding",
+        "label", q = 0.05)
+      .orderBy(col("label"), col("vec_id"))
+  }
+
   /** Langid confidence calibration (Profiling.confidenceCalibration):
     * confidence = best stopword-hit score over token count, correctness
     * = prediction vs the corpus's true `lang` column — the reliability
@@ -2400,6 +2483,12 @@ object SparkEntry {
     "q149_important_parts" -> (qImportantParts _),
     "q150_langid_calibration" -> (qLangidCalibration _),
     "q151_multiprobe_lsh" -> (qMultiProbeLsh _),
+    "q152_leakage_split" -> (qLeakageSplit _),
+    "q153_k_anonymity" -> (qKAnonymity _),
+    "q154_ewma" -> (qEwma _),
+    "q155_token_budget" -> (qTokenBudget _),
+    "q156_deflate_ratio" -> (qDeflateRatio _),
+    "q157_embedding_outliers" -> (qEmbeddingOutliers _),
   )
 
   // -------------------------------------------------------------------
@@ -5629,5 +5718,131 @@ object SparkEntry {
          |FROM ranked WHERE "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin
     },
+
+    // q44's closure re-derived; split key = coalesce(cluster, doc_id),
+    // same md5-window hash bucketing as Sampling.pctBucket
+    "q152_leakage_split" ->
+      s"""WITH RECURSIVE $lshPairsCteSql,
+         |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION SELECT id2 AS a, id1 AS b FROM pairs),
+         |closure(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a),
+         |labels AS (SELECT a AS id, min(b) AS cluster
+         |  FROM closure GROUP BY a),
+         |keyed AS (SELECT d.doc_id,
+         |    coalesce(l.cluster, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+         |bk AS (SELECT split_key,
+         |    ${hash32Sql("CAST(split_key AS VARCHAR)")} % 100 AS bucket
+         |  FROM keyed)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT split_key) AS BIGINT) AS n_clusters
+         |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q153_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS grp_n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(grp_n) AS BIGINT) AS n_rows,
+        |  CAST(min(grp_n) AS BIGINT) AS min_group,
+        |  CAST(sum(CASE WHEN grp_n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_below_k,
+        |  CAST(sum(CASE WHEN grp_n < 10 THEN grp_n ELSE 0 END) AS BIGINT)
+        |    AS rows_below_k,
+        |  round(sum(CASE WHEN grp_n < 10 THEN grp_n ELSE 0 END) * 100.0e0
+        |    / sum(grp_n), 6) AS at_risk_pct
+        |FROM g""".stripMargin,
+
+    // weights generated from the same k as TimeSeriesOps.dyadicEwma;
+    // j = 0 reads the current row directly (no lag-0)
+    "q154_ewma" -> {
+      val k = 8
+      def src(j: Int) = if (j == 0) "cents" else s"lag(cents, $j) OVER w"
+      val num = (0 until k)
+        .map(j => s"coalesce(${src(j)} * ${1L << (k - 1 - j)}, 0)")
+        .mkString(" + ")
+      val den = (0 until k)
+        .map(j => s"(CASE WHEN ${src(j)} IS NOT NULL THEN ${1L << (k - 1 - j)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT event_type, event_id, ts,
+         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         |l AS (SELECT event_type, event_id, cents,
+         |    $num AS ewma_num,
+         |    $den AS ewma_den
+         |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+         |SELECT event_type, event_id, cents,
+         |  CAST(ewma_num AS BIGINT) AS ewma_num,
+         |  CAST(ewma_den AS BIGINT) AS ewma_den,
+         |  round(CAST(ewma_num AS DOUBLE) / ewma_den, 6) AS ewma
+         |FROM l ORDER BY event_type, event_id""".stripMargin
+    },
+
+    // water-filling closed form: sort by r = cap/w, the level is t at
+    // the FIRST row with r >= t; all prefix sums are exact BIGINTs
+    "q155_token_budget" ->
+      s"""WITH m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS available,
+         |    10 + (${hash32Sql("source")} % 191) AS weight_mw
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT 2 * CAST(sum(available) AS BIGINT) AS budget FROM m),
+         |b AS (SELECT source, available, weight_mw,
+         |    available * 3 AS cap,
+         |    CAST(available * 3 AS DOUBLE) / weight_mw AS r FROM m),
+         |w AS (SELECT *,
+         |    coalesce(sum(cap) OVER (ORDER BY r, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cap_pre,
+         |    coalesce(sum(weight_mw) OVER (ORDER BY r, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS w_pre,
+         |    sum(weight_mw) OVER () AS w_tot
+         |  FROM b),
+         |lv AS (SELECT w.*,
+         |    CAST(budget - cap_pre AS DOUBLE) / (w_tot - w_pre) AS t
+         |  FROM w, tot),
+         |st AS (SELECT *, first_value(CASE WHEN r >= t THEN t END
+         |      IGNORE NULLS)
+         |    OVER (ORDER BY r, source ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND UNBOUNDED FOLLOWING) AS t_star FROM lv),
+         |al AS (SELECT source, available, cap, weight_mw,
+         |    CASE WHEN t_star IS NULL THEN cap
+         |      ELSE least(cap, CAST(floor(t_star * weight_mw) AS BIGINT))
+         |      END AS allocated
+         |  FROM st)
+         |SELECT source, available, CAST(cap AS BIGINT) AS cap,
+         |  CAST(weight_mw AS BIGINT) AS weight_mw,
+         |  CAST(allocated AS BIGINT) AS allocated,
+         |  round(CAST(allocated AS DOUBLE) / available, 6) AS epochs
+         |FROM al ORDER BY source""".stripMargin,
+
+    // 4-dp centroids (same quantization as the operator), sequential-
+    // fold cosine, exact discrete 5th percentile over the 6-dp domain
+    "q157_embedding_outliers" ->
+      s"""WITH pos AS (SELECT label, vec_id, unnest(embedding) AS x,
+         |    unnest(generate_series(1, len(embedding))) AS d
+         |  FROM embeddings),
+         |cen AS (SELECT label, d, round(avg(CAST(x AS DOUBLE)), 4) AS c
+         |  FROM pos GROUP BY label, d),
+         |cent AS (SELECT label, list(c ORDER BY d) AS centroid
+         |  FROM cen GROUP BY label),
+         |sc AS (SELECT e.label, e.vec_id,
+         |    round(${cosineSql("e.embedding", "ct.centroid")}, 6)
+         |      AS cos_centroid
+         |  FROM embeddings e JOIN cent ct USING (label)),
+         |vg AS (SELECT label, cos_centroid AS v,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM sc GROUP BY 1, 2),
+         |cm AS (SELECT label, v,
+         |    sum(cnt) OVER (PARTITION BY label ORDER BY v) AS cum,
+         |    sum(cnt) OVER (PARTITION BY label) AS n FROM vg),
+         |th AS (SELECT label, min(v) AS threshold FROM cm
+         |  WHERE CAST(cum AS DOUBLE) >= 0.05e0 * n GROUP BY label)
+         |SELECT sc.label, sc.vec_id, sc.cos_centroid, th.threshold,
+         |  sc.cos_centroid <= th.threshold AS is_outlier
+         |FROM sc JOIN th USING (label)
+         |ORDER BY sc.label, sc.vec_id""".stripMargin,
   )
 }

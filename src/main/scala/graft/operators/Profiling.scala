@@ -400,4 +400,84 @@ object Profiling {
       .groupBy(col(groupCol), col("q"))
       .agg(min(col("v")).as("value"))
   }
+
+  /** k-anonymity audit over a quasi-identifier set — the privacy gate
+    * run before releasing / training on user-adjacent tables: every
+    * row whose (quasi-column) combination is shared by fewer than `k`
+    * rows is re-identifiable by that combination. One summary row:
+    * group count, row count, smallest group, and the below-k exposure
+    * (groups, rows, % of rows at risk).
+    *
+    * Two chained aggregations, both partial-aggregatable: the
+    * quasi-group sizes combine map-side, and the summary folds the
+    * group-grain frame (bounded by the quasi-domain product, not the
+    * table). NULL quasi-values group as values, matching SQL GROUP BY
+    * — an absent attribute is itself an identifying signal. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, "k < 2 makes every row anonymous")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("grp_n"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("grp_n")).as("n_rows"),
+        min(col("grp_n")).as("min_group"),
+        sum(when(col("grp_n") < k, 1L).otherwise(0L))
+          .as("groups_below_k"),
+        sum(when(col("grp_n") < k, col("grp_n")).otherwise(0L))
+          .as("rows_below_k"))
+      .select(lit(k).as("k"), col("n_groups"), col("n_rows"),
+        col("min_group"), col("groups_below_k"), col("rows_below_k"),
+        round(col("rows_below_k") * lit(100.0) / col("n_rows"), 6)
+          .as("at_risk_pct"))
+  }
+
+  /** Per-group centroid-distance outliers — the embedding-space "this
+    * vector does not belong to its label" screen (mislabeled examples,
+    * encoder failures, garbage inputs): cosine of every vector against
+    * its group centroid, flagged when it falls at or below the group's
+    * exact `q`-quantile (discrete, an actual observed value — no
+    * interpolation, so the threshold is engine-portable).
+    *
+    * Determinism discipline mirrors the k-means cells: centroids are
+    * per-dimension averages ROUNDED to 4 dp before any cosine, so the
+    * one order-sensitive float reduction in the plan is quantized away;
+    * the cosine itself is a sequential fold (codegen'd expression) over
+    * exact inputs, rounded to 6 dp.
+    *
+    * Scale shape: centroids aggregate at (group × dim) grain and come
+    * back as one tiny broadcast; the threshold is a second group-grain
+    * broadcast. The corpus is touched by exactly two scans (centroid
+    * sum, then score) and zero row-grain shuffles beyond the centroid
+    * aggregation. */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+      grpCol: String, q: Double = 0.05): DataFrame = {
+    require(q > 0 && q < 1, "q must be in (0, 1)")
+    val centroids = emb
+      .select(col(grpCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .groupBy(col(grpCol), col("d"))
+      .agg(round(avg(col("x")), 4).as("c"))
+      .groupBy(col(grpCol))
+      .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
+      .select(col(grpCol),
+        transform(col("dc"), x => x.getField("c")).as("centroid"))
+    val scored = emb
+      .join(broadcast(centroids), Seq(grpCol))
+      .withColumn("cos_centroid",
+        round(Similarity.cosine(col(vecCol).cast("array<double>"),
+          col("centroid")), 6))
+      .localCheckpoint(false)
+    val thresholds = exactQuantilesByValue(
+        scored.select(col(grpCol), col("cos_centroid")),
+        "cos_centroid", grpCol, Seq(q),
+        // cos_centroid is already 6-dp quantized above; this declares it
+        valuePrecision = Some(6))
+      .select(col(grpCol), col("value").as("threshold"))
+    scored.join(broadcast(thresholds), Seq(grpCol))
+      .select(col(grpCol), col(idCol), col("cos_centroid"),
+        col("threshold"),
+        (col("cos_centroid") <= col("threshold")).as("is_outlier"))
+  }
 }

@@ -263,4 +263,95 @@ object Sampling {
       .withColumn("phase", expr(s"_before div ${phaseBudget}L"))
       .drop("_bin", "_off", "_before")
   }
+
+  /** Leakage-safe train/val/test split — the split a dedup-aware
+    * pipeline must use: near-duplicate documents landing in different
+    * splits leak training text into validation, so the hash-space
+    * assignment keys off the DUPLICATE-CLUSTER id (the min member id
+    * from [[Dedup.duplicateClusters]]) instead of the document id.
+    * Every member of a cluster shares one split by construction;
+    * singletons (absent from `labels`) fall back to their own id,
+    * which IS their cluster id under the min-member convention.
+    *
+    * Scale shape: `labels` is pair-derived, so it only carries docs
+    * that collided in LSH — typically a small fraction of the corpus;
+    * the left join shuffles on the id key (sort-merge at crawl scale,
+    * broadcast when the duplicate fraction is small enough). The split
+    * itself stays the one codegen'd hash comparison every other
+    * sampler in this file uses. */
+  def clusterSplit(df: DataFrame, idCol: String, labels: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10,
+      splitCol: String = "split"): DataFrame = {
+    require(trainPct + valPct <= 100, "trainPct + valPct must be <= 100")
+    val l = labels.select(col("id").as(idCol), col("cluster"))
+    val b = pctBucket(col("split_key"))
+    df.join(l, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("cluster"), col(idCol)))
+      .withColumn(splitCol,
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("cluster")
+  }
+
+  /** Water-filling token-budget allocation — "give source i tokens
+    * ∝ weight wᵢ, but never more than maxEpochs passes over what it
+    * has": aᵢ = min(capᵢ, t·wᵢ) with the water level t chosen so
+    * Σaᵢ = budget (all-capped when the budget exceeds Σcap). This is
+    * the allocator behind mixture specs with repeat-factor ceilings —
+    * a temperature/target weight vector meets finite source sizes and
+    * the surplus from capped sources redistributes to the rest.
+    *
+    * The level has the classic closed form: sort sources by
+    * rᵢ = capᵢ/wᵢ ascending; with the first i−1 sources capped the
+    * candidate level is tᵢ = (budget − Σ_{j<i} capⱼ)/(W − Σ_{j<i} wⱼ),
+    * and the true level is tᵢ at the FIRST i with rᵢ ≥ tᵢ (each
+    * earlier prefix is infeasible; t strictly grows past each capped
+    * source). That is two prefix sums and a first_value over the
+    * source-grain aggregate — metadata scale (one row per source), so
+    * the single-partition window is free; only the per-source mass
+    * aggregation touches the corpus. All prefix sums are over LONGS
+    * (exact, order-free); doubles appear only in the final division,
+    * identical one-op IEEE on any engine.
+    *
+    * `masses` is source-grain: (grpCol, availCol tokens available,
+    * weightCol integer milliweight). Returns per source: available,
+    * cap, weight_mw, allocated = min(cap, floor(t·w)), epochs. */
+  def budgetAllocation(masses: DataFrame, grpCol: String,
+      availCol: String, weightCol: String, budget: Long,
+      maxEpochs: Int): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val base = masses.select(col(grpCol),
+        col(availCol).cast("long").as("available"),
+        col(weightCol).cast("long").as("weight_mw"))
+      .withColumn("cap", col("available") * maxEpochs)
+      .withColumn("_r", col("cap") / col("weight_mw"))
+    // source-grain frame: the orderBy window is single-partition by
+    // design and tiny by construction (one row per source)
+    val ord = Window.orderBy(col("_r"), col(grpCol))
+    val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val all = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val leveled = base
+      .withColumn("_capPre", coalesce(sum(col("cap")).over(pre), lit(0L)))
+      .withColumn("_wPre",
+        coalesce(sum(col("weight_mw")).over(pre), lit(0L)))
+      .withColumn("_wTot", sum(col("weight_mw")).over(all))
+      .withColumn("_t",
+        (lit(budget) - col("_capPre")) / (col("_wTot") - col("_wPre")))
+      .withColumn("_tStar", first(
+        when(col("_r") >= col("_t"), col("_t")), ignoreNulls = true)
+        .over(all))
+    leveled
+      // no feasible level -> budget >= sum(cap): everyone runs capped
+      .withColumn("allocated",
+        when(col("_tStar").isNull, col("cap"))
+          .otherwise(least(col("cap"),
+            floor(col("_tStar") * col("weight_mw")).cast("long"))))
+      .withColumn("epochs",
+        round(col("allocated") / col("available"), 6))
+      .select(col(grpCol), col("available"), col("cap"),
+        col("weight_mw"), col("allocated"), col("epochs"))
+  }
 }

@@ -502,4 +502,36 @@ object TimeSeriesOps {
         col(tsCol) < col(s"iv_$endCol"))
       .drop("_bucket")
   }
+
+  /** Truncated dyadic EWMA — exponential smoothing with α = 1/2 over
+    * the trailing `k` observations: weight 2^(k−1−j) on the value j
+    * rows back, normalized by the weights actually present (so the
+    * series head uses a shorter, correctly-renormalized kernel instead
+    * of a fabricated zero history). α = 1/2 is deliberate: every
+    * weight is a power of two, so numerator and denominator are EXACT
+    * integer sums over integer-cents inputs — the smoothed value is a
+    * single final division, reproducible bit-for-bit on any engine,
+    * unlike float-recursive EWMA where the summation order is the
+    * answer. Truncation at k is principled too: the dropped tail mass
+    * is 2^−k of the kernel (< 0.4% at k = 8).
+    *
+    * One window, k lag expressions, all codegen'd — no explode, no
+    * self-join; at scale this shuffles once on the partition key like
+    * any keyed window. `centsCol` must be integral (cents-style). */
+  def dyadicEwma(df: DataFrame, partCols: Seq[String],
+      orderCols: Seq[Column], centsCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 62, "k must be in [1, 62]")
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCols: _*)
+    val terms = (0 until k).map { j =>
+      val weight = 1L << (k - 1 - j)
+      val x = if (j == 0) col(centsCol).cast("long")
+        else lag(col(centsCol).cast("long"), j).over(w)
+      (coalesce(x * weight, lit(0L)),
+        when(x.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    df.withColumn("ewma_num", terms.map(_._1).reduce(_ + _))
+      .withColumn("ewma_den", terms.map(_._2).reduce(_ + _))
+      .withColumn("ewma", round(col("ewma_num") / col("ewma_den"), 6))
+  }
 }

@@ -1477,4 +1477,120 @@ class OperatorsSpec extends SparkSpec {
       .setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble).sorted
     assert(got(0.5) == sorted(49), s"${got(0.5)} != ${sorted(49)}")
   }
+
+  test("budgetAllocation: water-filling level, caps respected, all-capped fallback") {
+    val masses = Seq(("a", 100L, 10L), ("b", 100L, 50L),
+      ("c", 1000L, 10L), ("d", 50L, 100L)).toDF("src", "avail", "w")
+    // caps a=300 b=300 c=3000 d=150; r sorted: d(1.5) b(6) a(30) c(300)
+    // level walk at B=2000: t hits 125 at c (first r >= t) ->
+    // d,b,a capped; c gets floor(125*10)=1250; total = budget exactly
+    val out = Sampling.budgetAllocation(masses, "src", "avail", "w",
+        budget = 2000L, maxEpochs = 3)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out("a")._4 == 300L && out("b")._4 == 300L &&
+      out("d")._4 == 150L, out.toString)
+    assert(out("c")._4 == 1250L, out.toString)
+    assert(out.values.forall { case (_, cap, _, alloc) => alloc <= cap })
+    assert(out.values.map(_._4).sum == 2000L)
+    // budget above sum(cap): no feasible level, everyone runs capped
+    val capped = Sampling.budgetAllocation(masses, "src", "avail", "w",
+      budget = 100000L, maxEpochs = 3).collect()
+    assert(capped.forall(r => r.getLong(4) == r.getLong(2)))
+  }
+
+  test("clusterSplit: no duplicate cluster straddles splits; singletons key off their own id") {
+    val docsN = (1L to 200L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 51L),
+      (51L, 52L), (100L, 101L)).toDF("id1", "id2")
+    val labels = Dedup.duplicateClusters(pairs)
+    val rows = Sampling.clusterSplit(docsN, "doc_id", labels)
+      .select("doc_id", "split_key", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 200)
+    // every split_key group lands in exactly one split
+    assert(rows.groupBy(_._2).values
+      .forall(g => g.map(_._3).distinct.length == 1))
+    // the transitive 1-2-3 cluster shares key 1 and one split
+    val c123 = rows.filter(r => Set(1L, 2L, 3L)(r._1))
+    assert(c123.forall(_._2 == 1L) &&
+      c123.map(_._3).distinct.length == 1)
+    // a singleton's key is its own id
+    assert(rows.find(_._1 == 5L).get._2 == 5L)
+    val dist = rows.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(dist.keySet.subsetOf(Set("train", "val", "test")))
+    assert(dist.getOrElse("train", 0) > 100, dist.toString)
+  }
+
+  test("kAnonymity: below-k exposure accounting") {
+    val df = (Seq.fill(12)(("us", "A")) ++ Seq.fill(3)(("us", "B")) ++
+      Seq.fill(1)(("fr", "A")) ++ Seq.fill(20)(("fr", "B")))
+      .toDF("nat", "seg")
+    val r = Profiling.kAnonymity(df, Seq("nat", "seg"), k = 5).collect()(0)
+    assert(r.getInt(0) == 5)
+    assert(r.getLong(1) == 4 && r.getLong(2) == 36)
+    assert(r.getLong(3) == 1)
+    assert(r.getLong(4) == 2 && r.getLong(5) == 4)
+    assert(r.getDouble(6) == 11.111111) // round(4*100/36, 6)
+  }
+
+  test("dyadicEwma: exact dyadic kernel with head renormalization") {
+    val df = Seq(("s", 1L, 100L), ("s", 2L, 200L), ("s", 3L, 400L))
+      .toDF("g", "seq", "cents")
+    val out = TimeSeriesOps.dyadicEwma(df, Seq("g"), Seq(col("seq")),
+        "cents", k = 3)
+      .orderBy("seq").collect()
+    // weights newest->oldest: 4, 2, 1; the head renormalizes over the
+    // weights actually present instead of assuming zero history
+    assert(out(0).getAs[Long]("ewma_num") == 400 &&
+      out(0).getAs[Long]("ewma_den") == 4 &&
+      out(0).getAs[Double]("ewma") == 100.0)
+    assert(out(1).getAs[Long]("ewma_num") == 1000 &&
+      out(1).getAs[Long]("ewma_den") == 6 &&
+      out(1).getAs[Double]("ewma") == 166.666667)
+    assert(out(2).getAs[Long]("ewma_num") == 2100 &&
+      out(2).getAs[Long]("ewma_den") == 7 &&
+      out(2).getAs[Double]("ewma") == 300.0)
+  }
+
+  test("compressionRatio: deterministic DEFLATE, repetition compresses, empty declines") {
+    val rng = new scala.util.Random(42)
+    val pseudo = Array.fill(500)((rng.nextInt(93) + 33).toChar).mkString
+    val df = Seq((1L, "ab" * 500), (2L, pseudo), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // independent per-row recompute through java.util.zip directly
+    def deflate(s: String): Long = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    assert(out(0).getLong(1) == 1000 &&
+      out(0).getLong(2) == deflate("ab" * 500))
+    assert(out(1).getLong(2) == deflate(pseudo))
+    val (rep, rnd) = (out(0).getDouble(3), out(1).getDouble(3))
+    assert(rep < 0.1 && rnd > 0.5 && rep < rnd, s"$rep vs $rnd")
+    assert(out(2).getLong(1) == 0 && out(2).isNullAt(3))
+  }
+
+  test("centroidOutliers: planted off-centroid vector flagged at the exact quantile") {
+    val vecs = (0 until 19).map(i =>
+      (i.toLong, Array(1.0f, (i % 5) * 0.01f), 0)) :+
+      (19L, Array(0.0f, 1.0f), 0)
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val out = Profiling.centroidOutliers(df, "vec_id", "embedding",
+      "label", q = 0.05)
+    // q=0.05 over 20 rows -> threshold = the minimum cosine, which the
+    // orthogonal plant owns by an order of magnitude
+    val flagged = out.filter(col("is_outlier")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(19L), flagged.toString)
+  }
 }
