@@ -860,6 +860,37 @@ object SparkEntry {
       .orderBy(col("label"), col("vec_id"))
   }
 
+  /** MMR diversity reranking (Similarity.mmrRerank): top-10 relevance
+    * pool per query, 3 greedy picks at λ = 0.7 — near-duplicate hits
+    * can't crowd the result list. The greedy loop is selectK chained
+    * stages over the (query × pool²) serving grain. */
+  private def qMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Similarity.mmrRerank(t.embeddings.filter(col("vec_id") < 8),
+        t.embeddings, "vec_id", "embedding",
+        poolK = 10, selectK = 3, lambda = 0.7)
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
+  /** Pearson correlation matrix (Profiling.correlationMatrix) over the
+    * four lineitem measures — exact decimal power sums in ONE pass, FP
+    * only in the final one-row formula. */
+  private def qCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Profiling.correlationMatrix(t.lineitem,
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"),
+        scale = 2)
+      .orderBy(col("col_x"), col("col_y"))
+  }
+
+  /** Mutual information lang × source (Profiling.mutualInformation) —
+    * "are sources language-siloed"; exact cell counts, sorted-fold
+    * entropies, min-normalized NMI. */
+  private def qMutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Profiling.mutualInformation(t.documents, "lang", "source")
+  }
+
   /** Langid confidence calibration (Profiling.confidenceCalibration):
     * confidence = best stopword-hit score over token count, correctness
     * = prediction vs the corpus's true `lang` column — the reliability
@@ -2489,6 +2520,9 @@ object SparkEntry {
     "q155_token_budget" -> (qTokenBudget _),
     "q156_deflate_ratio" -> (qDeflateRatio _),
     "q157_embedding_outliers" -> (qEmbeddingOutliers _),
+    "q158_mmr_rerank" -> (qMmrRerank _),
+    "q159_corr_matrix" -> (qCorrMatrix _),
+    "q160_mutual_info" -> (qMutualInfo _),
   )
 
   // -------------------------------------------------------------------
@@ -5844,5 +5878,126 @@ object SparkEntry {
          |  sc.cos_centroid <= th.threshold AS is_outlier
          |FROM sc JOIN th USING (label)
          |ORDER BY sc.label, sc.vec_id""".stripMargin,
+
+    // 3 unrolled greedy MMR steps at λ=0.7 over the top-10 pool.
+    // Scores are EXACT integers (1e-7 units: 7·rel6 − 3·ms6 over 6-dp-
+    // scaled sims) — λ-arithmetic on 6-dp doubles lands exactly on
+    // decimal rounding boundaries, where engines disagree; FP appears
+    // only in the display divisions, mirroring Similarity.mmrRerank
+    "q158_mmr_rerank" ->
+      s"""WITH sc0 AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    round(${cosineSql("q.embedding", "c.embedding")}, 6) AS rel
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8
+         |    AND c.vec_id <> q.vec_id),
+         |pool AS (SELECT *, CAST(round(rel * 1e6) AS BIGINT) AS rel6,
+         |    row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, cand_id) AS rnk FROM sc0),
+         |pk AS (SELECT query_id, cand_id, rel, rel6 FROM pool
+         |  WHERE rnk <= 10),
+         |ps AS (SELECT a.query_id, a.cand_id, b.cand_id AS sel_id,
+         |    CAST(round(${cosineSql("ea.embedding", "eb.embedding")} * 1e6)
+         |      AS BIGINT) AS csim6
+         |  FROM pk a JOIN pk b ON a.query_id = b.query_id
+         |    AND a.cand_id <> b.cand_id
+         |  JOIN embeddings ea ON ea.vec_id = a.cand_id
+         |  JOIN embeddings eb ON eb.vec_id = b.cand_id),
+         |s1 AS (SELECT query_id, cand_id, 1 AS mmr_rank, rel,
+         |    0.0e0 AS max_sim_sel,
+         |    CAST(7 * rel6 AS DOUBLE) / 1e7 AS mmr_score
+         |  FROM pool WHERE rnk = 1),
+         |r1 AS (SELECT p.* FROM pk p WHERE NOT EXISTS (SELECT 1 FROM s1
+         |  WHERE s1.query_id = p.query_id AND s1.cand_id = p.cand_id)),
+         |g2 AS (SELECT r.query_id, r.cand_id, max(r.rel) AS rel,
+         |    max(r.rel6) AS rel6, max(ps.csim6) AS ms6
+         |  FROM r1 r JOIN s1 ON s1.query_id = r.query_id
+         |  JOIN ps ON ps.query_id = r.query_id AND ps.cand_id = r.cand_id
+         |    AND ps.sel_id = s1.cand_id
+         |  GROUP BY r.query_id, r.cand_id),
+         |m2 AS (SELECT *, 7 * rel6 - 3 * ms6 AS sc FROM g2),
+         |w2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sc DESC, cand_id) AS rn FROM m2),
+         |s2 AS (SELECT query_id, cand_id, 2 AS mmr_rank, rel,
+         |    CAST(ms6 AS DOUBLE) / 1e6 AS max_sim_sel,
+         |    CAST(sc AS DOUBLE) / 1e7 AS mmr_score FROM w2 WHERE rn = 1),
+         |sel2 AS (SELECT query_id, cand_id FROM s1
+         |  UNION ALL SELECT query_id, cand_id FROM s2),
+         |r2 AS (SELECT p.* FROM pk p WHERE NOT EXISTS (SELECT 1 FROM sel2
+         |  WHERE sel2.query_id = p.query_id AND sel2.cand_id = p.cand_id)),
+         |g3 AS (SELECT r.query_id, r.cand_id, max(r.rel) AS rel,
+         |    max(r.rel6) AS rel6, max(ps.csim6) AS ms6
+         |  FROM r2 r JOIN sel2 s ON s.query_id = r.query_id
+         |  JOIN ps ON ps.query_id = r.query_id AND ps.cand_id = r.cand_id
+         |    AND ps.sel_id = s.cand_id
+         |  GROUP BY r.query_id, r.cand_id),
+         |m3 AS (SELECT *, 7 * rel6 - 3 * ms6 AS sc FROM g3),
+         |w3 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sc DESC, cand_id) AS rn FROM m3),
+         |s3 AS (SELECT query_id, cand_id, 3 AS mmr_rank, rel,
+         |    CAST(ms6 AS DOUBLE) / 1e6 AS max_sim_sel,
+         |    CAST(sc AS DOUBLE) / 1e7 AS mmr_score FROM w3 WHERE rn = 1)
+         |SELECT query_id, cand_id, mmr_rank, rel, max_sim_sel, mmr_score
+         |FROM s1 UNION ALL SELECT query_id, cand_id, mmr_rank, rel,
+         |  max_sim_sel, mmr_score FROM s2
+         |UNION ALL SELECT query_id, cand_id, mmr_rank, rel, max_sim_sel,
+         |  mmr_score FROM s3
+         |ORDER BY query_id, mmr_rank""".stripMargin,
+
+    // exact HUGEINT power sums (sum(BIGINT) promotes), FP only in the
+    // final one-row formula — generated from the same column list
+    "q159_corr_matrix" -> {
+      val cs = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      val defs = cs.map(c => s"CAST(round($c * 100) AS BIGINT) AS x_$c")
+        .mkString(", ")
+      val sums = (cs.map(c => s"sum(x_$c) AS s_$c") ++
+        cs.map(c => s"sum(x_$c * x_$c) AS ss_$c") ++
+        (for { i <- cs.indices; j <- cs.indices if i < j }
+          yield s"sum(x_${cs(i)} * x_${cs(j)}) AS sp_${cs(i)}_${cs(j)}"))
+        .mkString(",\n    ")
+      val selects = (for { i <- cs.indices; j <- cs.indices if i < j }
+        yield {
+          val (a, b) = (cs(i), cs(j))
+          s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n AS BIGINT) AS n,
+             |  round(CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE) /
+             |    nullif(sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)) *
+             |      sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)), 0.0e0),
+             |    6) AS corr
+             |  FROM s""".stripMargin
+        }).mkString("\nUNION ALL\n")
+      s"""WITH c AS (SELECT $defs FROM lineitem),
+         |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    $sums
+         |  FROM c)
+         |$selects
+         |ORDER BY col_x, col_y""".stripMargin
+    },
+
+    // cell-sorted list folds pin the IEEE summation order; NMI uses
+    // the UNROUNDED entropies (the 6-dp rounding is output-only)
+    "q160_mutual_info" ->
+      """WITH cells AS (SELECT CAST(lang AS VARCHAR) AS x,
+        |    CAST(source AS VARCHAR) AS y, CAST(count(*) AS BIGINT) AS cxy
+        |  FROM documents GROUP BY 1, 2),
+        |xs AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS cx
+        |  FROM cells GROUP BY x),
+        |ys AS (SELECT y, CAST(sum(cxy) AS BIGINT) AS cy
+        |  FROM cells GROUP BY y),
+        |tot AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM cells),
+        |terms AS (SELECT c.x, c.y,
+        |    CAST(cxy AS DOUBLE) / n *
+        |      ln((CAST(cxy AS DOUBLE) * n) / (CAST(cx AS DOUBLE) * cy))
+        |      AS term
+        |  FROM cells c JOIN xs USING (x) JOIN ys USING (y), tot),
+        |mi AS (SELECT list_aggregate(list(term ORDER BY x, y), 'sum')
+        |    AS mi FROM terms),
+        |hx AS (SELECT list_aggregate(list(
+        |    -(CAST(cx AS DOUBLE) / n) * ln(CAST(cx AS DOUBLE) / n)
+        |    ORDER BY x), 'sum') AS h_x FROM xs, tot),
+        |hy AS (SELECT list_aggregate(list(
+        |    -(CAST(cy AS DOUBLE) / n) * ln(CAST(cy AS DOUBLE) / n)
+        |    ORDER BY y), 'sum') AS h_y FROM ys, tot)
+        |SELECT n, round(h_x, 6) AS h_x, round(h_y, 6) AS h_y,
+        |  round(mi, 6) AS mi,
+        |  round(mi / nullif(least(h_x, h_y), 0.0e0), 6) AS nmi
+        |FROM tot, hx, hy, mi""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -479,5 +479,97 @@ object Profiling {
       .select(col(grpCol), col(idCol), col("cos_centroid"),
         col("threshold"),
         (col("cos_centroid") <= col("threshold")).as("is_outlier"))
+  }
+
+  /** Pearson correlation matrix over fixed-point numeric columns — the
+    * feature-redundancy screen. ONE aggregation pass computes every
+    * power sum (n, Σx, Σx², Σxy for all pairs) as EXACT decimal(38,0)
+    * integers over scaled values (`scale` decimal places, cents-style),
+    * so the only floating-point work is the final r formula on one row
+    * of exact sums: r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)).
+    * No co-moment streaming (whose merge order is the answer), no
+    * second scan, engine-reproducible at 6 dp.
+    *
+    * Scale shape: a single partial-aggregatable agg over the scan —
+    * O(k²) sum expressions for k columns, one reduce to one row; the
+    * pair explode runs on that row. Decimal sums cannot overflow
+    * before ~10³⁸ (a 100 TB table of 10⁹-unit values sums to ~10²⁶). */
+  def correlationMatrix(df: DataFrame, cols: Seq[String],
+      scale: Int = 2): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val mult = math.pow(10, scale).toLong
+    def fx(n: String) =
+      round(col(n) * mult).cast("long").cast("decimal(38,0)")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+      cols.map(n => sum(fx(n)).as(s"s_$n")) ++
+      cols.map(n => sum(fx(n) * fx(n)).as(s"ss_$n")) ++
+      pairs.map { case (a, b) => sum(fx(a) * fx(b)).as(s"sp_${a}_$b") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      val num = col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+      def d(n: String) =
+        col("n") * col(s"ss_$n") - col(s"s_$n") * col(s"s_$n")
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        round(num.cast("double") /
+          nullif(sqrt(d(a).cast("double")) * sqrt(d(b).cast("double")),
+            lit(0.0)), 6).as("corr"))
+    }
+    one.select(col("n"), explode(array(rows: _*)).as("p"))
+      .select(col("p.col_x"), col("p.col_y"), col("n"), col("p.corr"))
+  }
+
+  /** Mutual information between two categorical columns (nats), plus
+    * marginal entropies and the min-normalized NMI — "does knowing X
+    * tell you anything about Y" for mixture/leakage analysis (e.g.
+    * language × source: high NMI means sources are language-siloed).
+    *
+    * All counts are exact longs at (x, y) cell grain (bounded by the
+    * category-domain product, not the table); the entropy/MI folds run
+    * over cell-sorted arrays so the IEEE summation has exactly one
+    * order on any engine — the same determinism discipline as the
+    * temperature allocator. One corpus-grain aggregation, then
+    * metadata-scale broadcasts. */
+  def mutualInformation(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).cast("string").as("x"),
+        col(yCol).cast("string").as("y"))
+      .agg(count(lit(1)).as("cxy"))
+      .localCheckpoint(false)
+    val xs = cells.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
+    val ys = cells.groupBy(col("y")).agg(sum(col("cxy")).as("cy"))
+    val tot = cells.agg(sum(col("cxy")).as("n"))
+    def foldSum(arr: Column, field: String): Column =
+      aggregate(arr, lit(0.0d), (acc, s) => acc + s.getField(field))
+    val mi = cells
+      .join(broadcast(xs), Seq("x")).join(broadcast(ys), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        col("cxy").cast("double") / col("n") *
+          log((col("cxy").cast("double") * col("n")) /
+            (col("cx").cast("double") * col("cy"))))
+      .agg(sort_array(collect_list(struct(col("x"), col("y"),
+        col("term")))).as("arr"))
+      .select(foldSum(col("arr"), "term").as("mi"))
+    def entropy(marg: DataFrame, key: String, cnt: String): DataFrame =
+      marg.crossJoin(broadcast(tot))
+        .withColumn("term",
+          -(col(cnt).cast("double") / col("n")) *
+            log(col(cnt).cast("double") / col("n")))
+        .agg(sort_array(collect_list(struct(col(key), col("term"))))
+          .as("arr"))
+        .select(foldSum(col("arr"), "term").as(s"h_$key"))
+    tot.crossJoin(entropy(xs, "x", "cx"))
+      .crossJoin(entropy(ys, "y", "cy"))
+      .crossJoin(mi)
+      .select(col("n"),
+        round(col("h_x"), 6).as("h_x"),
+        round(col("h_y"), 6).as("h_y"),
+        round(col("mi"), 6).as("mi"),
+        round(col("mi") / nullif(least(col("h_x"), col("h_y")), lit(0.0)),
+          6).as("nmi"))
   }
 }

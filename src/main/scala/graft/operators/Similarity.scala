@@ -1043,4 +1043,83 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
+
+  /** Maximal-marginal-relevance reranking — the serving-side diversity
+    * pass: from each query's top-`poolK` relevance pool, greedily pick
+    * `selectK` results maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)
+    * (Carbonell & Goldstein '98) so near-duplicate hits don't crowd
+    * the result list the dedup pipeline didn't get to.
+    *
+    * The greedy loop is inherently sequential in `selectK`, so it runs
+    * as selectK chained DataFrame stages — each stage one shuffle at
+    * (query, candidate-pool) grain, which is the SMALL serving side
+    * (queries × poolK² pairwise-sim rows), never the corpus. The
+    * argmax plans as WindowGroupLimit per query. The MMR score is
+    * computed in EXACT integers: 6-dp similarities scale to 1e-6 units
+    * and λ (restricted to tenths) scales to λ·10, so score =
+    * λ10·rel6 − (10−λ10)·ms6 in 1e-7 units — λ-arithmetic on 6-dp
+    * doubles lands exactly on decimal rounding boundaries (0.7·x has 7
+    * decimals), where engines disagree; integers cannot. FP appears
+    * only in the output display divisions. Each pick is lazily
+    * checkpointed — selectK is a loop, and without the cut the final
+    * plan grows exponentially in it. */
+  def mmrRerank(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, poolK: Int, selectK: Int,
+      lambda: Double): DataFrame = {
+    require(selectK >= 1 && selectK <= poolK,
+      "selectK must be in [1, poolK]")
+    val l10 = math.round(lambda * 10).toInt
+    require(l10 >= 0 && l10 <= 10 && l10 == lambda * 10,
+      "lambda must be a multiple of 0.1 (exact integer scoring)")
+    val pool = bruteForceKnn(queries, candidates, idCol, vecCol, poolK)
+      .select(col("query_id"), col("cand_id"), col("sim").as("rel"),
+        round(col("sim") * 1e6).cast("long").as("rel6"), col("rank"))
+      .localCheckpoint(false)
+    val vecs = candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).as("v"), norm(col(vecCol)).as("vn"))
+    val pv = pool.join(vecs, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("v"), col("vn"))
+    val pairSims = pv.as("a")
+      .join(pv.as("b"), col("a.query_id") === col("b.query_id") &&
+        col("a.cand_id") =!= col("b.cand_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.cand_id").as("cand_id"), col("b.cand_id").as("sel_id"),
+        round(dot(col("a.v"), col("b.v")) /
+          nullif(col("a.vn") * col("b.vn"), lit(0.0)) * 1e6)
+          .cast("long").as("csim6"))
+      .localCheckpoint(false)
+    var selected = pool.filter(col("rank") === 1)
+      .select(col("query_id"), col("cand_id"), lit(1).as("mmr_rank"),
+        col("rel"), lit(0.0).as("max_sim_sel"),
+        ((lit(l10.toLong) * col("rel6")).cast("double") / 1e7)
+          .as("mmr_score"))
+    var remaining = pool.filter(col("rank") > 1)
+      .select(col("query_id"), col("cand_id"), col("rel"),
+        col("rel6"))
+    for (step <- 2 to selectK) {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("_score").desc, col("cand_id"))
+      val pick = remaining
+        .join(selected.select(col("query_id"),
+          col("cand_id").as("sel_id")), Seq("query_id"))
+        .join(pairSims, Seq("query_id", "cand_id", "sel_id"))
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(max(col("rel")).as("rel"), max(col("rel6")).as("rel6"),
+          max(col("csim6")).as("ms6"))
+        .withColumn("_score", lit(l10.toLong) * col("rel6") -
+          lit((10 - l10).toLong) * col("ms6"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("query_id"), col("cand_id"),
+          lit(step).as("mmr_rank"), col("rel"),
+          (col("ms6").cast("double") / 1e6).as("max_sim_sel"),
+          (col("_score").cast("double") / 1e7).as("mmr_score"))
+        .localCheckpoint(false)
+      selected = selected.unionByName(pick)
+      remaining = remaining.join(
+        pick.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_anti")
+    }
+    selected
+  }
 }

@@ -1580,6 +1580,56 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2).getLong(1) == 0 && out(2).isNullAt(3))
   }
 
+  test("mmrRerank: diversity pick beats the near-duplicate relevance ranking") {
+    // query (1,0); c1 and c2 are near-identical high-relevance hits,
+    // c3 is diverse at lower relevance. Pure top-2 = {c1, c2}; at
+    // λ = 0.4 MMR's second pick must be c3 — with c1 ∥ q the penalty
+    // equals the relevance, so score(near-dup) = (2λ−1)·1 loses to
+    // (2λ−1)·rel₃ whenever λ < 0.5. (At λ = 0.7 keeping the dup IS
+    // the correct MMR answer in 2-D — relevance dominates.)
+    val qs = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cs = Seq(
+      (1L, Array(1.0f, 0.01f)), (2L, Array(1.0f, 0.011f)),
+      (3L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(qs, cs, "vec_id", "embedding",
+        poolK = 3, selectK = 2, lambda = 0.4)
+      .orderBy("mmr_rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L), out.mkString(";"))
+    // the runner-up's penalty is the c1-c2 similarity (~1), and scores
+    // are exact 1e-7-unit integers under the hood
+    assert(out(1).getAs[Double]("max_sim_sel") < 0.85)
+  }
+
+  test("correlationMatrix: exact ±1 on linear fixtures") {
+    val df = Seq((1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0))
+      .toDF("x", "y", "z")
+    val got = Profiling.correlationMatrix(df, Seq("x", "y", "z"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    assert(got(("x", "y")) == 1.0 && got(("x", "z")) == -1.0 &&
+      got(("y", "z")) == -1.0, got.toString)
+    // constant column: zero variance -> null, not NaN/inf
+    val c = Seq((1.0, 5.0), (2.0, 5.0)).toDF("a", "b")
+    val r = Profiling.correlationMatrix(c, Seq("a", "b")).collect()(0)
+    assert(r.isNullAt(3))
+  }
+
+  test("mutualInformation: identical columns give MI = H, independent give 0") {
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val d = Profiling.mutualInformation(dep, "x", "y").collect()(0)
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d.getLong(0) == 4)
+    assert(d.getAs[Double]("h_x") == ln2 && d.getAs[Double]("mi") == ln2)
+    assert(d.getAs[Double]("nmi") == 1.0)
+    val ind = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"))
+      .toDF("x", "y")
+    val i = Profiling.mutualInformation(ind, "x", "y").collect()(0)
+    assert(i.getAs[Double]("mi") == 0.0 && i.getAs[Double]("nmi") == 0.0)
+  }
+
   test("centroidOutliers: planted off-centroid vector flagged at the exact quantile") {
     val vecs = (0 until 19).map(i =>
       (i.toLong, Array(1.0f, (i % 5) * 0.01f), 0)) :+
