@@ -2358,6 +2358,161 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("channel"))
   }
 
+  /** Local-supplier volume (the TPC-H Q5 shape): revenue per nation
+    * where the customer and the line's supplier share a nation, region-
+    * and date-bracketed. The nation/region dims broadcast; the only
+    * shuffles are the two fact-grain equi-joins (orders on custkey,
+    * lineitem on orderkey) — at 100 TB those co-partition on their join
+    * keys and AQE picks the sides. */
+  private def qLocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val asiaNations = t.nation
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    t.customer
+      .join(t.orders.filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("nation"))
+  }
+
+  /** Bilateral trade flows (the TPC-H Q7 shape): shipped revenue
+    * between two named nations in both directions, by ship year. The
+    * supplier/customer nation tags come from broadcast dims; the fact
+    * joins stay on their natural keys. */
+  private def qNationTrade(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val pair = Seq("NATION_1", "NATION_2")
+    val supN = t.supplier
+      .join(broadcast(t.nation.filter(col("n_name").isin(pair: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cusN = t.customer
+      .join(broadcast(t.nation.filter(col("n_name").isin(pair: _*))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(cusN, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("ship_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+  }
+
+  /** Product-line profit (the TPC-H Q9 shape): per supplier-nation and
+    * order year, margin over a modeled unit cost (0.6 × retail — the
+    * schema carries no partsupp supplycost) for PROMO-type parts. The
+    * part filter broadcasts and prunes lineitem BEFORE the orders join,
+    * so the big join only moves matching rows. */
+  private def qProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val promoParts = t.part.filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"), col("p_retailprice"))
+    t.lineitem
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("order_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.6) * col("p_retailprice") * col("l_quantity")), 2)
+        .as("profit"))
+      .orderBy(col("nation"), col("order_year").desc)
+  }
+
+  /** Returned-item losers (the TPC-H Q10 shape): top-20 customers by
+    * returned revenue in a quarter. One orders→lineitem shuffle join;
+    * customer+nation resolve by broadcast after the aggregate, so the
+    * wide name/acctbal columns never enter the shuffle. */
+  private def qReturnedCustomers(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val lost = t.orders
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(t.lineitem.filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+    lost.join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+        round(col("c_acctbal"), 2).as("acctbal"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Priority-by-linestatus counts (the TPC-H Q12 shape — the schema
+    * has no shipmode, so linestatus plays the mode axis): per
+    * linestatus shipped in 1997, how many lines belong to critical
+    * (1-URGENT / 2-HIGH) vs other-priority orders. Conditional-count
+    * aggregation after one fact join. */
+  private def qPriorityLines(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(crit, 1L).otherwise(0L)).as("critical_lines"),
+        sum(when(crit, 0L).otherwise(1L)).as("other_lines"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** Promo revenue share (the TPC-H Q14 shape): the percentage of one
+    * month's discounted revenue from PROMO-type parts — a broadcast
+    * part join folded into a single conditional-sum aggregate (no
+    * second scan, no scalar subquery). */
+  private def qPromoShare(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(round(sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0))) * 100.0 /
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("promo_share_pct"))
+  }
+
+  /** Large-volume orders (the TPC-H Q18 shape): orders whose total
+    * quantity exceeds 250, with their customer. The HAVING aggregate
+    * runs at order grain FIRST (partial map-side sums), and only the
+    * surviving ~0.2% of orders join back to customer/orders — a
+    * broadcast at any scale because the filter is what's small, not
+    * the table. */
+  private def qLargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val big = t.lineitem.groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+    t.orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        round(col("o_totalprice"), 2).as("total_price"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -2523,6 +2678,13 @@ object SparkEntry {
     "q158_mmr_rerank" -> (qMmrRerank _),
     "q159_corr_matrix" -> (qCorrMatrix _),
     "q160_mutual_info" -> (qMutualInfo _),
+    "q161_local_supplier_volume" -> (qLocalSupplierVolume _),
+    "q162_nation_trade" -> (qNationTrade _),
+    "q163_product_profit" -> (qProductProfit _),
+    "q164_returned_customers" -> (qReturnedCustomers _),
+    "q165_priority_lines" -> (qPriorityLines _),
+    "q166_promo_share" -> (qPromoShare _),
+    "q167_large_orders" -> (qLargeOrders _),
   )
 
   // -------------------------------------------------------------------
@@ -5999,5 +6161,100 @@ object SparkEntry {
         |  round(mi, 6) AS mi,
         |  round(mi / nullif(least(h_x, h_y), 0.0e0), 6) AS nmi
         |FROM tot, hx, hy, mi""".stripMargin,
+
+    "q161_local_supplier_volume" ->
+      """SELECT n_name AS nation,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, nation""".stripMargin,
+
+    "q162_nation_trade" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND sn.n_name <> cn.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q163_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS order_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)
+        |    - 0.6 * p_retailprice * l_quantity), 2) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_type = 'PROMO'
+        |GROUP BY 1, 2
+        |ORDER BY nation, order_year DESC""".stripMargin,
+
+    "q164_returned_customers" ->
+      """SELECT c_custkey, c_name, n_name AS nation,
+        |  round(c_acctbal, 2) AS acctbal,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q165_priority_lines" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS critical_lines,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS other_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "q166_promo_share" ->
+      """SELECT round(
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0
+        |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+
+    "q167_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING round(sum(l_quantity), 2) > 250.0)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  round(o_totalprice, 2) AS total_price, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
   )
 }
