@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CellColIndexExpr, CellRowExpr, CharEntropyExpr, VecDotExpr, VecNormExpr}
+import graft.functions.{CellColIndexExpr, CellRowExpr, CharEntropyExpr, FoldTextExpr, JaroWinklerExpr, VecDotExpr, VecNormExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Enable with
@@ -69,6 +69,17 @@ object GraftExtensions {
       info("graft_vec_norm",
         "graft_vec_norm(a) - euclidean norm of a float/double array"),
       (children: Seq[Expression]) => VecNormExpr(children.head)),
+    (FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (prefix " +
+          "cap 4, scale 0.1, 0.7 boost threshold) for record linkage"),
+      (children: Seq[Expression]) =>
+        JaroWinklerExpr(children.head, children(1))),
+    (FunctionIdentifier("graft_fold_text"),
+      info("graft_fold_text",
+        "graft_fold_text(s) - accent-fold + case-fold normalization " +
+          "(NFD, strip marks, NFC, lowercase) for canonical match keys"),
+      (children: Seq[Expression]) => FoldTextExpr(children.head)),
     (FunctionIdentifier("graft_char_entropy"),
       info("graft_char_entropy",
         "graft_char_entropy(s) - Shannon entropy (nats) of the string's " +

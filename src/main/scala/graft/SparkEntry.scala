@@ -2513,6 +2513,58 @@ object SparkEntry {
       .orderBy(col("total_qty").desc, col("o_orderkey"))
   }
 
+  /** Accent/case-fold canonicalization (EntityResolution.foldKey — the
+    * native codegen'd FoldTextExpr): documents salted with a fixed
+    * accented prefix fold to matching keys; the oracle reproduces the
+    * fold with utf8proc's strip_accents + lower. */
+  private def qTextFold(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val salted = concat(lit("Café Ñandú ÀÉÎÕÜ "),
+      substring(col("text"), 1, 40))
+    t.documents.select(col("doc_id"),
+        EntityResolution.foldKey(salted).as("folded"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Blocked fuzzy entity matching (EntityResolution.blockedNamePairs
+    * — the native codegen'd JaroWinklerExpr): customer names blocked
+    * by (nation, custkey mod 10), top-2 most similar per left record.
+    * The oracle recomputes pair scores with DuckDB's
+    * jaro_winkler_similarity (verified same semantics: prefix cap 4,
+    * scale 0.1, 0.7 boost threshold). */
+  private def qJaroWinklerMatch(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val blocked = t.customer.select(col("c_custkey"), col("c_name"),
+      concat(col("c_nationkey").cast("string"), lit("_"),
+        (col("c_custkey") % 10).cast("string")).as("block"))
+    EntityResolution.blockedNamePairs(blocked, "c_custkey", "c_name",
+        "block", minSim = 0.9, k = 2)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy(col("id_a"), col("sim").desc, col("id_b"))
+  }
+
+  /** Referential-integrity audit (EntityResolution.referentialAudit):
+    * the FK battery a lake gate runs before publishing — anti-join
+    * orphan probes at fact grain, 1-row report per check. */
+  private def qRefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    EntityResolution.referentialAudit(Seq(
+        ("lineitem.orderkey", t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
+        ("lineitem.partkey", t.lineitem, "l_partkey", t.part, "p_partkey"),
+        ("lineitem.suppkey", t.lineitem, "l_suppkey", t.supplier, "s_suppkey"),
+        ("orders.custkey", t.orders, "o_custkey", t.customer, "c_custkey"),
+        ("events.user_id", t.events, "user_id", t.customer, "c_custkey")))
+      .orderBy(col("check"))
+  }
+
+  /** Benford first-digit audit (EntityResolution.benfordDigits) over
+    * order totals — digit from the decimal string of floor(x), exact
+    * in both engines where a log10/pow round-trip is not. */
+  private def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    EntityResolution.benfordDigits(t.orders, "o_totalprice")
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -2685,6 +2737,10 @@ object SparkEntry {
     "q165_priority_lines" -> (qPriorityLines _),
     "q166_promo_share" -> (qPromoShare _),
     "q167_large_orders" -> (qLargeOrders _),
+    "q168_text_fold" -> (qTextFold _),
+    "q169_jaro_winkler" -> (qJaroWinklerMatch _),
+    "q170_ref_integrity" -> (qRefIntegrity _),
+    "q171_benford" -> (qBenford _),
   )
 
   // -------------------------------------------------------------------
@@ -6256,5 +6312,71 @@ object SparkEntry {
         |JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+
+    "q168_text_fold" ->
+      """SELECT doc_id,
+        |  lower(strip_accents(nfc_normalize(
+        |    'Café Ñandú ÀÉÎÕÜ ' || substr(text, 1, 40)))) AS folded
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q169_jaro_winkler" ->
+      """WITH blocked AS (
+        |  SELECT c_custkey, c_name,
+        |    CAST(c_nationkey AS VARCHAR) || '_' ||
+        |      CAST(c_custkey % 10 AS VARCHAR) AS block
+        |  FROM customer),
+        |pairs AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |    round(jaro_winkler_similarity(a.c_name, b.c_name), 4) AS sim
+        |  FROM blocked a JOIN blocked b USING (block)
+        |  WHERE a.c_custkey < b.c_custkey),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY id_a
+        |    ORDER BY sim DESC, id_b) AS rk
+        |  FROM pairs WHERE sim >= 0.9)
+        |SELECT id_a, id_b, sim FROM ranked WHERE rk <= 2
+        |ORDER BY id_a, sim DESC, id_b""".stripMargin,
+
+    "q170_ref_integrity" ->
+      """WITH checks AS (
+        |  SELECT 'lineitem.orderkey' AS "check",
+        |    count(*) AS "rows",
+        |    count(*) FILTER (WHERE o_orderkey IS NULL) AS orphans
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem.partkey', count(*),
+        |    count(*) FILTER (WHERE p_partkey IS NULL)
+        |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |  UNION ALL
+        |  SELECT 'lineitem.suppkey', count(*),
+        |    count(*) FILTER (WHERE s_suppkey IS NULL)
+        |  FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |  UNION ALL
+        |  SELECT 'orders.custkey', count(*),
+        |    count(*) FILTER (WHERE c_custkey IS NULL)
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'events.user_id', count(*),
+        |    count(*) FILTER (WHERE c_custkey IS NULL)
+        |  FROM events LEFT JOIN customer ON user_id = c_custkey
+        |    WHERE user_id IS NOT NULL)
+        |SELECT * FROM checks ORDER BY "check"""".stripMargin,
+
+    "q171_benford" ->
+      """WITH counts AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    count(*) AS n
+        |  FROM orders WHERE o_totalprice >= 1.0
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+        |SELECT digit, n,
+        |  round(n / total, 6) AS obs_share,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS exp_share,
+        |  round(total * pow(n / total - log10(1.0 + 1.0 / digit), 2)
+        |    / log10(1.0 + 1.0 / digit), 6) AS chi2_term
+        |FROM counts, tot
+        |ORDER BY digit""".stripMargin,
   )
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Entity-resolution and relational data-quality operators.
+  *
+  * Record linkage at corpus scale is blocking + bounded pair scoring:
+  * the all-pairs comparator is quadratic, so candidate pairs ONLY ever
+  * materialize inside an equi-join on a blocking key, and the scorer is
+  * a native codegen'd expression ([[graft.functions.JaroWinklerExpr]])
+  * so the pair scan stays inside WholeStageCodegen. The same shape the
+  * dedup tier uses for LSH buckets (Dedup.scala), applied to entity
+  * names instead of shingle signatures.
+  */
+object EntityResolution {
+
+  /** Accent-fold + case-fold canonical key (native FoldTextExpr). */
+  def foldKey(c: Column): Column = {
+    graft.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_fold_text", c)
+  }
+
+  /** Jaro-Winkler similarity column (native JaroWinklerExpr). */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    graft.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_jaro_winkler", a, b)
+  }
+
+  /** Blocked fuzzy name matching: within each blocking key, score all
+    * ordered pairs (idA < idB) with Jaro-Winkler and keep each left
+    * record's top-`k` matches at or above `minSim`.
+    *
+    * The pair space is bounded by the block size — the equi-join on
+    * `block` shuffles each side once, and a skewed blocking key shows
+    * up as one oversized partition AQE splits. Returns
+    * (id_a, id_b, name_a, name_b, sim) with sim rounded to 4. */
+  def blockedNamePairs(df: DataFrame, idCol: String, nameCol: String,
+      blockCol: String, minSim: Double, k: Int): DataFrame = {
+    val a = df.select(col(blockCol).as("_block"), col(idCol).as("id_a"),
+      col(nameCol).as("name_a"))
+    val b = df.select(col(blockCol).as("_block"), col(idCol).as("id_b"),
+      col(nameCol).as("name_b"))
+    val scored = a.join(b, "_block")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        round(jaroWinkler(col("name_a"), col("name_b")), 4))
+      .filter(col("sim") >= minSim)
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("sim").desc, col("id_b"))
+    scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk", "_block")
+  }
+
+  /** One foreign-key audit: rows of `fact` whose `fkCol` has no match
+    * in `dim.pkCol` (nulls excluded — a null FK is absence, not an
+    * orphan). Returns a 1-row frame (check, rows, orphans).
+    *
+    * The orphan probe is a left-anti join: broadcast when the dim is a
+    * dimension, shuffle-hash on the key when both sides are facts —
+    * exactly what the planner picks from sizes, nothing to hint. */
+  def fkAudit(check: String, fact: DataFrame, fkCol: String,
+      dim: DataFrame, pkCol: String): DataFrame = {
+    val keyed = fact.select(col(fkCol).as("_fk")).filter(col("_fk").isNotNull)
+    val orphan = keyed.join(dim.select(col(pkCol).as("_fk")), Seq("_fk"),
+      "left_anti")
+    keyed.agg(count(lit(1)).as("rows"))
+      .crossJoin(orphan.agg(count(lit(1)).as("orphans")))
+      .select(lit(check).as("check"), col("rows"), col("orphans"))
+  }
+
+  /** Run a battery of FK audits and union the one-row results — the
+    * referential-integrity report a lake ingest gate runs before
+    * publishing a snapshot. */
+  def referentialAudit(
+      checks: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    checks.map { case (name, fact, fk, dim, pk) =>
+      fkAudit(name, fact, fk, dim, pk)
+    }.reduce(_.unionByName(_))
+
+  /** Benford first-significant-digit audit of a positive numeric
+    * column: per digit 1..9, the observed share vs log10(1+1/d) and
+    * the chi-square contribution n·(p̂−p)²/p. One groupBy on a 9-value
+    * key — the total re-joins by broadcast, never a second scan.
+    *
+    * The digit comes from the DECIMAL STRING of floor(x) — exact in
+    * any engine, where a log10/pow round-trip can put a value like
+    * 999.999… on the wrong side of a power of ten. */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val digit = substring(
+      floor(col(valueCol)).cast("long").cast("string"), 1, 1).cast("int")
+    val counts = df.filter(col(valueCol) >= 1.0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("total"), 6).as("obs_share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("exp_share"),
+        round(col("total") *
+          pow(col("n") / col("total") - log10(lit(1.0) + lit(1.0) / col("digit")), 2) /
+          log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+}

@@ -1643,4 +1643,58 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(flagged == Set(19L), flagged.toString)
   }
+
+  test("jaroWinkler: classic pairs, boost threshold, prefix cap, floor'd transpositions") {
+    import graft.functions.TextExpressions.jaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String) = jaroWinkler(u(a), u(b))
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    // jaro 0.6 <= 0.7 threshold: no boost despite 4-char prefix
+    assert(jw("abcdxxxxxx", "abcdyyyyyy") == 0.6)
+    // prefix capped at 4 (6 shared chars): 0.8333.. + 4*0.1*(1-0.8333..)
+    assert(math.abs(jw("abcdefgh", "abcdefzz") - 0.9) < 1e-12)
+    // 3 mismatched matched-positions -> t = floor(3/2) = 1, not 1.5
+    assert(math.abs(jw("Customer#000000216", "Customer#000001026")
+      - 0.9888888888888889) < 1e-12)
+    assert(jw("", "") == 1.0 && jw("", "abc") == 0.0)
+    // pair scoring stays codegen'd end-to-end
+    // repartition defeats ConvertToLocalRelation so a real projection
+    // stage exists to inspect
+    val scored = Seq(("MARTHA", "MARHTA")).toDF("a", "b").repartition(1)
+      .select(operators.EntityResolution.jaroWinkler(col("a"), col("b")))
+    scored.collect()
+    // codegen stages render as "*(n) " markers in the executed plan
+    assert(scored.queryExecution.executedPlan.toString.contains("*("))
+  }
+
+  test("foldText: accents fold, case folds, ASCII and undecomposables pass through") {
+    import graft.functions.TextExpressions.foldText
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(foldText(u("Café Ñandú ÀÉÎÕÜ")).toString == "cafe nandu aeiou")
+    assert(foldText(u("plain ASCII 42")).toString == "plain ascii 42")
+    assert(foldText(u("çœ")).toString == "cœ")
+  }
+
+  test("blockedNamePairs: pairs stay inside blocks, top-k per left id") {
+    val df = Seq((1L, "martha", "b1"), (2L, "marhta", "b1"),
+      (3L, "marttha", "b1"), (4L, "martha", "b2")).toDF("id", "name", "blk")
+    val got = EntityResolution.blockedNamePairs(df, "id", "name", "blk",
+      minSim = 0.5, k = 1).select("id_a", "id_b").collect()
+    // id 4 is alone in b2: no cross-block pair with the identical name
+    assert(!got.exists(r => r.getLong(0) == 4L || r.getLong(1) == 4L))
+    // k=1: left ids appear at most once
+    val lefts = got.map(_.getLong(0))
+    assert(lefts.distinct.length == lefts.length)
+  }
+
+  test("benfordDigits: shares sum to 1 and expected shares are Benford") {
+    val df = (1 to 999).map(_.toDouble).toDF("v")
+    val rows = EntityResolution.benfordDigits(df, "v").collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
+    // 111 values per leading digit in 1..999 -> uniform observed shares
+    assert(rows.forall(_.getLong(1) == 111L))
+    val exp1 = rows.find(_.getInt(0) == 1).get.getAs[Double]("exp_share")
+    assert(math.abs(exp1 - 0.30103) < 1e-6)
+  }
 }
