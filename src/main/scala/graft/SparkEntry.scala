@@ -2565,6 +2565,40 @@ object SparkEntry {
     EntityResolution.benfordDigits(t.orders, "o_totalprice")
   }
 
+  /** Johnson-Lindenstrauss random projection
+    * (Similarity.randomProjection): 64-dim embeddings to 8 dims via
+    * the closed-form ±1 LCG-parity matrix — the oracle regenerates the
+    * identical matrix from (d, j) arithmetic and order-folds the same
+    * float sums. */
+  private def qRandomProjection(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Similarity.randomProjection(t.embeddings, "vec_id", "embedding", k = 8)
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
+  /** Per-dimension z-score standardization (Similarity.standardizeDims)
+    * of the embedding table — dim-grain population stats broadcast back
+    * onto the exploded rows. */
+  private def qStandardizeDims(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Similarity.standardizeDims(t.embeddings, "vec_id", "embedding")
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
+  /** Brand co-purchase lift (Baskets.pairLift): brands co-occurring in
+    * the same order, joint support ≥ 5, lift over the order universe —
+    * basket width bounded by the 25-brand domain, pair shuffle at
+    * brand-pair grain. */
+  private def qCopurchaseLift(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val baskets = t.lineitem
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+    Baskets.pairLift(baskets, "l_orderkey", "p_brand", minSupport = 5L)
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -2741,6 +2775,9 @@ object SparkEntry {
     "q169_jaro_winkler" -> (qJaroWinklerMatch _),
     "q170_ref_integrity" -> (qRefIntegrity _),
     "q171_benford" -> (qBenford _),
+    "q172_random_projection" -> (qRandomProjection _),
+    "q173_standardize_dims" -> (qStandardizeDims _),
+    "q174_copurchase_lift" -> (qCopurchaseLift _),
   )
 
   // -------------------------------------------------------------------
@@ -6378,5 +6415,56 @@ object SparkEntry {
         |    / log10(1.0 + 1.0 / digit), 6) AS chi2_term
         |FROM counts, tot
         |ORDER BY digit""".stripMargin,
+
+    "q172_random_projection" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS j
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(range(8)) AS dim),
+        |terms AS (
+        |  SELECT vec_id, dim, j,
+        |    v * (CASE WHEN (j * 1103515245 + dim * 12345 + 54321)
+        |        % 97 % 2 = 0 THEN 1.0 ELSE -1.0 END) AS term
+        |  FROM e, dims)
+        |SELECT vec_id, CAST(dim AS INT) AS dim,
+        |  round(list_aggregate(list(term ORDER BY j), 'sum')
+        |    / sqrt(8.0), 6) AS value
+        |FROM terms
+        |GROUP BY vec_id, dim
+        |ORDER BY vec_id, dim""".stripMargin,
+
+    "q173_standardize_dims" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim
+        |  FROM embeddings),
+        |stats AS (
+        |  SELECT dim, avg(v) AS mu, stddev_pop(v) AS sd
+        |  FROM e GROUP BY dim)
+        |SELECT vec_id, dim,
+        |  round(CASE WHEN sd > 0.0 THEN (v - mu) / sd END, 5) AS z
+        |FROM e JOIN stats USING (dim)
+        |ORDER BY vec_id, dim""".stripMargin,
+
+    "q174_copurchase_lift" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |nb AS (SELECT count(DISTINCT b) AS n_baskets FROM items),
+        |marg AS (SELECT i, count(*) AS n FROM items GROUP BY i),
+        |pairs AS (
+        |  SELECT a.i AS item_a, b2.i AS item_b, count(*) AS n_both
+        |  FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 5)
+        |SELECT item_a, item_b, n_both,
+        |  ma.n AS n_a, mb.n AS n_b,
+        |  round(CAST(n_both AS DOUBLE) * n_baskets / (ma.n * mb.n), 4)
+        |    AS lift
+        |FROM pairs
+        |JOIN marg ma ON pairs.item_a = ma.i
+        |JOIN marg mb ON pairs.item_b = mb.i, nb
+        |ORDER BY item_a, item_b""".stripMargin,
   )
 }

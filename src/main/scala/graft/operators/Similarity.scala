@@ -1122,4 +1122,51 @@ object Similarity {
     }
     selected
   }
+
+  /** Sign of the deterministic ±1 Johnson-Lindenstrauss matrix cell
+    * (outDim d, inDim j): a closed-form LCG parity, so any engine can
+    * regenerate the identical matrix from (d, j) alone — no
+    * materialized matrix, no RNG state, reproducible across runs and
+    * re-partitions. */
+  private def jlSign(d: Column, j: Column): Column =
+    when((j * lit(1103515245L) + d * lit(12345L) + lit(54321L)) % 97 % 2
+      === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Johnson-Lindenstrauss random projection to `k` dims: out[d] =
+    * Σ_j emb[j]·sign(d,j) / √k. Entirely per-row (transform over the
+    * output dims, sequential fold over the input dims inside) — a
+    * narrow map at any scale, no shuffle, no broadcast matrix. Emits
+    * long format (id, dim, value rounded to 6; the fold runs in input-
+    * dim order so the float sum is order-deterministic) so downstream
+    * ops and external oracles compare value-by-value. */
+  def randomProjection(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val proj = transform(sequence(lit(0), lit(k - 1)), d =>
+      round(
+        aggregate(
+          zip_with(col(vecCol),
+            sequence(lit(0), size(col(vecCol)) - 1),
+            (e, j) => e.cast("double") * jlSign(d.cast("long"), j.cast("long"))),
+          lit(0.0), (acc, x) => acc + x) / sqrt(lit(k.toDouble)), 6))
+    vectors.select(col(idCol), posexplode(proj).as(Seq("dim", "value")))
+  }
+
+  /** Per-dimension z-score standardization (the feature-scaling pass
+    * before clustering/ANN on heterogeneous dims): long-format
+    * (id, dim, z) with population mean/stddev computed at DIMENSION
+    * grain — the explode shuffles once into ≤dim groups; stats are a
+    * dim-sized broadcast back onto the exploded rows. Zero-variance
+    * dims yield null z (absence, not a NaN). */
+  def standardizeDims(vectors: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val long = vectors.select(col(idCol),
+      posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val stats = long.groupBy(col("dim"))
+      .agg(avg(col("v")).as("_mu"), stddev_pop(col("v")).as("_sd"))
+    long.join(broadcast(stats), Seq("dim"))
+      .select(col(idCol), col("dim"),
+        round(when(col("_sd") > 0.0, (col("v") - col("_mu")) / col("_sd")),
+          5).as("z"))
+  }
 }

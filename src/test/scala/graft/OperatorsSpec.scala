@@ -1697,4 +1697,53 @@ class OperatorsSpec extends SparkSpec {
     val exp1 = rows.find(_.getInt(0) == 1).get.getAs[Double]("exp_share")
     assert(math.abs(exp1 - 0.30103) < 1e-6)
   }
+
+  test("randomProjection: deterministic, norm-preserving in expectation shape") {
+    val vecs = Seq((1L, Array.fill(16)(1.0f)), (2L, Array.fill(16)(0.0f)))
+      .toDF("id", "emb")
+    val out = Similarity.randomProjection(vecs, "id", "emb", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 8)
+    // the zero vector projects to exactly zero in every dim
+    (0 until 4).foreach(d => assert(out((2L, d)) == 0.0))
+    // ±1 matrix over an all-ones vector: each output is (Σ signs)/√k —
+    // an integer multiple of 1/2 for k=4
+    (0 until 4).foreach { d =>
+      val v = out((1L, d)) * 2.0
+      assert(math.abs(v - math.rint(v)) < 1e-9, s"dim $d -> ${out((1L, d))}")
+    }
+    // re-running yields the identical matrix (no RNG state)
+    val again = Similarity.randomProjection(vecs, "id", "emb", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(again == out)
+  }
+
+  test("standardizeDims: z-scores center and scale; zero-variance dim is null") {
+    val vecs = Seq((1L, Array(1.0f, 5.0f)), (2L, Array(3.0f, 5.0f)))
+      .toDF("id", "emb")
+    val rows = Similarity.standardizeDims(vecs, "id", "emb").collect()
+    val z = rows.map(r => (r.getLong(0), r.getInt(1)) ->
+      (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(z((1L, 0)) == -1.0 && z((2L, 0)) == 1.0)
+    assert(z((1L, 1)) == null && z((2L, 1)) == null)
+  }
+
+  test("pairLift: independent items lift 1, co-occurring items lift > 1") {
+    // baskets: {a,b} x2, {a,c}, {b,c} -> a,b co-occur 2/4 with
+    // P(a)=P(b)=3/4 -> lift = (2/4)/(9/16) = 8/9
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "b"), (4L, "c")).toDF("basket", "item")
+    val got = Baskets.pairLift(df, "basket", "item", minSupport = 1L)
+      .select("item_a", "item_b", "n_both", "lift")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getAs[Double]("lift"))).toMap
+    assert(got(("a", "b")) == ((2L, 0.8889)))
+    assert(got(("a", "c")) == ((1L, 0.6667)))
+    // duplicate rows in a basket must not inflate support
+    val dup = df.union(Seq((1L, "a")).toDF("basket", "item"))
+    val got2 = Baskets.pairLift(dup, "basket", "item", 1L)
+      .filter(col("item_a") === "a" && col("item_b") === "b")
+      .select("n_both").collect()
+    assert(got2.head.getLong(0) == 2L)
+  }
 }
