@@ -480,4 +480,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"suffix match leaked a nested loop:\n$p")
   }
+
+  test("q161 local-supplier volume: dims broadcast, date filter pushed to orders scan") {
+    val p = plan("q161_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date filter not pushed into orders scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+  }
+
+  test("q163/q164: part/priority filters prune facts before the big joins") {
+    val p9 = plan("q163_product_profit")
+    assert(p9.contains("EqualTo(p_type,PROMO)"),
+      s"part-type filter not pushed:\n$p9")
+    val p10 = plan("q164_returned_customers")
+    assert(p10.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed:\n$p10")
+    assert(p10.contains("TakeOrderedAndProject"),
+      s"top-20 not heap-pruned:\n$p10")
+  }
+
+  test("q169 jaro-winkler: blocked pairing is an equi-join, top-k prunes as group limit") {
+    val p = plan("q169_jaro_winkler")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair build fell back to all-pairs:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k per left id not group-limit pruned:\n$p")
+  }
+
+  test("q172 random projection: narrow per-row map, no shuffle before presentation sort") {
+    val p = plan("q172_random_projection")
+    // the only exchange allowed is the final orderBy (rangepartitioning)
+    assert(!p.contains("hashpartitioning"),
+      s"projection introduced a data shuffle:\n$p")
+  }
+
+  test("q174 co-purchase lift: marginals broadcast back onto the pair frame") {
+    val p = plan("q174_copurchase_lift")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"marginals not broadcast:\n$p")
+  }
 }
