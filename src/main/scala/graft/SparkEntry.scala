@@ -2599,6 +2599,16 @@ object SparkEntry {
       .orderBy(col("item_a"), col("item_b"))
   }
 
+  /** Dominant principal component (Profiling.pcaPowerComponent):
+    * 3 exact-integer power iterations over the 1e-6-quantized
+    * covariance — float arithmetic only in the one-per-cell closed
+    * form and the final normalization, so the oracle reproduces every
+    * intermediate bit-for-bit. */
+  private def qPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Profiling.pcaPowerComponent(t.embeddings, "embedding", iters = 3)
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -2778,6 +2788,7 @@ object SparkEntry {
     "q172_random_projection" -> (qRandomProjection _),
     "q173_standardize_dims" -> (qStandardizeDims _),
     "q174_copurchase_lift" -> (qCopurchaseLift _),
+    "q175_pca_power" -> (qPcaPower _),
   )
 
   // -------------------------------------------------------------------
@@ -6466,5 +6477,40 @@ object SparkEntry {
         |JOIN marg ma ON pairs.item_a = ma.i
         |JOIN marg mb ON pairs.item_b = mb.i, nb
         |ORDER BY item_a, item_b""".stripMargin,
+
+    "q175_pca_power" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000.0)
+        |      AS BIGINT) AS xq,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i
+        |  FROM embeddings),
+        |nn AS (SELECT count(*) AS n FROM embeddings),
+        |sx AS (SELECT i, sum(xq) AS sx FROM e GROUP BY i),
+        |sxy AS (
+        |  SELECT a.i AS i, b.i AS j, sum(a.xq * b.xq) AS sxy
+        |  FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2),
+        |cov AS (
+        |  SELECT sxy.i, sxy.j,
+        |    CAST(round((CAST(sxy AS DOUBLE) / n
+        |      - CAST(si.sx AS DOUBLE) * CAST(sj.sx AS DOUBLE) / n / n)
+        |      / 100.0) AS HUGEINT) AS c
+        |  FROM sxy JOIN sx si ON sxy.i = si.i
+        |  JOIN sx sj ON sxy.j = sj.i, nn),
+        |w1 AS (SELECT i, sum(c) AS w FROM cov GROUP BY i),
+        |w2 AS (SELECT cov.i, sum(c * w1.w) AS w
+        |  FROM cov JOIN w1 ON cov.j = w1.i GROUP BY cov.i),
+        |w3 AS (SELECT cov.i, sum(c * w2.w) AS w
+        |  FROM cov JOIN w2 ON cov.j = w2.i GROUP BY cov.i),
+        |ref3 AS (SELECT w AS ref, abs(w) AS maxabs FROM w3
+        |  ORDER BY abs(w) DESC, i LIMIT 1),
+        |ref2 AS (SELECT abs(w) AS maxabs_prev FROM w2
+        |  ORDER BY abs(w) DESC, i LIMIT 1)
+        |SELECT i AS dim,
+        |  round(CAST(w AS DOUBLE) / CAST(ref AS DOUBLE), 6) AS loading,
+        |  round(CAST(maxabs AS DOUBLE) / CAST(maxabs_prev AS DOUBLE)
+        |    / 1000000.0, 6) AS eigenvalue
+        |FROM w3, ref3, ref2
+        |ORDER BY dim""".stripMargin,
   )
 }

@@ -572,4 +572,98 @@ object Profiling {
         round(col("mi") / nullif(least(col("h_x"), col("h_y")), lit(0.0)),
           6).as("nmi"))
   }
+
+  /** Dominant principal component of an embedding column via
+    * EXACT-INTEGER power iteration — the embedding-drift /
+    * anisotropy-direction probe ("is one direction eating the
+    * space").
+    *
+    * Determinism strategy (the q159 correlation-matrix discipline,
+    * extended through the iteration): vectors quantize to 1e-4-unit
+    * BIGINTs; the covariance quantizes to 1e-6-unit integers via ONE
+    * closed-form double expression per cell (scalar, no reduction
+    * ordering); then all `iters` matrix-vector products run in
+    * DECIMAL(38,0) integer arithmetic — bit-exact on any engine, no
+    * float sums anywhere until the single final normalization.
+    * Un-normalized iterates grow by ≤ dims·max|covµ| per step:
+    * 64 dims × 3 iterations stays far under the 38-digit ceiling.
+    *
+    * Scale shape: the outer-product stage is a NARROW per-row
+    * flatten (dims² structs per row) feeding one partial-aggregatable
+    * groupBy at (i, j) grain — map-side combine collapses each
+    * partition to ≤ dims² rows before the only data-scale shuffle.
+    * Every iteration afterwards is metadata-scale (dims² × dims
+    * broadcast joins). No self-join of the table against itself.
+    *
+    * Returns (dim, loading, eigenvalue): loading normalized so the
+    * largest-|w| dimension (smallest index on ties) equals 1.0;
+    * eigenvalue is the Rayleigh-style ratio of the last two iterate
+    * maxima, rescaled to real units. */
+  def pcaPowerComponent(emb: DataFrame, vecCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 2, "pcaPowerComponent needs >= 2 iterations")
+    val dec = "decimal(38,0)"
+    // (i, xq) long rows: 1e-4-unit quantization, one explode
+    val long = emb.select(posexplode(
+        transform(col(vecCol), v => round(v.cast("double") * 1e4)
+          .cast("long"))).as(Seq("i", "xq")))
+    val n = emb.agg(count(lit(1)).as("n"))
+    val sx = long.groupBy(col("i"))
+      .agg(sum(col("xq").cast(dec)).as("sx"))
+    // per-row outer product, flattened then partially aggregated
+    val pairs = emb.select(explode(flatten(
+        transform(col(vecCol), (vi, i) =>
+          transform(col(vecCol), (vj, j) => struct(
+            i.as("i"), j.as("j"),
+            (round(vi.cast("double") * 1e4).cast("long") *
+             round(vj.cast("double") * 1e4).cast("long")).as("p"))))))
+        .as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+    val sxy = pairs.groupBy(col("i"), col("j"))
+      .agg(sum(col("p").cast(dec)).as("sxy"))
+    // covariance cell in 1e-6 units: ONE scalar double expression —
+    // identical parenthesization on the oracle side reproduces every
+    // IEEE intermediate
+    val cov = sxy
+      .join(broadcast(sx.select(col("i"), col("sx").as("sxi"))), Seq("i"))
+      .join(broadcast(sx.select(col("i").as("j"), col("sx").as("sxj"))),
+        Seq("j"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        round(
+          (col("sxy").cast("double") / col("n") -
+            col("sxi").cast("double") * col("sxj").cast("double") /
+              col("n") / col("n")) / 100.0)
+          .cast(dec).as("c"))
+      .localCheckpoint(false)
+    // integer power iteration from the all-ones vector
+    var w = cov.groupBy(col("i")).agg(sum(col("c")).as("w"))
+    var wPrev = w
+    for (_ <- 2 to iters) {
+      wPrev = w
+      w = cov
+        .join(broadcast(w.select(col("i").as("j"), col("w").as("wj"))),
+          Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(col("c") * col("wj")).as("w"))
+    }
+    def maxRef(frame: DataFrame): DataFrame = {
+      val m = frame.agg(max(abs(col("w"))).as("maxabs"))
+      frame.crossJoin(broadcast(m))
+        .filter(abs(col("w")) === col("maxabs"))
+        .orderBy(col("i")).limit(1)
+        .select(col("w").as("ref"), col("maxabs"))
+    }
+    val refLast = maxRef(w)
+    val refPrev = maxRef(wPrev)
+    w.crossJoin(broadcast(refLast))
+      .crossJoin(broadcast(
+        refPrev.select(col("maxabs").as("maxabs_prev"))))
+      .select(col("i").as("dim"),
+        round(col("w").cast("double") / col("ref").cast("double"), 6)
+          .as("loading"),
+        round(col("maxabs").cast("double") /
+          col("maxabs_prev").cast("double") / 1e6, 6).as("eigenvalue"))
+      .orderBy(col("dim"))
+  }
 }

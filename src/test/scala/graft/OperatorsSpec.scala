@@ -1698,6 +1698,20 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(exp1 - 0.30103) < 1e-6)
   }
 
+  test("pcaPowerComponent: planted direction recovered with exact eigenvalue") {
+    // rows t·(3,4), t ∈ -2..2: cov = Var(t)·[[9,12],[12,16]], dominant
+    // eigenpair (λ=50, v∝(3,4)); all quantities exact in 1e-4/1e-6 units
+    val vecs = Seq(-2, -1, 0, 1, 2).zipWithIndex.map { case (t, k) =>
+      (k.toLong, Array(3.0f * t, 4.0f * t)) }.toDF("vec_id", "embedding")
+    val rows = Profiling.pcaPowerComponent(vecs, "embedding", iters = 3)
+      .collect()
+    val byDim = rows.map(r => r.getInt(0) ->
+      (r.getDouble(1), r.getDouble(2))).toMap
+    assert(byDim(1)._1 == 1.0, byDim.toString)       // ref dim (|4| > |3|)
+    assert(byDim(0)._1 == 0.75, byDim.toString)      // 3/4 exactly
+    assert(byDim(0)._2 == 50.0 && byDim(1)._2 == 50.0, byDim.toString)
+  }
+
   test("randomProjection: deterministic, norm-preserving in expectation shape") {
     val vecs = Seq((1L, Array.fill(16)(1.0f)), (2L, Array.fill(16)(0.0f)))
       .toDF("id", "emb")
