@@ -2609,6 +2609,21 @@ object SparkEntry {
     Profiling.pcaPowerComponent(t.embeddings, "embedding", iters = 3)
   }
 
+  /** BPE serving path (TextAnalysis.bpeEncode): merges trained on
+    * documents applied to HELD-OUT words (reversed doc words — OOV
+    * sequences the training table never saw) as one chained-replace
+    * projection, no vocabulary join. */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val (merges, _) = TextAnalysis.bpeLearn(t.documents, "text", "doc_id")
+    val held = t.documents.filter(col("doc_id") % 7 === 0)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("w"))
+      .select(reverse(col("w")).as("word")).distinct()
+    TextAnalysis.bpeEncode(held, "word", merges)
+      .orderBy(col("word"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -2789,6 +2804,7 @@ object SparkEntry {
     "q173_standardize_dims" -> (qStandardizeDims _),
     "q174_copurchase_lift" -> (qCopurchaseLift _),
     "q175_pca_power" -> (qPcaPower _),
+    "q176_bpe_encode" -> (qBpeEncode _),
   )
 
   // -------------------------------------------------------------------
@@ -6512,5 +6528,50 @@ object SparkEntry {
         |    / 1000000.0, 6) AS eigenvalue
         |FROM w3, ref3, ref2
         |ORDER BY dim""".stripMargin,
+
+    // the q103 training replay (same generated CTE chain) feeding the
+    // ENCODE path: held-out reversed words segmented by the trained
+    // merge list alone — replace() applies each rank left-to-right
+    // non-overlapping in both engines, i.e. greedy BPE
+    "q176_bpe_encode" -> {
+      val iters = (1 to TextAnalysis.BpeMerges).map { i =>
+        val prev = s"w${i - 1}"
+        s"""s$i AS (SELECT seg, freq,
+           |    unnest(generate_series(1,
+           |      len(string_split(seg, ' ')) - 1)) AS i
+           |  FROM $prev),
+           |p$i AS (SELECT string_split(seg, ' ')[i] || ' ' ||
+           |    string_split(seg, ' ')[i + 1] AS pair, sum(freq) AS c
+           |  FROM s$i GROUP BY 1),
+           |m$i AS (SELECT pair FROM p$i ORDER BY c DESC, pair LIMIT 1),
+           |w$i AS (SELECT w.word, w.freq,
+           |    replace(w.seg, m.pair, replace(m.pair, '> <', '')) AS seg
+           |  FROM $prev w, m$i m)""".stripMargin
+      }.mkString(",\n")
+      val encodes = (1 to TextAnalysis.BpeMerges).map { i =>
+        s"""e$i AS (SELECT word,
+           |    replace(w.seg, m.pair, replace(m.pair, '> <', '')) AS seg
+           |  FROM e${i - 1} w, m$i m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH docw AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |  FROM documents),
+         |w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |    array_to_string(list_transform(regexp_extract_all(word, '.'),
+         |      x -> '<' || x || '>'), ' ') AS seg
+         |  FROM docw GROUP BY word),
+         |$iters,
+         |held AS (SELECT DISTINCT reverse(word) AS word
+         |  FROM docw WHERE doc_id % 7 = 0),
+         |e0 AS (SELECT word,
+         |    array_to_string(list_transform(regexp_extract_all(word, '.'),
+         |      x -> '<' || x || '>'), ' ') AS seg
+         |  FROM held),
+         |$encodes
+         |SELECT word, seg,
+         |  CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_tokens
+         |FROM e${TextAnalysis.BpeMerges}
+         |ORDER BY word""".stripMargin
+    },
   )
 }

@@ -538,6 +538,26 @@ object TextAnalysis {
         sum(col("n_tokens")).as("n_bpe_tokens"))
   }
 
+  /** Apply trained BPE merges to a word stream — the SERVING path: no
+    * vocabulary join, no shuffle, any [a-z0-9] word (out-of-vocabulary
+    * included) encodes. The merge list is driver-side metadata (tens of
+    * strings) folded into ONE projection of chained replaces, in rank
+    * order — leftmost-first non-overlapping replacement per rank is
+    * exactly the greedy merge order training used, so in-vocab words
+    * reproduce their training segmentation bit-for-bit.
+    *
+    * Returns (word, seg, n_tokens). */
+  def bpeEncode(words: DataFrame, wordCol: String,
+      merges: Seq[String]): DataFrame = {
+    val seg0 = array_join(
+      transform(regexp_extract_all(col(wordCol), lit("."), lit(0)),
+        c => concat(lit("<"), c, lit(">"))), " ")
+    val seg = merges.foldLeft(seg0)((s, pair) =>
+      replace(s, lit(pair), lit(pair.replace("> <", ""))))
+    words.select(col(wordCol).as("word"), seg.as("seg"))
+      .withColumn("n_tokens", size(split(col("seg"), " ")).cast("long"))
+  }
+
   def ngramNovelty(cur: DataFrame, ref: DataFrame, textCol: String,
       idCol: String, n: Int = 3): DataFrame = {
     val curSh = Dedup.shingleRows(cur, textCol, idCol, n).distinct()

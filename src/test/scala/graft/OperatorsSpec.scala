@@ -1698,6 +1698,26 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(exp1 - 0.30103) < 1e-6)
   }
 
+  test("bpeEncode: in-vocab words reproduce the training segmentation; OOV encodes") {
+    val docs = Seq((1L, "banana bandana banana"), (2L, "ban nab banana"))
+      .toDF("doc_id", "text")
+    val (merges, table) = TextAnalysis.bpeLearn(docs, "text", "doc_id",
+      nMerges = 4)
+    assert(merges.size == 4)
+    // serving path on the training vocabulary = the training table's segs
+    val enc = TextAnalysis.bpeEncode(table.select(col("word")), "word",
+      merges)
+    val mismatches = enc
+      .join(table.select(col("word"), col("seg").as("tseg")), Seq("word"))
+      .filter(col("seg") =!= col("tseg")).count()
+    assert(mismatches == 0L)
+    // an unseen word encodes without a vocab join, never fewer than 1 token
+    val oov = TextAnalysis.bpeEncode(Seq("anaban").toDF("word"), "word",
+      merges).collect().head
+    assert(oov.getAs[Long]("n_tokens") >= 1L &&
+      oov.getAs[String]("seg").nonEmpty)
+  }
+
   test("pcaPowerComponent: planted direction recovered with exact eigenvalue") {
     // rows t·(3,4), t ∈ -2..2: cov = Var(t)·[[9,12],[12,16]], dominant
     // eigenpair (λ=50, v∝(3,4)); all quantities exact in 1e-4/1e-6 units
