@@ -2624,6 +2624,59 @@ object SparkEntry {
       .orderBy(col("word"))
   }
 
+  /** First/last-touch attribution (EventAnalytics.conversionAttribution):
+    * purchase value credited to the user's earliest and latest prior
+    * non-purchase event type — one user-keyed window, both models. */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    EventAnalytics.conversionAttribution(t.events, "user_id", "ts",
+        "event_id", "event_type", "value", conversionType = "purchase")
+      .orderBy(col("model"), col("touch_type"))
+  }
+
+  /** Per-node triangle counts (GraphOps.triangleCounts) over the brand
+    * co-purchase graph (q174's ≥5-support edges): a<b<c wedge closure,
+    * each triangle found once, credited to all three corners. */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val baskets = t.lineitem
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+    val edges = Baskets.pairLift(baskets, "l_orderkey", "p_brand",
+        minSupport = 5L)
+      .select(col("item_a"), col("item_b"))
+    GraphOps.triangleCounts(edges, "item_a", "item_b")
+      .orderBy(col("node"))
+  }
+
+  /** Equi-depth binning (Profiling.equiDepthBins): deciles of event
+    * value per event type, deterministic under ties via the event-id
+    * tiebreak. */
+  private def qEquiDepth(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Profiling.equiDepthBins(t.events, "event_type", "value", "event_id",
+        nBins = 10)
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  /** Key-skew diagnostic (Skew.keySkewReport) on lineitem's part key:
+    * exact Gini/topk-share from count-grain integer identities. */
+  private def qKeySkew(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Skew.keySkewReport(t.lineitem, "l_partkey")
+  }
+
+  /** Event-type transition matrix (EventAnalytics.transitionMatrix):
+    * adjacent-pair counts + row-normalized probabilities per user
+    * stream. */
+  private def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    EventAnalytics.transitionMatrix(t.events, "user_id", "ts",
+        "event_id", "event_type")
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -2805,6 +2858,11 @@ object SparkEntry {
     "q174_copurchase_lift" -> (qCopurchaseLift _),
     "q175_pca_power" -> (qPcaPower _),
     "q176_bpe_encode" -> (qBpeEncode _),
+    "q177_attribution" -> (qAttribution _),
+    "q178_triangles" -> (qTriangles _),
+    "q179_equi_depth" -> (qEquiDepth _),
+    "q180_key_skew" -> (qKeySkew _),
+    "q181_transitions" -> (qTransitions _),
   )
 
   // -------------------------------------------------------------------
@@ -6573,5 +6631,101 @@ object SparkEntry {
          |FROM e${TextAnalysis.BpeMerges}
          |ORDER BY word""".stripMargin
     },
+
+    "q177_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type, value,
+        |    first_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+        |  FROM events),
+        |p AS (SELECT * FROM t WHERE event_type = 'purchase')
+        |SELECT * FROM (
+        |  SELECT 'first' AS model, f AS touch_type,
+        |    count(*) AS n_conversions, round(sum(value), 4) AS revenue
+        |  FROM p GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'last', l, count(*), round(sum(value), 4)
+        |  FROM p GROUP BY 2)
+        |ORDER BY model, touch_type NULLS FIRST""".stripMargin,
+
+    "q178_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |e AS (
+        |  SELECT a.it AS a, b2.it AS b
+        |  FROM items a JOIN items b2 ON a.bk = b2.bk AND a.it < b2.it
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 5),
+        |wedge AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a),
+        |tri AS (
+        |  SELECT w.a, w.b, w.c
+        |  FROM wedge w JOIN e e3 ON w.a = e3.a AND w.c = e3.b),
+        |nodes AS (SELECT unnest([a, b, c]) AS node FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM nodes GROUP BY node
+        |ORDER BY node""".stripMargin,
+
+    "q179_equi_depth" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    CAST(ntile(10) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS INT) AS bin
+        |  FROM events)
+        |SELECT event_type, bin, count(*) AS n,
+        |  round(min(value), 4) AS v_min, round(max(value), 4) AS v_max
+        |FROM t GROUP BY 1, 2
+        |ORDER BY event_type, bin""".stripMargin,
+
+    "q180_key_skew" ->
+      """WITH kc AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM kc GROUP BY c),
+        |o AS (SELECT c, m,
+        |    coalesce(sum(m) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+        |    coalesce(sum(m) OVER (ORDER BY c DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ct
+        |  FROM g),
+        |a AS (SELECT
+        |    CAST(sum(m) AS BIGINT) AS n_keys,
+        |    CAST(sum(c * m) AS BIGINT) AS n_rows,
+        |    max(c) AS maxc,
+        |    CAST(sum(c * greatest(0, least(m, 10 - ct))) AS BIGINT)
+        |      AS top10,
+        |    CAST(sum(c * (m * off + m * (m + 1) // 2)) AS BIGINT) AS ic
+        |  FROM o)
+        |SELECT n_keys, n_rows,
+        |  round(maxc / n_rows, 6) AS max_share,
+        |  round(top10 / n_rows, 6) AS top10_share,
+        |  round((2 * ic - (n_keys + 1) * n_rows)
+        |    / (n_keys * n_rows), 6) AS gini
+        |FROM a""".stripMargin,
+
+    "q181_transitions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT from_type, event_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE from_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |marg AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM pairs GROUP BY 1)
+        |SELECT from_type, to_type, n, round(n / tot, 6) AS p
+        |FROM pairs JOIN marg USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -196,5 +196,55 @@ object EventAnalytics {
     val w2 = Window.partitionBy(col(keyCol))
       .orderBy(col("valid_from"), col("state"))
     collapsed.withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+  }
+
+  /** First-touch / last-touch conversion attribution: each conversion
+    * event's value is credited to the user's earliest (first-touch)
+    * and most recent (last-touch) non-conversion event type before it.
+    *
+    * One user-keyed window carries both models — `first`/`last` with
+    * ignoreNulls over a mask that hides conversions — so there is no
+    * per-conversion lookback join; the scan stays a single
+    * user-partitioned sort at any scale. Conversions with no prior
+    * touch attribute to null (absence, not a fabricated channel).
+    *
+    * Returns (model, touch_type, n_conversions, revenue). */
+  def conversionAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String, valueCol: String,
+      conversionType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touch = when(col(typeCol) =!= conversionType, col(typeCol))
+    val tagged = events
+      .withColumn("_first", first(touch, ignoreNulls = true).over(w))
+      .withColumn("_last", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+    def side(model: String, c: Column): DataFrame =
+      tagged.groupBy(c.as("touch_type"))
+        .agg(count(lit(1)).as("n_conversions"),
+          round(sum(col(valueCol)), 4).as("revenue"))
+        .select(lit(model).as("model"), col("touch_type"),
+          col("n_conversions"), col("revenue"))
+    side("first", col("_first")).unionByName(side("last", col("_last")))
+  }
+
+  /** Event-type transition matrix (the Markov/path-analysis view of a
+    * clickstream): per (from, to) adjacent-pair counts and the
+    * row-normalized transition probability. One user-keyed lag window,
+    * pair-grain aggregation; the from-marginal re-joins by broadcast
+    * (type-domain-sized). */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("_from", lag(col(typeCol), 1).over(w))
+      .filter(col("_from").isNotNull)
+      .groupBy(col("_from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val marg = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("_tot"))
+    pairs.join(broadcast(marg), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("_tot"), 6).as("p"))
   }
 }

@@ -169,4 +169,32 @@ object GraphOps {
       .agg(sum(col("out_d")).as("out_degree"),
         sum(col("in_d")).as("in_degree"),
         count(lit(1)).as("degree"))
+
+  /** Per-node triangle counts of the undirected graph: edges
+    * canonicalize to a<b, triangles enumerate as the two-join wedge
+    * closure e(a,b)⋈e(b,c)⋈e(a,c) with a<b<c — each triangle
+    * materializes exactly once, then credits all three corners.
+    *
+    * The join keys are vertex ids, so both shuffles co-partition on a
+    * vertex; the classic refinement for power-law skew (orient each
+    * edge from its lower-DEGREE endpoint so wedge lists are bounded by
+    * the smaller degree) drops in by replacing the a<b orientation —
+    * the id ordering is the right default while no degree histogram
+    * says otherwise. */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(false)
+    val wedges = e.select(col("a"), col("b"))
+      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val tris = wedges.join(e.select(col("a"), col("b").as("c")),
+      Seq("a", "c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

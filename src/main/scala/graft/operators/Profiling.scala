@@ -573,6 +573,24 @@ object Profiling {
           6).as("nmi"))
   }
 
+  /** Equi-depth (quantile) binning per group: each row lands in one of
+    * `nBins` equal-population bins via ntile over the (value, id) total
+    * order — the id tiebreak makes bin membership deterministic under
+    * ties. Emits per-(group, bin) count and value envelope: the
+    * profile that catches "uniform-width histogram says fine, all the
+    * mass sits in one bin". Group-keyed window, one shuffle. */
+  def equiDepthBins(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String, nBins: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_v"), col(idCol))
+    df.select(col(groupCol), col(valCol).as("_v"), col(idCol))
+      .withColumn("bin", ntile(nBins).over(w))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("_v")), 4).as("v_min"),
+        round(max(col("_v")), 4).as("v_max"))
+  }
+
   /** Dominant principal component of an embedding column via
     * EXACT-INTEGER power iteration — the embedding-drift /
     * anisotropy-direction probe ("is one direction eating the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation operators for hot keys at 100 TB (builder-prompt
@@ -54,5 +55,49 @@ object Skew {
     saltedFact
       .join(replicatedDim, keys :+ "__salt")
       .drop("__salt")
+  }
+
+  /** Key-skew diagnostic: the one-row report that says whether a key
+    * is safe to shuffle on BEFORE a job burns a cluster on it.
+    * Emits (n_keys, n_rows, max_share, top10_share, gini) over the
+    * key's row-count distribution.
+    *
+    * Gini comes from the exact integer identity
+    * G = (2·Σᵢ i·cᵢ − (n+1)·Σᵢ cᵢ) / (n·Σᵢ cᵢ) with counts ranked
+    * ascending — Σ i·cᵢ is invariant under tie order, so the value is
+    * deterministic however ranks break ties. Everything is integer
+    * until the final division; the key-count frame is key-grain
+    * (small), the only data-scale stage is the first count. */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    // key-grain counts collapse immediately to COUNT-grain (c, m) =
+    // (row count, how many keys have it): every window below runs over
+    // that tiny frame, never over the keys — Σ i·cᵢ for consecutive
+    // ranks offset+1..offset+m with equal c is c·(m·offset + m(m+1)/2)
+    val grouped = df.groupBy(col(keyCol).as("_k"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val wAsc = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDesc = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grouped
+      .withColumn("_off", coalesce(sum(col("m")).over(wAsc), lit(0L)))
+      .withColumn("_cumtop", coalesce(sum(col("m")).over(wDesc), lit(0L)))
+      .withColumn("_ic",
+        col("c") * (col("m") * col("_off") +
+          shiftright(col("m") * (col("m") + 1), 1)))
+      .withColumn("_top10c",
+        col("c") * greatest(lit(0L),
+          least(col("m"), lit(10L) - col("_cumtop"))))
+      .agg(sum(col("m")).as("n_keys"),
+        sum(col("c") * col("m")).as("n_rows"),
+        max(col("c")).as("_maxc"),
+        sum(col("_top10c")).as("_top10"),
+        sum(col("_ic")).as("_ic"))
+      .select(col("n_keys"), col("n_rows"),
+        round(col("_maxc") / col("n_rows"), 6).as("max_share"),
+        round(col("_top10") / col("n_rows"), 6).as("top10_share"),
+        round((lit(2L) * col("_ic") - (col("n_keys") + 1) * col("n_rows"))
+          / (col("n_keys") * col("n_rows")), 6).as("gini"))
   }
 }

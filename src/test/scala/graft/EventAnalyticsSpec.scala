@@ -124,4 +124,35 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(iv.toSeq == Seq((1L, "∅", 10L, 30L), (1L, "A", 30L, 40L),
       (1L, "∅", 40L, -1L)), iv.toSeq)
   }
+
+  test("conversionAttribution: first vs last touch disagree; touchless purchase attributes to null") {
+    val ev = Seq(
+      (1L, 10L, 1L, "view", 0.0), (1L, 20L, 2L, "click", 0.0),
+      (1L, 30L, 3L, "purchase", 5.0),   // first=view, last=click
+      (2L, 10L, 4L, "purchase", 7.0))   // no prior touch -> null
+      .toDF("user_id", "us", "event_id", "event_type", "value")
+    val got = EventAnalytics.conversionAttribution(ev, "user_id", "us",
+        "event_id", "event_type", "value", "purchase")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) "∅" else r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("first", "view")) == ((1L, 5.0)))
+    assert(got(("last", "click")) == ((1L, 5.0)))
+    assert(got(("first", "∅")) == ((1L, 7.0)) &&
+      got(("last", "∅")) == ((1L, 7.0)), got.toString)
+  }
+
+  test("transitionMatrix: per-user adjacency, probabilities row-normalize to 1") {
+    val ev = Seq((1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "a"),
+      (2L, 1L, 4L, "a"), (2L, 2L, 5L, "b"))
+      .toDF("user_id", "us", "event_id", "event_type")
+    val got = EventAnalytics.transitionMatrix(ev, "user_id", "us",
+        "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("a", "b")) == ((2L, 1.0)))   // a->b both users
+    assert(got(("b", "a")) == ((1L, 1.0)))   // only user 1
+    // no cross-user transition (user 1's trailing 'a' -> user 2's 'a')
+    assert(!got.contains(("a", "a")))
+  }
 }

@@ -76,4 +76,18 @@ class GraphSpec extends SparkSpec {
     assert(d(1L) == ((1L, 1L, 2L)))
     assert(d(2L) == ((0L, 2L, 2L)))
   }
+
+  test("triangleCounts: K4 gives 3 per node; direction and duplicates don't double-count") {
+    // K4 has 4 triangles; each node sits on 3 of them. Reversed and
+    // duplicated edges must collapse in the canonicalization.
+    val k4 = (for {
+      a <- 0L to 3L; b <- 0L to 3L if a != b
+    } yield (a, b)).toDF("src", "dst")
+    val t = GraphOps.triangleCounts(k4, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), t.toString)
+    // a path graph has no triangles -> empty result, not zeros
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(GraphOps.triangleCounts(path, "src", "dst").count() == 0L)
+  }
 }

@@ -1698,6 +1698,32 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(exp1 - 0.30103) < 1e-6)
   }
 
+  test("keySkewReport: uniform keys gini 0, one hot key dominates the shares") {
+    val uniform = (1 to 100).map(i => (i % 10, i)).toDF("k", "x")
+    val u = Skew.keySkewReport(uniform, "k").collect().head
+    assert(u.getLong(0) == 10L && u.getLong(1) == 100L)
+    assert(u.getDouble(2) == 0.1 && u.getDouble(4) == 0.0, u.toString)
+    // 91 rows on one key + 9 singletons: max_share = .91,
+    // gini = (2·Σi·cᵢ − 11·100)/(10·100) with Σi·cᵢ = 45 + 10·91 = 955
+    val hot = ((1 to 91).map(_ => (0, 1)) ++
+      (1 to 9).map(i => (i, 1))).toDF("k", "x")
+    val h = Skew.keySkewReport(hot, "k").collect().head
+    assert(h.getDouble(2) == 0.91 && h.getDouble(3) == 1.0)
+    assert(h.getDouble(4) == (2.0 * 955 - 1100) / 1000, h.toString)
+  }
+
+  test("equiDepthBins: bins are equal-population and value-ordered") {
+    val df = (1 to 40).map(i => ("g", i.toDouble, i.toLong))
+      .toDF("grp", "v", "id")
+    val rows = Profiling.equiDepthBins(df, "grp", "v", "id", nBins = 4)
+      .orderBy(col("bin")).collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(1, 2, 3, 4))
+    assert(rows.forall(_.getLong(2) == 10L))
+    // consecutive bins partition the value order: max(bin k) < min(bin k+1)
+    val env = rows.map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(env.sliding(2).forall { case Array(a, b) => a._2 < b._1 })
+  }
+
   test("bpeEncode: in-vocab words reproduce the training segmentation; OOV encodes") {
     val docs = Seq((1L, "banana bandana banana"), (2L, "ban nab banana"))
       .toDF("doc_id", "text")
