@@ -2677,6 +2677,18 @@ object SparkEntry {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Exact similarity join via prefix filtering
+    * (Dedup.prefixFilterJoin): the AllPairs/PPJoin candidate rule over
+    * rare-first shingle prefixes, verified by exact intersection. The
+    * oracle computes the BRUTE-FORCE Jaccard join — the algorithm must
+    * reproduce the specification's exact pair set. */
+  private def qPrefixFilterJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Dedup.prefixFilterJoin(t.documents, "text", "doc_id",
+        threshold = 0.5, shingleN = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -2863,6 +2875,7 @@ object SparkEntry {
     "q179_equi_depth" -> (qEquiDepth _),
     "q180_key_skew" -> (qKeySkew _),
     "q181_transitions" -> (qTransitions _),
+    "q182_prefix_filter_join" -> (qPrefixFilterJoin _),
   )
 
   // -------------------------------------------------------------------
@@ -6727,5 +6740,38 @@ object SparkEntry {
         |SELECT from_type, to_type, n, round(n / tot, 6) AS p
         |FROM pairs JOIN marg USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+
+    // brute-force Jaccard join: the SPECIFICATION the prefix-filter
+    // algorithm must reproduce exactly (same shingling as q32)
+    "q182_prefix_filter_join" ->
+      """WITH docs_norm AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(norm, '\s+'),
+        |      t -> len(t) > 0) AS arr
+        |  FROM docs_norm),
+        |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(arr) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1,
+        |      len(arr) - 2), i -> arr[i] || ' ' || arr[i+1] || ' ' ||
+        |      arr[i+2]))
+        |    ELSE [array_to_string(arr, ' ')] END) AS shingle
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6)
+        |    AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON id_a = sa.doc_id
+        |JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -189,6 +189,63 @@ object Dedup {
         .as("shingle"))
   }
 
+  /** EXACT Jaccard similarity join via AllPairs/PPJoin prefix
+    * filtering — the deterministic alternative to MinHash-LSH when the
+    * answer must be the exact pair set, not a recall-tuned
+    * approximation.
+    *
+    * Guarantee: order every document's shingle set by ascending
+    * document frequency (rare first, shingle text as tiebreak); any
+    * pair with Jaccard ≥ t must share a shingle within each side's
+    * first |d| − ceil(t·|d|) + 1 shingles. So candidates come from an
+    * equi-join on PREFIX shingles only — the frequent-token floods that
+    * make the naive token join quadratic never enter the pair build —
+    * and each candidate is then verified with an exact intersection
+    * count over the full sets. The result EQUALS the brute-force join
+    * (the oracle computes the brute force; the algorithm must agree).
+    *
+    * Scale shape: df is a shingle-grain aggregate; the prefix pick is
+    * a doc-keyed window; the candidate join keys on (rare) shingles so
+    * bucket sizes are bounded by those shingles' df; verification
+    * joins at candidate-pair grain. */
+  def prefixFilterJoin(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    val sh = shingleRows(docs, textCol, idCol, shingleN)
+      .distinct().localCheckpoint(false)
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_df"), col("shingle"))
+    val prefix = sh.join(dfreq, Seq("shingle"))
+      .withColumn("_pos", row_number().over(w))
+      .join(sizes, Seq(idCol))
+      .filter(col("_pos") <=
+        col("_n") - ceil(lit(threshold) * col("_n")) + 1)
+      .select(col(idCol), col("shingle"))
+    val cand = prefix.select(col(idCol).as("id_a"), col("shingle"))
+      .join(prefix.select(col(idCol).as("id_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = cand
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("_shared"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"),
+        col("_n").as("_na")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"),
+        col("_n").as("_nb")), Seq("id_b"))
+      .withColumn("_j", col("_shared").cast("double") /
+        (col("_na") + col("_nb") - col("_shared")))
+      .filter(col("_j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("_j"), 6).as("jaccard"))
+  }
+
   /** MinHash signature: k min-hash values over the shingle set, as k
     * columns `mh0..mh{k-1}`. One explode + one groupBy (single shuffle
     * keyed by doc id; partial min aggregation on the map side). The

@@ -1698,6 +1698,38 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(exp1 - 0.30103) < 1e-6)
   }
 
+  test("prefixFilterJoin: equals the brute-force jaccard join, prefix actually prunes") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+      (3L, "completely different words appear in this sentence here"),
+      (4L, "short doc"),                                            // <3 tokens fallback
+      (5L, "short doc")).toDF("doc_id", "text")                    // exact dup of 4
+    val got = Dedup.prefixFilterJoin(docs, "text", "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // brute force over the same shingle sets
+    val sh = Dedup.shingleRows(docs, "text", "doc_id", 3).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = sh.select(col("doc_id").as("a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("j", col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")))
+      .filter(col("j") >= 0.5)
+      .select("a", "b", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        BigDecimal(r.getAs[Double]("j")).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    assert(got == brute, s"got=$got brute=$brute")
+    assert(got.contains((4L, 5L)) && got((4L, 5L)) == 1.0)
+    assert(got.contains((1L, 2L)) && !got.keySet.exists(
+      p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("keySkewReport: uniform keys gini 0, one hot key dominates the shares") {
     val uniform = (1 to 100).map(i => (i % 10, i)).toDF("k", "x")
     val u = Skew.keySkewReport(uniform, "k").collect().head
