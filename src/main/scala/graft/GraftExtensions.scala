@@ -17,8 +17,13 @@ import graft.functions.{CellColIndexExpr, CellRowExpr, CharEntropyExpr, FoldText
   * workload, not only the Scala API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // whole-operator tier: the as-of join planner strategy and the
+    // fold-idempotence optimizer rule ride the same extension point
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.FoldTextIdempotence)
+  }
 }
 
 object GraftExtensions {
@@ -123,4 +128,14 @@ object GraftExtensions {
     functions.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
     }
+
+  /** Install the planner strategy on an ALREADY-RUNNING session via
+    * `experimentalMethods` (the runtime-mutable strategy hook; optimizer
+    * rules have no runtime hook and only apply through
+    * `spark.sql.extensions` / `withExtensions`). Idempotent. */
+  def registerPlanner(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val em = spark.sessionState.experimentalMethods
+    if (!em.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      em.extraStrategies = graft.plans.AsOfJoinStrategy +: em.extraStrategies
+  }
 }

@@ -2689,6 +2689,26 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Native as-of join (graft.plans.AsOfJoin → AsOfJoinExec via the
+    * injected strategy): q61's exact workload through the custom
+    * whole-operator path — one merge pass per co-partitioned sorted
+    * partition, no union, no window state. Same DuckDB ASOF JOIN
+    * oracle. */
+  private def qAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      round(col("value"), 2).as("value"))
+    val marks = ev.filter(col("event_id") % 7 === 0)
+      .groupBy(col("user_id"), col("us"))
+      .agg(max(col("value")).as("mark"))
+    TimeSeriesOps.asofJoinNative(ev, marks, Seq("user_id"), "us",
+        Seq("mark"))
+      .select(col("user_id"), col("us"), col("event_id"), col("value"),
+        col("asof_mark"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -2876,6 +2896,7 @@ object SparkEntry {
     "q180_key_skew" -> (qKeySkew _),
     "q181_transitions" -> (qTransitions _),
     "q182_prefix_filter_join" -> (qPrefixFilterJoin _),
+    "q183_asof_native" -> (qAsofNative _),
   )
 
   // -------------------------------------------------------------------
@@ -6773,5 +6794,14 @@ object SparkEntry {
         |JOIN sizes sb ON id_b = sb.doc_id
         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q183_asof_native" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    round(value, 2) AS value FROM events),
+        |r AS (SELECT user_id, us, max(value) AS mark FROM l
+        |  WHERE event_id % 7 = 0 GROUP BY user_id, us)
+        |SELECT l.user_id, l.us, l.event_id, l.value, r.mark AS asof_mark
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
+        |ORDER BY l.user_id, l.us, l.event_id""".stripMargin,
   )
 }

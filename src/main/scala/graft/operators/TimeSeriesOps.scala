@@ -171,6 +171,23 @@ object TimeSeriesOps {
     filled.filter(col("_side") === 1).drop("_side")
   }
 
+  /** Native-operator form of [[asofJoin]]: the custom
+    * [[graft.plans.AsOfJoin]] logical node planned by
+    * [[graft.plans.AsOfJoinStrategy]] into a single forward merge pass
+    * per co-partitioned sorted partition — no union of the sides, no
+    * per-payload window state. Same contract and column naming as the
+    * composed form (parity asserted in the test suite); same
+    * uniqueness requirement on right (keys, timeCol). */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val spark = left.sparkSession
+    graft.GraftExtensions.registerPlanner(spark)
+    PlanBridge.ofRows(spark, graft.plans.AsOfJoin(
+      PlanBridge.analyzed(left), PlanBridge.analyzed(right),
+      keys, timeCol, rightCols))
+  }
+
   /** Resample (collapse) a series to a coarser declared frequency:
     * group periods into their containing target period and aggregate.
     * `how` ∈ avg | sum | last (last = value at the latest source period

@@ -1698,6 +1698,21 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(exp1 - 0.30103) < 1e-6)
   }
 
+  test("FoldTextIdempotence: nested folds collapse to one") {
+    import graft.functions.FoldTextExpr
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val df = Seq("Café").toDF("s")
+    val doubled = df.select(ColumnBridge.column(FoldTextExpr(FoldTextExpr(
+      ColumnBridge.expression(col("s"))))).as("f"))
+    val optimized = graft.plans.FoldTextIdempotence(
+      doubled.queryExecution.analyzed)
+    val folds = optimized.expressions.map(_.collect {
+      case e: FoldTextExpr => e }.size).sum
+    assert(folds == 1, optimized.toString)
+    // semantics unchanged by the collapse (idempotence is real)
+    assert(doubled.collect().head.getString(0) == "cafe")
+  }
+
   test("prefixFilterJoin: equals the brute-force jaccard join, prefix actually prunes") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),

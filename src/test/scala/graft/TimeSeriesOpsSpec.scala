@@ -98,6 +98,52 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got(200L).isEmpty)          // other key's marks invisible
   }
 
+  test("asofJoinNative: plans AsOfJoinExec (no union/window) and matches the composed form") {
+    val left = Seq(
+      ("a", 5L, 100L), ("a", 10L, 101L), ("a", 15L, 102L),
+      ("a", 20L, 103L), ("b", 10L, 200L), ("c", 1L, 300L))
+      .toDF("k", "t", "rowid")
+    val right = Seq(
+      ("a", 10L, 1.5), ("a", 18L, 2.5), ("b", 99L, 9.9), ("d", 1L, 4.4))
+      .toDF("k", "t", "mark")
+    val native = TimeSeriesOps.asofJoinNative(left, right, Seq("k"), "t",
+      Seq("mark"))
+    val p = native.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"native exec not planned:\n$p")
+    assert(!p.contains("Window") && !p.contains("Union"),
+      s"composed shape leaked into native plan:\n$p")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("rowid", "asof_mark").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val composed = TimeSeriesOps.asofJoin(left, right, Seq("k"), "t",
+      Seq("mark"))
+    assert(norm(native) == norm(composed), norm(native).toString)
+  }
+
+  test("asofJoinNative: randomized parity with the composed form") {
+    val rnd = new scala.util.Random(7)
+    val keys = Seq("k1", "k2", "k3")
+    val left = (1 to 400).map(i =>
+      (keys(rnd.nextInt(3)), rnd.nextInt(50).toLong, i.toLong))
+      .toDF("k", "t", "rowid")
+    // unique (k, t) on the right, as the contract requires
+    val right = rnd.shuffle((0 until 50).toList).take(30).flatMap(t =>
+      keys.filter(_ => rnd.nextBoolean()).map(k =>
+        (k, t.toLong, rnd.nextDouble())))
+      .toDF("k", "t", "mark")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("rowid", "asof_mark").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val native = norm(TimeSeriesOps.asofJoinNative(left, right, Seq("k"),
+      "t", Seq("mark")))
+    val composed = norm(TimeSeriesOps.asofJoin(left, right, Seq("k"),
+      "t", Seq("mark")))
+    assert(native == composed)
+    assert(native.size == 400)
+  }
+
   test("resample collapses monthly to quarterly/semester with avg|sum|last") {
     val s = Seq(
       ("a", d("2020-01-01"), 1.0), ("a", d("2020-02-01"), 2.0),
