@@ -433,4 +433,34 @@ class PropertySpec extends SparkSpec {
     assert(heavyWins >= 167 && heavyWins <= 193,
       s"heavy won $heavyWins/200, expected ~180")
   }
+
+  test("jaroWinkler: symmetric, bounded, 1 iff equal (generated strings)") {
+    import graft.functions.TextExpressions.jaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val word = Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString)
+      .flatMap(s => Gen.choose(0, 8).map(s.take))
+    val pairs = samples(Gen.zip(word, word), 300)
+    pairs.foreach { case (a, b) =>
+      val ab = jaroWinkler(u(a), u(b))
+      assert(ab == jaroWinkler(u(b), u(a)), s"asymmetric on ($a, $b)")
+      assert(ab >= 0.0 && ab <= 1.0, s"out of range on ($a, $b): $ab")
+      if (a == b) assert(ab == 1.0, s"identical ($a) scored $ab")
+      else assert(ab < 1.0 || a.isEmpty || b.isEmpty,
+        s"distinct ($a, $b) scored 1.0")
+    }
+  }
+
+  test("foldText: idempotent and ascii-stable (generated strings)") {
+    import graft.functions.TextExpressions.foldText
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val mixed = Gen.listOfN(12, Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.oneOf('é', 'Ñ', 'À', 'ü', 'ç'),
+      1 -> Gen.const(' '), 1 -> Gen.oneOf('œ', 'ß'))).map(_.mkString)
+    samples(mixed, 300).foreach { s =>
+      val once = foldText(u(s)).toString
+      assert(foldText(u(once)).toString == once, s"not idempotent on $s")
+      if (s.forall(c => c < 128 && !c.isUpper))
+        assert(once == s, s"lower-ascii changed: $s -> $once")
+    }
+  }
 }
