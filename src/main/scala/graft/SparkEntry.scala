@@ -2709,6 +2709,260 @@ object SparkEntry {
       .orderBy(col("user_id"), col("us"), col("event_id"))
   }
 
+  /** Order-priority checking (the TPC-H Q4 shape): per priority, how
+    * many 1997-Q1 orders had at least one line shipped more than 60
+    * days after ordering (the schema carries no commit/receipt dates,
+    * so ship-lag plays the lateness axis). The EXISTS decorrelates to
+    * a LEFT SEMI join — the fact side is pre-filtered by the date
+    * bracket before the shuffle, and each order emits at most once no
+    * matter how many late lines it has. */
+  private def qOrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.orders
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .join(t.lineitem,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("late_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** National market share (the TPC-H Q8 shape): of all revenue ASIA
+    * customers ordered in 1996-1997, the fraction supplied by
+    * NATION_1, per order year. Both nation tags resolve from broadcast
+    * dims; the numerator/denominator fold into ONE conditional-sum
+    * aggregate — no second pass, no scalar subquery. */
+  private def qMarketShare(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val asiaCust = t.customer
+      .join(broadcast(t.nation
+          .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNation = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    t.orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_1",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0))) /
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("mkt_share"))
+      .orderBy(col("order_year"))
+  }
+
+  /** Customer order-count distribution (the TPC-H Q13 shape): how many
+    * customers placed exactly N non-urgent orders — INCLUDING the
+    * zero-order bucket, which is why the join must be LEFT OUTER from
+    * customer (an inner join silently drops the most interesting row).
+    * Two order-of-magnitude-shrinking aggregations: customer grain,
+    * then count grain. */
+  private def qCustDistribution(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val perCust = t.customer
+      .join(t.orders.filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Top supplier by quarterly revenue (the TPC-H Q15 shape): the
+    * supplier(s) whose 1997-Q1 shipped revenue equals the maximum. The
+    * supplier-grain revenue frame is materialized ONCE
+    * (localCheckpoint — it is supplier-sized, i.e. tiny), then both
+    * the 1-row max and the equality filter read it: one lineitem scan,
+    * and the max arrives as a broadcast cross join, not a driver
+    * collect. Ties all surface (revenue is rounded to cents BEFORE the
+    * max so the equality is exact). */
+  private def qTopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val rev = t.lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+      .localCheckpoint(false)
+    val best = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(best))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Supplier exclusion count (the TPC-H Q16 shape, the NOT-IN half —
+    * q115 covers the distinct-count half): distinct suppliers per
+    * (brand, size) over observed part-supplier pairs, EXCLUDING
+    * negative-balance suppliers (the schema's stand-in for the
+    * complaints clause) via a broadcast LEFT ANTI join, for a bounded
+    * size set. The (partkey, suppkey) distinct runs BEFORE the part
+    * join, so the dedup shuffle moves two ints per row. */
+  private def qExcludedSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ps = t.lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+    val complained = t.supplier.filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    ps.join(broadcast(complained), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(t.part
+          .filter(col("p_size").isin(1, 9, 19, 29, 39, 49))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** Small-quantity revenue (the TPC-H Q17 shape): average yearly
+    * revenue lost if sub-20%-of-average-quantity orders of one brand's
+    * parts stopped. The correlated per-part AVG decorrelates to a
+    * window over l_partkey — ONE shuffle keyed on the part, no
+    * aggregate-then-rejoin, and the brand filter broadcasts into the
+    * scan so only that brand's lines ever move. */
+  private def qSmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_partkey"))
+    t.lineitem
+      .join(broadcast(t.part.filter(col("p_brand") === "Brand#3")
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** Disjunctive-predicate revenue (the TPC-H Q19 shape): revenue from
+    * three OR'd (brand × size-range × quantity-range) bundles. The
+    * part side broadcasts with only the size/brand columns; the
+    * cross-side disjunction evaluates as one codegen'd boolean after
+    * the join, while the common `l_quantity <= 36` upper bound is
+    * factored out so it pushes into the lineitem scan. */
+  private def qDisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val bundle =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 36))
+    t.lineitem
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 36)
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"),
+          col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(bundle)
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  /** Bulk-supplier shortlist (the TPC-H Q20 shape): NATION_1 suppliers
+    * who moved more than 1.5× the average (supplier, part) volume of
+    * red parts in 1997 — a SCALE-INVARIANT threshold (a fixed cutoff
+    * selects everything or nothing as SF moves). The nested EXISTS
+    * chain decorrelates to an aggregate-then-SEMI-join pipeline: the
+    * part filter broadcasts into the fact scan, the qty aggregate runs
+    * at (supplier, part) grain ONCE (localCheckpoint — both the 1-row
+    * average and the filter read it), and only qualifying suppkeys
+    * reach the supplier dim. */
+  private def qBulkSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val spQty = t.lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(t.part.filter(col("p_name").startsWith("red"))
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .localCheckpoint(false)
+    val bar = spQty.agg((avg(col("qty")) * 1.5).as("qty_bar"))
+    val bulky = spQty.crossJoin(broadcast(bar))
+      .filter(col("qty") > col("qty_bar"))
+    t.supplier
+      .join(broadcast(t.nation.filter(col("n_name") === "NATION_1")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(bulky, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Suppliers who kept orders waiting (the TPC-H Q21 shape): for
+    * finished multi-supplier orders, the supplier who was the ONLY
+    * late one (ship-lag > 60 days plays the receipt-lag axis). The
+    * EXISTS / NOT-EXISTS pair decorrelates to ONE order-grain
+    * aggregate — distinct suppliers and distinct LATE suppliers per
+    * order — joined back to the late lines; no triple self-join of
+    * lineitem, and the order-grain frame is what shuffles. */
+  private def qWaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val lines = t.lineitem
+      .join(t.orders.filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .as("late"))
+    val orderStats = lines.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .select(col("l_orderkey").as("wait_orderkey"))
+    val waiting = lines.filter(col("late"))
+      .join(orderStats, col("l_orderkey") === col("wait_orderkey"),
+        "left_semi")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    waiting.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** Dormant high-balance customers (the TPC-H Q22 shape): per country
+    * code (nationkey mod 10 plays the phone prefix), customers whose
+    * balance beats the positive-balance average of the selected codes
+    * AND who placed no order since 1999 (every synthetic customer has
+    * SOME order, so recency plays the no-orders clause). The scalar
+    * AVG broadcast-cross-joins back; the inactivity check is a LEFT
+    * ANTI against the date-pruned orders scan — two dim-sized
+    * customer passes, one slim fact scan. */
+  private def qDormantCustomers(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val sel = t.customer
+      .withColumn("cntrycode", (col("c_nationkey") % 10).cast("int"))
+      .filter(col("cntrycode").isin(1, 2, 3, 4, 7))
+    val avgBal = sel.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    sel.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(t.orders
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -2897,6 +3151,16 @@ object SparkEntry {
     "q181_transitions" -> (qTransitions _),
     "q182_prefix_filter_join" -> (qPrefixFilterJoin _),
     "q183_asof_native" -> (qAsofNative _),
+    "q184_order_priority" -> (qOrderPriority _),
+    "q185_market_share" -> (qMarketShare _),
+    "q186_cust_distribution" -> (qCustDistribution _),
+    "q187_top_supplier" -> (qTopSupplier _),
+    "q188_excluded_suppliers" -> (qExcludedSuppliers _),
+    "q189_small_qty_revenue" -> (qSmallQtyRevenue _),
+    "q190_disjunctive_revenue" -> (qDisjunctiveRevenue _),
+    "q191_bulk_suppliers" -> (qBulkSuppliers _),
+    "q192_waiting_suppliers" -> (qWaitingSuppliers _),
+    "q193_dormant_customers" -> (qDormantCustomers _),
   )
 
   // -------------------------------------------------------------------
@@ -6803,5 +7067,147 @@ object SparkEntry {
         |SELECT l.user_id, l.us, l.event_id, l.value, r.mark AS asof_mark
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
         |ORDER BY l.user_id, l.us, l.event_id""".stripMargin,
+
+    "q184_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS late_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q185_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        |  round(sum(CASE WHEN sn.n_name = 'NATION_1'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |    / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q186_cust_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per_cust
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q187_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q188_excluded_suppliers" ->
+      """SELECT p_brand, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size IN (1, 9, 19, 29, 39, 49)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    "q189_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#3'
+        |  AND l_quantity < 0.2 * (
+        |    SELECT avg(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+
+    "q190_disjunctive_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 36)""".stripMargin,
+
+    "q191_bulk_suppliers" ->
+      """WITH sp AS (
+        |  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND l_partkey IN
+        |      (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |  GROUP BY l_suppkey, l_partkey)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1'
+        |  AND EXISTS (
+        |    SELECT 1 FROM sp
+        |    WHERE l_suppkey = s_suppkey
+        |      AND qty > (SELECT avg(qty) * 1.5 FROM sp))
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q192_waiting_suppliers" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, count(*) AS numwait
+        |FROM (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM l l1
+        |  WHERE late
+        |    AND EXISTS (SELECT 1 FROM l l2
+        |      WHERE l2.l_orderkey = l1.l_orderkey
+        |        AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM l l3
+        |      WHERE l3.l_orderkey = l1.l_orderkey
+        |        AND l3.l_suppkey <> l1.l_suppkey AND l3.late))
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+
+    "q193_dormant_customers" ->
+      """WITH sel AS (
+        |  SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode,
+        |    c_custkey, c_acctbal
+        |  FROM customer
+        |  WHERE CAST(c_nationkey % 10 AS INT) IN (1, 2, 3, 4, 7))
+        |SELECT cntrycode, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM sel
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM sel
+        |    WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
   )
 }
