@@ -120,7 +120,15 @@ object GraftExtensions {
       (children: Seq[Expression]) => ExpressionUtils.expression(
         graft.operators.Dedup.lshBucketCol(
           ExpressionUtils.column(children.head),
-          litInt(children(1), "band", "graft_lsh_bucket")))))
+          litInt(children(1), "band", "graft_lsh_bucket")))),
+    (FunctionIdentifier("graft_kmv"),
+      info("graft_kmv",
+        "graft_kmv(h, k) - bounded-state KMV distinct-count sketch " +
+          "over an already-hashed long column (k literal): aggregates " +
+          "to struct(n_seen, kth_min); estimate is (k-1)*2^32/kth_min"),
+      (children: Seq[Expression]) =>
+        graft.functions.KmvSketchAgg(children.head,
+          litInt(children(1), "k", "graft_kmv"))))
 
   /** Install the functions on an ALREADY-RUNNING session (withExtensions
     * only applies to sessions built after it). */

@@ -2963,6 +2963,18 @@ object SparkEntry {
       .orderBy(col("cntrycode"))
   }
 
+  /** q29 re-expressed over the native bounded-state KMV aggregate
+    * ([[graft.functions.KmvSketchAgg]] via Sketches.kmvDistinctNative):
+    * same estimator, same output, but the shuffle carries a ≤k-long
+    * buffer per (partition, group) instead of one row per distinct
+    * hash — shares q29's oracle verbatim, so the two forms are proven
+    * equal by the gate itself. */
+  private def qKmvNative(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Sketches.kmvDistinctNative(t.events, "event_type", "user_id", k = 64)
+      .orderBy(col("event_type"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3161,6 +3173,7 @@ object SparkEntry {
     "q191_bulk_suppliers" -> (qBulkSuppliers _),
     "q192_waiting_suppliers" -> (qWaitingSuppliers _),
     "q193_dormant_customers" -> (qDormantCustomers _),
+    "q194_kmv_native" -> (qKmvNative _),
   )
 
   // -------------------------------------------------------------------
@@ -7209,5 +7222,22 @@ object SparkEntry {
         |      AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY cntrycode
         |ORDER BY cntrycode""".stripMargin,
+
+    // identical to q29's oracle by construction: the native aggregate
+    // must reproduce the composed pipeline bit-for-bit
+    "q194_kmv_native" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    ${hash32Sql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h, row_number() OVER
+         |    (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+         |t AS (SELECT event_type, count(*) AS n_seen, max(h) AS kth_min
+         |  FROM r WHERE rn <= 64 GROUP BY event_type)
+         |SELECT event_type,
+         |  CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
+         |       ELSE round((64 - 1) * 4294967296.0 / kth_min, 2)
+         |  END AS approx_distinct,
+         |  CAST(n_seen AS BIGINT) AS n_seen
+         |FROM t ORDER BY event_type""".stripMargin,
   )
 }

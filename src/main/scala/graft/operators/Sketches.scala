@@ -25,8 +25,14 @@ object Sketches {
     * rank). */
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 64): DataFrame = {
+    // null values hash to null and are SKIPPED — a null is not a
+    // distinct value, and engines disagree on null sort position
+    // (Spark NULLS FIRST vs DuckDB NULLS LAST), so letting it into the
+    // window would both inflate n_seen and make the k-th minimum
+    // engine-dependent. The native form (KmvSketchAgg) skips likewise.
     val hashed = df
       .select(col(groupCol), GF.hash32(col(valueCol).cast("string")).as("h"))
+      .filter(col("h").isNotNull)
       .distinct()
     val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
     hashed
@@ -40,6 +46,35 @@ object Sketches {
           .as("approx_distinct"),
         col("n_seen").cast("long").as("n_seen"))
   }
+
+  /** Column surface of the native bounded-state KMV aggregate
+    * ([[graft.functions.KmvSketchAgg]]): aggregates an already-hashed
+    * long column into `struct(n_seen, kth_min)`. */
+  def kmvAgg(hash: org.apache.spark.sql.Column, k: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.KmvSketchAgg(ColumnBridge.expression(hash), k)
+        .toAggregateExpression())
+  }
+
+  /** [[kmvDistinct]] re-expressed over the native TypedImperativeAggregate:
+    * IDENTICAL output (asserted by q194 sharing q29's oracle and by
+    * SketchesSpec group-for-group), different shuffle shape — the
+    * composed form moves one row per distinct (group, hash) and then
+    * windows; this one moves a ≤k-long buffer per (partition, group),
+    * merging map-side. At crawl scale the distinct domain is the big
+    * thing; the buffer is 512 bytes. */
+  def kmvDistinctNative(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(kmvAgg(GF.hash32(col(valueCol).cast("string")), k).as("kmv"))
+      .select(col(groupCol),
+        when(col("kmv.n_seen") < k, col("kmv.n_seen").cast("double"))
+          .otherwise(round(
+            (lit(k) - 1) * lit(4294967296.0) / col("kmv.kth_min"), 2))
+          .as("approx_distinct"),
+        col("kmv.n_seen").as("n_seen"))
 
   /** One surviving (token, residual-count) candidate. */
   case class MgCandidate(tok: String, n: Long)

@@ -663,6 +663,40 @@ class OperatorsSpec extends SparkSpec {
     assert(est > 4960 * 0.75 && est < 4960 * 1.25, s"estimate $est")
   }
 
+  test("native KMV aggregate: group-for-group equal to the composed form") {
+    import spark.implicits._
+    // cross the k boundary both ways, include a repeated-value group
+    // (distinctness inside the sketch) and a null-value row (skipped)
+    val df = ((1 to 5000).map(i => (if (i <= 40) "small" else "big",
+        (i % 3000).toString)) ++ Seq(("small", null))).toDF("g", "v")
+    val composed = graft.operators.Sketches.kmvDistinct(df, "g", "v", k = 64)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    val native = graft.operators.Sketches
+      .kmvDistinctNative(df, "g", "v", k = 64)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    assert(native == composed)
+  }
+
+  test("native KMV aggregate: SQL surface and partial-merge plan shape") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = (1 to 1000).map(i => ("g", i.toString)).toDF("g", "v")
+    df.createOrReplaceTempView("kmv_in")
+    val r = spark.sql(
+      """SELECT g, graft_kmv(CAST(conv(substring(md5(CAST(v AS STRING)),
+        |  1, 8), 16, 10) AS BIGINT), 64) AS s
+        |FROM kmv_in GROUP BY g""".stripMargin)
+    // two-phase agg: the sketch must ride a partial_graft_kmv
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_kmv") || plan.contains("graft_kmv"),
+      plan)
+    val row = r.collect().head.getStruct(1)
+    assert(row.getLong(0) == 64L) // n_seen capped at k
+    assert(row.getLong(1) > 0L)
+  }
+
   test("PII redaction replaces urls, emails and IPv4 with markers") {
     import spark.implicits._
     val df = Seq(
