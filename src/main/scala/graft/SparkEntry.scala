@@ -2975,6 +2975,30 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Interval-overlap join (TimeSeriesOps.intervalOverlapJoin): how
+    * many AUTOMOBILE-segment order fulfillment windows overlap each
+    * BUILDING-segment window ([orderdate, +14d), half-open). The
+    * bucketed equi-join replaces the keyless range join a naive
+    * formulation plans as BroadcastNestedLoopJoin; the
+    * first-shared-bucket guard means no post-join distinct. */
+  private def qIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    def windows(segment: String) = t.orders
+      .join(broadcast(t.customer.filter(col("c_mktsegment") === segment)
+          .select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .select(col("o_orderkey").as("wid"), col("o_orderdate").as("ws"),
+        (col("o_orderdate") + expr("INTERVAL 14 DAYS")).as("we"))
+    val pairs = TimeSeriesOps.intervalOverlapJoin(
+      windows("BUILDING"), windows("AUTOMOBILE"), "ws", "we",
+      bucketUs = 14L * 86400000000L)
+    pairs.groupBy(col("l_wid").as("building_order"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy(col("building_order"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3174,6 +3198,7 @@ object SparkEntry {
     "q192_waiting_suppliers" -> (qWaitingSuppliers _),
     "q193_dormant_customers" -> (qDormantCustomers _),
     "q194_kmv_native" -> (qKmvNative _),
+    "q195_interval_overlap" -> (qIntervalOverlap _),
   )
 
   // -------------------------------------------------------------------
@@ -7239,5 +7264,25 @@ object SparkEntry {
          |  END AS approx_distinct,
          |  CAST(n_seen AS BIGINT) AS n_seen
          |FROM t ORDER BY event_type""".stripMargin,
+
+    "q195_interval_overlap" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS wid, o_orderdate AS ws,
+        |    o_orderdate + INTERVAL 14 DAY AS we
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-07-01'),
+        |a AS (
+        |  SELECT o_orderkey AS wid, o_orderdate AS ws,
+        |    o_orderdate + INTERVAL 14 DAY AS we
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'AUTOMOBILE'
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-07-01')
+        |SELECT b.wid AS building_order, count(*) AS n_overlap
+        |FROM b JOIN a ON b.ws < a.we AND a.ws < b.we
+        |GROUP BY b.wid
+        |ORDER BY building_order""".stripMargin,
   )
 }

@@ -520,6 +520,44 @@ object TimeSeriesOps {
       .drop("_bucket")
   }
 
+  /** Interval-overlap join, bucketed — the interval × interval
+    * companion of [[pointInIntervalJoin]]: every (left, right) pair
+    * whose half-open [start, end) ranges intersect
+    * (`l.start < r.end && r.start < l.end`). Both sides explode to
+    * their `bucketUs`-wide time cells and meet on an EQUI-join keyed
+    * by (optional `keys` ++ bucket) — never a BroadcastNestedLoopJoin.
+    * A pair sharing several buckets would duplicate, so the join keeps
+    * only the FIRST shared bucket — `max(l.startBucket, r.startBucket)`,
+    * which two overlapping intervals always co-occupy: each pair emits
+    * exactly once with NO post-join distinct (the usual dedup shuffle
+    * is gone by construction).
+    *
+    * Columns arrive prefixed `l_` / `r_`; `keys` (unprefixed in both
+    * inputs) stay shared. Inner semantics; degenerate rows with
+    * end <= start are dropped on both sides (they cannot overlap
+    * anything, and unfiltered they'd explode descending bucket
+    * ranges). */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      startCol: String, endCol: String, bucketUs: Long = 86400000000L,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    def prep(df: DataFrame, p: String): DataFrame = {
+      val renamed = df.columns.foldLeft(df) { (d, c) =>
+        if (keys.contains(c)) d else d.withColumnRenamed(c, s"$p$c") }
+      renamed.filter(col(s"$p$endCol") > col(s"$p$startCol"))
+        .withColumn(s"${p}sb",
+          floor(unix_micros(col(s"$p$startCol")) / bucketUs).cast("long"))
+        .withColumn("_bucket", explode(sequence(col(s"${p}sb"),
+          floor((unix_micros(col(s"$p$endCol")) - 1) / bucketUs)
+            .cast("long"))))
+    }
+    prep(left, "l_").join(prep(right, "r_"), keys :+ "_bucket")
+      .filter(col(s"l_$startCol") < col(s"r_$endCol") &&
+        col(s"r_$startCol") < col(s"l_$endCol") &&
+        col("_bucket") === greatest(col("l_sb"), col("r_sb")))
+      .drop("_bucket", "l_sb", "r_sb")
+  }
+
   /** Truncated dyadic EWMA — exponential smoothing with α = 1/2 over
     * the trailing `k` observations: weight 2^(k−1−j) on the value j
     * rows back, normalized by the weights actually present (so the

@@ -522,4 +522,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"marginals not broadcast:\n$p")
   }
+
+  test("q195 interval overlap: bucketed equi-join, never a nested-loop range join") {
+    val p = plan("q195_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"range join fell back to all-pairs:\n$p")
+  }
 }

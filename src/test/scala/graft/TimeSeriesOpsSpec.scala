@@ -370,4 +370,51 @@ class TimeSeriesOpsSpec extends SparkSpec {
     val got = out.collect().map(_.getAs[String]("iv_win")).toSeq
     assert(got == Seq("A"), got)
   }
+
+  test("intervalOverlapJoin: pair set equals brute force, each pair once") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val hourUs = 3600000000L
+    def mk(n: Int, tag: String) = (1 to n).map { i =>
+      val s = rng.nextInt(200).toLong * hourUs / 4      // quarter-hour grid
+      val len = (1 + rng.nextInt(16)).toLong * hourUs / 2 // 0.5h..8h
+      (s"$tag$i", s, s + len)
+    }.toDF("wid", "s_us", "e_us")
+      .select(col("wid"), timestamp_micros(col("s_us")).as("ws"),
+        timestamp_micros(col("e_us")).as("we"))
+    val l = mk(60, "L")
+    val r = mk(60, "R")
+    val got = TimeSeriesOps.intervalOverlapJoin(l, r, "ws", "we",
+        bucketUs = hourUs)
+      .select(col("l_wid"), col("r_wid")).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSeq
+    val brute = l.crossJoin(
+        r.select(col("wid").as("rwid"), col("ws").as("rws"),
+          col("we").as("rwe")))
+      .filter(col("ws") < col("rwe") && col("rws") < col("we"))
+      .select(col("wid"), col("rwid")).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSeq
+    assert(got.size == got.distinct.size, "pair emitted more than once")
+    assert(got.toSet == brute.toSet,
+      s"missing=${brute.toSet -- got.toSet} extra=${got.toSet -- brute.toSet}")
+  }
+
+  test("intervalOverlapJoin: shared keys partition the match space") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .toEpochMilli * 1000L
+    def ts(h: Long) = timestamp_micros(lit(base + h * 3600000000L))
+    val l = Seq(("g1", "a"), ("g2", "b")).toDF("grp", "wid")
+      .select(col("grp"), col("wid"), ts(0).as("ws"), ts(10).as("we"))
+    val r = Seq(("g1", "x"), ("g2", "y")).toDF("grp", "wid")
+      .select(col("grp"), col("wid"), ts(5).as("ws"), ts(15).as("we"))
+    val got = TimeSeriesOps.intervalOverlapJoin(l, r, "ws", "we",
+        bucketUs = 3600000000L * 24, keys = Seq("grp"))
+      .select(col("l_wid"), col("r_wid")).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    // same-group overlaps only: (a,x) and (b,y), never (a,y)/(b,x)
+    assert(got == Set(("a", "x"), ("b", "y")), got)
+  }
 }
