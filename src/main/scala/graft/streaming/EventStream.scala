@@ -477,6 +477,48 @@ object EventStream {
       }.toDF()
   }
 
+  final case class KmvRow(grp: String, h: Long)
+  final case class KmvState(mins: Seq[Long])
+  final case class KmvOut(grp: String, approx_distinct: Double, n_seen: Long)
+
+  /** Streaming distinct-count: the incremental form of
+    * Sketches.kmvDistinct / the native [[graft.functions.KmvSketchAgg]]
+    * — per group, the k smallest distinct hashes carried as stream
+    * state (≤ k longs per group, forever), with the current estimate
+    * emitted each micro-batch (Update mode). Because the
+    * k-smallest-distinct SET is order-independent, the emission after
+    * batch N is EXACTLY the batch-mode answer over the stream's first
+    * N batches — asserted prefix-for-prefix in StreamingSpec; rounding
+    * (HALF_UP, 2dp) matches Spark's `round` so the parity is
+    * bit-for-bit. Null values are skipped like both batch forms.
+    * Group keys are assumed a small closed set — no timeout evicts
+    * them. */
+  def kmvDistinctStream(spark: SparkSession, events: DataFrame,
+      grpCol: String, valueCol: String, k: Int = 64): DataFrame = {
+    import spark.implicits._
+    events.select(col(grpCol).cast("string").as("grp"),
+        graft.functions.GF.hash32(col(valueCol).cast("string")).as("h"))
+      .filter(col("h").isNotNull).as[KmvRow]
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState[KmvState, KmvOut](OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (grp: String, rows: Iterator[KmvRow], state: GroupState[KmvState]) =>
+          val buf = new graft.functions.KmvBuffer(k)
+          state.getOption.foreach(_.mins.foreach(m => buf.mins.add(m)))
+          rows.foreach(r => buf.insert(r.h))
+          state.update(KmvState(
+            scala.jdk.CollectionConverters.IteratorHasAsScala(
+              buf.mins.iterator()).asScala.map(_.longValue).toSeq))
+          val n = buf.mins.size
+          val est =
+            if (n == 0) 0.0
+            else if (n < k) n.toDouble
+            else BigDecimal((k - 1) * 4294967296.0 / buf.mins.last())
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator.single(KmvOut(grp, est, n.toLong))
+      }.toDF()
+  }
+
   final case class PsiVal(grp: String, v: Double)
   final case class PsiState(counts: Seq[Long])
   final case class PsiOut(grp: String, psi: Double, n_cur: Long,

@@ -715,6 +715,52 @@ class StreamingSpec extends SparkSpec {
       counts("beta") <= 25L)
   }
 
+  test("streaming kmv distinct matches batch kmvDistinct on every prefix") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kmvstream").toString
+    def write(rows: Seq[(String, Long)]): Unit =
+      rows.toDF("grp", "v").coalesce(1).write.mode("append").parquet(dir)
+    // "lo" stays under k (exact), "hi" crosses it (estimate); batch 2
+    // repeats some batch-1 values (distinctness across batches)
+    val b1 = (1 to 30).map(i => ("lo", i.toLong)) ++
+      (1 to 200).map(i => ("hi", i.toLong))
+    val b2 = (21 to 45).map(i => ("lo", i.toLong)) ++
+      (101 to 500).map(i => ("hi", i.toLong))
+    write(b1)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStream.kmvDistinctStream(spark, stream, "grp", "v", k = 64)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kmvstream").start()
+    def batchAnswer(rows: Seq[(String, Long)]): Map[String, (Double, Long)] =
+      graft.operators.Sketches.kmvDistinct(rows.toDF("grp", "v"), "grp", "v",
+          k = 64)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getLong(2))).toMap
+    try {
+      q.processAllAvailable()
+      val got1 = spark.table("kmvstream").collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      assert(got1 == batchAnswer(b1), s"prefix 1: $got1")
+      write(b2)
+      q.processAllAvailable()
+      // Update mode: latest emission per group. n_seen caps at k so it
+      // can tie across batches; the estimate is monotone nondecreasing
+      // (the k-th min only shrinks), so (n_seen, estimate) orders
+      // emissions chronologically.
+      val got2 = spark.table("kmvstream").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .groupBy(_._1).map { case (g, xs) =>
+          val last = xs.maxBy(x => (x._3, x._2)); g -> (last._2, last._3) }
+      assert(got2 == batchAnswer(b1 ++ b2), s"prefix 2: $got2")
+    } finally q.stop()
+  }
+
   test("streaming psi drift matches batch psiDrift on every prefix") {
     import spark.implicits._
     import graft.operators.Profiling
