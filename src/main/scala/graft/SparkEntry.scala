@@ -2999,6 +2999,20 @@ object SparkEntry {
       .orderBy(col("building_order"))
   }
 
+  /** Margin-based pair mining (Similarity.marginBitextPairs): label-0
+    * vectors as the source side, label-1 as the target — each source's
+    * nearest target with its ratio margin over both k=4 neighborhoods
+    * and the mutual-rank-1 flag. The margin is exact-integer algebra
+    * over 1e-6-quantized sims, so the oracle reproduces every digit. */
+  private def qBitextMining(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Similarity.marginBitextPairs(
+        t.embeddings.filter(col("label") === 0),
+        t.embeddings.filter(col("label") === 1),
+        "vec_id", "embedding", k = 4)
+      .orderBy(col("src_id"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3199,6 +3213,7 @@ object SparkEntry {
     "q193_dormant_customers" -> (qDormantCustomers _),
     "q194_kmv_native" -> (qKmvNative _),
     "q195_interval_overlap" -> (qIntervalOverlap _),
+    "q196_bitext_mining" -> (qBitextMining _),
   )
 
   // -------------------------------------------------------------------
@@ -7284,5 +7299,31 @@ object SparkEntry {
         |FROM b JOIN a ON b.ws < a.we AND a.ws < b.we
         |GROUP BY b.wid
         |ORDER BY building_order""".stripMargin,
+
+    "q196_bitext_mining" ->
+      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+         |t AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+         |sims AS (SELECT s.vec_id AS sid, t.vec_id AS tid,
+         |    round(${cosineSql("s.embedding", "t.embedding")}, 6) AS sim
+         |  FROM s, t),
+         |fr AS (SELECT *, row_number() OVER
+         |    (PARTITION BY sid ORDER BY sim DESC, tid) AS rn FROM sims),
+         |fa AS (SELECT sid,
+         |    sum(CAST(round(sim * 1000000, 0) AS BIGINT)) AS fsum,
+         |    max(CASE WHEN rn = 1 THEN tid END) AS tgt_id,
+         |    max(CASE WHEN rn = 1 THEN sim END) AS sim
+         |  FROM fr WHERE rn <= 4 GROUP BY sid),
+         |br AS (SELECT *, row_number() OVER
+         |    (PARTITION BY tid ORDER BY sim DESC, sid) AS rn FROM sims),
+         |ba AS (SELECT tid,
+         |    sum(CAST(round(sim * 1000000, 0) AS BIGINT)) AS bsum,
+         |    max(CASE WHEN rn = 1 THEN sid END) AS b_src
+         |  FROM br WHERE rn <= 4 GROUP BY tid)
+         |SELECT fa.sid AS src_id, fa.tgt_id, fa.sim,
+         |  round(8.0 * CAST(round(fa.sim * 1000000, 0) AS BIGINT)
+         |    / (fsum + bsum), 6) AS margin,
+         |  (b_src = fa.sid) AS mutual
+         |FROM fa JOIN ba ON fa.tgt_id = ba.tid
+         |ORDER BY src_id""".stripMargin,
   )
 }

@@ -833,6 +833,41 @@ object Similarity {
     pqScoreTopK(cand, q, books, topK)
   }
 
+  /** Margin-based bitext/pair mining (the ratio-margin criterion of
+    * Artetxe & Schwenk 2019, public): for each source vector, its
+    * nearest target plus a margin score
+    * `sim(s,t) / ((avgTopK(s→tgt) + avgTopK(t→src)) / 2)` that
+    * penalizes hubs — a target near EVERYTHING scores margins ≈ 1 and
+    * drops, a target uniquely near THIS source scores high. `mutual`
+    * flags pairs that are each other's rank-1 both directions.
+    *
+    * Margin arithmetic is EXACT-integer: sims quantize to 1e-6 units
+    * (longs), the k-neighborhood sums stay integral, and the margin is
+    * ONE double division of two longs — bit-reproducible on any
+    * engine, where averaging raw doubles would make the 6th decimal
+    * summation-order-dependent. Both kNN passes here are the brute
+    * oracle-checkable baseline; at corpus scale swap them for
+    * [[ivfKnn]] — the margin algebra is agnostic to how the
+    * neighborhoods were found. */
+  def marginBitextPairs(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4): DataFrame = {
+    def simInt(c: Column): Column = round(c * 1e6, 0).cast("long")
+    val fwd = bruteForceKnn(src, tgt, idCol, vecCol, k)
+    val bwd = bruteForceKnn(tgt, src, idCol, vecCol, k)
+    val fwdAgg = fwd.groupBy(col("query_id").as("src_id"))
+      .agg(sum(simInt(col("sim"))).as("fsum"),
+        max(when(col("rank") === 1, col("cand_id"))).as("tgt_id"),
+        max(when(col("rank") === 1, col("sim"))).as("sim"))
+    val bwdAgg = bwd.groupBy(col("query_id").as("b_tgt"))
+      .agg(sum(simInt(col("sim"))).as("bsum"),
+        max(when(col("rank") === 1, col("cand_id"))).as("b_src"))
+    fwdAgg.join(bwdAgg, col("tgt_id") === col("b_tgt"))
+      .select(col("src_id"), col("tgt_id"), col("sim"),
+        round(lit(2.0 * k) * simInt(col("sim")) /
+          (col("fsum") + col("bsum")), 6).as("margin"),
+        (col("b_src") === col("src_id")).as("mutual"))
+  }
+
   /** Near-duplicate pairs by embedding cosine above a threshold, with the
     * candidate space restricted by a blocking key (e.g. label or LSH
     * bucket) so the self-join never goes quadratic. */

@@ -697,6 +697,30 @@ class OperatorsSpec extends SparkSpec {
     assert(row.getLong(1) > 0L)
   }
 
+  test("margin bitext mining: unique alignment beats a hub, mutual flags") {
+    import spark.implicits._
+    // t10 is uniquely aligned with s1; t11 is a "hub" equally close to
+    // s2 AND s3 — the ratio margin must rank (s1,t10) above both hub
+    // pairs even though all raw cosines are comparable
+    def v(x: Double, y: Double, z: Double) = Array(x.toFloat, y.toFloat,
+      z.toFloat)
+    val src = Seq((1L, v(1, 0, 0)), (2L, v(0, 1, 0.1)), (3L, v(0, 1, -0.1)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((10L, v(1, 0.05, 0)), (11L, v(0, 1, 0)),
+        (12L, v(0.4, 0.4, 0.8)))
+      .toDF("vec_id", "embedding")
+    val r = graft.operators.Similarity
+      .marginBitextPairs(src, tgt, "vec_id", "embedding", k = 2)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(3), x.getBoolean(4))).toMap
+    assert(r(1L)._1 == 10L && r(1L)._3, s"s1 should mutually pair t10: $r")
+    assert(r(2L)._1 == 11L && r(3L)._1 == 11L)
+    // only one of s2/s3 can be mutual with the hub
+    assert(Seq(r(2L)._3, r(3L)._3).count(identity) <= 1)
+    assert(r(1L)._2 > r(2L)._2 && r(1L)._2 > r(3L)._2,
+      s"unique pair margin must beat hub margins: $r")
+  }
+
   test("PII redaction replaces urls, emails and IPv4 with markers") {
     import spark.implicits._
     val df = Seq(
