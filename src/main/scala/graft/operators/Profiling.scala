@@ -606,12 +606,17 @@ object Profiling {
     * Un-normalized iterates grow by ≤ dims·max|covµ| per step:
     * 64 dims × 3 iterations stays far under the 38-digit ceiling.
     *
-    * Scale shape: the outer-product stage is a NARROW per-row
-    * flatten (dims² structs per row) feeding one partial-aggregatable
-    * groupBy at (i, j) grain — map-side combine collapses each
-    * partition to ≤ dims² rows before the only data-scale shuffle.
-    * Every iteration afterwards is metadata-scale (dims² × dims
-    * broadcast joins). No self-join of the table against itself.
+    * Scale shape: the outer-product stage explodes only the UPPER
+    * TRIANGLE, as a flat long array — dims(dims+1)/2 primitive longs
+    * per row, no structs — keyed by the triangle position alone (one
+    * int). One partial-aggregatable groupBy at pos grain (map-side
+    * combine collapses each partition to ≤ dims²/2 rows before the
+    * only data-scale shuffle); pos resolves to (i, j) through a
+    * dims²/2-row broadcast AFTER the aggregate, and the lower triangle
+    * mirrors from the same cells (c(i,j) = c(j,i) exactly — identical
+    * products, identical sums). Every iteration afterwards is
+    * metadata-scale (dims² × dims broadcast joins). No self-join of
+    * the table against itself.
     *
     * Returns (dim, loading, eigenvalue): loading normalized so the
     * largest-|w| dimension (smallest index on ties) equals 1.0;
@@ -628,17 +633,35 @@ object Profiling {
     val n = emb.agg(count(lit(1)).as("n"))
     val sx = long.groupBy(col("i"))
       .agg(sum(col("xq").cast(dec)).as("sx"))
-    // per-row outer product, flattened then partially aggregated
-    val pairs = emb.select(explode(flatten(
-        transform(col(vecCol), (vi, i) =>
-          transform(col(vecCol), (vj, j) => struct(
-            i.as("i"), j.as("j"),
-            (round(vi.cast("double") * 1e4).cast("long") *
-             round(vj.cast("double") * 1e4).cast("long")).as("p"))))))
-        .as("c"))
-      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
-    val sxy = pairs.groupBy(col("i"), col("j"))
+    // upper-triangle products as ONE flat long array per row; the
+    // triangle position (array offset) is the aggregation key — (i, j)
+    // attach after the aggregate, at cell grain
+    val dims = emb.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val upper = emb
+      // quantize ONCE per row — the triangle loop below reads the
+      // long array, never re-rounds (dims² rounds become dims)
+      .select(transform(col(vecCol),
+        v => round(v.cast("double") * 1e4).cast("long")).as("_q"))
+      .select(posexplode(flatten(
+        transform(col("_q"), (qi, i) =>
+          transform(slice(col("_q"), i + 1, lit(dims) - i),
+            qj => qi * qj))))
+        .as(Seq("pos", "p")))
+    val posAgg = upper.groupBy(col("pos"))
       .agg(sum(col("p").cast(dec)).as("sxy"))
+    // pos -> (i, j) lookup for the row-major upper triangle
+    val posIdx = {
+      val s = emb.sparkSession
+      import s.implicits._
+      (for (i <- 0 until dims; j <- i until dims)
+        yield (i * dims - i * (i - 1) / 2 + (j - i), i, j))
+        .toDF("pos", "i", "j")
+    }
+    val cells = posAgg.join(broadcast(posIdx), Seq("pos"))
+      .select(col("i"), col("j"), col("sxy"))
+    val sxy = cells.unionByName(cells.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("sxy")))
     // covariance cell in 1e-6 units: ONE scalar double expression —
     // identical parenthesization on the oracle side reproduces every
     // IEEE intermediate
