@@ -3013,6 +3013,51 @@ object SparkEntry {
       .orderBy(col("src_id"))
   }
 
+  /** Exact-k deterministic per-group sample (Sampling.bottomK): ten
+    * docs per language by bottom-k hash priority — reproducible by any
+    * engine, stable under corpus growth, WindowGroupLimit-pruned. */
+  private def qBottomKSample(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Sampling.bottomK(t.documents, "lang", "doc_id", k = 10)
+      .select(col("lang"), col("doc_id"), col("source"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** Full CUBE aggregation (q25 covers ROLLUP; this is the other
+    * grouping-sets shape): doc counts and total characters at every
+    * (lang, source) granularity — per cell, per lang, per source,
+    * grand total — with the grouping_id bitmask distinguishing real
+    * NULLs from subtotal rows. One Expand + one aggregate; subtotals
+    * ride the same shuffle as the base cells. */
+  private def qCubeStats(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.documents.cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        grouping_id().cast("int").as("gid"))
+      .select(col("lang"), col("source"), col("n_docs"), col("total_chars"),
+        col("gid"))
+      .orderBy(col("gid"), col("lang"), col("source"))
+  }
+
+  /** Golden-record survivorship (EntityResolution.survivorship): each
+    * user's event history collapses to one record where event_type and
+    * value keep their most recent NON-NULL values independently (the
+    * corpus is salted with deterministic nulls so "latest row wins"
+    * would LOSE data — the per-field max_by must not). */
+  private def qSurvivorship(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val updates = t.events.select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      when(col("event_id") % 5 === 0, lit(null).cast("string"))
+        .otherwise(col("event_type")).as("etype"),
+      when(col("event_id") % 3 === 0, lit(null).cast("double"))
+        .otherwise(round(col("value"), 2)).as("val"))
+    EntityResolution.survivorship(updates, "user_id",
+        Seq("us", "event_id"), Seq("etype", "val"))
+      .select(col("user_id"), col("etype"), col("val"), col("n_updates"))
+      .orderBy(col("user_id"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3214,6 +3259,9 @@ object SparkEntry {
     "q194_kmv_native" -> (qKmvNative _),
     "q195_interval_overlap" -> (qIntervalOverlap _),
     "q196_bitext_mining" -> (qBitextMining _),
+    "q197_bottomk_sample" -> (qBottomKSample _),
+    "q198_cube_stats" -> (qCubeStats _),
+    "q199_survivorship" -> (qSurvivorship _),
   )
 
   // -------------------------------------------------------------------
@@ -7325,5 +7373,37 @@ object SparkEntry {
          |  (b_src = fa.sid) AS mutual
          |FROM fa JOIN ba ON fa.tgt_id = ba.tid
          |ORDER BY src_id""".stripMargin,
+
+    "q197_bottomk_sample" ->
+      s"""WITH ranked AS (SELECT lang, doc_id, source,
+         |    row_number() OVER (PARTITION BY lang ORDER BY
+         |      ${hash32Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |  FROM documents)
+         |SELECT lang, doc_id, source FROM ranked WHERE rk <= 10
+         |ORDER BY lang, doc_id""".stripMargin,
+
+    "q198_cube_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(GROUPING(lang, source) AS INT) AS gid
+        |FROM documents
+        |GROUP BY CUBE (lang, source)
+        |ORDER BY gid, lang, source""".stripMargin,
+
+    "q199_survivorship" ->
+      """WITH u AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END
+        |      AS etype,
+        |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE round(value, 2) END
+        |      AS val
+        |  FROM events)
+        |SELECT DISTINCT user_id,
+        |  last_value(etype IGNORE NULLS) OVER win AS etype,
+        |  last_value(val IGNORE NULLS) OVER win AS val,
+        |  count(*) OVER (PARTITION BY user_id) AS n_updates
+        |FROM u
+        |WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id""".stripMargin,
   )
 }

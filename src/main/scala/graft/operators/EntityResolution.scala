@@ -90,6 +90,27 @@ object EntityResolution {
     * The digit comes from the DECIMAL STRING of floor(x) — exact in
     * any engine, where a log10/pow round-trip can put a value like
     * 999.999… on the wrong side of a power of ten. */
+  /** Golden-record survivorship: collapse every entity's update
+    * history to ONE record where each field independently keeps its
+    * most recent NON-NULL value (recency by `orderCols`, which must
+    * totally order updates within a key — ties would make the answer
+    * engine-dependent). A later null does NOT erase an earlier value —
+    * that's the difference from plain "latest row wins".
+    *
+    * Shape: one partial-aggregatable `max_by` per field over the
+    * struct (isNotNull, orderCols…) — non-null beats null, recency
+    * breaks the rest. No window, no sort, ONE groupBy shuffle at
+    * entity grain; map-side partials carry one candidate per field. */
+  def survivorship(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "survivorship needs at least one field")
+    val aggs = fields.map { f =>
+      max_by(col(f), struct(
+        col(f).isNotNull +: orderCols.map(col): _*)).as(f)
+    } :+ count(lit(1)).as("n_updates")
+    df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
     val digit = substring(
       floor(col(valueCol)).cast("long").cast("string"), 1, 1).cast("int")

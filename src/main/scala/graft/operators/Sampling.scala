@@ -43,6 +43,28 @@ object Sampling {
   def bpBucket(id: Column): Column =
     pmod(GF.hash32(id.cast("string")), lit(10000))
 
+  /** Exact-k deterministic sample per group — the bottom-k-by-
+    * hash-priority form (the rate-gated [[withStratifiedFlag]] keeps a
+    * FRACTION; this keeps exactly `min(k, |group|)` rows): rank rows by
+    * (hash32(id), id) inside each group and keep the k smallest. A
+    * uniform-without-replacement draw that any engine replays — and,
+    * because the priority is a pure function of the id, the sample is
+    * STABLE UNDER GROWTH in the bottom-k sense (a new row displaces at
+    * most one old member, the classic bottom-k sketch property).
+    * rank <= k prunes as WindowGroupLimit: partial top-k heaps run
+    * map-side, the shuffle carries at most k rows per (partition,
+    * group). */
+  def bottomK(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(GF.hash32(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** Stratified deterministic sampling — the training-mixture
     * constructor: each stratum (language, source, quality band …) keeps
     * its own fraction of rows, hash-gated per id so the sample is

@@ -697,6 +697,51 @@ class OperatorsSpec extends SparkSpec {
     assert(row.getLong(1) > 0L)
   }
 
+  test("bottomK sample: exact k per group, stable under growth") {
+    import spark.implicits._
+    val base = (1 to 200).map(i => (if (i % 2 == 0) "a" else "b", i.toLong))
+      .toDF("g", "id")
+    def sample(df: org.apache.spark.sql.DataFrame): Map[String, Set[Long]] =
+      graft.operators.Sampling.bottomK(df, "g", "id", k = 8)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val s1 = sample(base)
+    assert(s1("a").size == 8 && s1("b").size == 8)
+    // a small group yields the whole group
+    val s2 = sample(base.filter(col("id") <= 6))
+    assert(s2("a") == Set(2L, 4L, 6L) && s2("b") == Set(1L, 3L, 5L))
+    // growth: adding rows changes each group's sample by at most the
+    // number of new rows that win a bottom-k slot — never a reshuffle
+    val grown = sample(base.union(
+      (201 to 240).map(i => (if (i % 2 == 0) "a" else "b", i.toLong))
+        .toDF("g", "id")))
+    for (g <- Seq("a", "b")) {
+      assert(grown(g).size == 8)
+      assert((s1(g) -- grown(g)).size == (grown(g) -- s1(g)).size)
+      assert((grown(g) -- s1(g)).forall(_ > 200),
+        s"displacers must be new rows: ${grown(g) -- s1(g)}")
+    }
+  }
+
+  test("survivorship: later null never erases, fields survive independently") {
+    import spark.implicits._
+    val updates = Seq(
+      // key 1: name set at t1, nulled-out update at t2, city only at t2
+      (1L, 1L, Some("ana"), None: Option[String]),
+      (1L, 2L, None, Some("rome")),
+      // key 2: both fields updated twice — latest non-null wins
+      (2L, 1L, Some("bo"), Some("lima")),
+      (2L, 2L, Some("bob"), None))
+      .toDF("k", "ts", "name", "city")
+    val r = graft.operators.EntityResolution
+      .survivorship(updates, "k", Seq("ts"), Seq("name", "city"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getString(2), x.getLong(3))).toMap
+    assert(r(1L) == (("ana", "rome", 2L)),
+      s"later null must not erase 'ana': ${r(1L)}")
+    assert(r(2L) == (("bob", "lima", 2L)))
+  }
+
   test("margin bitext mining: unique alignment beats a hub, mutual flags") {
     import spark.implicits._
     // t10 is uniquely aligned with s1; t11 is a "hub" equally close to

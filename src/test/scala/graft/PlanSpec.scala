@@ -523,6 +523,12 @@ class PlanSpec extends SparkSpec {
       s"marginals not broadcast:\n$p")
   }
 
+  test("q197 bottom-k sample: rank<=k pre-prunes as WindowGroupLimit") {
+    val p = plan("q197_bottomk_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"bottom-k not group-limit pruned:\n$p")
+  }
+
   test("q195 interval overlap: bucketed equi-join, never a nested-loop range join") {
     val p = plan("q195_interval_overlap")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
