@@ -2913,12 +2913,16 @@ object SparkEntry {
     * lineitem, and the order-grain frame is what shuffles. */
   private def qWaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
+    // materialized ONCE (localCheckpoint): the order-grain aggregate
+    // AND the late-line filter both read it — one lineitem⋈orders
+    // join, not two
     val lines = t.lineitem
       .join(t.orders.filter(col("o_orderstatus") === "F"),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
           .as("late"))
+      .localCheckpoint(false)
     val orderStats = lines.groupBy(col("l_orderkey"))
       .agg(countDistinct(col("l_suppkey")).as("n_supp"),
         countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
@@ -3056,6 +3060,52 @@ object SparkEntry {
         Seq("us", "event_id"), Seq("etype", "val"))
       .select(col("user_id"), col("etype"), col("val"), col("n_updates"))
       .orderBy(col("user_id"))
+  }
+
+  /** Pipeline-parity capstone: a three-stage curation pipeline —
+    * quality gate (token floor + length ceiling) → exact dedup
+    * (keep-min per normalized-text digest) → stratified hash-gated
+    * sampling — composed from the REAL operators and verified
+    * end-to-end against one oracle that replays every stage in SQL.
+    * FullFlowSpec checks composition plumbing; this checks composed
+    * SEMANTICS against an independent engine. Per (lang, source):
+    * surviving docs and their token mass (what the mixture allocator
+    * downstream would consume). */
+  private def qPipelineParity(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val toks = t.documents.select(col("doc_id"), col("lang"),
+      col("source"), col("text"),
+      size(GF.wsTokens(col("text"))).as("n_tokens"), col("n_chars"))
+    val gated = toks.filter(col("n_tokens") >= 5 && col("n_chars") <= 4000)
+    val deduped = Dedup.exactDedup(gated, "text", "doc_id")
+    val sampled = Sampling.stratifiedSample(deduped, "lang", "doc_id",
+      Map("en" -> 0.2, "zh" -> 0.5), defaultRate = 0.35)
+    sampled.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Windowed distinct-count through the SQL surface: daily distinct
+    * users per (event type, day) via `graft_kmv` in PLAIN SPARK SQL (the
+    * injected-function path — proving the native aggregate composes
+    * with any SQL workload, not only the Scala API). k=8 so busy
+    * days cross into estimation while quiet ones stay exact. */
+  private def qKmvWindow(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val t = Tables(s, dir)
+    t.events.select(col("event_type"),
+        col("ts").cast("date").as("day"),
+        GF.hash32(col("user_id").cast("string")).as("h"))
+      .createOrReplaceTempView("kmv_events")
+    s.sql("""
+      SELECT event_type, day,
+        CASE WHEN kmv.n_seen < 8 THEN CAST(kmv.n_seen AS DOUBLE)
+             ELSE round((8 - 1) * 4294967296.0 / kmv.kth_min, 2)
+        END AS approx_distinct,
+        kmv.n_seen AS n_seen
+      FROM (SELECT event_type, day, graft_kmv(h, 8) AS kmv
+            FROM kmv_events GROUP BY event_type, day)
+      ORDER BY event_type, day""")
   }
 
   // -------------------------------------------------------------------
@@ -3262,6 +3312,8 @@ object SparkEntry {
     "q197_bottomk_sample" -> (qBottomKSample _),
     "q198_cube_stats" -> (qCubeStats _),
     "q199_survivorship" -> (qSurvivorship _),
+    "q200_pipeline_parity" -> (qPipelineParity _),
+    "q201_kmv_window" -> (qKmvWindow _),
   )
 
   // -------------------------------------------------------------------
@@ -7405,5 +7457,42 @@ object SparkEntry {
         |WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id""".stripMargin,
+
+    "q200_pipeline_parity" ->
+      s"""WITH toks AS (SELECT doc_id, lang, source, text,
+         |    len(${wsTokensSql("text")}) AS n_tokens, n_chars
+         |  FROM documents),
+         |gated AS (SELECT * FROM toks
+         |  WHERE n_tokens >= 5 AND n_chars <= 4000),
+         |keep AS (SELECT min(doc_id) AS doc_id
+         |  FROM (SELECT doc_id, $normTextSql AS nt FROM gated)
+         |  GROUP BY nt),
+         |dedup AS (SELECT g.* FROM gated g
+         |  JOIN keep USING (doc_id)),
+         |sampled AS (SELECT * FROM dedup
+         |  WHERE ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 10000 <
+         |    CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 5000
+         |    ELSE 3500 END)
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM sampled GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q201_kmv_window" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    CAST(ts AS DATE) AS day,
+         |    ${hash32Sql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |r AS (SELECT event_type, day, h, row_number() OVER
+         |    (PARTITION BY event_type, day ORDER BY h) AS rn FROM h),
+         |t AS (SELECT event_type, day, count(*) AS n_seen,
+         |    max(h) AS kth_min
+         |  FROM r WHERE rn <= 8 GROUP BY event_type, day)
+         |SELECT event_type, day,
+         |  CASE WHEN n_seen < 8 THEN CAST(n_seen AS DOUBLE)
+         |       ELSE round((8 - 1) * 4294967296.0 / kth_min, 2)
+         |  END AS approx_distinct,
+         |  CAST(n_seen AS BIGINT) AS n_seen
+         |FROM t ORDER BY event_type, day""".stripMargin,
   )
 }

@@ -523,6 +523,39 @@ class PlanSpec extends SparkSpec {
       s"marginals not broadcast:\n$p")
   }
 
+  test("q184 order priority: EXISTS decorrelates to a real LeftSemi, date filter pushed") {
+    val p = plan("q184_order_priority")
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"order date bracket not pushed to the scan:\n$p")
+  }
+
+  test("q185 market share: nation tags broadcast, one conditional-sum pass") {
+    val p = plan("q185_market_share")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+  }
+
+  test("q187 top supplier: scalar max via checkpoint reuse — lineitem scanned once") {
+    val p = plan("q187_top_supplier")
+    val scans = p.split('\n').count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans <= 1, s"lineitem scanned $scans times:\n$p")
+  }
+
+  test("q190 disjunctive revenue: factored quantity bound pushed into the scan") {
+    val p = plan("q190_disjunctive_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0), LessThanOrEqual(l_quantity,36.0)"),
+      s"common qty bound not pushed:\n$p")
+  }
+
+  test("q192 waiting suppliers: one fact join feeds both branches — no triple self-join") {
+    val p = plan("q192_waiting_suppliers")
+    val scans = p.split('\n').count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans <= 1, s"lineitem scanned $scans times:\n$p")
+  }
+
   test("q197 bottom-k sample: rank<=k pre-prunes as WindowGroupLimit") {
     val p = plan("q197_bottomk_sample")
     assert(p.contains("WindowGroupLimit"),
