@@ -3108,6 +3108,30 @@ object SparkEntry {
       ORDER BY event_type, day""")
   }
 
+  /** KMV sketch algebra (Sketches.kmvPairOverlap): audience overlap
+    * between every pair of event types — union cardinality and Jaccard
+    * estimated from the bottom-64 sketches ALONE, no re-scan of the
+    * pair. The cross-source overlap question q85 answers exactly at
+    * digest grain, answered here at metadata scale. */
+  private def qKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Sketches.kmvPairOverlap(t.events, "event_type", "user_id", k = 64)
+      .orderBy(col("g1"), col("g2"))
+  }
+
+  /** Time-weighted average (TimeSeriesOps.twap): per (user, event
+    * type), the duration-weighted mean event value — the irregular-
+    * sampling-proof mean. Values quantize to exact cents before the
+    * weighting so the decimal accumulation replays anywhere. */
+  private def qTwap(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      round(col("value") * 100).cast("long").as("cents"))
+    TimeSeriesOps.twap(ev, Seq("user_id", "event_type"), "us", "cents")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3314,6 +3338,8 @@ object SparkEntry {
     "q199_survivorship" -> (qSurvivorship _),
     "q200_pipeline_parity" -> (qPipelineParity _),
     "q201_kmv_window" -> (qKmvWindow _),
+    "q202_kmv_overlap" -> (qKmvOverlap _),
+    "q203_twap" -> (qTwap _),
   )
 
   // -------------------------------------------------------------------
@@ -7494,5 +7520,51 @@ object SparkEntry {
          |  END AS approx_distinct,
          |  CAST(n_seen AS BIGINT) AS n_seen
          |FROM t ORDER BY event_type, day""".stripMargin,
+
+    "q202_kmv_overlap" ->
+      s"""WITH h AS (SELECT DISTINCT event_type AS g,
+         |    ${hash32Sql("CAST(user_id AS VARCHAR)")} AS h FROM events),
+         |bk AS (SELECT g, h FROM (SELECT g, h, row_number() OVER
+         |    (PARTITION BY g ORDER BY h) AS rn FROM h) WHERE rn <= 64),
+         |gs AS (SELECT DISTINCT g FROM bk),
+         |pairs AS (SELECT a.g AS g1, b.g AS g2 FROM gs a, gs b
+         |  WHERE a.g < b.g),
+         |mu AS (
+         |  SELECT p.g1, p.g2, k.h FROM pairs p JOIN bk k ON k.g = p.g1
+         |  UNION
+         |  SELECT p.g1, p.g2, k.h FROM pairs p JOIN bk k ON k.g = p.g2),
+         |topu AS (SELECT g1, g2, h FROM (SELECT g1, g2, h, row_number()
+         |    OVER (PARTITION BY g1, g2 ORDER BY h) AS rn FROM mu)
+         |  WHERE rn <= 64),
+         |fl AS (SELECT t.g1, t.g2, t.h,
+         |    CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS ina,
+         |    CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS inb
+         |  FROM topu t
+         |  LEFT JOIN bk a ON a.g = t.g1 AND a.h = t.h
+         |  LEFT JOIN bk b ON b.g = t.g2 AND b.h = t.h),
+         |agg AS (SELECT g1, g2, count(*) AS n_u, max(h) AS kth,
+         |    sum(ina * inb) AS n_common
+         |  FROM fl GROUP BY g1, g2)
+         |SELECT g1, g2,
+         |  CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+         |       ELSE round((64 - 1) * 4294967296.0 / kth, 2)
+         |  END AS union_est,
+         |  round(CAST(n_common AS DOUBLE) / n_u, 6) AS jaccard_est,
+         |  CAST(n_common AS BIGINT) AS n_common
+         |FROM agg ORDER BY g1, g2""".stripMargin,
+
+    "q203_twap" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT *, lead(us) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY us) - us AS dur FROM e)
+        |SELECT user_id, event_type,
+        |  round(CAST(sum(CAST(cents AS HUGEINT) * dur) AS DOUBLE)
+        |    / CAST(sum(CAST(dur AS HUGEINT)) AS DOUBLE) / 100.0, 6)
+        |    AS twap,
+        |  count(*) AS n_intervals
+        |FROM d WHERE dur IS NOT NULL
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
   )
 }

@@ -76,6 +76,62 @@ object Sketches {
           .as("approx_distinct"),
         col("kmv.n_seen").as("n_seen"))
 
+  /** KMV sketch ALGEBRA — pairwise distinct-count overlap from
+    * sketches alone (Bar-Yossef et al. 2002; Beyer et al. 2007 "On
+    * synopses for distinct-value estimation", both public): for every
+    * pair of groups, estimate |A∪B| from the bottom-k of the MERGED
+    * hash sets, and Jaccard/|A∩B| from how many of the union sketch's
+    * members appear in BOTH side sketches. Sound because bottom-k(A∪B)
+    * ⊆ bottom-k(A) ∪ bottom-k(B): any union-sketch member from A is ≤
+    * the union's k-th minimum ≤ A's k-th minimum, hence inside A's
+    * sketch — membership tests never need the full sets.
+    *
+    * Scale shape: per-group sketches prune to ≤ k rows via
+    * WindowGroupLimit (the q29 shape); everything after — pairing,
+    * merge, membership — is (groups² × k) METADATA, the whole point of
+    * sketch algebra: cross-source overlap questions answered without
+    * re-scanning sources. Deterministic (k-smallest-distinct sets are
+    * order-free; one double division per estimate), so the oracle
+    * replays every digit. */
+  def kmvPairOverlap(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    val h = df.select(col(groupCol).as("g"),
+        GF.hash32(col(valueCol).cast("string")).as("h"))
+      .filter(col("h").isNotNull).distinct()
+    val w = Window.partitionBy(col("g")).orderBy(col("h"))
+    val bk = h.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select(col("g"), col("h"))
+      .localCheckpoint(false)
+    val groups = bk.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("g1"))
+      .crossJoin(broadcast(groups.select(col("g").as("g2"))))
+      .filter(col("g1") < col("g2"))
+    val mu = pairs.join(bk.withColumnRenamed("g", "g1"), Seq("g1"))
+      .select(col("g1"), col("g2"), col("h"))
+      .unionByName(pairs.join(bk.withColumnRenamed("g", "g2"), Seq("g2"))
+        .select(col("g1"), col("g2"), col("h")))
+      .distinct()
+    val wp = Window.partitionBy(col("g1"), col("g2")).orderBy(col("h"))
+    val topu = mu.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= k).select(col("g1"), col("g2"), col("h"))
+    val flagged = topu
+      .join(bk.select(col("g").as("g1"), col("h"), lit(1).as("ina")),
+        Seq("g1", "h"), "left")
+      .join(bk.select(col("g").as("g2"), col("h"), lit(1).as("inb")),
+        Seq("g2", "h"), "left")
+    flagged.groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n_u"), max(col("h")).as("kth"),
+        sum(coalesce(col("ina"), lit(0)) * coalesce(col("inb"), lit(0)))
+          .as("n_common"))
+      .select(col("g1"), col("g2"),
+        when(col("n_u") < k, col("n_u").cast("double"))
+          .otherwise(round((lit(k) - 1) * lit(4294967296.0) / col("kth"), 2))
+          .as("union_est"),
+        round(col("n_common").cast("double") / col("n_u"), 6)
+          .as("jaccard_est"),
+        col("n_common").cast("long").as("n_common"))
+  }
+
   /** One surviving (token, residual-count) candidate. */
   case class MgCandidate(tok: String, n: Long)
 

@@ -558,6 +558,35 @@ object TimeSeriesOps {
       .drop("_bucket", "l_sb", "r_sb")
   }
 
+  /** Time-weighted average (TWAP): per key, the mean of a value where
+    * each observation is weighted by HOW LONG IT HELD — the duration
+    * until the next observation — not by how often it was sampled
+    * (irregular series make the plain mean a sampling-rate artifact).
+    * The last observation of a key carries no duration and drops,
+    * matching the half-open "value holds on [t_i, t_{i+1})" reading.
+    *
+    * Exactness: values in integer cents × µs durations accumulate in
+    * DECIMAL(38,0) (cents·µs products cross 2⁶³ after a few hundred
+    * rows); the quotient is the ONLY floating-point step. One keyed
+    * window (lead) + one aggregate — single shuffle on the key. */
+  def twap(df: DataFrame, keyCols: Seq[String], tsUsCol: String,
+      centsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(tsUsCol))
+    val dec = "decimal(38,0)"
+    df.withColumn("_dur", lead(col(tsUsCol), 1).over(w) - col(tsUsCol))
+      .filter(col("_dur").isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum((col(centsCol) * col("_dur")).cast(dec)).as("_num"),
+        sum(col("_dur").cast(dec)).as("_den"),
+        count(lit(1)).as("n_intervals"))
+      .select(keyCols.map(col) ++ Seq(
+        round(col("_num").cast("double") / col("_den").cast("double") / 100.0,
+          6).as("twap"),
+        col("n_intervals")): _*)
+  }
+
   /** Truncated dyadic EWMA — exponential smoothing with α = 1/2 over
     * the trailing `k` observations: weight 2^(k−1−j) on the value j
     * rows back, normalized by the weights actually present (so the

@@ -723,6 +723,44 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("kmvPairOverlap: exact algebra below k, sane estimate above") {
+    import spark.implicits._
+    // A = 1..40, B = 21..60  ->  |A∪B| = 60, |A∩B| = 20, J = 1/3
+    val df = ((1 to 40).map(i => ("A", i)) ++ (21 to 60).map(i => ("B", i)))
+      .toDF("g", "v")
+    val r = graft.operators.Sketches.kmvPairOverlap(df, "g", "v", k = 64)
+      .collect().head
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getDouble(2) == 60.0, s"union_est ${r.getDouble(2)}")
+    assert(r.getLong(4) == 20L, s"n_common ${r.getLong(4)}")
+    assert(math.abs(r.getDouble(3) - 20.0 / 60.0) < 1e-6)
+    // above k: estimates, not exact — union within 25%, jaccard sane
+    val big = ((1 to 4000).map(i => ("A", i)) ++
+      (2001 to 6000).map(i => ("B", i))).toDF("g", "v")
+    val e = graft.operators.Sketches.kmvPairOverlap(big, "g", "v", k = 64)
+      .collect().head
+    assert(e.getDouble(2) > 6000 * 0.75 && e.getDouble(2) < 6000 * 1.25,
+      s"union_est ${e.getDouble(2)}")
+    assert(e.getDouble(3) > 0.1 && e.getDouble(3) < 0.6,
+      s"jaccard_est ${e.getDouble(3)} (true 1/3)")
+  }
+
+  test("twap: duration-weighted, last point drops, singletons vanish") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 0L, 100L),   // 100 cents holds 10 us
+      ("a", 10L, 200L),  // 200 cents holds 30 us
+      ("a", 40L, 999L),  // last point: no duration, drops
+      ("b", 5L, 50L))    // singleton key: no interval at all
+      .toDF("k", "us", "cents")
+    val r = graft.operators.TimeSeriesOps.twap(df, Seq("k"), "us", "cents")
+      .collect().map(x => x.getString(0) -> (x.getDouble(1), x.getLong(2)))
+      .toMap
+    assert(r.keySet == Set("a"), s"singleton must vanish: $r")
+    // (100*10 + 200*30) / 40 = 175 cents = 1.75
+    assert(r("a") == ((1.75, 2L)), r("a"))
+  }
+
   test("survivorship: later null never erases, fields survive independently") {
     import spark.implicits._
     val updates = Seq(
