@@ -3132,6 +3132,17 @@ object SparkEntry {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** SimHash hamming-ball near-dup pairs (Dedup.simhashHammingPairs):
+    * all doc pairs within hamming distance 3 of each other's 32-bit
+    * SimHash, found by pigeonhole banding — the oracle brute-forces
+    * every pair, so the banding must lose nothing. */
+  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Dedup.simhashHammingPairs(t.documents, "text", "doc_id",
+        maxHamming = 3, nBits = 32, bands = 4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3340,6 +3351,7 @@ object SparkEntry {
     "q201_kmv_window" -> (qKmvWindow _),
     "q202_kmv_overlap" -> (qKmvOverlap _),
     "q203_twap" -> (qTwap _),
+    "q204_simhash_pairs" -> (qSimhashPairs _),
   )
 
   // -------------------------------------------------------------------
@@ -7566,5 +7578,25 @@ object SparkEntry {
         |FROM d WHERE dur IS NOT NULL
         |GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // brute-force hamming over ALL pairs: the banding algorithm must
+    // reproduce this exactly (pigeonhole completeness gate)
+    "q204_simhash_pairs" ->
+      s"""WITH docs_norm AS (SELECT doc_id, $normTextSql AS norm FROM documents),
+         |t AS (SELECT doc_id, unnest(${wsTokensSql("norm")}) AS tok FROM docs_norm),
+         |h AS (SELECT doc_id, ${hash32Sql("tok")} AS h FROM t),
+         |bits AS (SELECT doc_id, b.bit,
+         |    sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
+         |  GROUP BY doc_id, b.bit),
+         |sh AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+         |      ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -762,6 +762,50 @@ object Dedup {
         .as("simhash"))
   }
 
+  /** SimHash hamming-ball pairs via pigeonhole banding — the pair
+    * SEARCH the [[simhash]] fingerprint exists for: all (id_a < id_b)
+    * with hamming(simhash_a, simhash_b) ≤ `maxHamming`. Split the
+    * nBits hash into `bands` contiguous slices; a pair within distance
+    * d < bands differs in at most d slices, so it MATCHES EXACTLY on
+    * at least one (pigeonhole) — candidates come from an equi-join on
+    * (band index, band value), never an all-pairs scan, and the exact
+    * `bit_count(xor)` verifies each candidate. EQUALS brute force by
+    * construction (the oracle computes the brute force).
+    *
+    * Scale shape: fingerprints shuffle once per band (bands × corpus
+    * slim rows of three ints); join buckets are bounded by per-band
+    * value collisions, the SimHash analogue of [[candidatePairs]]'
+    * LSH buckets. */
+  def simhashHammingPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int, nBits: Int = 32, bands: Int = 4): DataFrame = {
+    require(bands > maxHamming,
+      s"pigeonhole guarantee needs bands > maxHamming " +
+        s"(got bands=$bands, maxHamming=$maxHamming)")
+    require(nBits % bands == 0, s"bands=$bands must divide nBits=$nBits")
+    val r = nBits / bands
+    val mask = (1L << r) - 1
+    val sh = simhash(docs, textCol, idCol, nBits).localCheckpoint(false)
+    val banded = sh.select(col(idCol), explode(array(
+        (0 until bands).map(b => struct(lit(b).as("bi"),
+          expr(s"shiftright(simhash, ${b * r})").bitwiseAND(lit(mask))
+            .as("bv"))): _*)).as("bb"))
+      .select(col(idCol), col("bb.bi").as("bi"), col("bb.bv").as("bv"))
+    val cand = banded.select(col(idCol).as("id_a"), col("bi"), col("bv"))
+      .join(banded.select(col(idCol).as("id_b"), col("bi"), col("bv")),
+        Seq("bi", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("simhash").as("_ha")),
+        Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("simhash").as("_hb")),
+        Seq("id_b"))
+      .withColumn("hamming",
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Persist the corpus's LSH bucket postings as a signature index:
     * parquet at `path/buckets`, hive-partitioned by `band` and
     * clustered on `bucket` within each band. This is the served-corpus

@@ -723,6 +723,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("simhashHammingPairs: banding equals brute force, guard enforced") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup
+      (3L, "the quick brown fox jumps over the lazy dog"), // exact dup
+      (4L, "completely different text about spark physical plans"),
+      (5L, "another unrelated document mentioning catalyst rules"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .simhashHammingPairs(docs, "text", "doc_id", maxHamming = 6,
+        bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    // brute force over the same simhashes
+    val hs = graft.operators.Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 6
+    } yield (a, b) -> d).toMap
+    assert(got == brute, s"got=$got brute=$brute")
+    assert(got((1L, 3L)) == 0, "exact dup must be hamming 0")
+    assert(got.contains((1L, 2L)), "near-dup must surface")
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.simhashHammingPairs(docs, "text", "doc_id",
+        maxHamming = 4, bands = 4) // pigeonhole broken: d == bands
+    }
+  }
+
   test("kmvPairOverlap: exact algebra below k, sane estimate above") {
     import spark.implicits._
     // A = 1..40, B = 21..60  ->  |A∪B| = 60, |A∩B| = 20, J = 1/3
