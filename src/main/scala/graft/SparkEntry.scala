@@ -3143,6 +3143,31 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Matryoshka-truncation recall (Similarity.truncatedRecall): for
+    * eight query vectors, how much of the exact 64-dim top-5 the
+    * 16-dim prefix ranking keeps — the measurement behind serving a
+    * truncated first-stage index. */
+  private def qMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Similarity.truncatedRecall(
+        t.embeddings.filter(col("vec_id") < 8), t.embeddings,
+        "vec_id", "embedding", dims = 16, k = 5)
+      .orderBy(col("query_id"))
+  }
+
+  /** Functional-dependency audit (Profiling.functionalDependencies):
+    * does o_orderkey determine o_custkey (a real key), and do
+    * o_custkey → o_orderpriority / o_orderstatus hold (they must not —
+    * customers place orders of many priorities)? */
+  private def qFdAudit(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Profiling.functionalDependencies(t.orders, Seq(
+        "o_orderkey" -> "o_custkey",
+        "o_custkey" -> "o_orderpriority",
+        "o_custkey" -> "o_orderstatus"))
+      .orderBy(col("lhs"), col("rhs"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3352,6 +3377,8 @@ object SparkEntry {
     "q202_kmv_overlap" -> (qKmvOverlap _),
     "q203_twap" -> (qTwap _),
     "q204_simhash_pairs" -> (qSimhashPairs _),
+    "q205_matryoshka_recall" -> (qMatryoshka _),
+    "q206_fd_audit" -> (qFdAudit _),
   )
 
   // -------------------------------------------------------------------
@@ -7598,5 +7625,47 @@ object SparkEntry {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q205_matryoshka_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |    FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         |ex AS (SELECT query_id, cand_id,
+         |    round(${cosineSql("qv", "cv")}, 6) AS sim
+         |  FROM c, q WHERE query_id <> cand_id),
+         |exr AS (SELECT query_id, cand_id FROM (SELECT *, row_number()
+         |    OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id)
+         |    AS rn FROM ex) WHERE rn <= 5),
+         |tq AS (SELECT query_id, qv[1:16] AS qv FROM q),
+         |tc AS (SELECT cand_id, cv[1:16] AS cv FROM c),
+         |tr0 AS (SELECT query_id, cand_id,
+         |    round(${cosineSql("qv", "cv")}, 6) AS sim
+         |  FROM tc, tq WHERE query_id <> cand_id),
+         |trr AS (SELECT query_id, cand_id FROM (SELECT *, row_number()
+         |    OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id)
+         |    AS rn FROM tr0) WHERE rn <= 5)
+         |SELECT e.query_id, count(*) AS k_exact,
+         |  CAST(sum(CASE WHEN t.cand_id IS NULL THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_kept,
+         |  round(sum(CASE WHEN t.cand_id IS NULL THEN 0 ELSE 1 END)
+         |    / CAST(count(*) AS DOUBLE), 6) AS recall
+         |FROM exr e LEFT JOIN trr t
+         |  ON e.query_id = t.query_id AND e.cand_id = t.cand_id
+         |GROUP BY e.query_id
+         |ORDER BY e.query_id""".stripMargin,
+
+    "q206_fd_audit" -> {
+      def fd(a: String, b: String) =
+        s"""SELECT '$a' AS lhs, '$b' AS rhs, count(*) AS n_lhs,
+           |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+           |FROM (SELECT $a, count(DISTINCT coalesce(CAST($b AS VARCHAR),
+           |  ' null')) AS nb FROM orders GROUP BY $a)""".stripMargin
+      Seq(fd("o_orderkey", "o_custkey"),
+        fd("o_custkey", "o_orderpriority"),
+        fd("o_custkey", "o_orderstatus"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY lhs, rhs")
+    },
   )
 }

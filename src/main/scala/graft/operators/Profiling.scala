@@ -707,4 +707,29 @@ object Profiling {
           col("maxabs_prev").cast("double") / 1e6, 6).as("eigenvalue"))
       .orderBy(col("dim"))
   }
+
+  /** Functional-dependency audit: for each candidate A → B, does every
+    * A-value determine ONE B-value — the schema-inference /
+    * denormalization-safety check ("is this column a lookup of that
+    * key or does it secretly vary"). Per pair: distinct LHS values,
+    * how many of them violate (≥ 2 distinct B), and the verdict.
+    * NULLs count as values (a key mapping to {x, NULL} is a real
+    * violation).
+    *
+    * One LHS-grain aggregate per pair (partial countDistinct, then a
+    * 1-row reduce) — pairs are a handful, each pass reads only its two
+    * columns, so the scans stay column-pruned and independent. */
+  def functionalDependencies(df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one candidate dependency")
+    pairs.map { case (a, b) =>
+      df.groupBy(col(a))
+        .agg(countDistinct(coalesce(col(b).cast("string"),
+          lit(" null"))).as("_nb"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("_nb") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(a).as("lhs"), lit(b).as("rhs"), col("n_lhs"),
+          col("n_violating"), (col("n_violating") === 0).as("fd_holds"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -868,6 +868,33 @@ object Similarity {
         (col("b_src") === col("src_id")).as("mutual"))
   }
 
+  /** Matryoshka-truncation recall audit: how much of the exact
+    * full-dimension top-k survives when vectors are cut to their first
+    * `dims` components (the MRL serving trick — truncated prefixes as
+    * cheap first-stage vectors; public: Kusupati et al. 2022). Runs
+    * BOTH rankings (full cosine, prefix cosine over `slice`) and
+    * reports per-query overlap@k — the measurement that justifies (or
+    * vetoes) serving the prefix index. Cosines stay the same
+    * sequential fold on both sides, so an external oracle replays
+    * every rank. */
+  def truncatedRecall(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, dims: Int, k: Int): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      df.select(col(idCol), slice(col(vecCol), 1, dims).as(vecCol))
+    val exact = bruteForceKnn(queries, candidates, idCol, vecCol, k)
+      .select(col("query_id"), col("cand_id"))
+    val trunc = bruteForceKnn(cut(queries), cut(candidates), idCol,
+        vecCol, k)
+      .select(col("query_id"), col("cand_id"), lit(1).as("_t"))
+    exact.join(trunc, Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("_t"), lit(0))).cast("long").as("n_kept"))
+      .select(col("query_id"), col("k_exact"), col("n_kept"),
+        round(col("n_kept") / col("k_exact").cast("double"), 6)
+          .as("recall"))
+  }
+
   /** Near-duplicate pairs by embedding cosine above a threshold, with the
     * candidate space restricted by a blocking key (e.g. label or LSH
     * bucket) so the self-join never goes quadratic. */
