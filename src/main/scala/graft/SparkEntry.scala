@@ -3168,6 +3168,34 @@ object SparkEntry {
       .orderBy(col("lhs"), col("rhs"))
   }
 
+  /** Trailing-7-day distinct users per day via the KMV aggregate: each
+    * (day, user) contribution EXPLODES to the 7 target days whose
+    * trailing window contains it, and `graft_kmv` absorbs the
+    * duplicates (sketches are sets — no pre-distinct pass needed).
+    * The sliding-distinct shape with bounded per-window state: 7×
+    * row amplification of slim (date, long) rows, never a range join,
+    * never a per-window re-scan. */
+  private def qSlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("ts").cast("date").as("day"),
+      GF.hash32(col("user_id").cast("string")).as("h"))
+    val days = ev.select(col("day")).distinct()
+    val k = 64
+    ev.withColumn("target",
+        explode(sequence(col("day"), date_add(col("day"), 6))))
+      .join(broadcast(days.withColumnRenamed("day", "target")),
+        Seq("target"), "left_semi")
+      .groupBy(col("target").as("day"))
+      .agg(Sketches.kmvAgg(col("h"), k).as("kmv"))
+      .select(col("day"),
+        when(col("kmv.n_seen") < k, col("kmv.n_seen").cast("double"))
+          .otherwise(round(
+            (lit(k) - 1) * lit(4294967296.0) / col("kmv.kth_min"), 2))
+          .as("approx_distinct_7d"),
+        col("kmv.n_seen").as("n_seen"))
+      .orderBy(col("day"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3379,6 +3407,7 @@ object SparkEntry {
     "q204_simhash_pairs" -> (qSimhashPairs _),
     "q205_matryoshka_recall" -> (qMatryoshka _),
     "q206_fd_audit" -> (qFdAudit _),
+    "q207_sliding_distinct" -> (qSlidingDistinct _),
   )
 
   // -------------------------------------------------------------------
@@ -7667,5 +7696,23 @@ object SparkEntry {
         fd("o_custkey", "o_orderstatus"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY lhs, rhs")
     },
+
+    "q207_sliding_distinct" ->
+      s"""WITH ev AS (SELECT CAST(ts AS DATE) AS day,
+         |    ${hash32Sql("CAST(user_id AS VARCHAR)")} AS h FROM events),
+         |days AS (SELECT DISTINCT day FROM ev),
+         |contrib AS (SELECT DISTINCT d.day, e.h
+         |  FROM days d JOIN ev e
+         |    ON e.day BETWEEN d.day - 6 AND d.day),
+         |r AS (SELECT day, h, row_number() OVER
+         |    (PARTITION BY day ORDER BY h) AS rn FROM contrib),
+         |t AS (SELECT day, count(*) AS n_seen, max(h) AS kth_min
+         |  FROM r WHERE rn <= 64 GROUP BY day)
+         |SELECT day,
+         |  CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
+         |       ELSE round((64 - 1) * 4294967296.0 / kth_min, 2)
+         |  END AS approx_distinct_7d,
+         |  CAST(n_seen AS BIGINT) AS n_seen
+         |FROM t ORDER BY day""".stripMargin,
   )
 }
