@@ -3196,6 +3196,19 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** Exact weighted median (Profiling.weightedMedian): per return
+    * flag, the price-cents value at which half the shipped QUANTITY
+    * sits below — the volume-weighted "typical price" an unweighted
+    * median misstates. Integer crossing test, zero interpolation. */
+  private def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val li = t.lineitem.select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"),
+      round(col("l_quantity")).cast("long").as("qty"))
+    Profiling.weightedMedian(li, "l_returnflag", "cents", "qty")
+      .orderBy(col("l_returnflag"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3408,6 +3421,7 @@ object SparkEntry {
     "q205_matryoshka_recall" -> (qMatryoshka _),
     "q206_fd_audit" -> (qFdAudit _),
     "q207_sliding_distinct" -> (qSlidingDistinct _),
+    "q208_weighted_median" -> (qWeightedMedian _),
   )
 
   // -------------------------------------------------------------------
@@ -7714,5 +7728,23 @@ object SparkEntry {
          |  END AS approx_distinct_7d,
          |  CAST(n_seen AS BIGINT) AS n_seen
          |FROM t ORDER BY day""".stripMargin,
+
+    "q208_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS qty FROM lineitem),
+        |bv AS (SELECT l_returnflag, cents, sum(qty) AS w
+        |  FROM li GROUP BY 1, 2),
+        |cum AS (SELECT l_returnflag, cents,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS c,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM bv)
+        |SELECT l_returnflag,
+        |  CAST(min(cents) AS BIGINT) AS weighted_median,
+        |  CAST(max(tot) AS BIGINT) AS total_weight
+        |FROM cum WHERE c * 2 >= tot
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }

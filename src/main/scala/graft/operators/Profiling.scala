@@ -708,6 +708,32 @@ object Profiling {
       .orderBy(col("dim"))
   }
 
+  /** Exact weighted median per group: the smallest value whose
+    * cumulative weight reaches half the group's total (the lower
+    * weighted median — a pure integer definition, no interpolation,
+    * so any engine lands on the same value). Values collapse to
+    * (group, value) grain FIRST — the cumulative window runs over the
+    * distinct-value domain, never the raw rows (the q127 exact-
+    * quantile discipline). `2·cum ≥ total` keeps the crossing test in
+    * integers. */
+  def weightedMedian(df: DataFrame, grpCol: String, valCol: String,
+      weightCol: String): DataFrame = {
+    val byVal = df.groupBy(col(grpCol), col(valCol).as("_v"))
+      .agg(sum(col(weightCol)).as("_w"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(grpCol)).orderBy(col("_v"))
+    byVal
+      .withColumn("_cum", sum(col("_w")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .withColumn("_tot", sum(col("_w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(grpCol))))
+      .filter(col("_cum") * 2 >= col("_tot"))
+      .groupBy(col(grpCol))
+      .agg(min(col("_v")).as("weighted_median"),
+        max(col("_tot")).as("total_weight"))
+  }
+
   /** Functional-dependency audit: for each candidate A → B, does every
     * A-value determine ONE B-value — the schema-inference /
     * denormalization-safety check ("is this column a lookup of that
