@@ -3209,6 +3209,16 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Robust outliers (Profiling.madOutliers): per language, document
+    * lengths beyond 3 MADs of the median — the outlier screen the
+    * outliers themselves cannot skew (a mean/σ z-score gate moves
+    * with every monster doc it should be catching). */
+  private def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Profiling.madOutliers(t.documents, "lang", "n_chars", nMads = 3)
+      .orderBy(col("lang"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3422,6 +3432,7 @@ object SparkEntry {
     "q206_fd_audit" -> (qFdAudit _),
     "q207_sliding_distinct" -> (qSlidingDistinct _),
     "q208_weighted_median" -> (qWeightedMedian _),
+    "q209_mad_outliers" -> (qMadOutliers _),
   )
 
   // -------------------------------------------------------------------
@@ -7746,5 +7757,33 @@ object SparkEntry {
         |FROM cum WHERE c * 2 >= tot
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q209_mad_outliers" ->
+      """WITH base AS (SELECT lang, CAST(n_chars AS BIGINT) AS x
+        |  FROM documents),
+        |m1 AS (SELECT lang, min(x) AS med FROM (
+        |    SELECT lang, x,
+        |      sum(w) OVER (PARTITION BY lang ORDER BY x
+        |        ROWS UNBOUNDED PRECEDING) AS c,
+        |      sum(w) OVER (PARTITION BY lang) AS tot
+        |    FROM (SELECT lang, x, count(*) AS w FROM base GROUP BY 1, 2))
+        |  WHERE c * 2 >= tot GROUP BY lang),
+        |dev AS (SELECT b.lang, b.x, abs(b.x - m1.med) AS d, m1.med
+        |  FROM base b JOIN m1 ON b.lang = m1.lang),
+        |m2 AS (SELECT lang, min(d) AS mad FROM (
+        |    SELECT lang, d,
+        |      sum(w) OVER (PARTITION BY lang ORDER BY d
+        |        ROWS UNBOUNDED PRECEDING) AS c,
+        |      sum(w) OVER (PARTITION BY lang) AS tot
+        |    FROM (SELECT lang, d, count(*) AS w FROM dev GROUP BY 1, 2))
+        |  WHERE c * 2 >= tot GROUP BY lang)
+        |SELECT dev.lang, count(*) AS n,
+        |  CAST(max(dev.med) AS BIGINT) AS median,
+        |  CAST(max(m2.mad) AS BIGINT) AS mad,
+        |  CAST(sum(CASE WHEN dev.d > 3 * m2.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev JOIN m2 ON dev.lang = m2.lang
+        |GROUP BY dev.lang
+        |ORDER BY dev.lang""".stripMargin,
   )
 }

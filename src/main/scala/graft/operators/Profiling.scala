@@ -734,6 +734,35 @@ object Profiling {
         max(col("_tot")).as("total_weight"))
   }
 
+  /** Robust (median/MAD) outlier report per group: median and median
+    * absolute deviation — both EXACT lower medians over distinct-value
+    * domains ([[weightedMedian]] with unit weights) — plus how many
+    * rows sit beyond `nMads` MADs. The robust screen where
+    * mean/stddev-based z-scores are torn up by the outliers they're
+    * hunting. Integer thresholds: |x − med| > nMads·MAD compares
+    * longs, no float boundary. Three group-keyed passes (median,
+    * deviation median, flag count) — each at distinct-value grain. */
+  def madOutliers(df: DataFrame, grpCol: String, valCol: String,
+      nMads: Int = 3): DataFrame = {
+    val base = df.select(col(grpCol), col(valCol).cast("long").as("_x"),
+      lit(1L).as("_one"))
+    val med = weightedMedian(base, grpCol, "_x", "_one")
+      .select(col(grpCol), col("weighted_median").as("_med"))
+    val dev = base.join(med, Seq(grpCol))
+      .withColumn("_d", abs(col("_x") - col("_med")))
+    val mad = weightedMedian(
+        dev.select(col(grpCol), col("_d"), lit(1L).as("_one")),
+        grpCol, "_d", "_one")
+      .select(col(grpCol), col("weighted_median").as("_mad"))
+    dev.join(mad, Seq(grpCol))
+      .groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("_med")).as("median"),
+        max(col("_mad")).as("mad"),
+        sum(when(col("_d") > lit(nMads) * col("_mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** Functional-dependency audit: for each candidate A → B, does every
     * A-value determine ONE B-value — the schema-inference /
     * denormalization-safety check ("is this column a lookup of that
