@@ -3219,6 +3219,21 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** A/B conversion lift (EventAnalytics.abLift): users assigned to
+    * three deterministic variants by id hash bucket, conversion =
+    * ever purchased; every variant pair reports rates, lift, and the
+    * two-proportion z statistic. */
+  private def qAbLift(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val units = t.events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", true)
+        .otherwise(false)).as("converted"))
+      .select(concat(lit("v"), pmod(col("user_id"), lit(3)))
+        .as("variant"), col("converted"))
+    EventAnalytics.abLift(units, "variant", "converted")
+      .orderBy(col("variant_a"), col("variant_b"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3433,6 +3448,7 @@ object SparkEntry {
     "q207_sliding_distinct" -> (qSlidingDistinct _),
     "q208_weighted_median" -> (qWeightedMedian _),
     "q209_mad_outliers" -> (qMadOutliers _),
+    "q210_ab_lift" -> (qAbLift _),
   )
 
   // -------------------------------------------------------------------
@@ -7785,5 +7801,29 @@ object SparkEntry {
         |FROM dev JOIN m2 ON dev.lang = m2.lang
         |GROUP BY dev.lang
         |ORDER BY dev.lang""".stripMargin,
+
+    "q210_ab_lift" ->
+      """WITH units AS (SELECT 'v' || CAST(user_id % 3 AS VARCHAR)
+        |    AS variant,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+        |      AS converted
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT variant, count(*) AS n,
+        |    CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS conv
+        |  FROM units GROUP BY variant)
+        |SELECT a.variant AS variant_a, b.variant AS variant_b,
+        |  a.n AS na, a.conv AS ca, b.n AS nb, b.conv AS cb,
+        |  round(a.conv / CAST(a.n AS DOUBLE), 6) AS rate_a,
+        |  round(b.conv / CAST(b.n AS DOUBLE), 6) AS rate_b,
+        |  round(a.conv / CAST(a.n AS DOUBLE)
+        |    - b.conv / CAST(b.n AS DOUBLE), 6) AS lift,
+        |  round((a.conv / CAST(a.n AS DOUBLE)
+        |      - b.conv / CAST(b.n AS DOUBLE))
+        |    / sqrt((a.conv + b.conv) / CAST(a.n + b.n AS DOUBLE)
+        |      * (1.0 - (a.conv + b.conv) / CAST(a.n + b.n AS DOUBLE))
+        |      * (1.0 / a.n + 1.0 / b.n)), 4) AS z
+        |FROM g a, g b WHERE a.variant < b.variant
+        |ORDER BY variant_a, variant_b""".stripMargin,
   )
 }

@@ -247,4 +247,36 @@ object EventAnalytics {
       .select(col("from_type"), col("to_type"), col("n"),
         round(col("n") / col("_tot"), 6).as("p"))
   }
+
+  /** Pairwise A/B conversion lift with a two-proportion z statistic:
+    * per ordered variant pair, unit counts, conversion rates, absolute
+    * lift, and z under the pooled-proportion null — the closed-form
+    * experiment readout (a |z| ≳ 1.96 pair moved at the 5% level).
+    * The per-variant aggregate is unit-grain (one shuffle); the pair
+    * frame is variants², metadata joined driver-free via a broadcast
+    * self-cross. The z expression's parenthesization is pinned so an
+    * external engine reproduces every digit. */
+  def abLift(units: DataFrame, variantCol: String,
+      convertedCol: String): DataFrame = {
+    val g = units.groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(convertedCol), 1L).otherwise(0L)).as("conv"))
+    val a = g.select(col("variant").as("variant_a"), col("n").as("na"),
+      col("conv").as("ca"))
+    val b = g.select(col("variant").as("variant_b"), col("n").as("nb"),
+      col("conv").as("cb"))
+    val pa = col("ca") / col("na").cast("double")
+    val pb = col("cb") / col("nb").cast("double")
+    val pool = (col("ca") + col("cb")) / (col("na") + col("nb"))
+      .cast("double")
+    a.crossJoin(broadcast(b))
+      .filter(col("variant_a") < col("variant_b"))
+      .select(col("variant_a"), col("variant_b"),
+        col("na"), col("ca"), col("nb"), col("cb"),
+        round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+        round(pa - pb, 6).as("lift"),
+        round((pa - pb) /
+          sqrt(pool * (lit(1.0) - pool) *
+            (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 4).as("z"))
+  }
 }
