@@ -3234,6 +3234,31 @@ object SparkEntry {
       .orderBy(col("variant_a"), col("variant_b"))
   }
 
+  /** Header/detail reconciliation (EntityResolution.reconcile):
+    * o_totalprice vs the sum of its lineitems' extended prices, in
+    * exact cents, summarized per order status — how big and how
+    * frequent the rollup disagreement is (the synthetic generator
+    * does NOT maintain the invariant, which is precisely what a
+    * reconciliation audit exists to expose). */
+  private def qReconcile(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val rows = EntityResolution.reconcile(
+      t.orders, "o_orderkey",
+      round(col("o_totalprice") * 100).cast("long"),
+      t.lineitem, "l_orderkey",
+      round(col("l_extendedprice") * 100).cast("long"))
+    rows.join(t.orders.select(col("o_orderkey"), col("o_orderstatus")),
+        Seq("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("n_lines") === 0, 1L).otherwise(0L))
+          .as("n_no_lines"),
+        sum(when(col("diff_cents") =!= 0, 1L).otherwise(0L))
+          .as("n_mismatched"),
+        max(abs(col("diff_cents"))).as("max_abs_diff_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3449,6 +3474,7 @@ object SparkEntry {
     "q208_weighted_median" -> (qWeightedMedian _),
     "q209_mad_outliers" -> (qMadOutliers _),
     "q210_ab_lift" -> (qAbLift _),
+    "q211_reconcile" -> (qReconcile _),
   )
 
   // -------------------------------------------------------------------
@@ -7825,5 +7851,23 @@ object SparkEntry {
         |      * (1.0 / a.n + 1.0 / b.n)), 4) AS z
         |FROM g a, g b WHERE a.variant < b.variant
         |ORDER BY variant_a, variant_b""".stripMargin,
+
+    "q211_reconcile" ->
+      """WITH sums AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rc, count(*) AS n_lines
+        |  FROM lineitem GROUP BY l_orderkey),
+        |r AS (SELECT o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS dc,
+        |    sums.rc, coalesce(sums.n_lines, 0) AS n_lines
+        |  FROM orders LEFT JOIN sums ON o_orderkey = l_orderkey)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN n_lines = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_no_lines,
+        |  CAST(sum(CASE WHEN dc - rc <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mismatched,
+        |  CAST(max(abs(dc - rc)) AS BIGINT) AS max_abs_diff_cents
+        |FROM r GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
   )
 }

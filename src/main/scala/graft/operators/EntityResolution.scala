@@ -111,6 +111,27 @@ object EntityResolution {
     df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Header/detail reconciliation: per header row, the declared amount
+    * vs the sum recomputed from its detail lines, both in exact
+    * integer cents — the "does the rollup column actually roll up"
+    * audit between fact tables. Returns header-grain rows with the
+    * difference; headers with NO detail lines surface with a null
+    * recomputed sum (a dropped-lines bug looks exactly like that, and
+    * an inner join would hide it). One detail-grain aggregate + one
+    * key-grain join. */
+  def reconcile(header: DataFrame, keyCol: String, declaredCents: Column,
+      detail: DataFrame, detailKeyCol: String,
+      detailCents: Column): DataFrame = {
+    val sums = detail.groupBy(col(detailKeyCol).as(keyCol))
+      .agg(sum(detailCents).as("recomputed_cents"),
+        count(lit(1)).as("n_lines"))
+    header.select(col(keyCol), declaredCents.as("declared_cents"))
+      .join(sums, Seq(keyCol), "left")
+      .select(col(keyCol), col("declared_cents"), col("recomputed_cents"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        (col("declared_cents") - col("recomputed_cents")).as("diff_cents"))
+  }
+
   def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
     val digit = substring(
       floor(col(valueCol)).cast("long").cast("string"), 1, 1).cast("int")
