@@ -3259,6 +3259,17 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Activity streaks (EventAnalytics.activityStreaks): per user, how
+    * many consecutive-day runs their activity splits into, the longest
+    * run, and total active days — the gaps-and-islands idiom. */
+  private def qStreaks(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    EventAnalytics.activityStreaks(
+        t.events.select(col("user_id"), col("ts").cast("date").as("day")),
+        "user_id", "day")
+      .orderBy(col("user_id"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3475,6 +3486,7 @@ object SparkEntry {
     "q209_mad_outliers" -> (qMadOutliers _),
     "q210_ab_lift" -> (qAbLift _),
     "q211_reconcile" -> (qReconcile _),
+    "q212_streaks" -> (qStreaks _),
   )
 
   // -------------------------------------------------------------------
@@ -7869,5 +7881,20 @@ object SparkEntry {
         |  CAST(max(abs(dc - rc)) AS BIGINT) AS max_abs_diff_cents
         |FROM r GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q212_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |isl AS (SELECT user_id,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY day) AS INT) AS grp
+        |  FROM days),
+        |runs AS (SELECT user_id, grp, count(*) AS len
+        |  FROM isl GROUP BY user_id, grp)
+        |SELECT user_id, count(*) AS n_streaks,
+        |  CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(sum(len) AS BIGINT) AS active_days
+        |FROM runs GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
   )
 }

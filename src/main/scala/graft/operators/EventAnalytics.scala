@@ -248,6 +248,27 @@ object EventAnalytics {
         round(col("n") / col("_tot"), 6).as("p"))
   }
 
+  /** Consecutive-day activity streaks (the gaps-and-islands shape):
+    * distinct active days per user collapse to runs of consecutive
+    * dates via the rank-offset island key (day − row_number is
+    * constant exactly along a consecutive run), then per user: streak
+    * count, longest streak, total active days. Two user-keyed
+    * operations sharing one shuffle partitioning — distinct days,
+    * window, island aggregate, user aggregate. */
+  def activityStreaks(events: DataFrame, userCol: String,
+      dayCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(dayCol))
+    val islands = events.select(col(userCol), col(dayCol)).distinct()
+      .withColumn("_grp", date_sub(col(dayCol), row_number().over(w)))
+      .groupBy(col(userCol), col("_grp"))
+      .agg(count(lit(1)).as("_len"))
+    islands.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("_len")).as("longest_streak"),
+        sum(col("_len")).as("active_days"))
+  }
+
   /** Pairwise A/B conversion lift with a two-proportion z statistic:
     * per ordered variant pair, unit counts, conversion rates, absolute
     * lift, and z under the pooled-proportion null — the closed-form
