@@ -3270,6 +3270,22 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** 2-D skyline (Profiling.skyline2D): per brand, parts on the
+    * (price ↓, size ↑) Pareto front — no other part of the brand is
+    * both no-more-expensive and no-smaller with one strict. The
+    * window formulation replaces the quadratic EXISTS; the oracle
+    * IS the quadratic EXISTS, so the front must agree exactly. */
+  private def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val p = t.part.select(col("p_brand"), col("p_partkey"),
+      round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+      col("p_size"))
+    Profiling.skyline2D(p, "p_brand", "price_cents", "p_size")
+      .select(col("p_brand"), col("p_partkey"), col("price_cents"),
+        col("p_size"))
+      .orderBy(col("p_brand"), col("p_partkey"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3487,6 +3503,7 @@ object SparkEntry {
     "q210_ab_lift" -> (qAbLift _),
     "q211_reconcile" -> (qReconcile _),
     "q212_streaks" -> (qStreaks _),
+    "q213_skyline" -> (qSkyline _),
   )
 
   // -------------------------------------------------------------------
@@ -7896,5 +7913,20 @@ object SparkEntry {
         |  CAST(sum(len) AS BIGINT) AS active_days
         |FROM runs GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    // the independent quadratic dominance definition — the window
+    // formulation must reproduce it exactly
+    "q213_skyline" ->
+      """WITH p AS (SELECT p_brand, p_partkey,
+        |    CAST(round(p_retailprice * 100, 0) AS BIGINT)
+        |      AS price_cents, p_size
+        |  FROM part)
+        |SELECT p_brand, p_partkey, price_cents, p_size
+        |FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.p_brand = a.p_brand
+        |    AND b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+        |    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+        |ORDER BY p_brand, p_partkey""".stripMargin,
   )
 }

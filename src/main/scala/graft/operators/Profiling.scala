@@ -763,6 +763,30 @@ object Profiling {
           .as("n_outliers"))
   }
 
+  /** 2-D skyline (Pareto front) per group: rows not dominated by any
+    * other (x lower-or-equal AND y higher-or-equal, one strict) —
+    * "cheapest for its size class". The EXISTS formulation plans a
+    * quadratic nested-loop; in 2-D the front falls out of ONE window:
+    * on the DISTINCT (x, y) grain ordered by (x asc, y desc), a pair
+    * is on the front iff its y strictly beats the running max over the
+    * preceding rows (anything earlier is no-more-expensive; beating
+    * its best y means nothing dominates). Distinct grain makes ties
+    * exact: equal-(x, y) duplicates are all undominated and all
+    * return via the semi-join back. */
+  def skyline2D(df: DataFrame, grpCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val pairs = df.select(col(grpCol), col(xCol), col(yCol)).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(grpCol)).orderBy(col(xCol), col(yCol).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val front = pairs
+      .withColumn("_pm", max(col(yCol)).over(w))
+      .filter(col("_pm").isNull || col(yCol) > col("_pm"))
+      .select(col(grpCol), col(xCol), col(yCol))
+    df.join(front, Seq(grpCol, xCol, yCol), "left_semi")
+  }
+
   /** Functional-dependency audit: for each candidate A → B, does every
     * A-value determine ONE B-value — the schema-inference /
     * denormalization-safety check ("is this column a lookup of that
