@@ -3286,6 +3286,53 @@ object SparkEntry {
       .orderBy(col("p_brand"), col("p_partkey"))
   }
 
+  /** Per-group mode (Profiling.modeBy): each language's most frequent
+    * source, with the winner's count and the count-tie width —
+    * deterministic smallest-value tiebreak. */
+  private def qMode(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Profiling.modeBy(t.documents, "lang", "source")
+      .orderBy(col("lang"))
+  }
+
+  /** Conversion-lag CDF: of users who signed up, what share had
+    * purchased within d days of their FIRST signup, for d = 0..7 —
+    * first-touch timestamps from one user-grain aggregate, day-grain
+    * counts, one cumulative window over eight rows. Users whose first
+    * purchase predates signup count at lag 0 (clamped — the synthetic
+    * stream has no causality guarantee, and dropping them would
+    * overstate the funnel). */
+  private def qConversionLag(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val firsts = t.events
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", unix_micros(col("ts"))))
+          .as("s_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("p_us"))
+      .filter(col("s_us").isNotNull)
+      .localCheckpoint(false)
+    val total = firsts.agg(count(lit(1)).as("n_signup"))
+    val lags = firsts.filter(col("p_us").isNotNull)
+      .select(greatest(
+        floor((col("p_us") - col("s_us")) / 86400000000L).cast("long"),
+        lit(0L)).as("lag_days"))
+      .filter(col("lag_days") <= 7)
+      .groupBy(col("lag_days")).agg(count(lit(1)).as("n_day"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lag_days"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    lags
+      .withColumn("n_cum", sum(col("n_day")).over(wc))
+      .crossJoin(broadcast(total))
+      .select(col("lag_days"), col("n_cum"),
+        round(col("n_cum") / col("n_signup").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("lag_days"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3504,6 +3551,8 @@ object SparkEntry {
     "q211_reconcile" -> (qReconcile _),
     "q212_streaks" -> (qStreaks _),
     "q213_skyline" -> (qSkyline _),
+    "q214_mode" -> (qMode _),
+    "q215_conversion_lag" -> (qConversionLag _),
   )
 
   // -------------------------------------------------------------------
@@ -7928,5 +7977,42 @@ object SparkEntry {
         |    AND b.price_cents <= a.price_cents AND b.p_size >= a.p_size
         |    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
         |ORDER BY p_brand, p_partkey""".stripMargin,
+
+    "q214_mode" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n
+        |  FROM documents GROUP BY lang, source),
+        |m AS (SELECT lang, max(n) AS mx FROM c GROUP BY lang),
+        |t AS (SELECT c.lang, CAST(count(*) AS BIGINT) AS n_tied
+        |  FROM c JOIN m ON c.lang = m.lang AND c.n = m.mx
+        |  GROUP BY c.lang),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY n DESC, source) AS rk FROM c)
+        |SELECT r.lang, source AS mode, n AS n_mode, n_tied
+        |FROM r JOIN t ON r.lang = t.lang
+        |WHERE rk = 1
+        |ORDER BY r.lang""".stripMargin,
+
+    "q215_conversion_lag" ->
+      """WITH f AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+        |      AS s_us,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      AS p_us
+        |  FROM events GROUP BY user_id),
+        |s AS (SELECT * FROM f WHERE s_us IS NOT NULL),
+        |tot AS (SELECT count(*) AS n_signup FROM s),
+        |lags AS (SELECT greatest(CAST(floor((p_us - s_us) / 86400000000.0)
+        |      AS BIGINT), 0) AS lag_days
+        |  FROM s WHERE p_us IS NOT NULL),
+        |days AS (SELECT lag_days, count(*) AS n_day FROM lags
+        |  WHERE lag_days <= 7 GROUP BY lag_days)
+        |SELECT lag_days,
+        |  CAST(sum(n_day) OVER (ORDER BY lag_days
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum,
+        |  round(sum(n_day) OVER (ORDER BY lag_days
+        |    ROWS UNBOUNDED PRECEDING)
+        |    / CAST((SELECT n_signup FROM tot) AS DOUBLE), 6) AS share
+        |FROM days
+        |ORDER BY lag_days""".stripMargin,
   )
 }

@@ -787,6 +787,27 @@ object Profiling {
     df.join(front, Seq(grpCol, xCol, yCol), "left_semi")
   }
 
+  /** Deterministic per-group mode: the most frequent value, smallest
+    * value on count ties (an arbitrary-but-pinned tiebreak — engines
+    * otherwise disagree silently). Value-grain count then a rank-1
+    * WindowGroupLimit prune; reports the winner's count and how many
+    * values tied it. */
+  def modeBy(df: DataFrame, grpCol: String, valCol: String): DataFrame = {
+    val counts = df.groupBy(col(grpCol), col(valCol))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(grpCol)).orderBy(col("n").desc, col(valCol))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(grpCol))
+    counts
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("n_tied", sum(when(col("n") === max(col("n")).over(wAll),
+        1L).otherwise(0L)).over(wAll))
+      .filter(col("_rk") === 1)
+      .select(col(grpCol), col(valCol).as("mode"), col("n").as("n_mode"),
+        col("n_tied"))
+  }
+
   /** Functional-dependency audit: for each candidate A → B, does every
     * A-value determine ONE B-value — the schema-inference /
     * denormalization-safety check ("is this column a lookup of that
