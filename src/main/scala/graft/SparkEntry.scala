@@ -3333,6 +3333,62 @@ object SparkEntry {
       .orderBy(col("lag_days"))
   }
 
+  /** Daily bounce rate over q24's session definition (30-minute
+    * inactivity gap): per day of session start, sessions, single-event
+    * bounces, and the rate — the session-quality metric layered on the
+    * sessionizer, one extra day-grain aggregate. */
+  private def qBounceRate(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"))
+    val sessions = t.events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("_prev", lag(col("us"), 1).over(w))
+      .withColumn("_new", when(col("_prev").isNull ||
+        col("us") - col("_prev") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("_new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"))
+    sessions
+      .groupBy(timestamp_micros(col("start_us")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("day"), col("n_sessions"), col("n_bounces"),
+        round(col("n_bounces") / col("n_sessions").cast("double"), 6)
+          .as("bounce_rate"))
+      .orderBy(col("day"))
+  }
+
+  /** Exact audience overlap matrix — the ground truth q202's sketch
+    * algebra estimates: per event-type pair, users active in BOTH,
+    * union, and exact Jaccard. Distinct (user, type) first; the
+    * self-join keys on user and a user meets only its own handful of
+    * types, so the pair stream is bounded by Σ_user types(user)². */
+  private def qAudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ut = t.events.select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint(false)
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val both = ut.select(col("user_id"), col("event_type").as("g1"))
+      .join(ut.select(col("user_id"), col("event_type").as("g2")),
+        Seq("user_id"))
+      .filter(col("g1") < col("g2"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(sizes.select(col("event_type").as("g1"),
+        col("n").as("n1"))), Seq("g1"))
+      .join(broadcast(sizes.select(col("event_type").as("g2"),
+        col("n").as("n2"))), Seq("g2"))
+      .select(col("g1"), col("g2"), col("n_both"),
+        (col("n1") + col("n2") - col("n_both")).as("n_union"),
+        round(col("n_both").cast("double") /
+          (col("n1") + col("n2") - col("n_both")), 6).as("jaccard"))
+      .orderBy(col("g1"), col("g2"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3553,6 +3609,8 @@ object SparkEntry {
     "q213_skyline" -> (qSkyline _),
     "q214_mode" -> (qMode _),
     "q215_conversion_lag" -> (qConversionLag _),
+    "q216_bounce_rate" -> (qBounceRate _),
+    "q217_audience_overlap" -> (qAudienceOverlap _),
   )
 
   // -------------------------------------------------------------------
@@ -8014,5 +8072,45 @@ object SparkEntry {
         |    / CAST((SELECT n_signup FROM tot) AS DOUBLE), 6) AS share
         |FROM days
         |ORDER BY lag_days""".stripMargin,
+
+    "q216_bounce_rate" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |lagged AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+        |    ORDER BY us) AS prev_us FROM e),
+        |flagged AS (SELECT *, CASE WHEN prev_us IS NULL
+        |    OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM lagged),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS UNBOUNDED PRECEDING) AS session_idx FROM flagged),
+        |sess AS (SELECT user_id, session_idx, count(*) AS n_events,
+        |    min(us) AS start_us
+        |  FROM s GROUP BY user_id, session_idx),
+        |d AS (SELECT CAST(make_timestamp(start_us) AS DATE) AS day,
+        |    n_events FROM sess)
+        |SELECT day, count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounces,
+        |  round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+        |FROM d GROUP BY day
+        |ORDER BY day""".stripMargin,
+
+    "q217_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sizes AS (SELECT event_type, count(*) AS n FROM ut
+        |  GROUP BY event_type),
+        |ovl AS (SELECT a.event_type AS g1, b.event_type AS g2,
+        |    count(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT g1, g2, n_both,
+        |  s1.n + s2.n - n_both AS n_union,
+        |  round(CAST(n_both AS DOUBLE) / (s1.n + s2.n - n_both), 6)
+        |    AS jaccard
+        |FROM ovl
+        |JOIN sizes s1 ON s1.event_type = g1
+        |JOIN sizes s2 ON s2.event_type = g2
+        |ORDER BY g1, g2""".stripMargin,
   )
 }
