@@ -3389,6 +3389,46 @@ object SparkEntry {
       .orderBy(col("g1"), col("g2"))
   }
 
+  /** Year-over-year growth per nation: order-year revenue with the
+    * prior year's via one partitioned lag, growth null on the first
+    * year (no fabricated zero base). Post-aggregation windowing — the
+    * lag runs over nation×year grain, never the fact rows. */
+  private def qYoyGrowth(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val yearly = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("order_year"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nation")).orderBy(col("order_year"))
+    yearly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .select(col("nation"), col("order_year"), col("revenue"),
+        col("prev_revenue"),
+        round((col("revenue") - col("prev_revenue")) * 100.0 /
+          col("prev_revenue"), 4).as("yoy_pct"))
+      .orderBy(col("nation"), col("order_year"))
+  }
+
+  /** Ratio-to-report: each order priority's share of its status's
+    * total revenue — aggregate once, then a group-total window over
+    * the status×priority grain (never a second scan or a scalar
+    * subquery per group). */
+  private def qRevenueShare(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val g = t.orders.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(col("o_totalprice")).as("_rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+    g.select(col("o_orderstatus"), col("o_orderpriority"),
+        round(col("_rev"), 2).as("revenue"),
+        round(col("_rev") * 100.0 / sum(col("_rev")).over(w), 4)
+          .as("share_pct"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3611,6 +3651,8 @@ object SparkEntry {
     "q215_conversion_lag" -> (qConversionLag _),
     "q216_bounce_rate" -> (qBounceRate _),
     "q217_audience_overlap" -> (qAudienceOverlap _),
+    "q218_yoy_growth" -> (qYoyGrowth _),
+    "q219_revenue_share" -> (qRevenueShare _),
   )
 
   // -------------------------------------------------------------------
@@ -8112,5 +8154,32 @@ object SparkEntry {
         |JOIN sizes s1 ON s1.event_type = g1
         |JOIN sizes s2 ON s2.event_type = g2
         |ORDER BY g1, g2""".stripMargin,
+
+    "q218_yoy_growth" ->
+      """WITH yearly AS (SELECT n_name AS nation,
+        |    CAST(year(o_orderdate) AS INT) AS order_year,
+        |    round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT nation, order_year, revenue,
+        |  lag(revenue) OVER w AS prev_revenue,
+        |  round((revenue - lag(revenue) OVER w) * 100.0
+        |    / lag(revenue) OVER w, 4) AS yoy_pct
+        |FROM yearly
+        |WINDOW w AS (PARTITION BY nation ORDER BY order_year)
+        |ORDER BY nation, order_year""".stripMargin,
+
+    "q219_revenue_share" ->
+      """WITH g AS (SELECT o_orderstatus, o_orderpriority,
+        |    sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus, o_orderpriority,
+        |  round(rev, 2) AS revenue,
+        |  round(rev * 100.0 / sum(rev) OVER
+        |    (PARTITION BY o_orderstatus), 4) AS share_pct
+        |FROM g
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
   )
 }
