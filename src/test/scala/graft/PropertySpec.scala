@@ -450,6 +450,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("weightedMedian: equals the expanded-multiset lower median (generated)") {
+    import graft.operators.Profiling
+    val gen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(-50L, 50L), Gen.choose(1L, 5L)))
+    samples(gen, 25).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.map { case (v, w) => ("g", v, w) }.toDF("g", "v", "w")
+      val got = Profiling.weightedMedian(df, "g", "v", "w")
+        .collect().head.getLong(1)
+      // reference: expand each value w times, lower median of the sorted list
+      val expanded = rows.flatMap { case (v, w) =>
+        Seq.fill(w.toInt)(v) }.sorted
+      val want = expanded((expanded.size - 1) / 2)
+      assert(got == want, s"case $i: got $got want $want rows=$rows")
+    }
+  }
+
+  test("skyline2D: equals brute-force dominance filter (generated points)") {
+    import graft.operators.Profiling
+    val gen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 20L), Gen.choose(0L, 20L)))
+    samples(gen, 20).zipWithIndex.foreach { case (pts, i) =>
+      val df = pts.zipWithIndex.map { case ((x, y), id) =>
+        ("g", x, y, id.toLong) }.toDF("g", "x", "y", "id")
+      val got = df.transform(d =>
+          Profiling.skyline2D(d, "g", "x", "y"))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = pts.zipWithIndex.filterNot { case ((x, y), _) =>
+        pts.exists { case (qx, qy) =>
+          qx <= x && qy >= y && (qx < x || qy > y) }
+      }.map(_._2.toLong).toSet
+      assert(got == want, s"case $i: got $got want $want pts=$pts")
+    }
+  }
+
+  test("modeBy: winner has max count, smallest value on ties (generated)") {
+    import graft.operators.Profiling
+    val gen = Gen.listOfN(50, Gen.choose(0, 9).map(_.toString))
+    samples(gen, 25).zipWithIndex.foreach { case (vals, i) =>
+      val df = vals.map(("g", _)).toDF("g", "v")
+      val r = Profiling.modeBy(df, "g", "v").collect().head
+      val counts = vals.groupBy(identity).view.mapValues(_.size).toMap
+      val mx = counts.values.max
+      val want = counts.filter(_._2 == mx).keys.min
+      assert(r.getString(1) == want && r.getLong(2) == mx.toLong &&
+        r.getLong(3) == counts.count(_._2 == mx).toLong,
+        s"case $i: got $r want ($want, $mx) vals=$vals")
+    }
+  }
+
   test("foldText: idempotent and ascii-stable (generated strings)") {
     import graft.functions.TextExpressions.foldText
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
