@@ -3429,6 +3429,26 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
   }
 
+  /** Melt / unpivot round-trip: the lang×source count matrix pivoted
+    * WIDE (q07's shape) and melted back long with `stack` — proving
+    * the wide form loses nothing. The oracle computes the long form
+    * directly, so pivot→melt must be the identity on present cells
+    * (absent combinations stack as nulls and are filtered, matching
+    * the long form's absence). */
+  private def qMeltRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val sources = t.documents.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val wide = t.documents.groupBy(col("lang"))
+      .pivot("source", sources).agg(count(lit(1)))
+    val stackExpr = s"stack(${sources.length}, " +
+      sources.map(src => s"'$src', `$src`").mkString(", ") +
+      ") as (source, n_docs)"
+    wide.select(col("lang"), expr(stackExpr))
+      .filter(col("n_docs").isNotNull)
+      .orderBy(col("lang"), col("source"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3653,6 +3673,7 @@ object SparkEntry {
     "q217_audience_overlap" -> (qAudienceOverlap _),
     "q218_yoy_growth" -> (qYoyGrowth _),
     "q219_revenue_share" -> (qRevenueShare _),
+    "q220_melt_roundtrip" -> (qMeltRoundtrip _),
   )
 
   // -------------------------------------------------------------------
@@ -8181,5 +8202,11 @@ object SparkEntry {
         |    (PARTITION BY o_orderstatus), 4) AS share_pct
         |FROM g
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q220_melt_roundtrip" ->
+      """SELECT lang, source, count(*) AS n_docs
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
   )
 }
