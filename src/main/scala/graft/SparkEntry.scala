@@ -3449,6 +3449,54 @@ object SparkEntry {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** View→purchase conversion via the NATIVE as-of join (second
+    * workload through plans.AsOfJoin): each purchase picks the user's
+    * most recent prior-or-same-instant view, and converts if it was
+    * within the hour — per day, purchases, view-attributed purchases,
+    * and within-the-hour conversions. */
+  private def qViewToPurchase(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("us"))
+      .agg(count(lit(1)).as("_n"))
+      .select(col("user_id"), col("us"), col("us").as("view_us"))
+    TimeSeriesOps.asofJoinNative(purchases, views, Seq("user_id"), "us",
+        Seq("view_us"))
+      .groupBy(timestamp_micros(col("us")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("asof_view_us").isNotNull, 1L).otherwise(0L))
+          .as("n_attributed"),
+        sum(when(col("us") - col("asof_view_us") <= 3600000000L, 1L)
+          .otherwise(0L)).as("n_within_hour"))
+      .orderBy(col("day"))
+  }
+
+  /** Inter-event gap histogram: per event type, user-keyed consecutive
+    * gaps bucketed by decimal order of magnitude (log10 seconds) — the
+    * cadence fingerprint that separates machine bursts from human
+    * pacing at a glance. One keyed window + one bucket-grain count. */
+  private def qGapHistogram(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("user_id")).orderBy(col("us"))
+    t.events.select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("_gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("_gap").isNotNull && col("_gap") > 0)
+      // exact integer decade: floor(log10(n)) == digits(n) − 1 for any
+      // positive integer, minus 6 to land in seconds — no libm, so no
+      // engine disagreement at exact powers of ten
+      .withColumn("log10_s",
+        (length(col("_gap").cast("string")) - 7).cast("int"))
+      .groupBy(col("event_type"), col("log10_s"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .orderBy(col("event_type"), col("log10_s"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3674,6 +3722,8 @@ object SparkEntry {
     "q218_yoy_growth" -> (qYoyGrowth _),
     "q219_revenue_share" -> (qRevenueShare _),
     "q220_melt_roundtrip" -> (qMeltRoundtrip _),
+    "q221_view_to_purchase" -> (qViewToPurchase _),
+    "q222_gap_histogram" -> (qGapHistogram _),
   )
 
   // -------------------------------------------------------------------
@@ -8208,5 +8258,34 @@ object SparkEntry {
         |FROM documents
         |GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+
+    "q221_view_to_purchase" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        |p AS (SELECT user_id, us FROM ev WHERE event_type = 'purchase'),
+        |v AS (SELECT DISTINCT user_id, us AS view_us FROM ev
+        |  WHERE event_type = 'view')
+        |SELECT CAST(make_timestamp(p.us) AS DATE) AS day,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CASE WHEN view_us IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_attributed,
+        |  CAST(sum(CASE WHEN p.us - view_us <= 3600000000 THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_within_hour
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.us >= v.view_us
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q222_gap_histogram" ->
+      """WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS us
+        |  FROM events),
+        |g AS (SELECT event_type, us - lag(us) OVER (PARTITION BY
+        |    event_type, user_id ORDER BY us) AS gap FROM e)
+        |SELECT event_type,
+        |  CAST(len(CAST(gap AS VARCHAR)) - 7 AS INT) AS log10_s,
+        |  count(*) AS n_gaps
+        |FROM g WHERE gap IS NOT NULL AND gap > 0
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
   )
 }
