@@ -3497,6 +3497,50 @@ object SparkEntry {
       .orderBy(col("event_type"), col("log10_s"))
   }
 
+  /** Top user journeys: each user's first five event types in exact
+    * (timestamp, event_id) order joined into a path string, counted
+    * across users — the "what do people actually do first" view. The
+    * rank-5 prefilter prunes as WindowGroupLimit; the path assembles
+    * from ONE array_sort over the per-user collected structs (total
+    * order ⇒ engine-identical strings). */
+  private def qTopJourneys(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val journeys = t.events.select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 5)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("us"), col("event_id"),
+          col("event_type")))),
+        x => x.getField("event_type"))).as("journey"))
+    journeys.groupBy(col("journey")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("journey"))
+      .limit(10)
+  }
+
+  /** Point-in-time reconstruction from q134's SCD2 intervals: the
+    * state of every user AS OF 2024-01-15 12:00 UTC, summarized per
+    * state — the time-travel consumer the validity intervals exist
+    * for (half-open [from, to), open tail). */
+  private def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val asOfUs = 1705320000000000L
+    val ev = t.events.select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+    EventAnalytics.validityIntervals(ev, "user_id", "us", "event_id",
+        "event_type")
+      .filter(col("valid_from") <= asOfUs &&
+        (col("valid_to").isNull || col("valid_to") > asOfUs))
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("state"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3724,6 +3768,8 @@ object SparkEntry {
     "q220_melt_roundtrip" -> (qMeltRoundtrip _),
     "q221_view_to_purchase" -> (qViewToPurchase _),
     "q222_gap_histogram" -> (qGapHistogram _),
+    "q223_top_journeys" -> (qTopJourneys _),
+    "q224_time_travel" -> (qTimeTravel _),
   )
 
   // -------------------------------------------------------------------
@@ -8287,5 +8333,39 @@ object SparkEntry {
         |FROM g WHERE gap IS NOT NULL AND gap > 0
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    "q223_top_journeys" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type FROM events),
+        |r AS (SELECT user_id, event_type, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id) AS rn FROM e),
+        |j AS (SELECT user_id,
+        |    array_to_string(list(event_type ORDER BY rn), '>')
+        |      AS journey
+        |  FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT journey, count(*) AS n_users
+        |FROM j GROUP BY journey
+        |ORDER BY n_users DESC, journey
+        |LIMIT 10""".stripMargin,
+
+    "q224_time_travel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type FROM events),
+        |c AS (SELECT user_id, event_type, us,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS prev,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS rn FROM e),
+        |ch AS (SELECT user_id, event_type AS state, us AS valid_from
+        |  FROM c WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |iv AS (SELECT user_id, state, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from, state) AS valid_to FROM ch)
+        |SELECT state, count(*) AS n_users
+        |FROM iv
+        |WHERE valid_from <= 1705320000000000
+        |  AND (valid_to IS NULL OR valid_to > 1705320000000000)
+        |GROUP BY state
+        |ORDER BY state""".stripMargin,
   )
 }
