@@ -3541,6 +3541,56 @@ object SparkEntry {
       .orderBy(col("state"))
   }
 
+  /** Trailing-7-day revenue via a RANGE window frame (every other
+    * window in the suite is a ROWS frame; a calendar-trailing sum must
+    * be RANGE over epoch days or missing days silently shrink the
+    * window): per order day, that day's and the trailing week's
+    * revenue in exact cents. */
+  private def qRollingRevenue(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val daily = t.orders
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("epoch_day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("day_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("epoch_day")).rangeBetween(-6, 0)
+    daily
+      .withColumn("week_cents", sum(col("day_cents")).over(w))
+      .select(date_add(lit("1970-01-01").cast("date"),
+          col("epoch_day").cast("int")).as("day"),
+        col("day_cents"), col("week_cents"))
+      .orderBy(col("day"))
+  }
+
+  /** Coverage cutoff: per language, the smallest prefix of sources
+    * (largest first) covering ≥ 80% of documents — "how many sources
+    * until the corpus is mostly explained". Share ranks prune as a
+    * window; the first-crossing filter keeps the whole qualifying
+    * prefix INCLUDING the row that crosses. Exact integer crossing:
+    * 5·cum ≥ 4·total. */
+  private def qCoverageCutoff(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val counts = t.documents.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("source"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+    counts
+      .withColumn("_cum", sum(col("n")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .withColumn("_tot", sum(col("n")).over(wAll))
+      // keep every source up to and including the 80% crossing: rows
+      // whose PRECEDING cumulative is still short of the bar
+      .filter((col("_cum") - col("n")) * 5 < col("_tot") * 4)
+      .select(col("lang"), col("source"), col("n"),
+        round(col("_cum") / col("_tot").cast("double"), 6)
+          .as("cum_share"))
+      .orderBy(col("lang"), col("cum_share"), col("source"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3770,6 +3820,8 @@ object SparkEntry {
     "q222_gap_histogram" -> (qGapHistogram _),
     "q223_top_journeys" -> (qTopJourneys _),
     "q224_time_travel" -> (qTimeTravel _),
+    "q225_rolling_revenue" -> (qRollingRevenue _),
+    "q226_coverage_cutoff" -> (qCoverageCutoff _),
   )
 
   // -------------------------------------------------------------------
@@ -8367,5 +8419,33 @@ object SparkEntry {
         |  AND (valid_to IS NULL OR valid_to > 1705320000000000)
         |GROUP BY state
         |ORDER BY state""".stripMargin,
+
+    "q225_rolling_revenue" ->
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS epoch_day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS day_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT DATE '1970-01-01' + CAST(epoch_day AS INT) AS day,
+        |  day_cents,
+        |  CAST(sum(day_cents) OVER (ORDER BY epoch_day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS week_cents
+        |FROM daily
+        |ORDER BY day""".stripMargin,
+
+    "q226_coverage_cutoff" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n
+        |  FROM documents GROUP BY lang, source),
+        |r AS (SELECT *, sum(n) OVER (PARTITION BY lang
+        |    ORDER BY n DESC, source ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(n) OVER (PARTITION BY lang) AS tot
+        |  FROM c)
+        |SELECT lang, source, n,
+        |  round(cum / CAST(tot AS DOUBLE), 6) AS cum_share
+        |FROM r
+        |WHERE (cum - n) * 5 < tot * 4
+        |ORDER BY lang, cum_share, source""".stripMargin,
   )
 }
