@@ -568,11 +568,20 @@ object TimeSeriesOps {
     * Exactness: values in integer cents × µs durations accumulate in
     * DECIMAL(38,0) (cents·µs products cross 2⁶³ after a few hundred
     * rows); the quotient is the ONLY floating-point step. One keyed
-    * window (lead) + one aggregate — single shuffle on the key. */
+    * window (lead) + one aggregate — single shuffle on the key.
+    *
+    * Determinism: duplicate timestamps within a key make the lead()
+    * ordering — and therefore WHICH tied observation carries the
+    * nonzero duration — implementation-dependent. `tieCols` breaks
+    * the tie (e.g. an event id): tied-but-earlier rows get duration
+    * 0 and drop out of the weighting, the last tied row holds the
+    * interval. Callers with possibly-tied data MUST pass a unique
+    * tiebreak or the result is order-dependent. */
   def twap(df: DataFrame, keyCols: Seq[String], tsUsCol: String,
-      centsCol: String): DataFrame = {
+      centsCol: String, tieCols: Seq[String] = Nil): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*).orderBy(col(tsUsCol))
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsUsCol) +: tieCols.map(col): _*)
     val dec = "decimal(38,0)"
     df.withColumn("_dur", lead(col(tsUsCol), 1).over(w) - col(tsUsCol))
       .filter(col("_dur").isNotNull)
