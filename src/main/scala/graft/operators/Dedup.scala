@@ -741,20 +741,34 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster")
   }
 
-  /** 32-bit SimHash per doc: per token-bit contribution ±count, bit j of
-    * the hash set when the summed contribution is positive. Two narrow
-    * shuffles (doc×bit, then doc). */
+  /** `nBits`-wide SimHash per doc (up to 64): per token-bit
+    * contribution ±count, bit j of the hash set when the summed
+    * contribution is positive. Two narrow shuffles (doc×bit, then
+    * doc).
+    *
+    * Bits ≥ 32 draw from a SECOND md5 window of the same token digest
+    * (hex chars 9-16, [[GF.hash32]] at offset 9) — the fingerprint
+    * widens to 64 bits without a new hash family, the oracle
+    * reproduces both windows from one md5, and nBits ≤ 32 callers are
+    * byte-identical to before (the second window never evaluates).
+    * Bit 63, when set, lands on the long's sign bit — both Spark's
+    * `shiftleft` and two's-complement summation handle it exactly, so
+    * xor/bit_count hamming stays correct on negative fingerprints. */
   def simhash(docs: DataFrame, textCol: String, idCol: String,
       nBits: Int = 32): DataFrame = {
+    require(nBits >= 1 && nBits <= 64, s"nBits=$nBits out of [1, 64]")
     val toks = docs.select(col(idCol),
       explode(GF.wsTokens(normalizeText(col(textCol)))).as("tok"))
       .withColumn("h", GF.hash32(col("tok")))
+      .withColumn("h2",
+        if (nBits > 32) GF.hash32(col("tok"), 9) else lit(0L))
     // shiftright/shiftleft by a *column* exist only at the SQL layer
     // (the Scala helpers take an Int), hence the expr() calls.
-    val bits = toks.select(col(idCol), col("h"),
+    val bits = toks.select(col(idCol), col("h"), col("h2"),
       explode(sequence(lit(0), lit(nBits - 1))).as("bit"))
       .withColumn("contrib",
-        when(expr("shiftright(h, bit)").bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        when(expr("shiftright(if(bit < 32, h, h2), bit % 32)")
+          .bitwiseAND(1) === 1, 1L).otherwise(-1L))
       .groupBy(col(idCol), col("bit"))
       .agg(sum(col("contrib")).as("s"))
     bits.groupBy(col(idCol))
@@ -775,9 +789,17 @@ object Dedup {
     * Scale shape: fingerprints shuffle once per band (bands × corpus
     * slim rows of three ints); join buckets are bounded by per-band
     * value collisions, the SimHash analogue of [[candidatePairs]]'
-    * LSH buckets. */
+    * LSH buckets. The BAND WIDTH is what bounds those collisions:
+    * nBits/bands bits per band ⇒ 2^(nBits/bands) distinct band values,
+    * and expected candidate pairs grow ~ bands · n²/2^(nBits/bands+1).
+    * 32-bit fingerprints at bands=4 pin 256 values per band — a
+    * structural quadratic the ×100 scale audit caught in q65's fixed
+    * blocking — so the default is the 64-bit form (16-bit bands,
+    * 65,536 values): the same pigeonhole guarantee with 256× the
+    * bucket headroom. nBits=32 remains available where fingerprint
+    * compactness matters more than pair-search scale. */
   def simhashHammingPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int, nBits: Int = 32, bands: Int = 4): DataFrame = {
+      maxHamming: Int, nBits: Int = 64, bands: Int = 4): DataFrame = {
     require(bands > maxHamming,
       s"pigeonhole guarantee needs bands > maxHamming " +
         s"(got bands=$bands, maxHamming=$maxHamming)")

@@ -626,19 +626,34 @@ object Profiling {
       iters: Int = 3): DataFrame = {
     require(iters >= 2, "pcaPowerComponent needs >= 2 iterations")
     val dec = "decimal(38,0)"
+    // Ragged-input guard: `dims` is probed from one row, and every
+    // triangle position below assumes exactly that length — a row
+    // with a different/null length would silently mis-key covariance
+    // cells (or crash the flatten). Malformed vectors are DROPPED,
+    // the MultiModal decline-to-null discipline: n, sums and products
+    // all come from the same conforming subset.
+    val dims = emb.select(size(col(vecCol)).as("_d"))
+      .filter(col("_d") > 0).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    if (dims == 0) {
+      // no non-empty vector anywhere: empty result, stable schema
+      val s = emb.sparkSession
+      import s.implicits._
+      return Seq.empty[(Int, Double, Double)]
+        .toDF("dim", "loading", "eigenvalue")
+    }
+    val clean = emb.filter(size(col(vecCol)) === dims)
     // (i, xq) long rows: 1e-4-unit quantization, one explode
-    val long = emb.select(posexplode(
+    val long = clean.select(posexplode(
         transform(col(vecCol), v => round(v.cast("double") * 1e4)
           .cast("long"))).as(Seq("i", "xq")))
-    val n = emb.agg(count(lit(1)).as("n"))
+    val n = clean.agg(count(lit(1)).as("n"))
     val sx = long.groupBy(col("i"))
       .agg(sum(col("xq").cast(dec)).as("sx"))
     // upper-triangle products as ONE flat long array per row; the
     // triangle position (array offset) is the aggregation key — (i, j)
     // attach after the aggregate, at cell grain
-    val dims = emb.select(size(col(vecCol))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    val upper = emb
+    val upper = clean
       // quantize ONCE per row — the triangle loop below reads the
       // long array, never re-rounds (dims² rounds become dims)
       .select(transform(col(vecCol),

@@ -16,6 +16,31 @@ import graft.functions.GF
   */
 object Sketches {
 
+  /** The estimate every KMV surface derives from its (n_seen, kth_min)
+    * pair: exact `n_seen` below k; the (k-1)·2³²/kth_min estimator at
+    * k — UNLESS the k-th minimum is non-positive. hash32 CAN emit 0
+    * (md5 window "00000000"), and a zero k-th minimum would turn the
+    * estimator into a division by zero (Infinity/NaN propagating into
+    * round and the oracle diff); `n_seen` (= k, a lower bound) is the
+    * defensible degenerate answer. Every oracle carries the same
+    * `kth_min <= 0` arm so the two sides cannot diverge on it. */
+  def kmvEstimate(nSeen: org.apache.spark.sql.Column,
+      kthMin: org.apache.spark.sql.Column, k: Int)
+      : org.apache.spark.sql.Column =
+    when(nSeen < k || kthMin <= 0, nSeen.cast("double"))
+      .otherwise(round((lit(k) - 1) * lit(4294967296.0) / kthMin, 2))
+
+  /** Driver/executor-side twin of [[kmvEstimate]] for the streaming
+    * state handler (EventStream.kmvDistinctStream) — same guard, same
+    * HALF_UP 2-dp rounding as Spark's `round`, asserted equal in
+    * SketchesSpec. Without the `kthMin <= 0` arm the streaming path
+    * would compute BigDecimal(Infinity) and THROW, killing the query —
+    * strictly worse than the batch side's silent Infinity row. */
+  def kmvEstimateJvm(nSeen: Long, kthMin: Long, k: Int): Double =
+    if (nSeen < k || kthMin <= 0L) nSeen.toDouble
+    else BigDecimal((k - 1) * 4294967296.0 / kthMin)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** KMV distinct-count estimate per group: with the k-th smallest of
     * the DISTINCT hash values m_k over a hash space of size 2^32, the
     * estimator is (k-1) · 2^32 / m_k; groups with fewer than k distinct
@@ -41,9 +66,7 @@ object Sketches {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_seen"), max(col("h")).as("kth_min"))
       .select(col(groupCol),
-        when(col("n_seen") < k, col("n_seen").cast("double"))
-          .otherwise(round((lit(k) - 1) * lit(4294967296.0) / col("kth_min"), 2))
-          .as("approx_distinct"),
+        kmvEstimate(col("n_seen"), col("kth_min"), k).as("approx_distinct"),
         col("n_seen").cast("long").as("n_seen"))
   }
 
@@ -70,9 +93,7 @@ object Sketches {
     df.groupBy(col(groupCol))
       .agg(kmvAgg(GF.hash32(col(valueCol).cast("string")), k).as("kmv"))
       .select(col(groupCol),
-        when(col("kmv.n_seen") < k, col("kmv.n_seen").cast("double"))
-          .otherwise(round(
-            (lit(k) - 1) * lit(4294967296.0) / col("kmv.kth_min"), 2))
+        kmvEstimate(col("kmv.n_seen"), col("kmv.kth_min"), k)
           .as("approx_distinct"),
         col("kmv.n_seen").as("n_seen"))
 
@@ -124,9 +145,7 @@ object Sketches {
         sum(coalesce(col("ina"), lit(0)) * coalesce(col("inb"), lit(0)))
           .as("n_common"))
       .select(col("g1"), col("g2"),
-        when(col("n_u") < k, col("n_u").cast("double"))
-          .otherwise(round((lit(k) - 1) * lit(4294967296.0) / col("kth"), 2))
-          .as("union_est"),
+        kmvEstimate(col("n_u"), col("kth"), k).as("union_est"),
         round(col("n_common").cast("double") / col("n_u"), 6)
           .as("jaccard_est"),
         col("n_common").cast("long").as("n_common"))

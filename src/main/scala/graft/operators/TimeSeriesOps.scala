@@ -574,9 +574,11 @@ object TimeSeriesOps {
     * ordering — and therefore WHICH tied observation carries the
     * nonzero duration — implementation-dependent. `tieCols` breaks
     * the tie (e.g. an event id): tied-but-earlier rows get duration
-    * 0 and drop out of the weighting, the last tied row holds the
-    * interval. Callers with possibly-tied data MUST pass a unique
-    * tiebreak or the result is order-dependent. */
+    * 0 and drop out of the weighting ENTIRELY — the `_dur > 0`
+    * filter excludes them from the sums AND from `n_intervals`, so
+    * the last tied row alone carries the interval. Callers with
+    * possibly-tied data MUST pass a unique tiebreak or the result is
+    * order-dependent. */
   def twap(df: DataFrame, keyCols: Seq[String], tsUsCol: String,
       centsCol: String, tieCols: Seq[String] = Nil): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -584,7 +586,7 @@ object TimeSeriesOps {
       .orderBy(col(tsUsCol) +: tieCols.map(col): _*)
     val dec = "decimal(38,0)"
     df.withColumn("_dur", lead(col(tsUsCol), 1).over(w) - col(tsUsCol))
-      .filter(col("_dur").isNotNull)
+      .filter(col("_dur") > 0)
       .groupBy(keyCols.map(col): _*)
       .agg(
         sum((col(centsCol) * col("_dur")).cast(dec)).as("_num"),

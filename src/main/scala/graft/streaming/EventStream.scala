@@ -510,11 +510,12 @@ object EventStream {
             scala.jdk.CollectionConverters.IteratorHasAsScala(
               buf.mins.iterator()).asScala.map(_.longValue).toSeq))
           val n = buf.mins.size
+          // shared guarded estimator (kth_min <= 0 would otherwise
+          // make BigDecimal(Infinity) throw and kill the stream)
           val est =
             if (n == 0) 0.0
-            else if (n < k) n.toDouble
-            else BigDecimal((k - 1) * 4294967296.0 / buf.mins.last())
-              .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+            else graft.operators.Sketches.kmvEstimateJvm(n.toLong,
+              buf.mins.last(), k)
           Iterator.single(KmvOut(grp, est, n.toLong))
       }.toDF()
   }

@@ -652,6 +652,22 @@ class OperatorsSpec extends SparkSpec {
     assert(r2 >= r1, s"nProbe=2 recall $r2 < nProbe=1 recall $r1")
   }
 
+  test("meltStack escaping: pivot names with quotes, backslashes and " +
+      "backticks melt back losslessly") {
+    import spark.implicits._
+    // names are DATA (a distinct over a string column) — each of these
+    // breaks naive '$name' / `$name` splicing in a stack() expression
+    val nasty = Seq("it's", "back`tick", "back\\slash", "plain")
+    val rows = for (n <- nasty; i <- 1 to 2) yield ("g1", n)
+    val df = rows.toDF("g", "src")
+    val wide = df.groupBy(col("g")).pivot("src", nasty).agg(count(lit(1)))
+    val melted = wide
+      .select(col("g"), graft.SparkEntry.meltStack(nasty, "src", "n"))
+      .filter(col("n").isNotNull)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(melted == nasty.map(_ -> 2L).toMap, melted.toString)
+  }
+
   test("KMV sketch: exact below k, within ~25% above k") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (if (i <= 40) "small" else "big", i))
@@ -661,6 +677,27 @@ class OperatorsSpec extends SparkSpec {
     assert(r("small") == 40.0) // < k -> exact
     val est = r("big")         // 4960 distinct values
     assert(est > 4960 * 0.75 && est < 4960 * 1.25, s"estimate $est")
+  }
+
+  test("KMV estimate guard: kth_min <= 0 falls back to the exact lower " +
+      "bound instead of dividing by zero") {
+    import spark.implicits._
+    // at-k sketch whose k-th minimum is hash 0: the raw estimator is
+    // (k-1)·2^32/0 — Infinity/NaN — on both the Column and the JVM
+    // twin; the guard must return n_seen on each
+    val k = 8
+    val frame = Seq((8L, 0L), (8L, 77L), (3L, 0L))
+      .toDF("n_seen", "kth_min")
+      .select(graft.operators.Sketches
+        .kmvEstimate(col("n_seen"), col("kth_min"), k).as("est"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(frame.head == 8.0, s"kth_min=0 at k must yield n_seen: $frame")
+    assert(frame(1) > 3.9e8 && frame(1) < 3.91e8, s"healthy arm: $frame")
+    assert(frame(2) == 3.0, "below-k arm unchanged")
+    assert(graft.operators.Sketches.kmvEstimateJvm(8L, 0L, k) == 8.0)
+    assert(graft.operators.Sketches.kmvEstimateJvm(3L, 5L, k) == 3.0)
+    // JVM twin matches the Column form on the healthy arm too
+    assert(graft.operators.Sketches.kmvEstimateJvm(8L, 77L, k) == frame(1))
   }
 
   test("native KMV aggregate: group-for-group equal to the composed form") {
@@ -732,17 +769,25 @@ class OperatorsSpec extends SparkSpec {
       (4L, "completely different text about spark physical plans"),
       (5L, "another unrelated document mentioning catalyst rules"))
       .toDF("doc_id", "text")
+    // brute force over the same simhashes (64-bit, the pairs default);
+    // the near-dup's absolute distance scales with the width, so the
+    // search threshold adapts to it instead of hard-coding a 32-bit-era
+    // number — the assertion is completeness at that radius
+    val hs = graft.operators.Dedup.simhash(docs, "text", "doc_id", 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dNear = java.lang.Long.bitCount(hs(1L) ^ hs(2L))
+    val dFar = java.lang.Long.bitCount(hs(1L) ^ hs(4L))
+    assert(dNear < dFar, s"one-word edit ($dNear) must sit closer than " +
+      s"unrelated text ($dFar)")
+    assert(dNear <= 15, s"near-dup hamming $dNear out of 16-band reach")
     val got = graft.operators.Dedup
-      .simhashHammingPairs(docs, "text", "doc_id", maxHamming = 6,
-        bands = 8)
+      .simhashHammingPairs(docs, "text", "doc_id", maxHamming = dNear,
+        bands = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
       .toMap
-    // brute force over the same simhashes
-    val hs = graft.operators.Dedup.simhash(docs, "text", "doc_id")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val brute = (for {
       a <- hs.keys; b <- hs.keys if a < b
-      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 6
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= dNear
     } yield (a, b) -> d).toMap
     assert(got == brute, s"got=$got brute=$brute")
     assert(got((1L, 3L)) == 0, "exact dup must be hamming 0")
@@ -751,6 +796,34 @@ class OperatorsSpec extends SparkSpec {
       graft.operators.Dedup.simhashHammingPairs(docs, "text", "doc_id",
         maxHamming = 4, bands = 4) // pigeonhole broken: d == bands
     }
+  }
+
+  test("simhash 64-bit: low half equals the 32-bit form, top half varies") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text about spark physical plans"),
+      (3L, "another unrelated document mentioning catalyst rules"))
+      .toDF("doc_id", "text")
+    val h32 = graft.operators.Dedup.simhash(docs, "text", "doc_id", 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h64 = graft.operators.Dedup.simhash(docs, "text", "doc_id", 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bits 0-31 draw from the same md5 window in both widths
+    h32.foreach { case (id, h) =>
+      assert((h64(id) & 0xFFFFFFFFL) == h,
+        s"doc $id: 64-bit low half ${h64(id) & 0xFFFFFFFFL} != 32-bit $h")
+    }
+    // the widened half must actually carry signal (second md5 window)
+    assert(h64.values.exists(h => (h >>> 32) != 0L),
+      "no document set any bit above 31 — second window dead")
+    // banding at 16-bit width: exact dup still pairs at hamming 0
+    val dup = docs.unionByName(Seq((9L,
+      "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"))
+    val pairs = graft.operators.Dedup
+      .simhashHammingPairs(dup, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 9L)).contains(0), s"exact dup lost: $pairs")
   }
 
   test("kmvPairOverlap: exact algebra below k, sane estimate above") {
@@ -789,6 +862,34 @@ class OperatorsSpec extends SparkSpec {
     assert(r.keySet == Set("a"), s"singleton must vanish: $r")
     // (100*10 + 200*30) / 40 = 175 cents = 1.75
     assert(r("a") == ((1.75, 2L)), r("a"))
+  }
+
+  test("twap: tied timestamps — tiebreak makes it stable, last tied row " +
+      "carries the interval, zero-duration rows drop from n_intervals") {
+    import spark.implicits._
+    // two rows tie at us=10; with tieCols=eid the eid=2 row is ordered
+    // last among the tie and holds [10, 40); eid=1 gets duration 0 and
+    // must vanish from sums AND count
+    val df = Seq(
+      ("a", 0L, 1L, 100L),
+      ("a", 10L, 1L, 900L),  // tied-earlier: zero duration, drops
+      ("a", 10L, 2L, 200L),  // tie winner: holds 30 us
+      ("a", 40L, 3L, 999L))  // last point: no duration
+      .toDF("k", "us", "eid", "cents")
+    val r = graft.operators.TimeSeriesOps
+      .twap(df, Seq("k"), "us", "cents", tieCols = Seq("eid"))
+      .collect().map(x => x.getString(0) -> (x.getDouble(1), x.getLong(2)))
+      .toMap
+    // (100*10 + 200*30) / 40 = 175 cents; the 900-cent tied row is gone
+    // and n_intervals counts 2, not 3
+    assert(r("a") == ((1.75, 2L)), s"tied twap: ${r("a")}")
+    // reversing the tiebreak column flips which row holds the interval
+    val flipped = df.withColumn("eid", -col("eid"))
+    val r2 = graft.operators.TimeSeriesOps
+      .twap(flipped, Seq("k"), "us", "cents", tieCols = Seq("eid"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // now the 900-cent row wins the tie: (100*10 + 900*30) / 40 = 700
+    assert(r2("a") == 7.0, s"flipped tie: ${r2("a")}")
   }
 
   test("survivorship: later null never erases, fields survive independently") {
@@ -1974,6 +2075,29 @@ class OperatorsSpec extends SparkSpec {
     assert(byDim(1)._1 == 1.0, byDim.toString)       // ref dim (|4| > |3|)
     assert(byDim(0)._1 == 0.75, byDim.toString)      // 3/4 exactly
     assert(byDim(0)._2 == 50.0 && byDim(1)._2 == 50.0, byDim.toString)
+  }
+
+  test("pcaPowerComponent: ragged and empty vectors drop, not corrupt") {
+    // the clean 2-dim battery from the planted-direction test, plus a
+    // 3-dim straggler and an empty vector: both must be DROPPED (the
+    // decline-to-null discipline) so the eigenpair is unchanged
+    val clean = Seq(-2, -1, 0, 1, 2).zipWithIndex.map { case (t, k) =>
+      (k.toLong, Array(3.0f * t, 4.0f * t)) }
+    val dirty = clean ++ Seq(
+      (90L, Array(1.0f, 2.0f, 3.0f)),      // ragged: wrong dims
+      (91L, Array.empty[Float]))           // empty
+    val rows = Profiling.pcaPowerComponent(
+      dirty.toDF("vec_id", "embedding"), "embedding", iters = 3).collect()
+    val byDim = rows.map(r => r.getInt(0) ->
+      (r.getDouble(1), r.getDouble(2))).toMap
+    assert(byDim.keySet == Set(0, 1), byDim.toString)
+    assert(byDim(1)._1 == 1.0 && byDim(0)._1 == 0.75, byDim.toString)
+    assert(byDim(0)._2 == 50.0, byDim.toString)
+    // all-empty input: empty result with the stable 3-column schema
+    val none = Profiling.pcaPowerComponent(
+      Seq((1L, Array.empty[Float])).toDF("vec_id", "embedding"), "embedding")
+    assert(none.columns.toSeq == Seq("dim", "loading", "eigenvalue"))
+    assert(none.count() == 0L)
   }
 
   test("randomProjection: deterministic, norm-preserving in expectation shape") {
