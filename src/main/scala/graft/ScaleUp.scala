@@ -101,12 +101,20 @@ object ScaleUp {
       .withColumn("event_id", off("event_id", eK))
       .withColumn("user_id", off("user_id", uK)), "events")
     // text: replica 0 verbatim; others tag every 3rd word, killing
-    // cross-replica shingle overlap (any k≥3-gram spans a tagged word)
+    // cross-replica shingle overlap (any k≥3-gram spans a tagged word).
+    // The tag is ALNUM and concatenates with no separator ("tableq3x"):
+    // the round-9 form appended "~<rep>", and normalizeText maps "~"
+    // to a space — the tag became its own token, the original word
+    // survived verbatim, and every trigram window between tag tokens
+    // stayed shared across replicas. That leak made the r11 full-suite
+    // ×10 audit read q182/q204 candidate growth as quadratic (39M/66M
+    // pairs) for DATA reasons; with the in-word tag, cross-replica
+    // token overlap actually collapses as documented.
     val tagged = array_join(
       zip_with(split(col("text"), " "),
         sequence(lit(0), size(split(col("text"), " ")) - 1),
         (w, j) => when(pmod(j, lit(3)) === 0,
-          concat(w, lit("~"), col("_rep"))).otherwise(w)), " ")
+          concat(w, lit("q"), col("_rep"), lit("x"))).otherwise(w)), " ")
     write(replicate(t.documents)
       .withColumn("doc_id", off("doc_id", dK))
       .withColumn("text",

@@ -208,8 +208,17 @@ object Dedup {
     * a doc-keyed window; the candidate join keys on (rare) shingles so
     * bucket sizes are bounded by those shingles' df; verification
     * joins at candidate-pair grain. */
-  def prefixFilterJoin(docs: DataFrame, textCol: String, idCol: String,
-      threshold: Double, shingleN: Int = 3): DataFrame = {
+  /** The shingle/size/candidate intermediates of [[prefixFilterJoin]],
+    * exposed so the scaling diagnostics (graft.ScaleDiag) can count
+    * the candidate-pair stage THROUGH the production code path — the
+    * AllPairs prefix bound is df-dependent, so candidate growth under
+    * corpus scaling is an empirical number worth logging per audit,
+    * not a formula. */
+  private[graft] case class PrefixJoinParts(sh: DataFrame,
+      sizes: DataFrame, cand: DataFrame)
+
+  private[graft] def prefixFilterParts(docs: DataFrame, textCol: String,
+      idCol: String, threshold: Double, shingleN: Int): PrefixJoinParts = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1]")
     val sh = shingleRows(docs, textCol, idCol, shingleN)
@@ -229,6 +238,13 @@ object Dedup {
         Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+    PrefixJoinParts(sh, sizes, cand)
+  }
+
+  def prefixFilterJoin(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    val PrefixJoinParts(sh, sizes, cand) =
+      prefixFilterParts(docs, textCol, idCol, threshold, shingleN)
     val inter = cand
       .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("shingle")),
@@ -798,8 +814,17 @@ object Dedup {
     * 65,536 values): the same pigeonhole guarantee with 256× the
     * bucket headroom. nBits=32 remains available where fingerprint
     * compactness matters more than pair-search scale. */
-  def simhashHammingPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int, nBits: Int = 64, bands: Int = 4): DataFrame = {
+  /** The fingerprint frame + banded candidate pairs of
+    * [[simhashHammingPairs]], exposed for the same scaling
+    * observability as [[prefixFilterParts]] — candidate count vs
+    * corpus size is the number that tells a 16-bit band from a
+    * quadratic 8-bit one. */
+  private[graft] case class SimhashPairParts(sh: DataFrame,
+      cand: DataFrame)
+
+  private[graft] def simhashPairParts(docs: DataFrame, textCol: String,
+      idCol: String, maxHamming: Int, nBits: Int,
+      bands: Int): SimhashPairParts = {
     require(bands > maxHamming,
       s"pigeonhole guarantee needs bands > maxHamming " +
         s"(got bands=$bands, maxHamming=$maxHamming)")
@@ -817,6 +842,13 @@ object Dedup {
         Seq("bi", "bv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+    SimhashPairParts(sh, cand)
+  }
+
+  def simhashHammingPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int, nBits: Int = 64, bands: Int = 4): DataFrame = {
+    val SimhashPairParts(sh, cand) =
+      simhashPairParts(docs, textCol, idCol, maxHamming, nBits, bands)
     cand
       .join(sh.select(col(idCol).as("id_a"), col("simhash").as("_ha")),
         Seq("id_a"))
