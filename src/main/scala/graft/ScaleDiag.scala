@@ -14,16 +14,23 @@ import org.apache.spark.sql.SparkSession
   * per-decade CANDIDATE ratio is the structural number; this prints
   * it per corpus so the committed scaling artifact can log it.
   *
-  * Usage: ScaleDiag <sfDir>  →  one JSON line:
+  * Usage: ScaleDiag <sfDir> [--skip-retired]  →  one JSON line:
   * {"sf":…,"n_docs":N,"q182_candidates":N,"q204_candidates":N,
-  *  "q204_candidates_32bit":N}
-  * (the 32-bit simhash count is the RETIRED configuration, printed so
-  * the artifact can show the fix's headroom side by side).
+  *  "q204_candidates_32bit":N,"q204_candidates_32bit_bound":N}
+  * (the 32-bit simhash numbers are the RETIRED configuration, printed
+  * so the artifact can show the fix's headroom side by side). The
+  * `_bound` is the analytic Σ c·(c−1)/2 over the 8-bit band buckets —
+  * O(corpus) at any scale; `--skip-retired` suppresses the EXACT
+  * retired count (at ×100 the retired config's candidate join is
+  * ~10^10 rows and materializing it just to count it would take
+  * hours — the bound is the honest number there, and it is what the
+  * exact count converges to as buckets saturate).
   */
 object ScaleDiag {
   def main(args: Array[String]): Unit = {
-    require(args.length == 1, "usage: ScaleDiag <sfDir>")
+    require(args.nonEmpty, "usage: ScaleDiag <sfDir> [--skip-retired]")
     val sfDir = args(0)
+    val skipRetired = args.contains("--skip-retired")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,12 +51,22 @@ object ScaleDiag {
     val sim64 = graft.operators.Dedup
       .simhashPairParts(docs, "text", "doc_id", maxHamming = 3,
         nBits = 64, bands = 4).cand.count()
-    val sim32 = graft.operators.Dedup
+    val parts32 = graft.operators.Dedup
       .simhashPairParts(docs, "text", "doc_id", maxHamming = 3,
-        nBits = 32, bands = 4).cand.count()
+        nBits = 32, bands = 4)
+    // analytic bucket-pair bound: O(corpus) at any scale, exact join
+    // only when affordable (see scaladoc)
+    val bound32 = parts32.banded
+      .groupBy(org.apache.spark.sql.functions.col("bi"),
+        org.apache.spark.sql.functions.col("bv"))
+      .count()
+      .selectExpr("CAST(sum(count * (count - 1) DIV 2) AS BIGINT) AS b")
+      .head().getLong(0)
+    val sim32 = if (skipRetired) -1L else parts32.cand.count()
     println(s"""{"sf":"$sfDir","n_docs":$nDocs,""" +
       s""""q182_candidates":$prefix,"q204_candidates":$sim64,""" +
-      s""""q204_candidates_32bit":$sim32}""")
+      s""""q204_candidates_32bit":$sim32,""" +
+      s""""q204_candidates_32bit_bound":$bound32}""")
     spark.stop()
   }
 }

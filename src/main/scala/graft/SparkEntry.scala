@@ -2374,12 +2374,24 @@ object SparkEntry {
       .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey"), col("n_name"))
+    val datedOrders = t.orders.filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    // Runtime bloom prune (JoinPrune): only ~15% of orders survive the
+    // date window, so lineitem's shuffle input is pruned by a bloom
+    // over the surviving orderkeys BEFORE the exchange — at 100 TB the
+    // fact shuffle is the cost center and the extra dim-side scans
+    // (count + bloom aggregate, both behind the pushed date filter) are
+    // noise. The inner join below removes the bloom's false positives,
+    // so results are identical to the unpruned plan.
+    val lineitem = JoinPrune.buildBloom(datedOrders, "o_orderkey",
+        expectedKeys = math.max(64L, datedOrders.count())) match {
+      case Some(bloom) => JoinPrune.bloomPrune(t.lineitem, "l_orderkey", bloom)
+      case None => t.lineitem.limit(0)
+    }
     t.customer
-      .join(t.orders.filter(
-          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
-        col("c_custkey") === col("o_custkey"))
-      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(datedOrders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
@@ -3614,6 +3626,31 @@ object SparkEntry {
       .orderBy(col("lang"), col("cum_share"), col("source"))
   }
 
+  /** Bloom-pruned semi join (the explicit InjectRuntimeFilter shape):
+    * lineitem restricted to recent URGENT orders — a dim subset that is
+    * selective (~5% of orders) but, at 100 TB, too large to broadcast.
+    * `JoinPrune.bloomSemiJoin` builds a distributed bloom over the
+    * surviving orderkeys and plants a codegen'd `might_contain` probe
+    * directly on the lineitem scan, so only matching rows (plus ~fpp
+    * false positives, removed by the real semi join that follows) ever
+    * enter the exchange. Results are byte-identical to the plain semi
+    * join — which is exactly what the oracle runs. */
+  private def qBloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val build = t.orders.filter(col("o_orderpriority") === "1-URGENT" &&
+      col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+    // sizing pass: one scan of the (selective) build side — negligible
+    // next to the fact shuffle it saves; overestimation costs bits only
+    val nKeys = math.max(64L, build.count())
+    JoinPrune.bloomSemiJoin(t.lineitem, build,
+        "l_orderkey", "o_orderkey", expectedKeys = nKeys)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3845,6 +3882,7 @@ object SparkEntry {
     "q224_time_travel" -> (qTimeTravel _),
     "q225_rolling_revenue" -> (qRollingRevenue _),
     "q226_coverage_cutoff" -> (qCoverageCutoff _),
+    "q227_bloom_semi_join" -> (qBloomSemiJoin _),
   )
 
   // -------------------------------------------------------------------
@@ -8496,5 +8534,15 @@ object SparkEntry {
         |FROM r
         |WHERE (cum - n) * 5 < tot * 4
         |ORDER BY lang, cum_share, source""".stripMargin,
+
+    "q227_bloom_semi_join" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

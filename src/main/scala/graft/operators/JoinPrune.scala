@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -28,61 +29,90 @@ import org.apache.spark.sql.types.BinaryType
   * negatives, so pruning drops only non-matching rows; the false
   * positives it lets through (~fpp of the pruned stream) are removed by
   * the real join that follows. Results are byte-identical to the plain
-  * join — the oracle for q227 is the plain SQL join.
+  * join — the oracle for q227 is the plain SQL semi join.
   *
   * Sizing: bits = -n·ln(fpp)/ln(2)², the standard formula; at the
-  * default fpp=1% that is ~9.6 bits/key — a 10M-key build side costs a
-  * 12 MB sketch, far below what a broadcast hash relation for the same
+  * default fpp=1% that is ~9.6 bits/key — a 1M-key build side costs a
+  * 1.2 MB sketch, far below what a broadcast hash relation for the same
   * keys would need (and the sketch ships once per executor). Keys are
-  * hashed with XxHash64 on BOTH sides, the same pairing Spark's
-  * InjectRuntimeFilter plants, so any key type works and the probe
-  * stays inside whole-stage codegen.
+  * hashed with XxHash64 (seed 42) on BOTH sides, the same pairing
+  * Spark's InjectRuntimeFilter plants, so any key type works and the
+  * probe stays inside whole-stage codegen.
   */
-object JoinPrune {
+object JoinPrune extends Logging {
 
-  /** Build a serialized bloom filter over `keys(keyCol)` with a
-    * distributed aggregate (map-side partials merge; the driver only
-    * ever sees the final ~bits/8-byte sketch). */
+  /** Build a serialized bloom filter over the non-null `keys(keyCol)`
+    * with a distributed aggregate (map-side partials merge; the driver
+    * only ever sees the final ~bits/8-byte sketch). Returns None when
+    * the build side has no non-null keys (the aggregate yields null at
+    * cardinality 0) — callers should treat None as "nothing can match".
+    *
+    * `BloomFilterAggregate` silently caps its inputs at the session
+    * confs `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `.maxNumBits`; we clamp to the same values explicitly and warn, so
+    * an over-sized request degrades loudly instead of silently. */
   def buildBloom(keys: DataFrame, keyCol: String,
-      expectedKeys: Long, fpp: Double = 0.01): Array[Byte] = {
+      expectedKeys: Long, fpp: Double = 0.01): Option[Array[Byte]] = {
     require(expectedKeys > 0 && fpp > 0 && fpp < 1,
       s"bad bloom sizing: n=$expectedKeys fpp=$fpp")
-    val numBits = math.max(64L,
+    val conf = keys.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val wantBits = math.max(64L,
       math.ceil(-expectedKeys * math.log(fpp) /
         (math.log(2) * math.log(2))).toLong)
-    val hashed = XxHash64(Seq(ColumnBridge.expression(col(keyCol))))
+    if (expectedKeys > maxItems || wantBits > maxBits) {
+      logWarning(s"bloom request (n=$expectedKeys, bits=$wantBits) exceeds " +
+        s"session caps (maxNumItems=$maxItems, maxNumBits=$maxBits); " +
+        "clamping — fpp will degrade. Raise the " +
+        "spark.sql.optimizer.runtime.bloomFilter.* confs for full sizing.")
+    }
+    val numItems = math.min(expectedKeys, maxItems)
+    val numBits = math.min(wantBits, maxBits)
+    val hashed = new XxHash64(Seq(ColumnBridge.expression(col(keyCol))))
     val agg = new BloomFilterAggregate(hashed,
-      Literal(expectedKeys), Literal(numBits)).toAggregateExpression()
+      Literal(numItems), Literal(numBits)).toAggregateExpression()
     val row = keys.filter(col(keyCol).isNotNull)
       .select(ColumnBridge.column(agg).as("bf")).head()
-    row.getAs[Array[Byte]]("bf")
+    Option(row.getAs[Array[Byte]]("bf"))
   }
 
   /** Codegen'd probe column: true iff `keyCol` MIGHT be in the bloom.
-    * Null keys probe to null, so a filter on it also drops null keys —
-    * matching inner/semi join semantics. */
+    * XxHash64 is non-nullable (a null key hashes to the seed), so this
+    * alone does NOT drop null keys — `bloomPrune` adds the explicit
+    * isNotNull conjunct to match inner/semi join semantics. */
   def mightContain(keyCol: Column, bloom: Array[Byte]): Column =
     ColumnBridge.column(BloomFilterMightContain(
       Literal(bloom, BinaryType),
-      XxHash64(Seq(ColumnBridge.expression(keyCol)))))
+      new XxHash64(Seq(ColumnBridge.expression(keyCol)))))
 
-  /** Prune `fact` to rows whose `factKey` might match the bloom. This
-    * is the pre-exchange filter: place it directly on the scan so only
-    * ~selectivity·N + fpp·N rows enter the shuffle. */
+  /** Prune `fact` to rows whose non-null `factKey` might match the
+    * bloom. This is the pre-exchange filter: place it directly on the
+    * scan so only ~selectivity·N + fpp·N rows enter the shuffle. The
+    * isNotNull conjunct keeps the prune a strict superset-of-semi-join
+    * even standalone (null keys never match an equi join). */
   def bloomPrune(fact: DataFrame, factKey: String,
       bloom: Array[Byte]): DataFrame =
-    fact.filter(mightContain(col(factKey), bloom))
+    fact.filter(col(factKey).isNotNull && mightContain(col(factKey), bloom))
 
   /** Exact semi join accelerated by a bloom pre-filter: prune the fact
     * side with the sketch, then finish with the real left-semi join
     * (which eliminates bloom false positives). `expectedKeys` sizes the
-    * sketch; pass the build side's approximate distinct count. */
+    * sketch; pass the build side's approximate distinct count. An empty
+    * (or all-null-keyed) build side short-circuits to zero rows. The
+    * build key is renamed to a reserved name before the join so
+    * same-named fact/build keys (the normal case) never hit an
+    * ambiguous-reference error. */
   def bloomSemiJoin(fact: DataFrame, build: DataFrame,
       factKey: String, buildKey: String,
-      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
-    val bloom = buildBloom(build, buildKey, expectedKeys, fpp)
-    bloomPrune(fact, factKey, bloom)
-      .join(build.select(col(buildKey)).distinct(),
-        col(factKey) === col(buildKey), "leftsemi")
-  }
+      expectedKeys: Long, fpp: Double = 0.01): DataFrame =
+    buildBloom(build, buildKey, expectedKeys, fpp) match {
+      case None => fact.limit(0)
+      case Some(bloom) =>
+        val keys = build.select(col(buildKey).as("__jp_key")).distinct()
+        bloomPrune(fact, factKey, bloom)
+          .join(keys, col(factKey) === col("__jp_key"), "leftsemi")
+    }
 }

@@ -2148,4 +2148,66 @@ class OperatorsSpec extends SparkSpec {
       .select("n_both").collect()
     assert(got2.head.getLong(0) == 2L)
   }
+
+  test("bloomSemiJoin equals the plain semi join (same-named keys, nulls)") {
+    // same-named key columns on both sides — the normal fact/dim case
+    // that used to hit AMBIGUOUS_REFERENCE
+    val fact = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"),
+      (null, "null-key"), (2L, "b2")).toDF("k", "payload")
+    val build = Seq[(java.lang.Long, String)](
+      (2L, "x"), (4L, "y"), (null, "build-null")).toDF("k", "v")
+    val got = JoinPrune.bloomSemiJoin(fact, build, "k", "k",
+      expectedKeys = 64).orderBy("k", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = fact.join(build.select("k").distinct(),
+        Seq("k"), "leftsemi").orderBy("k", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == want.toSeq)
+    assert(got.toSeq == Seq((2L, "b"), (2L, "b2"), (4L, "d")))
+  }
+
+  test("bloomSemiJoin: empty and all-null build sides yield zero rows") {
+    val fact = Seq((1L, "a"), (2L, "b")).toDF("k", "payload")
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    assert(JoinPrune.bloomSemiJoin(fact, empty, "k", "k", 64).count() == 0)
+    val allNull = Seq[(java.lang.Long, String)]((null, "x"))
+      .toDF("k", "v")
+    assert(JoinPrune.bloomSemiJoin(fact, allNull, "k", "k", 64).count() == 0)
+    // schema survives the empty fast path
+    assert(JoinPrune.bloomSemiJoin(fact, empty, "k", "k", 64)
+      .columns.toSeq == Seq("k", "payload"))
+  }
+
+  test("bloomPrune is a superset of the true match set; the follow-up " +
+      "join eliminates bloom false positives") {
+    // 2k fact keys probed against a deliberately tiny (high-fpp) bloom
+    // over 50 build keys: the prune must keep every true match, and the
+    // composed bloomSemiJoin must still return EXACTLY the true matches
+    val fact = spark.range(0, 2000).select(col("id").as("k"))
+    val build = spark.range(0, 1000, 20).select(col("id").as("k")) // 50 keys
+    val bloom = JoinPrune.buildBloom(build, "k",
+      expectedKeys = 50, fpp = 0.3).get
+    val pruned = JoinPrune.bloomPrune(fact, "k", bloom)
+      .collect().map(_.getLong(0)).toSet
+    val truth = (0L until 1000L by 20).toSet
+    assert(truth.subsetOf(pruned), "bloom produced a false negative")
+    val exact = JoinPrune.bloomSemiJoin(fact, build, "k", "k",
+      expectedKeys = 50, fpp = 0.3).collect().map(_.getLong(0)).toSet
+    assert(exact == truth, "semi join failed to remove false positives")
+  }
+
+  test("buildBloom clamps to the session bloom caps and still has no " +
+      "false negatives") {
+    val maxItems = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val build = spark.range(0, 100).select(col("id").as("k"))
+    // request far beyond the cap: the clamp must not break correctness
+    val bloom = JoinPrune.buildBloom(build, "k",
+      expectedKeys = maxItems * 10).get
+    val kept = JoinPrune.bloomPrune(
+        spark.range(0, 100).select(col("id").as("k")), "k", bloom)
+      .count()
+    assert(kept == 100, s"clamped bloom lost true keys: $kept/100")
+  }
 }

@@ -568,4 +568,34 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"),
       s"range join fell back to all-pairs:\n$p")
   }
+
+  /** The BloomFilterMightContain probe must sit BELOW every exchange —
+    * a FilterExec whose own subtree holds no shuffle, i.e. it filters
+    * the scan output before rows are ever serialized for the network.
+    * That pre-exchange placement is the whole point of JoinPrune. */
+  private def assertProbePreExchange(name: String): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    val p = df.queryExecution.sparkPlan
+    val probes = p.collect {
+      case f: FilterExec
+        if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+    }
+    assert(probes.nonEmpty, s"$name: no might_contain probe in plan:\n$p")
+    probes.foreach { f =>
+      val below = f.collect { case e: ShuffleExchangeLike => e }
+      assert(below.isEmpty,
+        s"$name: bloom probe sits above an exchange — prune is wasted:\n$p")
+    }
+  }
+
+  test("q227 bloom semi join: might_contain probe filters before the exchange") {
+    assertProbePreExchange("q227_bloom_semi_join")
+  }
+
+  test("q161 rewired through bloomPrune: probe pre-exchange on the lineitem scan") {
+    assertProbePreExchange("q161_local_supplier_volume")
+  }
 }
