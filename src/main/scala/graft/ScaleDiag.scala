@@ -16,9 +16,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: ScaleDiag <sfDir> [--skip-retired]  →  one JSON line:
   * {"sf":…,"n_docs":N,"q182_candidates":N,"q204_candidates":N,
-  *  "q204_candidates_32bit":N,"q204_candidates_32bit_bound":N}
-  * (the 32-bit simhash numbers are the RETIRED configuration, printed
-  * so the artifact can show the fix's headroom side by side). The
+  *  "q204_candidates_16bit_bands":N,"q204_candidates_32bit":N,
+  *  "q204_candidates_32bit_bound":N}
+  * (q204_candidates is the production 2×32-bit radius-1 scheme; the
+  * 16-bit-band and 32-bit numbers are the two RETIRED configurations,
+  * printed so the artifact can show each fix's headroom side by side). The
   * `_bound` is the analytic Σ c·(c−1)/2 over the 8-bit band buckets —
   * O(corpus) at any scale; `--skip-retired` suppresses the EXACT
   * retired count (at ×100 the retired config's candidate join is
@@ -48,7 +50,12 @@ object ScaleDiag {
     val prefix = graft.operators.Dedup
       .prefixFilterParts(docs, "text", "doc_id", threshold = 0.5,
         shingleN = 3).cand.count()
+    // the production default: 2×32-bit bands, radius-1 probe join
     val sim64 = graft.operators.Dedup
+      .simhashPairParts(docs, "text", "doc_id", maxHamming = 3,
+        nBits = 64, bands = 2).cand.count()
+    // the r11 default (4×16-bit exact bands), kept for the side-by-side
+    val sim64b4 = graft.operators.Dedup
       .simhashPairParts(docs, "text", "doc_id", maxHamming = 3,
         nBits = 64, bands = 4).cand.count()
     val parts32 = graft.operators.Dedup
@@ -65,6 +72,7 @@ object ScaleDiag {
     val sim32 = if (skipRetired) -1L else parts32.cand.count()
     println(s"""{"sf":"$sfDir","n_docs":$nDocs,""" +
       s""""q182_candidates":$prefix,"q204_candidates":$sim64,""" +
+      s""""q204_candidates_16bit_bands":$sim64b4,""" +
       s""""q204_candidates_32bit":$sim32,""" +
       s""""q204_candidates_32bit_bound":$bound32}""")
     spark.stop()

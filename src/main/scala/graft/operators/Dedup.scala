@@ -792,28 +792,39 @@ object Dedup {
         .as("simhash"))
   }
 
-  /** SimHash hamming-ball pairs via pigeonhole banding — the pair
-    * SEARCH the [[simhash]] fingerprint exists for: all (id_a < id_b)
-    * with hamming(simhash_a, simhash_b) ≤ `maxHamming`. Split the
-    * nBits hash into `bands` contiguous slices; a pair within distance
-    * d < bands differs in at most d slices, so it MATCHES EXACTLY on
-    * at least one (pigeonhole) — candidates come from an equi-join on
-    * (band index, band value), never an all-pairs scan, and the exact
-    * `bit_count(xor)` verifies each candidate. EQUALS brute force by
-    * construction (the oracle computes the brute force).
+  /** SimHash hamming-ball pairs via GENERALIZED pigeonhole banding —
+    * the pair SEARCH the [[simhash]] fingerprint exists for: all
+    * (id_a < id_b) with hamming(simhash_a, simhash_b) ≤ `maxHamming`.
+    * Split the nBits hash into `bands` contiguous slices; a pair
+    * within total distance d dirties at most d band-bits, so SOME band
+    * carries at most ⌊d/bands⌋ of them (pigeonhole). At per-band
+    * radius 0 (bands > maxHamming) candidates come from an exact
+    * equi-join on (band index, band value); at radius 1 each doc
+    * PROBES with its band value plus that value's single-bit flips
+    * against the exact postings (the HmSearch / GPH variant-
+    * enumeration scheme), so a pair agreeing within hamming ≤ 1 on
+    * some band is always joined. Either way the exact `bit_count(xor)`
+    * verifies every candidate — output EQUALS brute force by
+    * construction at ANY valid (bands, radius), which is why the
+    * banding choice is a pure performance knob the oracle never sees.
     *
-    * Scale shape: fingerprints shuffle once per band (bands × corpus
-    * slim rows of three ints); join buckets are bounded by per-band
-    * value collisions, the SimHash analogue of [[candidatePairs]]'
-    * LSH buckets. The BAND WIDTH is what bounds those collisions:
-    * nBits/bands bits per band ⇒ 2^(nBits/bands) distinct band values,
-    * and expected candidate pairs grow ~ bands · n²/2^(nBits/bands+1).
-    * 32-bit fingerprints at bands=4 pin 256 values per band — a
-    * structural quadratic the ×100 scale audit caught in q65's fixed
-    * blocking — so the default is the 64-bit form (16-bit bands,
-    * 65,536 values): the same pigeonhole guarantee with 256× the
-    * bucket headroom. nBits=32 remains available where fingerprint
-    * compactness matters more than pair-search scale. */
+    * Scale shape: fingerprints shuffle once per band (radius 0:
+    * bands × corpus slim rows; radius 1: additionally
+    * (nBits/bands + 1) probe variants per posting — a constant ~66×
+    * row emit for 2×32-bit bands, still linear in corpus). Join
+    * buckets are bounded by per-band value collisions, the SimHash
+    * analogue of [[candidatePairs]]' LSH buckets, and the BAND WIDTH
+    * is what bounds those collisions: 2^(nBits/bands) distinct values
+    * per band. That domain is the quadratic lever the ×100 audits
+    * keep finding: 8-bit bands (32/4) saturated at sf0.1, 16-bit
+    * bands (64/4) held to ×10 but measured 205.9M candidates at ×100
+    * (500k docs — natural-language fingerprints are CORRELATED, so
+    * fixed 65,536-value buckets skew and Σc² goes quadratic). The
+    * default is therefore 64/2 at radius 1: 32-bit bands (4.3B
+    * values) spread correlated fingerprints 65,536× thinner, and the
+    * 1-bit probe neighborhood restores the recall the wider band
+    * would lose — measured 1.46M candidates at the same ×100 corpus,
+    * 141× fewer, at the cost of the constant probe emit. */
   /** The fingerprint frame + banded candidate pairs of
     * [[simhashHammingPairs]], exposed for the same scaling
     * observability as [[prefixFilterParts]] — candidate count vs
@@ -830,19 +841,34 @@ object Dedup {
   private[graft] def simhashPairParts(docs: DataFrame, textCol: String,
       idCol: String, maxHamming: Int, nBits: Int,
       bands: Int): SimhashPairParts = {
-    require(bands > maxHamming,
-      s"pigeonhole guarantee needs bands > maxHamming " +
-        s"(got bands=$bands, maxHamming=$maxHamming)")
+    // generalized pigeonhole: total distance ≤ maxHamming ⇒ some band
+    // carries ≤ ⌊maxHamming/bands⌋ of the dirty bits. Radius 0 is the
+    // exact-match join; radius 1 enumerates single-bit probe variants;
+    // radius ≥ 2 would need C(width,2) variants per posting — refuse it
+    // rather than quietly emit thousands of rows per doc.
+    val radius = maxHamming / bands
+    require(radius <= 1,
+      s"per-band radius $radius > 1 (bands=$bands, maxHamming=$maxHamming)" +
+        " — use at least ⌈maxHamming/2⌉ bands")
     require(nBits % bands == 0, s"bands=$bands must divide nBits=$nBits")
     val r = nBits / bands
-    val mask = (1L << r) - 1
+    val mask = if (r == 64) -1L else (1L << r) - 1
     val sh = simhash(docs, textCol, idCol, nBits).localCheckpoint(false)
     val banded = sh.select(col(idCol), explode(array(
         (0 until bands).map(b => struct(lit(b).as("bi"),
           expr(s"shiftright(simhash, ${b * r})").bitwiseAND(lit(mask))
             .as("bv"))): _*)).as("bb"))
       .select(col(idCol), col("bb.bi").as("bi"), col("bb.bv").as("bv"))
-    val cand = banded.select(col(idCol).as("id_a"), col("bi"), col("bv"))
+    // probe side: the posting's exact value, plus (radius 1) every
+    // single-bit flip of it — if a pair's band distance is 1, the
+    // probe that flips the one differing bit lands on the other doc's
+    // exact posting, so the equi-join below still sees the pair.
+    val probes =
+      if (radius == 0) banded
+      else banded.select(col(idCol), col("bi"), explode(array(
+          (Seq(col("bv")) ++ (0 until r).map(i =>
+            col("bv").bitwiseXOR(lit(1L << i)))): _*)).as("bv"))
+    val cand = probes.select(col(idCol).as("id_a"), col("bi"), col("bv"))
       .join(banded.select(col(idCol).as("id_b"), col("bi"), col("bv")),
         Seq("bi", "bv"))
       .filter(col("id_a") < col("id_b"))
@@ -851,7 +877,7 @@ object Dedup {
   }
 
   def simhashHammingPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int, nBits: Int = 64, bands: Int = 4): DataFrame = {
+      maxHamming: Int, nBits: Int = 64, bands: Int = 2): DataFrame = {
     val SimhashPairParts(sh, _, cand) =
       simhashPairParts(docs, textCol, idCol, maxHamming, nBits, bands)
     cand

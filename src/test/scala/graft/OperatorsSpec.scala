@@ -794,8 +794,40 @@ class OperatorsSpec extends SparkSpec {
     assert(got.contains((1L, 2L)), "near-dup must surface")
     intercept[IllegalArgumentException] {
       graft.operators.Dedup.simhashHammingPairs(docs, "text", "doc_id",
-        maxHamming = 4, bands = 4) // pigeonhole broken: d == bands
+        maxHamming = 8, bands = 4) // per-band radius 2: unsupported
     }
+  }
+
+  test("simhashHammingPairs radius-1 probing: 2x32-bit bands equal " +
+      "brute force") {
+    import spark.implicits._
+    // long docs (100 unique tokens) with 1-4 single-token edits: each
+    // edit flips only the simhash bits whose ±1 majority margin the
+    // changed token decided, so the corpus populates hamming distances
+    // right around the search radius — the regime where a missed probe
+    // variant would actually lose a pair. Deterministic, no RNG.
+    val base = (0 until 100).map(i => s"w$i")
+    def edit(ks: Seq[Int]): String =
+      base.zipWithIndex.map { case (w, i) =>
+        if (ks.contains(i)) s"x$i" else w }.mkString(" ")
+    val docs = ((0L, base.mkString(" ")) +:
+      (1 to 12).map(k => (k.toLong, edit(Seq(7 * k % 100)))) :+
+      (20L, edit(Seq(3, 41))) :+ (21L, edit(Seq(3, 41, 77))) :+
+      (22L, edit(Seq(3, 41, 77, 90)))).toDF("doc_id", "text")
+    val hs = graft.operators.Dedup.simhash(docs, "text", "doc_id", 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
+    } yield (a, b) -> d).toMap
+    assert(brute.nonEmpty, "corpus produced no pairs within hamming 3 " +
+      "— the completeness assertion would be vacuous")
+    val got = graft.operators.Dedup
+      .simhashHammingPairs(docs, "text", "doc_id", maxHamming = 3,
+        nBits = 64, bands = 2) // radius 1: single-bit probe variants
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    assert(got == brute, s"got=$got brute=$brute")
   }
 
   test("simhash 64-bit: low half equals the 32-bit form, top half varies") {
