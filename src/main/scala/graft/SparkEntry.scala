@@ -2995,12 +2995,17 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
-  /** Interval-overlap join (TimeSeriesOps.intervalOverlapJoin): how
-    * many AUTOMOBILE-segment order fulfillment windows overlap each
-    * BUILDING-segment window ([orderdate, +14d), half-open). The
-    * bucketed equi-join replaces the keyless range join a naive
-    * formulation plans as BroadcastNestedLoopJoin; the
-    * first-shared-bucket guard means no post-join distinct. */
+  /** Interval-overlap counting (TimeSeriesOps.intervalOverlapCounts):
+    * how many AUTOMOBILE-segment order fulfillment windows overlap
+    * each BUILDING-segment window ([orderdate, +14d), half-open).
+    * Formerly ran through the pair-materializing
+    * [[TimeSeriesOps.intervalOverlapJoin]]: with a FIXED 6-month date
+    * range, ×100 data density makes overlapping pairs grow ~density²
+    * for data reasons (~10⁹ pair rows at ×100 just to count them), so
+    * the count form answers the same question by order statistics —
+    * two distributed ranks, zero pairs, every frame linear. The
+    * oracle still counts the brute-force pairs, which is exactly what
+    * proves the rank algebra (incl. half-open tie handling) right. */
   private def qIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     def windows(segment: String) = t.orders
@@ -3011,11 +3016,11 @@ object SparkEntry {
         col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
       .select(col("o_orderkey").as("wid"), col("o_orderdate").as("ws"),
         (col("o_orderdate") + expr("INTERVAL 14 DAYS")).as("we"))
-    val pairs = TimeSeriesOps.intervalOverlapJoin(
-      windows("BUILDING"), windows("AUTOMOBILE"), "ws", "we",
-      bucketUs = 14L * 86400000000L)
-    pairs.groupBy(col("l_wid").as("building_order"))
-      .agg(count(lit(1)).as("n_overlap"))
+    TimeSeriesOps.intervalOverlapCounts(
+        windows("BUILDING"), windows("AUTOMOBILE"), "wid", "ws", "we",
+        bucketUs = 14L * 86400000000L)
+      .filter(col("n_overlap") > 0)
+      .select(col("wid").as("building_order"), col("n_overlap"))
       .orderBy(col("building_order"))
   }
 

@@ -759,17 +759,23 @@ object Dedup {
 
   /** `nBits`-wide SimHash per doc (up to 64): per token-bit
     * contribution ±count, bit j of the hash set when the summed
-    * contribution is positive. Two narrow shuffles (doc×bit, then
-    * doc).
+    * contribution is positive. ONE doc-grain shuffle: the nBits bit
+    * votes are nBits aggregate COLUMNS over the doc×token frame
+    * (codegen'd, map-side partial-merged) — the earlier form exploded
+    * nBits rows per token (doc×token×bit grain: 6.4 BILLION rows for
+    * 500k × ~200-token docs at 64 bits), which the ×100 audit measured
+    * as the actual q204 wall cost once the pair join was fixed.
+    * Column-wise votes keep the frame at doc×token grain and cut the
+    * fingerprint stage by the full ×nBits row factor.
     *
     * Bits ≥ 32 draw from a SECOND md5 window of the same token digest
     * (hex chars 9-16, [[GF.hash32]] at offset 9) — the fingerprint
     * widens to 64 bits without a new hash family, the oracle
     * reproduces both windows from one md5, and nBits ≤ 32 callers are
     * byte-identical to before (the second window never evaluates).
-    * Bit 63, when set, lands on the long's sign bit — both Spark's
-    * `shiftleft` and two's-complement summation handle it exactly, so
-    * xor/bit_count hamming stays correct on negative fingerprints. */
+    * Bit 63, when set, lands on the long's sign bit — OR-packing
+    * distinct powers of two is exact there, so xor/bit_count hamming
+    * stays correct on negative fingerprints. */
   def simhash(docs: DataFrame, textCol: String, idCol: String,
       nBits: Int = 32): DataFrame = {
     require(nBits >= 1 && nBits <= 64, s"nBits=$nBits out of [1, 64]")
@@ -778,18 +784,15 @@ object Dedup {
       .withColumn("h", GF.hash32(col("tok")))
       .withColumn("h2",
         if (nBits > 32) GF.hash32(col("tok"), 9) else lit(0L))
-    // shiftright/shiftleft by a *column* exist only at the SQL layer
-    // (the Scala helpers take an Int), hence the expr() calls.
-    val bits = toks.select(col(idCol), col("h"), col("h2"),
-      explode(sequence(lit(0), lit(nBits - 1))).as("bit"))
-      .withColumn("contrib",
-        when(expr("shiftright(if(bit < 32, h, h2), bit % 32)")
-          .bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      .groupBy(col(idCol), col("bit"))
-      .agg(sum(col("contrib")).as("s"))
-    bits.groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, bit)")).otherwise(0L))
-        .as("simhash"))
+    val votes = (0 until nBits).map { j =>
+      sum(when(shiftright(if (j < 32) col("h") else col("h2"), j % 32)
+        .bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"_s$j")
+    }
+    val packed = (0 until nBits)
+      .map(j => when(col(s"_s$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
   }
 
   /** SimHash hamming-ball pairs via GENERALIZED pigeonhole banding —

@@ -558,6 +558,74 @@ object TimeSeriesOps {
       .drop("_bucket", "l_sb", "r_sb")
   }
 
+  /** Per-left-interval count of overlapping right intervals — the
+    * COUNT form of [[intervalOverlapJoin]] that never materializes a
+    * pair. The join form's output is inherently pair-grain: with a
+    * FIXED time range and growing density (the TPC-H time-scaling
+    * shape — 100× the windows per day at ×100) overlapping pairs grow
+    * ~density² and so does the join, for data reasons no banding can
+    * remove. When the question is only "how many", order statistics
+    * answer it at interval grain: for half-open intervals,
+    *
+    *   n(b) = #{a : a.start < b.end} − #{a : a.end ≤ b.start}
+    *
+    * (the two excluded sets are disjoint for well-formed intervals, so
+    * the subtraction is exact). Each term is a distributed rank: union
+    * the right-side event times with the left-side query times, bucket
+    * by `bucketUs`, take a per-bucket running sum of event weights
+    * (window, slim rows), and add the previous buckets' totals from a
+    * bucket histogram (time-range/bucketUs rows — metadata scale;
+    * broadcast). Ties are exact by construction: at equal time the
+    * window orders queries BEFORE events for the strict `<` rank and
+    * AFTER them for the `≤` rank, so boundary-touching intervals
+    * (a.start == b.end, a.end == b.start) never count as overlap,
+    * byte-identical to the join form's predicate.
+    *
+    * Scale shape: 2 window shuffles + 2 tiny histogram aggregates +
+    * one id-grain join — every frame linear in interval count. Returns
+    * (idCol, n_overlap) for EVERY left interval, including 0-overlap
+    * ones; `idCol` must be unique per left row. */
+  def intervalOverlapCounts(left: DataFrame, right: DataFrame,
+      idCol: String, startCol: String, endCol: String,
+      bucketUs: Long = 86400000000L): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val idType = left.schema(idCol).dataType
+    def rank(queries: DataFrame, qtCol: String, events: DataFrame,
+        etCol: String, strict: Boolean, outCol: String): DataFrame = {
+      val u = queries
+        .select(col(qtCol).as("_t"), lit(0L).as("_w"), col(idCol).as("_id"))
+        .unionByName(events.select(col(etCol).as("_t"), lit(1L).as("_w"),
+          lit(null).cast(idType).as("_id")))
+        .withColumn("_b", floor(col("_t") / bucketUs))
+      // previous buckets' event totals: per-bucket grain (metadata
+      // scale), so the single-partition cumulative window is fine
+      val offs = u.groupBy(col("_b")).agg(sum(col("_w")).as("_n"))
+        .withColumn("_off", coalesce(sum(col("_n")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("_b"))
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .drop("_n")
+      // at equal _t: strict rank sorts queries (w=0) first so same-time
+      // events don't count; the ≤ rank sorts events first so they do
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_b"))
+        .orderBy(col("_t").asc, if (strict) col("_w").asc else col("_w").desc)
+        .rowsBetween(Long.MinValue, 0)
+      u.withColumn("_r", sum(col("_w")).over(w))
+        .filter(col("_w") === 0)
+        .join(broadcast(offs), Seq("_b"))
+        .select(col("_id").as(idCol), (col("_r") + col("_off")).as(outCol))
+    }
+    def wellFormed(df: DataFrame) = df.filter(col(endCol) > col(startCol))
+    val l = wellFormed(left).select(col(idCol),
+      unix_micros(col(startCol)).as("_ls"), unix_micros(col(endCol)).as("_le"))
+    val r = wellFormed(right).select(
+      unix_micros(col(startCol)).as("_rs"), unix_micros(col(endCol)).as("_re"))
+    rank(l, "_le", r.select(col("_rs")), "_rs", strict = true, "_n1")
+      .join(rank(l, "_ls", r.select(col("_re")), "_re",
+        strict = false, "_n2"), Seq(idCol))
+      .select(col(idCol), (col("_n1") - col("_n2")).as("n_overlap"))
+  }
+
   /** Time-weighted average (TWAP): per key, the mean of a value where
     * each observation is weighted by HOW LONG IT HELD — the duration
     * until the next observation — not by how often it was sampled

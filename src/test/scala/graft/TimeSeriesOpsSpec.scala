@@ -400,6 +400,40 @@ class TimeSeriesOpsSpec extends SparkSpec {
       s"missing=${brute.toSet -- got.toSet} extra=${got.toSet -- brute.toSet}")
   }
 
+  test("intervalOverlapCounts: per-interval counts equal the pair join, " +
+      "zero-overlap rows included, boundary ties excluded") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val hourUs = 3600000000L
+    def mk(n: Int, tag: String) = (1 to n).map { i =>
+      val s = rng.nextInt(200).toLong * hourUs / 4
+      val len = (1 + rng.nextInt(16)).toLong * hourUs / 2
+      (s"$tag$i", s, s + len)
+    }.toDF("wid", "s_us", "e_us")
+      .select(col("wid"), timestamp_micros(col("s_us")).as("ws"),
+        timestamp_micros(col("e_us")).as("we"))
+    // quarter-hour grid + half-hour lengths make boundary ties
+    // (a.we == b.ws) common — exactly the rank tie-handling under test
+    val l = mk(50, "L")
+    val r = mk(50, "R")
+    val got = TimeSeriesOps.intervalOverlapCounts(l, r, "wid", "ws", "we",
+        bucketUs = hourUs)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val brute = l.crossJoin(
+        r.select(col("ws").as("rws"), col("we").as("rwe")))
+      .filter(col("ws") < col("rwe") && col("rws") < col("we"))
+      .groupBy(col("wid")).agg(count(lit(1)).as("n"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got.size == 50, s"every left interval must get a row: ${got.size}")
+    l.select(col("wid")).collect().map(_.getString(0)).foreach { id =>
+      assert(got(id) == brute.getOrElse(id, 0L),
+        s"$id: got=${got(id)} brute=${brute.getOrElse(id, 0L)}")
+    }
+    assert(got.values.exists(_ == 0L) || brute.size == 50,
+      "corpus should exercise the zero-overlap path")
+  }
+
   test("intervalOverlapJoin: shared keys partition the match space") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
