@@ -2544,15 +2544,22 @@ object SparkEntry {
 
   /** Blocked fuzzy entity matching (EntityResolution.blockedNamePairs
     * — the native codegen'd JaroWinklerExpr): customer names blocked
-    * by (nation, custkey mod 10), top-2 most similar per left record.
-    * The oracle recomputes pair scores with DuckDB's
-    * jaro_winkler_similarity (verified same semantics: prefix cap 4,
-    * scale 0.1, 0.7 boost threshold). */
+    * by key range (custkey DIV 100), top-2 most similar per left
+    * record. The block key is the scale lesson the ×100 audit taught
+    * twice (q65 LSH blocks, q204 simhash bands): a block key with
+    * FIXED cardinality — the original (nation, custkey mod 10) had
+    * 250 values forever — makes within-block all-pairs grow ~n²/250
+    * (4.5B Jaro evaluations at ×100, measured 569 s). Key-RANGE
+    * blocks invert that: block SIZE is pinned (≤100 dense TPC-H
+    * custkeys) and block COUNT grows with the data, so candidates are
+    * exactly 49.5 pairs per customer at any scale. The oracle
+    * recomputes pair scores with DuckDB's jaro_winkler_similarity
+    * (verified same semantics: prefix cap 4, scale 0.1, 0.7 boost
+    * threshold). */
   private def qJaroWinklerMatch(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val blocked = t.customer.select(col("c_custkey"), col("c_name"),
-      concat(col("c_nationkey").cast("string"), lit("_"),
-        (col("c_custkey") % 10).cast("string")).as("block"))
+      floor(col("c_custkey") / 100).cast("string").as("block"))
     EntityResolution.blockedNamePairs(blocked, "c_custkey", "c_name",
         "block", minSim = 0.9, k = 2)
       .select(col("id_a"), col("id_b"), col("sim"))
@@ -7489,8 +7496,7 @@ object SparkEntry {
     "q169_jaro_winkler" ->
       """WITH blocked AS (
         |  SELECT c_custkey, c_name,
-        |    CAST(c_nationkey AS VARCHAR) || '_' ||
-        |      CAST(c_custkey % 10 AS VARCHAR) AS block
+        |    CAST(c_custkey // 100 AS VARCHAR) AS block
         |  FROM customer),
         |pairs AS (
         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
