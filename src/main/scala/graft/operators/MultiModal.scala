@@ -3,6 +3,29 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** Keep ImageIO traffic IN MEMORY. The registry default
+  * (`useCache=true`) routes every `ImageIO.read`/`write`/
+  * `createImageInputStream` over a non-seekable stream through a
+  * `FileCache*Stream` — a temp file created, written and deleted on
+  * local disk PER IMAGE. At 32 concurrent tasks over 10^5..10^6 small
+  * payloads that is pure filesystem churn on the same disk the shuffle
+  * spills and checkpoint blocks live on (the in-suite image tier
+  * measured 3-6× its isolated wall at ×10 before this). All payloads
+  * here are in-memory byte arrays already — the memory cache is
+  * strictly better. JVM-global and idempotent; called on entry to
+  * every codec batch so it takes effect on whichever executor JVM runs
+  * the partition, not just the driver.
+  *
+  * A top-level holder, NOT a method on [[MultiModal]]: executor-side
+  * closures reach it through the static MODULE$ field, so calling it
+  * never drags the (non-serializable) enclosing object into the task
+  * closure. */
+private[operators] object ImageIoInMemory {
+  @inline def apply(): Unit =
+    if (javax.imageio.ImageIO.getUseCache)
+      javax.imageio.ImageIO.setUseCache(false)
+}
+
 /** Multimodal-column plumbing (north-star ops): image/audio/video as
   * opaque `binary` payloads with typed metadata, decode / feature /
   * frame-sample stages.
@@ -182,6 +205,7 @@ object MultiModal {
   def encodeImageIO(format: String, w: Int, h: Int,
       pixel: (Int, Int, Int) => Int): Array[Byte] = {
     require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    ImageIoInMemory()
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -229,7 +253,8 @@ object MultiModal {
   def imagePixelStats(df: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[ImageStats] =
+    def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[ImageStats] = {
+      ImageIoInMemory()
       batch.map { case (id, payload) =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload))
@@ -253,6 +278,7 @@ object MultiModal {
           img.getRaster.getNumBands.toLong,
           sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
       }
+    }
     df.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(batchSize).flatMap(g => decodeBatch(g.toSeq)))
@@ -273,6 +299,7 @@ object MultiModal {
     val spark = df.sparkSession
     import spark.implicits._
     def probe(id: Long, payload: Array[Byte]): ImageMetaRow = {
+      ImageIoInMemory()
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
@@ -823,6 +850,7 @@ object MultiModal {
         : (Long, Boolean, String, Option[Long], Option[Long], Option[Long],
            Option[Double], Option[Double], Option[Double]) =
       try {
+        ImageIoInMemory()
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload))
         if (img == null)
@@ -878,7 +906,8 @@ object MultiModal {
       "grid must fit a signed 64-bit hash")
     val spark = df.sparkSession
     import spark.implicits._
-    def hashBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Long, Long, Long)] =
+    def hashBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Long, Long, Long)] = {
+      ImageIoInMemory()
       batch.map { case (id, payload) =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload))
@@ -913,6 +942,7 @@ object MultiModal {
         }
         (id, hash, w.toLong, h.toLong)
       }
+    }
     df.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(batchSize).flatMap(g => hashBatch(g.toSeq)))
@@ -940,7 +970,8 @@ object MultiModal {
     val spark = df.sparkSession
     import spark.implicits._
     val cols = gw + 1
-    def hashBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Long, Long, Long)] =
+    def hashBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Long, Long, Long)] = {
+      ImageIoInMemory()
       batch.map { case (id, payload) =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload))
@@ -978,6 +1009,7 @@ object MultiModal {
         }
         (id, hash, w.toLong, h.toLong)
       }
+    }
     df.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(batchSize).flatMap(g => hashBatch(g.toSeq)))
