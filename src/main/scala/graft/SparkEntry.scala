@@ -3031,17 +3031,24 @@ object SparkEntry {
       .orderBy(col("building_order"))
   }
 
-  /** Margin-based pair mining (Similarity.marginBitextPairs): label-0
-    * vectors as the source side, label-1 as the target — each source's
-    * nearest target with its ratio margin over both k=4 neighborhoods
-    * and the mutual-rank-1 flag. The margin is exact-integer algebra
-    * over 1e-6-quantized sims, so the oracle reproduces every digit. */
+  /** Margin-based pair mining at the scale path
+    * (Similarity.blockedMarginBitextPairs): label-0 vectors as the
+    * source side, label-1 as the target — each source's nearest
+    * same-block target with its ratio margin over both k=4 block
+    * neighborhoods and the mutual-rank-1 flag. Neighborhoods live in
+    * deterministic 4-bit hyperplane-LSH blocks (adaptively refined
+    * past the 512 cap, the q65 treatment), so pair volume is
+    * ~n·cap/4 instead of |src|·|tgt| — the brute form of this query
+    * measured ×132/decade at the ×100 audit. The margin stays
+    * exact-integer algebra over 1e-6-quantized sims and the blocks
+    * never refine at oracle scale, so DuckDB reproduces every digit
+    * from the fixed 4-bit bucket. */
   private def qBitextMining(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    Similarity.marginBitextPairs(
+    Similarity.blockedMarginBitextPairs(
         t.embeddings.filter(col("label") === 0),
         t.embeddings.filter(col("label") === 1),
-        "vec_id", "embedding", k = 4)
+        "vec_id", "embedding", k = 4, baseBits = 4, maxBlockSize = 512)
       .orderBy(col("src_id"))
   }
 
@@ -7999,12 +8006,24 @@ object SparkEntry {
         |GROUP BY b.wid
         |ORDER BY building_order""".stripMargin,
 
-    "q196_bitext_mining" ->
-      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
-         |t AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+    // blocked margin mining: the block key is the fixed 4-bit
+    // hyperplane-sign bucket (adaptive refinement never fires at this
+    // scale — the q65 oracle trick); both kNN directions rank the
+    // same within-block sim matrix
+    "q196_bitext_mining" -> {
+      val projs = (0 until 4).map(j => s"${planeProjSql(j)} AS p$j")
+        .mkString(",\n  ")
+      val bucket = (0 until 4)
+        .map(j => s"(CASE WHEN p$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sig AS (SELECT vec_id, label, embedding, $projs
+         |  FROM embeddings WHERE label IN (0, 1)),
+         |b AS (SELECT vec_id, label, embedding, $bucket AS blk FROM sig),
+         |s AS (SELECT blk, vec_id, embedding FROM b WHERE label = 0),
+         |t AS (SELECT blk, vec_id, embedding FROM b WHERE label = 1),
          |sims AS (SELECT s.vec_id AS sid, t.vec_id AS tid,
          |    round(${cosineSql("s.embedding", "t.embedding")}, 6) AS sim
-         |  FROM s, t),
+         |  FROM s JOIN t ON s.blk = t.blk),
          |fr AS (SELECT *, row_number() OVER
          |    (PARTITION BY sid ORDER BY sim DESC, tid) AS rn FROM sims),
          |fa AS (SELECT sid,
@@ -8023,7 +8042,8 @@ object SparkEntry {
          |    / (fsum + bsum), 6) AS margin,
          |  (b_src = fa.sid) AS mutual
          |FROM fa JOIN ba ON fa.tgt_id = ba.tid
-         |ORDER BY src_id""".stripMargin,
+         |ORDER BY src_id""".stripMargin
+    },
 
     "q197_bottomk_sample" ->
       s"""WITH ranked AS (SELECT lang, doc_id, source,

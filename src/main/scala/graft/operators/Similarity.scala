@@ -868,6 +868,68 @@ object Similarity {
         (col("b_src") === col("src_id")).as("mutual"))
   }
 
+  /** [[marginBitextPairs]] at corpus scale: the same exact-integer
+    * margin algebra, with both kNN neighborhoods restricted to
+    * deterministic hyperplane-LSH blocks ([[adaptiveLshBlocks]] over
+    * the UNION of the two sides, so block boundaries are shared). The
+    * brute form's cost is |src|·|tgt| sims per direction — quadratic
+    * in the corpus (the ×100 audit measured it at ×132/decade);
+    * blocked, pair volume is bounded by ~n·maxBlockSize/4 and the
+    * whole query scales linearly, the q65 semantic-dedup treatment
+    * applied to mining. Semantics become "nearest target within the
+    * block" — the standard recall trade every LSH retrieval stage
+    * makes; margins/mutual flags for the pairs that remain are
+    * computed by the identical algebra.
+    *
+    * Oracle path: under-cap corpora never refine past `baseBits`, so
+    * an external engine replays the block key as a fixed
+    * `baseBits`-bit hyperplane-sign bucket (the q196 oracle does) —
+    * same trick the q65 oracle uses. Unlike the brute form, the
+    * within-block sim matrix is computed ONCE and both directions
+    * rank it (the brute baseline computes all-pairs sims twice). */
+  def blockedMarginBitextPairs(src: DataFrame, tgt: DataFrame,
+      idCol: String, vecCol: String, k: Int = 4, baseBits: Int = 4,
+      maxBlockSize: Int = 512): DataFrame = {
+    def simInt(c: Column): Column = round(c * 1e6, 0).cast("long")
+    val pop = src.select(col(idCol), col(vecCol), lit(0).as("_side"))
+      .unionByName(tgt.select(col(idCol), col(vecCol), lit(1).as("_side")))
+    val blk = adaptiveLshBlocks(pop, vecCol, "_blk", baseBits,
+        maxBlockSize)
+      .withColumn("_nrm", norm(col(vecCol)))
+      .localCheckpoint(false)
+    val s = blk.filter(col("_side") === 0).select(col("_blk"),
+      col(idCol).as("sid"), col(vecCol).as("sv"), col("_nrm").as("sn"))
+    val t = blk.filter(col("_side") === 1).select(col("_blk"),
+      col(idCol).as("tid"), col(vecCol).as("tv"), col("_nrm").as("tn"))
+    // one within-block sim matrix; the only corpus-grain shuffle keys
+    // on the block id, so bucket skew is already bounded by the cap
+    val sims = s.join(t, Seq("_blk"))
+      .withColumn("sim", round(dot(col("sv"), col("tv")) /
+        nullif(col("sn") * col("tn"), lit(0.0)), 6))
+      .select(col("sid"), col("tid"), col("sim"))
+      .localCheckpoint(false)
+    val wf = Window.partitionBy(col("sid"))
+      .orderBy(col("sim").desc, col("tid"))
+    val wb = Window.partitionBy(col("tid"))
+      .orderBy(col("sim").desc, col("sid"))
+    val fwd = sims.withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= k)
+      .groupBy(col("sid").as("src_id"))
+      .agg(sum(simInt(col("sim"))).as("fsum"),
+        max(when(col("rn") === 1, col("tid"))).as("tgt_id"),
+        max(when(col("rn") === 1, col("sim"))).as("sim"))
+    val bwd = sims.withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= k)
+      .groupBy(col("tid").as("b_tgt"))
+      .agg(sum(simInt(col("sim"))).as("bsum"),
+        max(when(col("rn") === 1, col("sid"))).as("b_src"))
+    fwd.join(bwd, col("tgt_id") === col("b_tgt"))
+      .select(col("src_id"), col("tgt_id"), col("sim"),
+        round(lit(2.0 * k) * simInt(col("sim")) /
+          (col("fsum") + col("bsum")), 6).as("margin"),
+        (col("b_src") === col("src_id")).as("mutual"))
+  }
+
   /** Matryoshka-truncation recall audit: how much of the exact
     * full-dimension top-k survives when vectors are cut to their first
     * `dims` components (the MRL serving trick — truncated prefixes as

@@ -967,6 +967,42 @@ class OperatorsSpec extends SparkSpec {
       s"unique pair margin must beat hub margins: $r")
   }
 
+  test("blocked margin mining equals per-block brute composition") {
+    import spark.implicits._
+    // 64-dim deterministic vectors so the default hyperplane family
+    // (dims = 64) sees full-length inputs
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(64)(d => ((id * 31 + d * 17) % 13 - 6).toFloat)
+    val src = (1L to 20L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val tgt = (101L to 140L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val blocked = graft.operators.Similarity
+      .blockedMarginBitextPairs(src, tgt, "vec_id", "embedding",
+        k = 2, baseBits = 2, maxBlockSize = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    // expected: bucket both sides with the same 2-bit signature, then
+    // run the BRUTE margin miner inside each bucket independently
+    val sig = graft.operators.Similarity
+      .lshSignature(src.unionByName(tgt), "vec_id", "embedding", nBits = 2)
+    val srcB = src.join(sig, "vec_id")
+    val tgtB = tgt.join(sig, "vec_id")
+    val buckets = sig.select("bucket").distinct().as[Long].collect()
+    val expected = buckets.flatMap { b =>
+      val sb = srcB.filter(col("bucket") === b).drop("bucket")
+      val tb = tgtB.filter(col("bucket") === b).drop("bucket")
+      if (sb.isEmpty || tb.isEmpty)
+        Array.empty[(Long, Long, Double, Double, Boolean)]
+      else graft.operators.Similarity
+        .marginBitextPairs(sb, tb, "vec_id", "embedding", k = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4)))
+    }.toSet
+    assert(buckets.length > 1, "fixture must split into multiple blocks")
+    assert(blocked == expected,
+      s"blocked=${blocked.size} expected=${expected.size}: " +
+        s"diff=${(blocked diff expected) ++ (expected diff blocked)}")
+  }
+
   test("PII redaction replaces urls, emails and IPv4 with markers") {
     import spark.implicits._
     val df = Seq(
