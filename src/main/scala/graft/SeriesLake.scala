@@ -80,4 +80,32 @@ object SeriesLake {
     fs.delete(backup, true)
     n
   }
+
+  /** Save a frame as a BUCKETED, bucket-sorted external parquet table —
+    * the co-location contract for the 100 TB join/agg tier. Bucketing
+    * pays the key shuffle ONCE at write time: every later equi-join or
+    * aggregate on `bucketKey` between tables that agree on the bucket
+    * count plans WITHOUT a ShuffleExchange (Catalyst recognizes the
+    * `HashPartitioning(bucketKey, buckets)` output partitioning of the
+    * bucketed scan), so the repeated-analytics cost at scale is the
+    * join itself, never the fact-table re-shuffle. `sortCols` orders
+    * rows inside each bucket file (min/max row-group skipping + cheaper
+    * merge-sort for SMJ inputs).
+    *
+    * The bucket count is a LAYOUT contract, not a tuning knob: both
+    * sides of a co-located join must have been written with the same
+    * `buckets`, and re-bucketing means rewriting — pick it from target
+    * bucket-file size (bytes / buckets ≈ 128 MB–1 GB), not from
+    * today's cluster width. External table (explicit `path`), so the
+    * files outlive any one session's in-memory catalog and re-register
+    * on the next `writeBucketed`/`saveAsTable`. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketKey: String, buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, bucketKey)
+      .format("parquet")
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).saveAsTable(table)
+  }
 }

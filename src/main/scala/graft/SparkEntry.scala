@@ -3674,6 +3674,38 @@ object SparkEntry {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Bucketed co-located join (SeriesLake.writeBucketed): both join
+    * sides land as bucket-sorted tables hashed on their order key with
+    * the SAME bucket count, so the fact join plans as a sort-merge join
+    * with NO ShuffleExchange below it (PlanSpec asserts exactly that) —
+    * the pay-the-shuffle-once layout contract of the 100 TB tier. The
+    * write-side shuffle happens here once per run; at cluster scale it
+    * amortizes over every downstream join/agg on the key. Results are
+    * layout-independent, so the oracle replays the plain join from the
+    * raw tables. */
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    SeriesLake.writeBucketed(
+      t.orders
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "q228_orders_bkt", "/tmp/graft_lake/q228_orders",
+      bucketKey = "o_orderkey", buckets = 16, sortCols = Seq("o_orderkey"))
+    SeriesLake.writeBucketed(
+      t.lineitem.select(col("l_orderkey"), col("l_extendedprice"),
+        col("l_discount")),
+      "q228_items_bkt", "/tmp/graft_lake/q228_items",
+      bucketKey = "l_orderkey", buckets = 16, sortCols = Seq("l_orderkey"))
+    s.table("q228_orders_bkt")
+      .join(s.table("q228_items_bkt"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3906,6 +3938,7 @@ object SparkEntry {
     "q225_rolling_revenue" -> (qRollingRevenue _),
     "q226_coverage_cutoff" -> (qCoverageCutoff _),
     "q227_bloom_semi_join" -> (qBloomSemiJoin _),
+    "q228_bucketed_join" -> (qBucketedJoin _),
   )
 
   // -------------------------------------------------------------------
@@ -8579,5 +8612,14 @@ object SparkEntry {
         |    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // layout-independent replay of the bucketed join from the raw tables
+    "q228_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
   )
 }

@@ -598,4 +598,27 @@ class PlanSpec extends SparkSpec {
   test("q161 rewired through bloomPrune: probe pre-exchange on the lineitem scan") {
     assertProbePreExchange("q161_local_supplier_volume")
   }
+
+  /** The bucketing contract: two tables bucketed on their join keys
+    * with the same bucket count must join as a sort-merge join whose
+    * subtree holds NO shuffle — the scan's HashPartitioning satisfies
+    * the join's distribution requirement. Broadcast is disabled so the
+    * tiny test tables don't take the BHJ shortcut that hides the
+    * property this layout exists for. */
+  test("q228 bucketed join: sort-merge join with no exchange below it") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q228_bucketed_join")(spark, sf("sf0.001"))
+      val p = df.queryExecution.sparkPlan
+      val smjs = p.collect { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, s"expected a sort-merge join:\n$p")
+      smjs.foreach { j =>
+        assert(j.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+          s"bucketed join still shuffles — layout contract broken:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
 }
