@@ -3706,6 +3706,37 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Single-pass pipeline telemetry via `Dataset.observe`: the ingest
+    * and post-gate metrics ride the SAME action that writes the kept
+    * corpus — at 100 TB, data-quality counters must never cost a
+    * second scan, and `observe` plants `CollectMetrics` nodes whose
+    * aggregates accumulate inside the one write job (exactly the
+    * AccumulatorV2 mechanism, but declarative and plan-visible). The
+    * query's RESULT is the funnel report assembled from the observed
+    * values; the oracle recomputes the same aggregates from the raw
+    * table, proving the in-flight metrics equal a dedicated pass. */
+  private def qObserveMetrics(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val inObs = org.apache.spark.sql.Observation()
+    val keptObs = org.apache.spark.sql.Observation()
+    t.documents.select(col("doc_id"), col("lang"), col("n_chars"))
+      .observe(inObs, count(lit(1)).as("n_in"),
+        sum(col("n_chars")).as("chars_in"))
+      .filter(col("n_chars") >= 200)
+      .observe(keptObs, count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("chars_kept"))
+      .write.mode("overwrite").parquet("/tmp/graft_lake/q229_kept")
+    def l(m: Map[String, Any], k: String): Long =
+      Option(m(k)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val (in, kept) = (inObs.get, keptObs.get)
+    import s.implicits._
+    Seq((l(in, "n_in"), l(in, "chars_in"),
+        l(kept, "n_kept"), l(kept, "chars_kept")))
+      .toDF("n_in", "chars_in", "n_kept", "chars_kept")
+      .withColumn("kept_ratio",
+        round(col("n_kept") / col("n_in").cast("double"), 6))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -3939,6 +3970,7 @@ object SparkEntry {
     "q226_coverage_cutoff" -> (qCoverageCutoff _),
     "q227_bloom_semi_join" -> (qBloomSemiJoin _),
     "q228_bucketed_join" -> (qBucketedJoin _),
+    "q229_observe_metrics" -> (qObserveMetrics _),
   )
 
   // -------------------------------------------------------------------
@@ -8621,5 +8653,17 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // a dedicated pass recomputing what the observe() metrics measured
+    // in flight — equality proves the single-pass telemetry is exact
+    "q229_observe_metrics" ->
+      """SELECT count(*) AS n_in,
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_in,
+        |  count(*) FILTER (WHERE n_chars >= 200) AS n_kept,
+        |  CAST(coalesce(sum(n_chars) FILTER (WHERE n_chars >= 200), 0)
+        |    AS BIGINT) AS chars_kept,
+        |  round(CAST(count(*) FILTER (WHERE n_chars >= 200) AS DOUBLE)
+        |    / count(*), 6) AS kept_ratio
+        |FROM documents""".stripMargin,
   )
 }

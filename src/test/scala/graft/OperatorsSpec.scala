@@ -1003,6 +1003,22 @@ class OperatorsSpec extends SparkSpec {
         s"diff=${(blocked diff expected) ++ (expected diff blocked)}")
   }
 
+  test("observe metrics equal a dedicated recompute pass") {
+    val dir = sf("sf0.001")
+    val row = SparkEntry.queries("q229_observe_metrics")(spark, dir).head()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val expect = docs.agg(
+      count(lit(1)).as("n_in"), sum(col("n_chars")).as("chars_in"),
+      sum(when(col("n_chars") >= 200, 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("n_chars") >= 200, col("n_chars")).otherwise(0L))
+        .as("chars_kept")).head()
+    assert(row.getLong(0) == expect.getLong(0) &&
+      row.getLong(1) == expect.getLong(1) &&
+      row.getLong(2) == expect.getLong(2) &&
+      row.getLong(3) == expect.getLong(3),
+      s"in-flight metrics drifted from the recompute: $row vs $expect")
+  }
+
   test("PII redaction replaces urls, emails and IPv4 with markers") {
     import spark.implicits._
     val df = Seq(
