@@ -70,11 +70,21 @@ object ScaleDiag {
       .selectExpr("CAST(sum(count * (count - 1) DIV 2) AS BIGINT) AS b")
       .head().getLong(0)
     val sim32 = if (skipRetired) -1L else parts32.cand.count()
+    // q196's blocked margin miner: within-block (src, tgt) sim pairs
+    // through the production stage (bounded ~n·cap/4 by construction;
+    // this logs the observed number per decade)
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, sfDir).embeddings
+    val q196 = graft.operators.Similarity
+      .blockedMarginSims(emb.filter(col("label") === 0),
+        emb.filter(col("label") === 1), "vec_id", "embedding",
+        baseBits = 4, maxBlockSize = 512).count()
     println(s"""{"sf":"$sfDir","n_docs":$nDocs,""" +
       s""""q182_candidates":$prefix,"q204_candidates":$sim64,""" +
       s""""q204_candidates_16bit_bands":$sim64b4,""" +
       s""""q204_candidates_32bit":$sim32,""" +
-      s""""q204_candidates_32bit_bound":$bound32}""")
+      s""""q204_candidates_32bit_bound":$bound32,""" +
+      s""""q196_blocked_sims":$q196}""")
     spark.stop()
   }
 }

@@ -887,10 +887,15 @@ object Similarity {
     * same trick the q65 oracle uses. Unlike the brute form, the
     * within-block sim matrix is computed ONCE and both directions
     * rank it (the brute baseline computes all-pairs sims twice). */
-  def blockedMarginBitextPairs(src: DataFrame, tgt: DataFrame,
-      idCol: String, vecCol: String, k: Int = 4, baseBits: Int = 4,
-      maxBlockSize: Int = 512): DataFrame = {
-    def simInt(c: Column): Column = round(c * 1e6, 0).cast("long")
+  /** The within-block (src, tgt, sim) stage of
+    * [[blockedMarginBitextPairs]], exposed so the scaling diagnostics
+    * (graft.ScaleDiag) can count the candidate-pair volume THROUGH the
+    * production code path — block occupancy is data-dependent, so
+    * candidate growth under corpus scaling is an empirical number
+    * worth logging per audit, not a formula. */
+  private[graft] def blockedMarginSims(src: DataFrame, tgt: DataFrame,
+      idCol: String, vecCol: String, baseBits: Int,
+      maxBlockSize: Int): DataFrame = {
     val pop = src.select(col(idCol), col(vecCol), lit(0).as("_side"))
       .unionByName(tgt.select(col(idCol), col(vecCol), lit(1).as("_side")))
     val blk = adaptiveLshBlocks(pop, vecCol, "_blk", baseBits,
@@ -903,10 +908,18 @@ object Similarity {
       col(idCol).as("tid"), col(vecCol).as("tv"), col("_nrm").as("tn"))
     // one within-block sim matrix; the only corpus-grain shuffle keys
     // on the block id, so bucket skew is already bounded by the cap
-    val sims = s.join(t, Seq("_blk"))
+    s.join(t, Seq("_blk"))
       .withColumn("sim", round(dot(col("sv"), col("tv")) /
         nullif(col("sn") * col("tn"), lit(0.0)), 6))
       .select(col("sid"), col("tid"), col("sim"))
+  }
+
+  def blockedMarginBitextPairs(src: DataFrame, tgt: DataFrame,
+      idCol: String, vecCol: String, k: Int = 4, baseBits: Int = 4,
+      maxBlockSize: Int = 512): DataFrame = {
+    def simInt(c: Column): Column = round(c * 1e6, 0).cast("long")
+    val sims = blockedMarginSims(src, tgt, idCol, vecCol, baseBits,
+        maxBlockSize)
       .localCheckpoint(false)
     val wf = Window.partitionBy(col("sid"))
       .orderBy(col("sim").desc, col("tid"))
