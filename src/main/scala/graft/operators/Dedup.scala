@@ -206,8 +206,10 @@ object Dedup {
     *
     * Scale shape: df is a shingle-grain aggregate; the prefix pick is
     * a doc-keyed window; the candidate join keys on (rare) shingles so
-    * bucket sizes are bounded by those shingles' df; verification
-    * joins at candidate-pair grain. */
+    * bucket sizes are bounded by those shingles' df; PPJoin's length
+    * and positional filters (see [[prefixFilterParts]]) then cut
+    * candidate rows BEFORE the pair distinct — both provably keep the
+    * exact pair set; verification joins at candidate-pair grain. */
   /** The shingle/size/candidate intermediates of [[prefixFilterJoin]],
     * exposed so the scaling diagnostics (graft.ScaleDiag) can count
     * the candidate-pair stage THROUGH the production code path — the
@@ -218,7 +220,8 @@ object Dedup {
       sizes: DataFrame, cand: DataFrame)
 
   private[graft] def prefixFilterParts(docs: DataFrame, textCol: String,
-      idCol: String, threshold: Double, shingleN: Int): PrefixJoinParts = {
+      idCol: String, threshold: Double, shingleN: Int,
+      ppFilters: Boolean = true): PrefixJoinParts = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1]")
     val sh = shingleRows(docs, textCol, idCol, shingleN)
@@ -232,19 +235,56 @@ object Dedup {
       .join(sizes, Seq(idCol))
       .filter(col("_pos") <=
         col("_n") - ceil(lit(threshold) * col("_n")) + 1)
-      .select(col(idCol), col("shingle"))
-    val cand = prefix.select(col(idCol).as("id_a"), col("shingle"))
-      .join(prefix.select(col(idCol).as("id_b"), col("shingle")),
-        Seq("shingle"))
+      .select(col(idCol), col("shingle"), col("_pos"), col("_n"))
+    // PPJoin candidate-grain filters (Xiao et al., WWW'08), both
+    // exactness-preserving — they cut join ROWS, and any true pair
+    // still survives .distinct() via a row they cannot cut:
+    //  * length filter: J ≥ t ⟹ min(n_a,n_b) ≥ t·max(n_a,n_b)
+    //    (overlap ≤ min, union ≥ max), valid on EVERY row of the pair;
+    //  * positional filter: overlap ≥ α = t/(1+t)·(n_a+n_b) must leave
+    //    room after the shared shingle at (1-indexed) positions
+    //    (p_a, p_b): for the pair's MINIMAL shared shingle in the
+    //    global (df, shingle) order no shared shingle precedes it
+    //    (anything shared and earlier sits in both prefixes too, since
+    //    prefixes are prefixes of the same global order), so
+    //    overlap ≤ 1 + min(n_a−p_a, n_b−p_b) there — and positions
+    //    grow with the global order inside each doc, so that minimal
+    //    row MAXIMIZES the bound among the pair's rows: if it fails,
+    //    every row fails and the pair is provably below t.
+    // The 1e-9 slack keeps float rounding from cutting an exactly-at-
+    // threshold pair; verification re-checks candidates exactly anyway.
+    val eps = 1e-9
+    val pa = prefix.select(col(idCol).as("id_a"), col("shingle"),
+      col("_pos").as("_pa"), col("_n").as("_na"))
+    val pb = prefix.select(col(idCol).as("id_b"), col("shingle"),
+      col("_pos").as("_pb"), col("_n").as("_nb"))
+    val joined = pa.join(pb, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    val filtered = if (!ppFilters) joined else joined
+      .filter(least(col("_na"), col("_nb")).cast("double") >=
+        lit(threshold) * greatest(col("_na"), col("_nb")) - eps)
+      .filter((lit(1) + least(col("_na") - col("_pa"),
+          col("_nb") - col("_pb"))).cast("double") >=
+        lit(threshold / (1.0 + threshold)) *
+          (col("_na") + col("_nb")) - eps)
+    val cand = filtered.select(col("id_a"), col("id_b")).distinct()
     PrefixJoinParts(sh, sizes, cand)
   }
 
   def prefixFilterJoin(docs: DataFrame, textCol: String, idCol: String,
-      threshold: Double, shingleN: Int = 3): DataFrame = {
-    val PrefixJoinParts(sh, sizes, cand) =
-      prefixFilterParts(docs, textCol, idCol, threshold, shingleN)
+      threshold: Double, shingleN: Int = 3): DataFrame =
+    verifyCandidates(
+      prefixFilterParts(docs, textCol, idCol, threshold, shingleN),
+      idCol, threshold)
+
+  /** Exact verification of an AllPairs/PPJoin candidate set: intersect
+    * each candidate pair's full shingle sets and keep Jaccard ≥ t.
+    * Split out of [[prefixFilterJoin]] so the spec can pin that the
+    * PPJoin length/positional filters change only the CANDIDATE count,
+    * never the verified pair set. */
+  private[graft] def verifyCandidates(parts: PrefixJoinParts,
+      idCol: String, threshold: Double): DataFrame = {
+    val PrefixJoinParts(sh, sizes, cand) = parts
     val inter = cand
       .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("shingle")),

@@ -183,6 +183,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PPJoin length/positional filters: same verified pair set as the unfiltered build") {
+    // Generated corpora from a tiny vocabulary force heavy shingle
+    // overlap — the regime where the filters do real cutting. The
+    // verified pair set must be IDENTICAL with and without them
+    // (exactness guarantee), and the filtered candidate set must be a
+    // subset of (and across the whole sample, strictly smaller than)
+    // the unfiltered one — i.e. the filters prune, never re-admit.
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val cases = for {
+      nDocs <- Gen.choose(2, 10)
+      texts <- Gen.listOfN(nDocs,
+        Gen.choose(3, 25).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" "))))
+      t <- Gen.oneOf(0.3, 0.5, 0.7, 0.9)
+    } yield (texts, t)
+    var candFiltered = 0L
+    var candUnfiltered = 0L
+    samples(cases, 12).foreach { case (texts, t) =>
+      val docs = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      val on = operators.Dedup.prefixFilterParts(
+        docs, "text", "doc_id", t, shingleN = 3)
+      val off = operators.Dedup.prefixFilterParts(
+        docs, "text", "doc_id", t, shingleN = 3, ppFilters = false)
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val candOn = pairs(on.cand)
+      val candOff = pairs(off.cand)
+      assert(candOn.subsetOf(candOff),
+        s"filters admitted pairs outside the unfiltered build: ${candOn -- candOff}")
+      candFiltered += candOn.size
+      candUnfiltered += candOff.size
+      val vOn = operators.Dedup.verifyCandidates(on, "doc_id", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val vOff = operators.Dedup.verifyCandidates(off, "doc_id", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(vOn == vOff,
+        s"t=$t verified sets diverge: only-on=${vOn -- vOff} only-off=${vOff -- vOn}")
+    }
+    assert(candFiltered < candUnfiltered,
+      s"filters never pruned a candidate across the sample ($candFiltered vs $candUnfiltered)")
+  }
+
   test("kmeans assignments are deterministic, bounded, and total") {
     import graft.operators.Similarity
     val vecGen = Gen.listOfN(16, Gen.choose(-5.0, 5.0))
