@@ -1140,15 +1140,23 @@ object TextAnalysis {
     * byte counts are deterministic for a given zlib. No SQL oracle can
     * express DEFLATE — correctness rides the unit suite (closed-form
     * fixtures + an independent per-row java.util.zip recompute), and
-    * the driver's rows-only check covers the query shape. Per-row
-    * scalar work, zero shuffle, linear in corpus bytes. */
+    * the gate query (q156) compares oracle-expressible DERIVED columns
+    * instead of raw byte counts (see `verifyRoundtrip`). Per-row
+    * scalar work, zero shuffle, linear in corpus bytes.
+    *
+    * `verifyRoundtrip = true` adds a `roundtrip_ok` boolean: the
+    * compressed stream is inflated back (one reused Inflater per
+    * partition) and byte-compared to the input — a REAL end-to-end
+    * self-check of the codec plumbing whose correct value is the
+    * constant TRUE, i.e. exactly what a SQL oracle can express. */
   def compressionRatio(docs: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
+      idCol: String, verifyRoundtrip: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    val base = docs
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
-      .mapPartitions { it =>
+    if (!verifyRoundtrip) base.mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(
           java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
         val buf = new Array[Byte](64 * 1024)
@@ -1165,7 +1173,42 @@ object TextAnalysis {
             else java.lang.Double.valueOf(math.rint(
               compressed.toDouble / raw.length * 1e6) / 1e6))
         }
-      }
-      .toDF(idCol, "n_bytes", "n_deflate", "deflate_ratio")
+      }.toDF(idCol, "n_bytes", "n_deflate", "deflate_ratio")
+    else base.mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        val inflater = new java.util.zip.Inflater(true)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw = Option(text).getOrElse("").getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          val out = new java.io.ByteArrayOutputStream(
+            math.max(64, raw.length / 2))
+          while (!deflater.finished()) {
+            val n = deflater.deflate(buf)
+            out.write(buf, 0, n)
+          }
+          val comp = out.toByteArray
+          inflater.reset()
+          // a nowrap Inflater requires one dummy byte appended to the
+          // compressed input (java.util.zip.Inflater javadoc)
+          inflater.setInput(comp :+ 0.toByte)
+          val back = new java.io.ByteArrayOutputStream(raw.length)
+          while (!inflater.finished()) {
+            val n = inflater.inflate(buf)
+            if (n == 0 && inflater.needsInput()) // truncated stream
+              throw new java.util.zip.DataFormatException("truncated")
+            back.write(buf, 0, n)
+          }
+          (id, raw.length.toLong, comp.length.toLong,
+            if (raw.length == 0) null
+            else java.lang.Double.valueOf(math.rint(
+              comp.length.toDouble / raw.length * 1e6) / 1e6),
+            java.util.Arrays.equals(back.toByteArray, raw))
+        }
+      }.toDF(idCol, "n_bytes", "n_deflate", "deflate_ratio",
+        "roundtrip_ok")
   }
 }

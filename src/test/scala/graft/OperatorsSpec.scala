@@ -1934,6 +1934,15 @@ class OperatorsSpec extends SparkSpec {
     val (rep, rnd) = (out(0).getDouble(3), out(1).getDouble(3))
     assert(rep < 0.1 && rnd > 0.5 && rep < rnd, s"$rep vs $rnd")
     assert(out(2).getLong(1) == 0 && out(2).isNullAt(3))
+    // the roundtrip variant (q156's gate path): identical counts plus
+    // roundtrip_ok TRUE on every row, including the empty doc
+    val rt = TextAnalysis.compressionRatio(df, "text", "doc_id",
+        verifyRoundtrip = true)
+      .orderBy("doc_id").collect()
+    rt.zip(out).foreach { case (a, b) =>
+      assert(a.getLong(2) == b.getLong(2), s"counts diverge: $a vs $b")
+      assert(a.getBoolean(4), s"roundtrip failed: $a")
+    }
   }
 
   test("mmrRerank: diversity pick beats the near-duplicate relevance ranking") {
