@@ -2400,12 +2400,12 @@ object SparkEntry {
     // Runtime bloom prune (JoinPrune): only ~15% of orders survive the
     // date window, so lineitem's shuffle input is pruned by a bloom
     // over the surviving orderkeys BEFORE the exchange — at 100 TB the
-    // fact shuffle is the cost center and the extra dim-side scans
-    // (count + bloom aggregate, both behind the pushed date filter) are
-    // noise. The inner join below removes the bloom's false positives,
+    // fact shuffle is the cost center and the one dim-side bloom
+    // aggregate (behind the pushed date filter) is noise. Sizing rides
+    // the conf default (no pre-count scan; under-sizing only degrades
+    // fpp). The inner join below removes the bloom's false positives,
     // so results are identical to the unpruned plan.
-    val lineitem = JoinPrune.buildBloom(datedOrders, "o_orderkey",
-        expectedKeys = math.max(64L, datedOrders.count())) match {
+    val lineitem = JoinPrune.buildBloom(datedOrders, "o_orderkey") match {
       case Some(bloom) => JoinPrune.bloomPrune(t.lineitem, "l_orderkey", bloom)
       case None => t.lineitem.limit(0)
     }
@@ -3682,11 +3682,12 @@ object SparkEntry {
     val t = Tables(s, dir)
     val build = t.orders.filter(col("o_orderpriority") === "1-URGENT" &&
       col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
-    // sizing pass: one scan of the (selective) build side — negligible
-    // next to the fact shuffle it saves; overestimation costs bits only
-    val nKeys = math.max(64L, build.count())
+    // sizing is FREE: the conf-default expected-items (1M, Spark's own
+    // stats-absent InjectRuntimeFilter default) sizes the sketch with
+    // no pre-count scan — under-sizing only degrades fpp (extra false
+    // positives, removed by the real semi join), never results
     JoinPrune.bloomSemiJoin(t.lineitem, build,
-        "l_orderkey", "o_orderkey", expectedKeys = nKeys)
+        "l_orderkey", "o_orderkey")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_items"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)

@@ -47,29 +47,45 @@ object JoinPrune extends Logging {
     * the build side has no non-null keys (the aggregate yields null at
     * cardinality 0) — callers should treat None as "nothing can match".
     *
+    * Sizing without a sizing SCAN: `expectedKeys = 0` (the default)
+    * sizes from the session conf
+    * `spark.sql.optimizer.runtime.bloomFilter.expectedNumItems`
+    * (1 M items — the same stats-absent default Spark's own
+    * InjectRuntimeFilter uses), so building the bloom costs exactly
+    * one job and zero pre-count passes. Under-sizing is SAFE by
+    * construction: fpp degrades (the prune admits more false
+    * positives, each removed by the real join that follows) but
+    * results stay exact — so a free conservative default beats an
+    * exact `count()` that scans the build side twice. Callers that
+    * know their cardinality (or hold table stats) can still pass it.
+    *
     * `BloomFilterAggregate` silently caps its inputs at the session
     * confs `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
     * `.maxNumBits`; we clamp to the same values explicitly and warn, so
     * an over-sized request degrades loudly instead of silently. */
   def buildBloom(keys: DataFrame, keyCol: String,
-      expectedKeys: Long, fpp: Double = 0.01): Option[Array[Byte]] = {
-    require(expectedKeys > 0 && fpp > 0 && fpp < 1,
+      expectedKeys: Long = 0L, fpp: Double = 0.01): Option[Array[Byte]] = {
+    require(expectedKeys >= 0 && fpp > 0 && fpp < 1,
       s"bad bloom sizing: n=$expectedKeys fpp=$fpp")
     val conf = keys.sparkSession.conf
+    val sizedKeys = if (expectedKeys > 0) expectedKeys
+      else conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems",
+        "1000000").toLong
     val maxItems = conf.get(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
     val maxBits = conf.get(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
     val wantBits = math.max(64L,
-      math.ceil(-expectedKeys * math.log(fpp) /
+      math.ceil(-sizedKeys * math.log(fpp) /
         (math.log(2) * math.log(2))).toLong)
-    if (expectedKeys > maxItems || wantBits > maxBits) {
-      logWarning(s"bloom request (n=$expectedKeys, bits=$wantBits) exceeds " +
+    if (sizedKeys > maxItems || wantBits > maxBits) {
+      logWarning(s"bloom request (n=$sizedKeys, bits=$wantBits) exceeds " +
         s"session caps (maxNumItems=$maxItems, maxNumBits=$maxBits); " +
         "clamping — fpp will degrade. Raise the " +
         "spark.sql.optimizer.runtime.bloomFilter.* confs for full sizing.")
     }
-    val numItems = math.min(expectedKeys, maxItems)
+    val numItems = math.min(sizedKeys, maxItems)
     val numBits = math.min(wantBits, maxBits)
     val hashed = new XxHash64(Seq(ColumnBridge.expression(col(keyCol))))
     val agg = new BloomFilterAggregate(hashed,
@@ -100,14 +116,16 @@ object JoinPrune extends Logging {
   /** Exact semi join accelerated by a bloom pre-filter: prune the fact
     * side with the sketch, then finish with the real left-semi join
     * (which eliminates bloom false positives). `expectedKeys` sizes the
-    * sketch; pass the build side's approximate distinct count. An empty
+    * sketch when known; the 0 default sizes from the session's
+    * expectedNumItems conf with NO pre-count scan (see
+    * [[buildBloom]] — under-sizing only degrades fpp). An empty
     * (or all-null-keyed) build side short-circuits to zero rows. The
     * build key is renamed to a reserved name before the join so
     * same-named fact/build keys (the normal case) never hit an
     * ambiguous-reference error. */
   def bloomSemiJoin(fact: DataFrame, build: DataFrame,
       factKey: String, buildKey: String,
-      expectedKeys: Long, fpp: Double = 0.01): DataFrame =
+      expectedKeys: Long = 0L, fpp: Double = 0.01): DataFrame =
     buildBloom(build, buildKey, expectedKeys, fpp) match {
       case None => fact.limit(0)
       case Some(bloom) =>

@@ -393,6 +393,37 @@ class OperatorsSpec extends SparkSpec {
     assert(stNeg.getLong(stNeg.fieldIndex("sum_samples")) == -2997L)
   }
 
+  test("ImageIO in-memory guard: every codec entry restores useCache=false") {
+    // Regression guard for the r12 find: javax.imageio's default
+    // useCache=true creates a local-disk temp file PER IMAGE, which
+    // hid behind a plausible "codec-bound" explanation for a full
+    // round. Every ImageIO-touching entry point must route through
+    // ImageIoInMemory(); removing the call from any path fails here.
+    // Payloads are materialized FIRST so the lazy encode stage (whose
+    // own guard would mask a missing decode-side guard in the same
+    // pipeline) never runs inside the checked action.
+    import spark.implicits._
+    val payloads = MultiModal.syntheticImage(
+      Seq(1L, 2L, 3L).toDF("doc_id"), "doc_id", "png")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
+    val imgs = payloads.toDF("doc_id", "payload")
+    def check(label: String)(action: => Unit): Unit = {
+      javax.imageio.ImageIO.setUseCache(true)
+      action
+      assert(!javax.imageio.ImageIO.getUseCache,
+        s"$label left ImageIO.useCache=true — per-image temp-file churn is back")
+    }
+    check("imagePixelStats")(MultiModal.imagePixelStats(imgs).collect())
+    check("imageMeta")(MultiModal.imageMeta(imgs).collect())
+    check("imagePixelStatsTolerant")(
+      MultiModal.imagePixelStatsTolerant(imgs).collect())
+    check("imageAHash")(MultiModal.imageAHash(imgs).collect())
+    check("imageDHash")(MultiModal.imageDHash(imgs).collect())
+    check("encodeImageIO")(
+      MultiModal.encodeImageIO("png", 4, 4, (_, _, _) => 0))
+    javax.imageio.ImageIO.setUseCache(false) // leave the JVM clean
+  }
+
   test("ImageIO tier: PNG lossless round-trip, JPEG header probe") {
     import spark.implicits._
     val ids = Seq(3L, 17L, 42L).toDF("doc_id")
@@ -2302,5 +2333,22 @@ class OperatorsSpec extends SparkSpec {
         spark.range(0, 100).select(col("id").as("k")), "k", bloom)
       .count()
     assert(kept == 100, s"clamped bloom lost true keys: $kept/100")
+  }
+
+  test("bloomSemiJoin: conf-default sizing (no pre-count scan) and " +
+      "deliberate under-sizing both stay exact") {
+    val fact = spark.range(0, 5000).select(col("id").as("k"))
+    val build = spark.range(0, 5000, 7).select(col("id").as("k"))
+    val truth = (0L until 5000L by 7).toSet
+    // default path: expectedKeys omitted → sized from the session's
+    // expectedNumItems conf, zero sizing scans of the build side
+    val byDefault = JoinPrune.bloomSemiJoin(fact, build, "k", "k")
+      .collect().map(_.getLong(0)).toSet
+    assert(byDefault == truth, "conf-default sizing changed the result")
+    // brutal under-size: 8 expected vs 715 actual keys — fpp degrades
+    // (more false positives through the prune), the RESULT must not
+    val underSized = JoinPrune.bloomSemiJoin(fact, build, "k", "k",
+        expectedKeys = 8).collect().map(_.getLong(0)).toSet
+    assert(underSized == truth, "under-sized bloom changed the result")
   }
 }
