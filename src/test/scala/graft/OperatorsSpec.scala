@@ -998,6 +998,29 @@ class OperatorsSpec extends SparkSpec {
       s"unique pair margin must beat hub margins: $r")
   }
 
+  test("q196 oracle precondition: no 4-bit block refines at oracle scale") {
+    // The q196 DuckDB oracle replays the block key as a FIXED
+    // baseBits=4 hyperplane bucket — valid only while no block exceeds
+    // maxBlockSize=512 at sf0.01, i.e. adaptive refinement never
+    // fires. This was a documented-but-unasserted data dependency:
+    // fixture growth would fail the gate without pointing at the
+    // cause. adaptiveLshBlocks encodes depth in the key (bits << 24),
+    // so "refinement never fired" is exactly "every key's depth == 4".
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val depths = graft.operators.Similarity
+      .adaptiveLshBlocks(emb, "embedding", "_blk",
+        baseBits = 4, maxBlockSize = 512)
+      .groupBy((col("_blk") / lit(1L << 24)).cast("long").as("depth"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("_blk")).as("blocks"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(depths.keySet == Set(4L),
+      s"q196's fixed-4-bit oracle is INVALID at oracle scale: adaptive " +
+      s"refinement fired (depths=$depths) — some 4-bit block exceeds " +
+      "512 vectors at sf0.01. Regenerate the oracle or raise " +
+      "maxBlockSize in qBitextMining AND its oracle note.")
+  }
+
   test("blocked margin mining equals per-block brute composition") {
     import spark.implicits._
     // 64-dim deterministic vectors so the default hyperplane family
