@@ -4,7 +4,12 @@
 # separately and patched in":
 #
 #   1. ScaleUp sf0.1 -> x10 and x100 corpora (skip-if-exists)
-#   2. single-pass Bench at x1 / x10 / x100
+#   2. Bench at x1 / x10 / x100 — 3 interleaved passes by default
+#      (AUDIT_PASSES overrides): the r13 audit measured single-pass
+#      in-suite walls inflated up to 10x by neighbor contention
+#      (q169 59.7s in-suite vs 6.2s isolated at x100); medians over
+#      interleaved passes discard those windows, same as the sf0.1
+#      gate bench
 #   3. ScaleDiag candidate counts at x1 / x10 / x100
 #      (--skip-retired at x100: the retired config's exact count is a
 #      ~10^10-row join; the analytic bound is the honest number there)
@@ -15,8 +20,8 @@
 # Then review + commit the reports as BENCH_sf1.json / BENCH_sf100.json
 # (carrying forward the findings/notes narrative blocks as needed).
 #
-# Timing discipline: run NOTHING CPU-heavy concurrently — the bench
-# phases are single-pass and uncorrectable. Compile BEFORE invoking
+# Timing discipline: run NOTHING CPU-heavy concurrently with the
+# bench phases. Compile BEFORE invoking
 # (sbt -batch compile); the script runs compiled classes directly so
 # it never contends for the sbt boot-server socket.
 set -euo pipefail
@@ -62,14 +67,14 @@ for f in 10 100; do
   fi
 done
 
-echo "== 2/4 single-pass Bench at x1 / x10 / x100 =="
+echo "== 2/4 Bench at x1 / x10 / x100 (${AUDIT_PASSES:-3} interleaved passes) =="
 for tag in x1 x10 x100; do
   case $tag in
     x1)   dir="$SF01" ;;
     x10)  dir="$WORK/sf_x10" ;;
     x100) dir="$WORK/sf_x100" ;;
   esac
-  SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_BENCH_PASSES=1 \
+  SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_BENCH_PASSES="${AUDIT_PASSES:-3}" \
     SPARK_GRAFT_BENCH_OUT="$WORK/bench_$tag.json" \
     run_main graft.Bench > "$WORK/bench_$tag.stdout" 2> "$WORK/bench_$tag.log"
   tail -c 600 "$WORK/bench_$tag.stdout"; echo
