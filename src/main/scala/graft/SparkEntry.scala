@@ -1210,16 +1210,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** Embedding-cosine near-duplicate pairs, blocked by LSH bucket.
-    * Blocking on the 8-bit hyperplane signature (rather than a
-    * fixed-cardinality label) keeps within-block pair counts bounded:
-    * bucket count scales with nBits as the corpus grows, and truly
-    * similar vectors collide by construction. */
+  /** Embedding-cosine near-duplicate pairs, blocked by ADAPTIVE-depth
+    * LSH (Similarity.adaptiveLshBlocks, baseBits = 8, cap 512). The
+    * r12 form pinned the depth at 8 bits, which is the fixed-depth
+    * quadratic the q65 audit already retired: with 256 buckets frozen,
+    * within-block pairs grow as (n/256)² — the r13 ×100 audit measured
+    * it superlinear (×124) at 200k vectors. Adaptive refinement bounds
+    * blocks at the cap so pair volume stays ~n·cap/2. Oracle
+    * precondition (same as q65/q196): at sf0.01 the corpus total
+    * (500 vectors) is UNDER the cap, so refinement can never fire and
+    * every block key is bucket₈ + (8 << 24) — the constant the DuckDB
+    * oracle adds to its fixed 8-bit bucket replay. */
   private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    val withBucket = t.embeddings.withColumn("lsh_blk",
-      Similarity.lshBucketExpr(col("embedding"), nBits = 8))
-    Similarity.cosineNearDupPairs(withBucket, "vec_id", "embedding",
+    val blocked = Similarity.adaptiveLshBlocks(t.embeddings, "embedding",
+      "lsh_blk", baseBits = 8, maxBlockSize = 512)
+    Similarity.cosineNearDupPairs(blocked, "vec_id", "embedding",
         "lsh_blk", threshold = 0.2)
       .orderBy(col("blk"), col("id1"), col("id2"))
   }
@@ -4889,12 +4895,17 @@ object SparkEntry {
          |FROM docs_norm d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // blk carries adaptiveLshBlocks' depth in the key (bits << 24);
+    // at sf0.01 the whole corpus (500 vectors) is under the 512 cap so
+    // refinement never fires and depth is the constant 8 — the oracle
+    // replays the fixed 8-bit bucket plus that constant (the q65/q196
+    // under-cap oracle pattern; precondition asserted in OperatorsSpec)
     "q40_embedding_near_dup" -> {
       val projs = (0 until 8).map(j => s"${planeProjSql(j)} AS p$j")
         .mkString(",\n  ")
       val bucket = (0 until 8)
         .map(j => s"(CASE WHEN p$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
-        .mkString(" + ")
+        .mkString(" + ") + s" + CAST(${8L << 24} AS BIGINT)"
       s"""WITH sig AS (SELECT vec_id, $projs FROM embeddings),
          |b AS (SELECT vec_id, $bucket AS blk FROM sig),
          |l AS (SELECT b.blk, e.vec_id AS id1, e.embedding AS v1

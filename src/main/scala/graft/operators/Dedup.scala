@@ -236,38 +236,56 @@ object Dedup {
       .filter(col("_pos") <=
         col("_n") - ceil(lit(threshold) * col("_n")) + 1)
       .select(col(idCol), col("shingle"), col("_pos"), col("_n"))
-    // PPJoin candidate-grain filters (Xiao et al., WWW'08), both
-    // exactness-preserving — they cut join ROWS, and any true pair
-    // still survives .distinct() via a row they cannot cut:
+    // PPJoin candidate-stage reductions (Xiao et al., WWW'08), all
+    // exactness-preserving. The witness for every true pair is w₁, its
+    // MINIMAL shared shingle in the global (df, shingle) order; with
+    // α = t/(1+t)·(n_a+n_b) the required overlap, ≥ α−1 shared
+    // shingles follow w₁ on BOTH sides, so p(w₁) ≤ n − α + 1 on each.
+    //  * index-prefix join: one join side emits only its INDEX prefix
+    //    (pos ≤ n − ceil(2t/(1+t)·n) + 1 — much shorter than the probe
+    //    prefix), oriented so the index side is the SHORTER doc (ties
+    //    by id). Safe because α ≥ 2t/(1+t)·n_short (from
+    //    n_a+n_b ≥ 2·n_short) puts w₁ inside the shorter side's index
+    //    prefix, and α ≥ t·n_long (given the length filter below
+    //    holds, as it must for a true pair) puts w₁ inside the longer
+    //    side's probe prefix — so w₁'s row enters the join.
     //  * length filter: J ≥ t ⟹ min(n_a,n_b) ≥ t·max(n_a,n_b)
     //    (overlap ≤ min, union ≥ max), valid on EVERY row of the pair;
-    //  * positional filter: overlap ≥ α = t/(1+t)·(n_a+n_b) must leave
-    //    room after the shared shingle at (1-indexed) positions
-    //    (p_a, p_b): for the pair's MINIMAL shared shingle in the
-    //    global (df, shingle) order no shared shingle precedes it
-    //    (anything shared and earlier sits in both prefixes too, since
-    //    prefixes are prefixes of the same global order), so
-    //    overlap ≤ 1 + min(n_a−p_a, n_b−p_b) there — and positions
-    //    grow with the global order inside each doc, so that minimal
-    //    row MAXIMIZES the bound among the pair's rows: if it fails,
-    //    every row fails and the pair is provably below t.
-    // The 1e-9 slack keeps float rounding from cutting an exactly-at-
-    // threshold pair; verification re-checks candidates exactly anyway.
+    //  * positional filter: overlap ≤ 1 + min(n_a−p_a, n_b−p_b) at w₁
+    //    (nothing shared precedes it — anything shared and earlier
+    //    would sit in both prefixes too, since prefixes are prefixes
+    //    of the same global order), and positions grow with the global
+    //    order inside each doc, so w₁'s row MAXIMIZES that bound among
+    //    the pair's rows: if it fails, every row fails and the pair is
+    //    provably below t.
+    // The 1e-9 slacks keep float rounding from cutting an exactly-at-
+    // threshold pair (ceil(x−ε) can only LENGTHEN a prefix);
+    // verification re-checks candidates exactly anyway.
     val eps = 1e-9
-    val pa = prefix.select(col(idCol).as("id_a"), col("shingle"),
+    val index = if (!ppFilters) prefix else prefix.filter(
+      col("_pos") <= col("_n") -
+        ceil(lit(2.0 * threshold / (1.0 + threshold)) * col("_n") - eps) + 1)
+    val ia = index.select(col(idCol).as("id_a"), col("shingle"),
       col("_pos").as("_pa"), col("_n").as("_na"))
     val pb = prefix.select(col(idCol).as("id_b"), col("shingle"),
       col("_pos").as("_pb"), col("_n").as("_nb"))
-    val joined = pa.join(pb, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
+    val joined =
+      if (!ppFilters) ia.join(pb, Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+      else ia.join(pb, Seq("shingle"))
+        .filter(col("_na") < col("_nb") ||
+          (col("_na") === col("_nb") && col("id_a") < col("id_b")))
     val filtered = if (!ppFilters) joined else joined
-      .filter(least(col("_na"), col("_nb")).cast("double") >=
-        lit(threshold) * greatest(col("_na"), col("_nb")) - eps)
+      .filter(col("_na").cast("double") >=
+        lit(threshold) * col("_nb") - eps)
       .filter((lit(1) + least(col("_na") - col("_pa"),
           col("_nb") - col("_pb"))).cast("double") >=
         lit(threshold / (1.0 + threshold)) *
           (col("_na") + col("_nb")) - eps)
-    val cand = filtered.select(col("id_a"), col("id_b")).distinct()
+    val cand = filtered
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
     PrefixJoinParts(sh, sizes, cand)
   }
 

@@ -1270,21 +1270,32 @@ object Similarity {
       === 0, lit(1.0)).otherwise(lit(-1.0))
 
   /** Johnson-Lindenstrauss random projection to `k` dims: out[d] =
-    * Σ_j emb[j]·sign(d,j) / √k. Entirely per-row (transform over the
-    * output dims, sequential fold over the input dims inside) — a
-    * narrow map at any scale, no shuffle, no broadcast matrix. Emits
-    * long format (id, dim, value rounded to 6; the fold runs in input-
-    * dim order so the float sum is order-deterministic) so downstream
-    * ops and external oracles compare value-by-value. */
+    * Σ_j emb[j]·sign(d,j) / √k, sign(d,j) the closed-form LCG parity
+    * ((j·1103515245 + d·12345 + 54321) % 97 % 2 — [[jlSign]]'s
+    * formula, replicated here on the driver so the ±1 matrix folds
+    * into k LITERAL rows and each output dim is ONE native
+    * graft_vec_dot — no shuffle, no broadcast matrix, and every
+    * term codegen'd. The previous nested-HOF form
+    * (transform→aggregate→zip_with with per-element sign arithmetic)
+    * evaluated INTERPRETED, and interpreted expression trees degrade
+    * megamorphically in long suites: the ×100 audit measured it at
+    * 25.4 s in-suite vs 1.4 s isolated on the same corpus. Values are
+    * bit-identical: the native dot's sequential double fold is
+    * asserted against the HOF fold in ExtensionsSpec, ·±1.0 is exact,
+    * and the fold runs in the same input-dim order, so external
+    * oracles keep comparing value-by-value. `dims` pins the input
+    * width at plan time (the [[planeProjection]] precedent). Emits
+    * long format (id, dim, value rounded to 6). */
   def randomProjection(vectors: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
-    val proj = transform(sequence(lit(0), lit(k - 1)), d =>
-      round(
-        aggregate(
-          zip_with(col(vecCol),
-            sequence(lit(0), size(col(vecCol)) - 1),
-            (e, j) => e.cast("double") * jlSign(d.cast("long"), j.cast("long"))),
-          lit(0.0), (acc, x) => acc + x) / sqrt(lit(k.toDouble)), 6))
+      k: Int, dims: Int = 64): DataFrame = {
+    def sign(d: Int, j: Int): Double =
+      if ((j * 1103515245L + d * 12345L + 54321L) % 97 % 2 == 0) 1.0
+      else -1.0
+    val proj = array((0 until k).map { d =>
+      round(dot(col(vecCol),
+          typedLit((0 until dims).map(j => sign(d, j)))) /
+        math.sqrt(k.toDouble), 6)
+    }: _*)
     vectors.select(col(idCol), posexplode(proj).as(Seq("dim", "value")))
   }
 

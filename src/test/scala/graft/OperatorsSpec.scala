@@ -998,7 +998,7 @@ class OperatorsSpec extends SparkSpec {
       s"unique pair margin must beat hub margins: $r")
   }
 
-  test("q196 oracle precondition: no 4-bit block refines at oracle scale") {
+  test("fixed-block oracle preconditions (q196, q40): no refinement at oracle scale") {
     // The q196 DuckDB oracle replays the block key as a FIXED
     // baseBits=4 hyperplane bucket — valid only while no block exceeds
     // maxBlockSize=512 at sf0.01, i.e. adaptive refinement never
@@ -1007,18 +1007,27 @@ class OperatorsSpec extends SparkSpec {
     // cause. adaptiveLshBlocks encodes depth in the key (bits << 24),
     // so "refinement never fired" is exactly "every key's depth == 4".
     val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
-    val depths = graft.operators.Similarity
-      .adaptiveLshBlocks(emb, "embedding", "_blk",
-        baseBits = 4, maxBlockSize = 512)
-      .groupBy((col("_blk") / lit(1L << 24)).cast("long").as("depth"))
-      .agg(count(lit(1)).as("n"), countDistinct(col("_blk")).as("blocks"))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
-    assert(depths.keySet == Set(4L),
+    def depthsAt(baseBits: Int): Map[Long, (Long, Long)] =
+      graft.operators.Similarity
+        .adaptiveLshBlocks(emb, "embedding", "_blk",
+          baseBits = baseBits, maxBlockSize = 512)
+        .groupBy((col("_blk") / lit(1L << 24)).cast("long").as("depth"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("_blk")).as("blocks"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val d4 = depthsAt(4)
+    assert(d4.keySet == Set(4L),
       s"q196's fixed-4-bit oracle is INVALID at oracle scale: adaptive " +
-      s"refinement fired (depths=$depths) — some 4-bit block exceeds " +
+      s"refinement fired (depths=$d4) — some 4-bit block exceeds " +
       "512 vectors at sf0.01. Regenerate the oracle or raise " +
       "maxBlockSize in qBitextMining AND its oracle note.")
+    // q40's oracle replays bucket₈ + (8 << 24) under the same
+    // under-cap precondition (its baseBits = 8, cap 512)
+    val d8 = depthsAt(8)
+    assert(d8.keySet == Set(8L),
+      s"q40's fixed-8-bit oracle is INVALID at oracle scale: adaptive " +
+      s"refinement fired (depths=$d8) at sf0.01. Regenerate the oracle " +
+      "or raise maxBlockSize in qEmbeddingNearDup AND its oracle note.")
   }
 
   test("blocked margin mining equals per-block brute composition") {
@@ -2250,7 +2259,8 @@ class OperatorsSpec extends SparkSpec {
   test("randomProjection: deterministic, norm-preserving in expectation shape") {
     val vecs = Seq((1L, Array.fill(16)(1.0f)), (2L, Array.fill(16)(0.0f)))
       .toDF("id", "emb")
-    val out = Similarity.randomProjection(vecs, "id", "emb", k = 4)
+    val out = Similarity.randomProjection(vecs, "id", "emb", k = 4,
+        dims = 16)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
     assert(out.size == 8)
     // the zero vector projects to exactly zero in every dim
@@ -2262,7 +2272,8 @@ class OperatorsSpec extends SparkSpec {
       assert(math.abs(v - math.rint(v)) < 1e-9, s"dim $d -> ${out((1L, d))}")
     }
     // re-running yields the identical matrix (no RNG state)
-    val again = Similarity.randomProjection(vecs, "id", "emb", k = 4)
+    val again = Similarity.randomProjection(vecs, "id", "emb", k = 4,
+        dims = 16)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
     assert(again == out)
   }
