@@ -2407,10 +2407,11 @@ object SparkEntry {
     // date window, so lineitem's shuffle input is pruned by a bloom
     // over the surviving orderkeys BEFORE the exchange — at 100 TB the
     // fact shuffle is the cost center and the one dim-side bloom
-    // aggregate (behind the pushed date filter) is noise. Sizing rides
-    // the conf default (no pre-count scan; under-sizing only degrades
-    // fpp). The inner join below removes the bloom's false positives,
-    // so results are identical to the unpruned plan.
+    // aggregate (behind the pushed date filter) is noise. Sizing comes
+    // from plan statistics (driver-side, no pre-count scan), refined
+    // downward from the conf default; under-sizing only degrades fpp.
+    // The inner join below removes the bloom's false positives, so
+    // results are identical to the unpruned plan.
     val lineitem = JoinPrune.buildBloom(datedOrders, "o_orderkey") match {
       case Some(bloom) => JoinPrune.bloomPrune(t.lineitem, "l_orderkey", bloom)
       case None => t.lineitem.limit(0)
@@ -3688,10 +3689,11 @@ object SparkEntry {
     val t = Tables(s, dir)
     val build = t.orders.filter(col("o_orderpriority") === "1-URGENT" &&
       col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
-    // sizing is FREE: the conf-default expected-items (1M, Spark's own
-    // stats-absent InjectRuntimeFilter default) sizes the sketch with
-    // no pre-count scan — under-sizing only degrades fpp (extra false
-    // positives, removed by the real semi join), never results
+    // sizing is FREE: plan statistics (sizeInBytes ÷ key width, or an
+    // exact rowCount when the plan carries one) size the sketch with
+    // no pre-count scan, refined downward from the 1M conf default —
+    // under-sizing only degrades fpp (extra false positives, removed
+    // by the real semi join), never results
     JoinPrune.bloomSemiJoin(t.lineitem, build,
         "l_orderkey", "o_orderkey")
       .groupBy(col("l_returnflag"), col("l_linestatus"))

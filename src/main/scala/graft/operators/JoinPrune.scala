@@ -48,16 +48,24 @@ object JoinPrune extends Logging {
     * cardinality 0) — callers should treat None as "nothing can match".
     *
     * Sizing without a sizing SCAN: `expectedKeys = 0` (the default)
-    * sizes from the session conf
+    * sizes from Catalyst plan statistics — driver-side plan metadata,
+    * zero extra jobs. `optimizedPlan.stats.rowCount` when the plan
+    * carries one (CBO / LocalRelation / limit); otherwise a
+    * size-in-bytes estimate (pruned-plan bytes ÷ key width) REFINED
+    * DOWNWARD ONLY from the session conf
     * `spark.sql.optimizer.runtime.bloomFilter.expectedNumItems`
     * (1 M items — the same stats-absent default Spark's own
-    * InjectRuntimeFilter uses), so building the bloom costs exactly
-    * one job and zero pre-count passes. Under-sizing is SAFE by
-    * construction: fpp degrades (the prune admits more false
-    * positives, each removed by the real join that follows) but
-    * results stay exact — so a free conservative default beats an
-    * exact `count()` that scans the build side twice. Callers that
-    * know their cardinality (or hold table stats) can still pass it.
+    * InjectRuntimeFilter uses). Downward-only because the byte
+    * estimate can be garbage-large after joins (size products), and
+    * because parquet's on-disk encoding is narrower than the
+    * in-memory `defaultSize` divisor — so the estimate leans small,
+    * which is the SAFE direction: under-sizing degrades fpp (the
+    * prune admits more false positives, each removed by the real
+    * join that follows) but results stay exact. A ~10-100 k-key dim
+    * build thus gets a ~tens-of-KB sketch instead of the 1.2 MB
+    * conf-default one (every task allocates + merges a partial of
+    * that size), while a genuinely huge build still rides the conf
+    * default. Callers that know their cardinality can still pass it.
     *
     * `BloomFilterAggregate` silently caps its inputs at the session
     * confs `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
@@ -69,9 +77,7 @@ object JoinPrune extends Logging {
       s"bad bloom sizing: n=$expectedKeys fpp=$fpp")
     val conf = keys.sparkSession.conf
     val sizedKeys = if (expectedKeys > 0) expectedKeys
-      else conf.get(
-        "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems",
-        "1000000").toLong
+      else statsExpectedKeys(keys, keyCol)
     val maxItems = conf.get(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
     val maxBits = conf.get(
@@ -87,12 +93,40 @@ object JoinPrune extends Logging {
     }
     val numItems = math.min(sizedKeys, maxItems)
     val numBits = math.min(wantBits, maxBits)
+    logInfo(s"buildBloom($keyCol): expectedKeys=$numItems " +
+      s"(${if (expectedKeys > 0) "caller" else "plan stats"}), " +
+      s"bits=$numBits (~${numBits / 8192} KiB), fpp=$fpp")
     val hashed = new XxHash64(Seq(ColumnBridge.expression(col(keyCol))))
     val agg = new BloomFilterAggregate(hashed,
       Literal(numItems), Literal(numBits)).toAggregateExpression()
     val row = keys.filter(col(keyCol).isNotNull)
       .select(ColumnBridge.column(agg).as("bf")).head()
     Option(row.getAs[Array[Byte]]("bf"))
+  }
+
+  /** Stats-derived expected-keys for [[buildBloom]] — driver-side plan
+    * metadata only, zero jobs. `rowCount` when the optimized key
+    * projection carries one (CBO / LocalRelation / Range / limit);
+    * otherwise `sizeInBytes ÷ key width`, refined DOWNWARD ONLY from
+    * the session's expectedNumItems conf (the byte estimate can be
+    * garbage-large after joins, and under-sizing is the safe
+    * direction — see [[buildBloom]]). */
+  private[graft] def statsExpectedKeys(keys: DataFrame,
+      keyCol: String): Long = {
+    val confDefault = keys.sparkSession.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems",
+      "1000000").toLong
+    val plan = keys.select(col(keyCol)).queryExecution.optimizedPlan
+    val stats = plan.stats
+    stats.rowCount match {
+      case Some(rc) => math.max(64L, rc.min(BigInt(Long.MaxValue)).toLong)
+      case None =>
+        val keyWidth = math.max(1L,
+          plan.output.map(_.dataType.defaultSize).sum.toLong)
+        val est = stats.sizeInBytes / keyWidth
+        if (est <= 0 || est >= confDefault) confDefault
+        else math.max(1024L, est.toLong)
+    }
   }
 
   /** Codegen'd probe column: true iff `keyCol` MIGHT be in the bloom.

@@ -2369,20 +2369,42 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == 100, s"clamped bloom lost true keys: $kept/100")
   }
 
-  test("bloomSemiJoin: conf-default sizing (no pre-count scan) and " +
+  test("bloomSemiJoin: stats-derived sizing (no pre-count scan) and " +
       "deliberate under-sizing both stay exact") {
     val fact = spark.range(0, 5000).select(col("id").as("k"))
     val build = spark.range(0, 5000, 7).select(col("id").as("k"))
     val truth = (0L until 5000L by 7).toSet
-    // default path: expectedKeys omitted → sized from the session's
-    // expectedNumItems conf, zero sizing scans of the build side
+    // default path: expectedKeys omitted → sized from plan statistics
+    // (falling back to the expectedNumItems conf), zero sizing scans
     val byDefault = JoinPrune.bloomSemiJoin(fact, build, "k", "k")
       .collect().map(_.getLong(0)).toSet
-    assert(byDefault == truth, "conf-default sizing changed the result")
+    assert(byDefault == truth, "stats-derived sizing changed the result")
     // brutal under-size: 8 expected vs 715 actual keys — fpp degrades
     // (more false positives through the prune), the RESULT must not
     val underSized = JoinPrune.bloomSemiJoin(fact, build, "k", "k",
         expectedKeys = 8).collect().map(_.getLong(0)).toSet
     assert(underSized == truth, "under-sized bloom changed the result")
+  }
+
+  test("statsExpectedKeys: rowCount when the plan has one; sizeInBytes " +
+      "estimate refines downward only (never above the conf default)") {
+    val confDefault = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems",
+      "1000000").toLong
+    // a bare Range leaf carries an exact rowCount in its plan
+    // statistics (the no-op key projection is optimized away); any
+    // non-leaf on top drops rowCount without CBO and falls through to
+    // the size estimate
+    assert(JoinPrune.statsExpectedKeys(spark.range(0, 715).toDF(), "id")
+      == 715L, "Range rowCount not used for sizing")
+    // a parquet scan has no rowCount: sizing must come from the
+    // size-in-bytes estimate, strictly below the 1M conf default for a
+    // small file, and never above the conf default
+    val doc = spark.read.parquet(s"${sf()}/documents.parquet")
+    val est = JoinPrune.statsExpectedKeys(doc, "doc_id")
+    assert(est <= confDefault, s"estimate $est exceeds conf default")
+    assert(est < confDefault,
+      s"small build not refined below the conf default: $est")
+    assert(est >= 1024L, s"estimate floor violated: $est")
   }
 }
