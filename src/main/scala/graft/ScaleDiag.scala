@@ -47,9 +47,15 @@ object ScaleDiag {
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables(spark, sfDir).documents
     val nDocs = docs.count()
-    val prefix = graft.operators.Dedup
+    val prefixParts = graft.operators.Dedup
       .prefixFilterParts(docs, "text", "doc_id", threshold = 0.5,
-        shingleN = 3).cand.count()
+        shingleN = 3)
+    val prefix = prefixParts.cand.count()
+    // candidates that survive the PPJoin+ partition (suffix) filter —
+    // the pairs that actually reach the exact verification merge
+    val prefixSurv = graft.operators.Dedup
+      .suffixFilterSurvivors(prefixParts, "doc_id", threshold = 0.5)
+      .count()
     // the production default: 2×32-bit bands, radius-1 probe join
     val sim64 = graft.operators.Dedup
       .simhashPairParts(docs, "text", "doc_id", maxHamming = 3,
@@ -80,7 +86,9 @@ object ScaleDiag {
         emb.filter(col("label") === 1), "vec_id", "embedding",
         baseBits = 4, maxBlockSize = 512).count()
     println(s"""{"sf":"$sfDir","n_docs":$nDocs,""" +
-      s""""q182_candidates":$prefix,"q204_candidates":$sim64,""" +
+      s""""q182_candidates":$prefix,""" +
+      s""""q182_suffix_survivors":$prefixSurv,""" +
+      s""""q204_candidates":$sim64,""" +
       s""""q204_candidates_16bit_bands":$sim64b4,""" +
       s""""q204_candidates_32bit":$sim32,""" +
       s""""q204_candidates_32bit_bound":$bound32,""" +

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.GF
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.functions.{GF, PPJoinBoundExpr, PPJoinJaccardExpr}
 
 /** Deduplication operators for large-scale text corpora (north-star ops;
   * BASELINE.json). Exact, MinHash-LSH, SimHash and n-gram-Jaccard
@@ -295,29 +296,67 @@ object Dedup {
       prefixFilterParts(docs, textCol, idCol, threshold, shingleN),
       idCol, threshold)
 
-  /** Exact verification of an AllPairs/PPJoin candidate set: intersect
-    * each candidate pair's full shingle sets and keep Jaccard ≥ t.
-    * Split out of [[prefixFilterJoin]] so the spec can pin that the
-    * PPJoin length/positional filters change only the CANDIDATE count,
-    * never the verified pair set. */
+  /** Per-document sorted distinct shingle arrays — the verification
+    * payload of the merge-based PPJoin verify. One groupBy over the
+    * (already distinct) shingle relation; `sort_array` gives strictly
+    * ascending binary order, the order [[graft.functions.SetSim]]
+    * merges in. Per-doc arrays are bounded by document length, so the
+    * payload is O(doc) regardless of corpus size. */
+  private[graft] def docShingleArrays(sh: DataFrame,
+      idCol: String): DataFrame =
+    sh.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("shingle"))).as("_arr"))
+
+  /** Exact verification of an AllPairs/PPJoin candidate set, the
+    * literature-standard way (Xiao et al., WWW'08 §4-5): attach each
+    * side's sorted shingle array at CANDIDATE-PAIR grain and verify
+    * with one codegen'd scalar call — the PPJoin+ partition (suffix)
+    * filter rejecting provably-below-t pairs in O(depth·log n), then
+    * an early-exit merge counting the exact intersection
+    * ([[graft.functions.PPJoinJaccardExpr]]). Replaces the former
+    * relational verify (re-exploding every candidate to shingle grain:
+    * two joins + a count aggregate over candidates × doc-size rows);
+    * the pair-grain array joins move O(candidates · doc) bytes once
+    * and the rest is a scalar loop inside whole-stage codegen.
+    * Results are bit-identical: the merge counts the same distinct
+    * intersection the relational count did, and the Jaccard is the
+    * same long-count double division. Split out of
+    * [[prefixFilterJoin]] so the spec can pin that the PPJoin
+    * length/positional filters change only the CANDIDATE count, never
+    * the verified pair set. */
   private[graft] def verifyCandidates(parts: PrefixJoinParts,
       idCol: String, threshold: Double): DataFrame = {
-    val PrefixJoinParts(sh, sizes, cand) = parts
-    val inter = cand
-      .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("shingle")),
-        Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("_shared"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"),
-        col("_n").as("_na")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"),
-        col("_n").as("_nb")), Seq("id_b"))
-      .withColumn("_j", col("_shared").cast("double") /
-        (col("_na") + col("_nb") - col("_shared")))
+    val PrefixJoinParts(sh, _, cand) = parts
+    val arrs = docShingleArrays(sh, idCol)
+    cand
+      .join(arrs.select(col(idCol).as("id_a"), col("_arr").as("_aa")),
+        Seq("id_a"))
+      .join(arrs.select(col(idCol).as("id_b"), col("_arr").as("_ab")),
+        Seq("id_b"))
+      .withColumn("_j", ColumnBridge.column(PPJoinJaccardExpr(
+        ColumnBridge.expression(col("_aa")),
+        ColumnBridge.expression(col("_ab")), threshold)))
       .filter(col("_j") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("_j"), 6).as("jaccard"))
+  }
+
+  /** Diagnostic: candidates surviving the PPJoin+ partition (suffix)
+    * filter — the pairs that actually enter the exact merge. Counted
+    * through the production payload (same arrays, same bound code) by
+    * the scaling audit, alongside the prefix-join candidate count. */
+  private[graft] def suffixFilterSurvivors(parts: PrefixJoinParts,
+      idCol: String, threshold: Double): DataFrame = {
+    val PrefixJoinParts(sh, _, cand) = parts
+    val arrs = docShingleArrays(sh, idCol)
+    cand
+      .join(arrs.select(col(idCol).as("id_a"), col("_arr").as("_aa")),
+        Seq("id_a"))
+      .join(arrs.select(col(idCol).as("id_b"), col("_arr").as("_ab")),
+        Seq("id_b"))
+      .filter(ColumnBridge.column(PPJoinBoundExpr(
+        ColumnBridge.expression(col("_aa")),
+        ColumnBridge.expression(col("_ab")), threshold)))
+      .select(col("id_a"), col("id_b"))
   }
 
   /** MinHash signature: k min-hash values over the shingle set, as k

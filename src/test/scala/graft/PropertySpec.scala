@@ -220,9 +220,66 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(vOn == vOff,
         s"t=$t verified sets diverge: only-on=${vOn -- vOff} only-off=${vOff -- vOn}")
+      // the merge-based verify must equal the brute force computed in
+      // plain Scala over the SAME shingle relation (independent of the
+      // expression code path), including the exact jaccard value
+      val shingleSets = on.sh.collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._1).map { case (id, rows) => id -> rows.map(_._2).toSet }
+      val ids = shingleSets.keys.toSeq.sorted
+      val brute = (for {
+        ai <- ids.indices; bi <- (ai + 1) until ids.size
+        sa = shingleSets(ids(ai)); sb = shingleSets(ids(bi))
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= t
+      } yield (ids(ai), ids(bi),
+        BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)).toSet
+      assert(vOn == brute,
+        s"t=$t verify != brute force: only-verify=${vOn -- brute} " +
+          s"only-brute=${brute -- vOn}")
+      // suffix-filter sandwich: verified ⊆ survivors ⊆ candidates
+      val survivors = pairs(
+        operators.Dedup.suffixFilterSurvivors(on, "doc_id", t))
+      assert(survivors.subsetOf(candOn),
+        "suffix filter admitted pairs outside the candidate set")
+      assert(vOn.map(v => (v._1, v._2)).subsetOf(survivors),
+        s"t=$t suffix filter dropped a TRUE pair: " +
+          s"${vOn.map(v => (v._1, v._2)) -- survivors}")
     }
     assert(candFiltered < candUnfiltered,
       s"filters never pruned a candidate across the sample ($candFiltered vs $candUnfiltered)")
+  }
+
+  test("SetSim partition filter bounds: hammingLower never exceeds the " +
+      "true symmetric difference; jaccardOrNeg rejects only below-t pairs") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val setGen = for {
+      n <- Gen.choose(0, 40)
+      elems <- Gen.listOfN(n, Gen.choose(0, 60).map(i => f"s$i%02d"))
+    } yield elems.distinct.sorted
+    def arr(s: Seq[String]): ArrayData =
+      ArrayData.toArrayData(s.map(UTF8String.fromString).toArray)
+    val cases = samples(Gen.zip(setGen, setGen,
+      Gen.oneOf(0.1, 0.3, 0.5, 0.8, 1.0)), 200)
+    cases.foreach { case (a, b, t) =>
+      val trueDelta = ((a.toSet -- b.toSet) ++ (b.toSet -- a.toSet)).size
+      val bound = functions.SetSim.hammingLower(
+        arr(a), 0, a.size, arr(b), 0, b.size, functions.SetSim.MaxDepth)
+      assert(bound <= trueDelta,
+        s"hammingLower over-bounds: $bound > $trueDelta for $a vs $b")
+      val inter = (a.toSet & b.toSet).size
+      val trueJ = if (a.isEmpty && b.isEmpty) 0.0
+        else inter.toDouble / (a.size + b.size - inter)
+      val got = functions.SetSim.jaccardOrNeg(arr(a), arr(b), t)
+      if (trueJ >= t)
+        assert(got == trueJ, s"true pair rejected or wrong J: got $got, " +
+          s"true $trueJ, t=$t for $a vs $b")
+      else assert(got < 0 || got == trueJ,
+        s"below-t pair returned a wrong value: $got vs $trueJ")
+    }
   }
 
   test("kmeans assignments are deterministic, bounded, and total") {
