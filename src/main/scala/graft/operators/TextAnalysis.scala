@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.GF
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.functions.{CharClassCountsExpr, CountInSetExpr, GF}
 
 /** Text analysis for training-data pipelines (north-star ops): language
   * identification, quality scoring, token counting, fingerprinting.
@@ -21,8 +22,14 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ein", "ist", "nicht"),
     "zh" -> Seq("de", "le", "shi", "bu", "wo", "you"))
 
+  /** Occurrences of `words` members in the token array — the
+    * `size(filter(toks, isin(...)))` semantics as one codegen'd
+    * hash-probe loop ([[graft.functions.CountInSetExpr]]; the HOF
+    * form is CodegenFallback and pays an isin literal chain per
+    * token). */
   private def tokenMatches(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(lit): _*)))
+    ColumnBridge.column(CountInSetExpr(
+      ColumnBridge.expression(toks), words))
 
   /** Language-ID: per-language stopword hit count over whitespace tokens;
     * winner = max count, ties broken by language code ascending, docs
@@ -65,32 +72,37 @@ object TextAnalysis {
     * punctuation / digit / stopword ratios, uppercase ratio.
     * Token arrays are materialized once in their own projection —
     * repeated tokenization per signal column would re-run the regexes
-    * (Catalyst does not CSE across lambda boundaries). */
+    * (Catalyst does not CSE across lambda boundaries). The three
+    * char-class counts come from ONE byte-walk of the text
+    * ([[graft.functions.CharClassCountsExpr]]) instead of three full
+    * `regexp_replace` scans, and the stopword count from a codegen'd
+    * hash-probe loop instead of an interpreted HOF filter — same
+    * numbers (the regex classes' exact semantics, see TextStats),
+    * ~6× less per-row work on the pass every corpus document takes. */
   def qualitySignals(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val toks = col("__toks")
-    val nChars = length(t).cast("double")
+    val cc = col("__cc")
+    val nChars = cc.getItem(0).cast("double")
     val allStop = StopwordsByLang.flatMap(_._2).distinct
     df.withColumn("__toks", GF.wsTokens(t))
       .withColumn("__ltoks", GF.wsTokens(lower(t)))
+      .withColumn("__cc", ColumnBridge.column(
+        CharClassCountsExpr(ColumnBridge.expression(t))))
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("mean_token_len",
         round(length(concat_ws("", toks)).cast("double") /
           nullif(size(toks), lit(0)).cast("double"), 6))
       .withColumn("punct_ratio",
-        round((nChars - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))) /
-          nullif(nChars, lit(0.0)), 6))
+        round(cc.getItem(1).cast("double") / nullif(nChars, lit(0.0)), 6))
       .withColumn("digit_ratio",
-        round((nChars - length(regexp_replace(t, "[0-9]", ""))) /
-          nullif(nChars, lit(0.0)), 6))
+        round(cc.getItem(2).cast("double") / nullif(nChars, lit(0.0)), 6))
       .withColumn("upper_ratio",
-        round((nChars - length(regexp_replace(t, "[A-Z]", ""))) /
-          nullif(nChars, lit(0.0)), 6))
+        round(cc.getItem(3).cast("double") / nullif(nChars, lit(0.0)), 6))
       .withColumn("stopword_ratio",
-        round(size(filter(col("__ltoks"),
-          w => w.isin(allStop.map(lit): _*))).cast("double") /
+        round(tokenMatches(col("__ltoks"), allStop).cast("double") /
           nullif(size(toks), lit(0)).cast("double"), 6))
-      .drop("__toks", "__ltoks")
+      .drop("__toks", "__ltoks", "__cc")
   }
 
   /** Composite quality score in [0,1]: rewards mid-length docs with a

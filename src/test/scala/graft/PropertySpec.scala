@@ -252,6 +252,45 @@ class PropertySpec extends SparkSpec {
       s"filters never pruned a candidate across the sample ($candFiltered vs $candUnfiltered)")
   }
 
+  test("CharClassCounts / CountInSet equal their regex/HOF reference " +
+      "forms on generated text (incl. non-ASCII, controls, empties)") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.{CharClassCountsExpr, CountInSetExpr}
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r'),
+      3 -> Gen.oneOf('!', '.', ',', '_', '-', '%'),
+      2 -> Gen.oneOf('á', 'ß', '中', '€', ' '),
+      1 -> Gen.oneOf('\u0001', '\u007F'))
+    val textGen = Gen.choose(0, 60).flatMap(n =>
+      Gen.listOfN(n, charGen).map(_.mkString))
+    val texts = samples(textGen, 150) :+ "" :+ "the la und der 中中"
+    val df = texts.toDF("t")
+    val cc = ColumnBridge.column(CharClassCountsExpr(
+      ColumnBridge.expression(col("t"))))
+    val words = Seq("the", "la", "der", "und")
+    val got = df.select(
+      cc.getItem(0), cc.getItem(1), cc.getItem(2), cc.getItem(3),
+      ColumnBridge.column(CountInSetExpr(ColumnBridge.expression(
+        GF.wsTokens(lower(col("t")))), words))).collect()
+    val want = df.select(
+      length(col("t")).cast("long"),
+      (length(col("t")) -
+        length(regexp_replace(col("t"), "[^A-Za-z0-9\\s]", "")))
+        .cast("long"),
+      (length(col("t")) - length(regexp_replace(col("t"), "[0-9]", "")))
+        .cast("long"),
+      (length(col("t")) - length(regexp_replace(col("t"), "[A-Z]", "")))
+        .cast("long"),
+      size(filter(GF.wsTokens(lower(col("t"))),
+        w => w.isin(words.map(lit): _*))).cast("long")).collect()
+    got.zip(want).zip(texts).foreach { case ((g, w), t) =>
+      assert(g.toSeq == w.toSeq,
+        s"mismatch on ${t.map(c => f"\\u${c.toInt}%04X").mkString}: " +
+          s"got ${g.toSeq}, want ${w.toSeq}")
+    }
+  }
+
   test("SetSim partition filter bounds: hammingLower never exceeds the " +
       "true symmetric difference; jaccardOrNeg rejects only below-t pairs") {
     import org.apache.spark.sql.catalyst.util.ArrayData
