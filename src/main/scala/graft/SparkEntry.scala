@@ -842,8 +842,8 @@ object SparkEntry {
     * whole-redundancy quality signal. Raw DEFLATE byte counts are not
     * SQL-expressible, so the gate frame carries oracle-VERIFIABLE
     * derived columns instead of the raw counts: n_bytes (exact UTF-8
-    * length), `deflate_ok` (the emitted count/ratio satisfy zlib's
-    * worst-case stored-block bound, positivity, and ratio-formula
+    * length), `deflate_ok` (the emitted count/ratio satisfy a
+    * conservative zlib size bound, positivity, and ratio-formula
     * consistency) and `roundtrip_ok` (the compressed stream inflates
     * back to the input bytes, computed in the same partition pass) —
     * both booleans are the constant TRUE iff the codec plumbing is
@@ -854,10 +854,15 @@ object SparkEntry {
     * java.util.zip recompute and closed-form fixtures. */
   private def qDeflateRatio(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    // worst case for raw deflate is stored blocks: 5 bytes of header
-    // per ≤65535-byte block plus a ≤16-byte finish margin
+    // Size bound: java.util.zip.Deflater at DEFAULT_COMPRESSION emits
+    // stored-fallback blocks at its ~16 KB symbol-buffer granularity
+    // (memLevel 8), NOT at the 65535-byte stored-block maximum — pure
+    // random input measures ~5 bytes of header per 16 KB (100000
+    // random bytes → 100035). Bound at 5 bytes per 16383-byte block
+    // plus a 16-byte finish margin; UTF-8 String input compresses far
+    // below it, but the bound must hold for ANY input, not just ours.
     val bound = col("n_bytes") +
-      lit(5) * (floor(col("n_bytes") / 65535L) + 1) + lit(16)
+      lit(5) * (floor(col("n_bytes") / 16383L) + 1) + lit(16)
     TextAnalysis.compressionRatio(t.documents, "text", "doc_id",
         verifyRoundtrip = true)
       .withColumn("deflate_ok",
@@ -3712,7 +3717,17 @@ object SparkEntry {
     * bench passes. */
   private lazy val lakeRoot: String = {
     val d = java.nio.file.Files.createTempDirectory("graft_lake_")
-    d.toFile.deleteOnExit()
+    // deleteOnExit only removes EMPTY directories and the lake is
+    // always populated — recursively delete on JVM shutdown instead
+    // (children first), so bench/verify processes don't leak a full
+    // bucketed-table tree per run
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case _: Throwable => () }
+    }))
     d.toString
   }
 
@@ -3731,9 +3746,15 @@ object SparkEntry {
   private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     // dir-keyed like the ANN index paths, in case one process gates
-    // several scale factors; _SUCCESS of the LAST build step gates
+    // several scale factors. The gate checks BOTH the _SUCCESS marker
+    // of the LAST build step and the session catalog (the read path is
+    // s.table(...), and a restarted SparkContext in the same JVM would
+    // have files but an empty catalog — the marker alone would skip
+    // the build and then fail TABLE_OR_VIEW_NOT_FOUND).
     val key = math.abs(dir.hashCode)
-    if (!new java.io.File(s"$lakeRoot/q228_items_$key/_SUCCESS").exists()) {
+    if (!new java.io.File(s"$lakeRoot/q228_items_$key/_SUCCESS").exists() ||
+        !s.catalog.tableExists(s"q228_orders_bkt_$key") ||
+        !s.catalog.tableExists(s"q228_items_bkt_$key")) {
       SeriesLake.writeBucketed(
         t.orders
           .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))

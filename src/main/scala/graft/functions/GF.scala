@@ -52,7 +52,11 @@ object GF {
 
   /** Whitespace tokens, empty-safe: trim first so no leading "" token. */
   def wsTokens(c: Column): Column =
-    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+    // array_remove("") ≡ filter(length > 0): split of a trimmed string
+    // only yields empty tokens on empty input, and removal preserves
+    // order. The HOF filter form is CodegenFallback (interpreted) and
+    // this function sits under EVERY tokenization in the engine.
+    array_remove(split(trim(c), "\\s+"), "")
 
   /** BPE-ish subword segmentation: runs of letters, runs of digits, or a
     * single non-alphanumeric non-space char each count as one token

@@ -1284,19 +1284,29 @@ object Similarity {
     * asserted against the HOF fold in ExtensionsSpec, ·±1.0 is exact,
     * and the fold runs in the same input-dim order, so external
     * oracles keep comparing value-by-value. `dims` pins the input
-    * width at plan time (the [[planeProjection]] precedent). Emits
+    * width at plan time (the [[planeProjection]] precedent) and is
+    * ENFORCED: a row whose vector width differs raises an error
+    * instead of silently projecting to null (graft_vec_dot nulls on
+    * length mismatch, which used to surface as all-null output with
+    * no hint); null vectors still project to nulls, as before. Emits
     * long format (id, dim, value rounded to 6). */
   def randomProjection(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, dims: Int = 64): DataFrame = {
     def sign(d: Int, j: Int): Double =
       if ((j * 1103515245L + d * 12345L + 54321L) % 97 % 2 == 0) 1.0
       else -1.0
+    val checked = when(col(vecCol).isNull, col(vecCol))
+      .when(size(col(vecCol)) === dims, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"randomProjection: expected $dims-dim vectors (dims), got "),
+        size(col(vecCol)).cast("string"))))
+    val base = vectors.select(col(idCol), checked.as("__v"))
     val proj = array((0 until k).map { d =>
-      round(dot(col(vecCol),
+      round(dot(col("__v"),
           typedLit((0 until dims).map(j => sign(d, j)))) /
         math.sqrt(k.toDouble), 6)
     }: _*)
-    vectors.select(col(idCol), posexplode(proj).as(Seq("dim", "value")))
+    base.select(col(idCol), posexplode(proj).as(Seq("dim", "value")))
   }
 
   /** Per-dimension z-score standardization (the feature-scaling pass

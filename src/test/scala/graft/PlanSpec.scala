@@ -621,4 +621,45 @@ class PlanSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
+
+  /** q172 regression guard: interpreted expression trees (HOFs and
+    * anything else CodegenFallback) in per-row hot paths degrade
+    * megamorphically in long suites — round 13 measured the nested-HOF
+    * JL projection at 25.4s in-suite vs 1.4s isolated at ×100. The hot
+    * per-document/per-vector projections must contain ZERO
+    * CodegenFallback expressions, so a refactor that reintroduces an
+    * interpreted form fails here by name instead of costing a bench
+    * investigation. The guarded plans are shuffle-free projections, so
+    * no AQE wrapper complicates the traversal. */
+  test("hot vector/text projections contain no CodegenFallback expressions") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.functions._
+    def fallbacks(df: DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.flatMap(_.expressions.flatMap(
+        _.collect { case f: CodegenFallback => f.prettyName })).distinct
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val guarded = Seq(
+      "randomProjection (JL)" ->
+        operators.Similarity.randomProjection(emb, "vec_id", "embedding",
+          k = 4),
+      "cosine scoring (vec_dot/vec_norm)" -> {
+        GraftExtensions.register(spark)
+        emb.select(col("vec_id"), expr(
+          "graft_vec_dot(embedding, embedding) / " +
+            "(graft_vec_norm(embedding) * graft_vec_norm(embedding))"))
+      },
+      "qualityScore battery" ->
+        operators.TextAnalysis.qualityScore(
+          docs.select(col("doc_id"), col("text")), "text"),
+      "langId" -> docs.select(
+        operators.TextAnalysis.langId(col("text")).as("lang")))
+    guarded.foreach { case (name, df) =>
+      val bad = fallbacks(df)
+      assert(bad.isEmpty,
+        s"$name: interpreted (CodegenFallback) expressions in the hot " +
+          s"path: ${bad.mkString(", ")}\n" +
+          df.queryExecution.executedPlan.toString)
+    }
+  }
 }
