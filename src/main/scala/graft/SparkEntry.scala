@@ -957,9 +957,15 @@ object SparkEntry {
     * supplier/nation through broadcast joins. */
   private def qMinCostSupplier(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
+    // The 4-dp round goes through decimal(30,12): rounding the raw
+    // double directly diverged from DuckDB by one final digit on 5 of
+    // 3.5M groups at sf0.1 (ulp-boundary values round differently
+    // across engines); at 12 dp the boundary window is 10^8 narrower
+    // and the subsequent decimal round(…,4) is exact in both.
     val supply = t.lineitem
       .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
-      .agg(round(min(col("l_extendedprice") / col("l_quantity")), 4)
+      .agg(round(min(col("l_extendedprice") / col("l_quantity"))
+          .cast("decimal(30,12)"), 4).cast("double")
         .as("unit_cost"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("partkey"))
@@ -2478,8 +2484,14 @@ object SparkEntry {
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("o_orderdate")).as("order_year"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
-        lit(0.6) * col("p_retailprice") * col("l_quantity")), 2)
+      // per-row margin stays double (bit-identical across engines);
+      // the SUM runs in decimal(30,10) so accumulation is exact and
+      // ORDER-INDEPENDENT — the double sum's ±ulp, which depends on
+      // partitioning, crossed a 2-dp rounding boundary on 2 of 175
+      // groups at sf0.1 and flipped the last digit vs the oracle
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.6) * col("p_retailprice") * col("l_quantity"))
+          .cast("decimal(30,10)")), 2).cast("double")
         .as("profit"))
       .orderBy(col("nation"), col("order_year").desc)
   }
@@ -7197,7 +7209,8 @@ object SparkEntry {
 
     "q148_min_cost_supplier" ->
       """WITH supply AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-        |    round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+        |    CAST(round(CAST(min(l_extendedprice / l_quantity)
+        |      AS DECIMAL(30,12)), 4) AS DOUBLE) AS unit_cost
         |  FROM lineitem GROUP BY 1, 2),
         |best AS (SELECT *, min(unit_cost) OVER (PARTITION BY partkey)
         |    AS min_cost FROM supply)
@@ -7586,8 +7599,9 @@ object SparkEntry {
 
     "q163_product_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS order_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)
-        |    - 0.6 * p_retailprice * l_quantity), 2) AS profit
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    - 0.6 * p_retailprice * l_quantity AS DECIMAL(30,10))), 2)
+        |    AS DOUBLE) AS profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
