@@ -252,13 +252,21 @@ object Dedup {
     //    side's probe prefix — so w₁'s row enters the join.
     //  * length filter: J ≥ t ⟹ min(n_a,n_b) ≥ t·max(n_a,n_b)
     //    (overlap ≤ min, union ≥ max), valid on EVERY row of the pair;
-    //  * positional filter: overlap ≤ 1 + min(n_a−p_a, n_b−p_b) at w₁
-    //    (nothing shared precedes it — anything shared and earlier
-    //    would sit in both prefixes too, since prefixes are prefixes
-    //    of the same global order), and positions grow with the global
-    //    order inside each doc, so w₁'s row MAXIMIZES that bound among
-    //    the pair's rows: if it fails, every row fails and the pair is
-    //    provably below t.
+    //  * accumulated positional filter (the paper's candidate-count
+    //    accumulation, strictly ≥ the single-row w₁ form): group the
+    //    pair's prefix-join rows and bound
+    //    overlap ≤ A + min(n_a − p_a^last, n_b − p_b^last), A = the
+    //    number of shared prefix-join tokens, p^last their max
+    //    positions. Exact because positions follow the one global
+    //    (df, shingle) order inside every doc, so the A rows' max _pa
+    //    and max _pb are achieved by the SAME token w_last, and every
+    //    shared token NOT among the A rows is globally greater than
+    //    w_last (a globally-smaller shared token would sit inside both
+    //    prefixes — position monotonicity — and hence be an A row),
+    //    i.e. sits after p^last on BOTH sides: at most
+    //    min(n_a − p_a^last, n_b − p_b^last) of them exist. At A = 1
+    //    this IS the w₁ positional filter; each extra shared prefix
+    //    token tightens it.
     // The 1e-9 slacks keep float rounding from cutting an exactly-at-
     // threshold pair (ceil(x−ε) can only LENGTHEN a prefix);
     // verification re-checks candidates exactly anyway.
@@ -276,17 +284,28 @@ object Dedup {
       else ia.join(pb, Seq("shingle"))
         .filter(col("_na") < col("_nb") ||
           (col("_na") === col("_nb") && col("id_a") < col("id_b")))
-    val filtered = if (!ppFilters) joined else joined
-      .filter(col("_na").cast("double") >=
-        lit(threshold) * col("_nb") - eps)
-      .filter((lit(1) + least(col("_na") - col("_pa"),
-          col("_nb") - col("_pb"))).cast("double") >=
-        lit(threshold / (1.0 + threshold)) *
-          (col("_na") + col("_nb")) - eps)
-    val cand = filtered
+    val cand = if (!ppFilters) joined
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
+    else joined
+      // length filter is pair-constant: applying it per row prunes
+      // BEFORE the pair shuffle without affecting the A count below
+      .filter(col("_na").cast("double") >=
+        lit(threshold) * col("_nb") - eps)
+      // one groupBy replaces the old per-row positional filter AND the
+      // pair distinct — same single shuffle, four small agg columns.
+      // _na/_nb are pair-constant; max doubles as `first`.
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("_A"), max(col("_pa")).as("_pam"),
+        max(col("_pb")).as("_pbm"), max(col("_na")).as("_na"),
+        max(col("_nb")).as("_nb"))
+      .filter((col("_A") + least(col("_na") - col("_pam"),
+          col("_nb") - col("_pbm"))).cast("double") >=
+        lit(threshold / (1.0 + threshold)) *
+          (col("_na") + col("_nb")) - eps)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
     PrefixJoinParts(sh, sizes, cand)
   }
 
