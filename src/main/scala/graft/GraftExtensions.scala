@@ -128,7 +128,18 @@ object GraftExtensions {
           "to struct(n_seen, kth_min); estimate is (k-1)*2^32/kth_min"),
       (children: Seq[Expression]) =>
         graft.functions.KmvSketchAgg(children.head,
-          litInt(children(1), "k", "graft_kmv"))))
+          litInt(children(1), "k", "graft_kmv"))),
+    (FunctionIdentifier("graft_cms"),
+      info("graft_cms",
+        "graft_cms(h, depth, width) - Count-Min Sketch frequency " +
+          "summary over an already-hashed long column (depth/width " +
+          "literals): aggregates to a depth x width counter matrix " +
+          "array<array<long>>; point estimate = min over rows of the " +
+          "row's universal-hash bucket"),
+      (children: Seq[Expression]) =>
+        graft.functions.CmsSketchAgg(children.head,
+          litInt(children(1), "depth", "graft_cms"),
+          litInt(children(2), "width", "graft_cms"))))
 
   /** Install the functions on an ALREADY-RUNNING session (withExtensions
     * only applies to sessions built after it). */

@@ -3833,6 +3833,27 @@ object SparkEntry {
         round(col("n_kept") / col("n_in").cast("double"), 6))
   }
 
+  /** Count-Min Sketch frequency estimates (Sketches.cmsTopKAccuracy
+    * over the native [[graft.functions.CmsSketchAgg]]): the
+    * frequency-estimate member of the sketch trio — KMV answers "how
+    * many distinct?", Misra-Gries "which candidates are heavy?", CMS
+    * "how often does THIS key occur?" from one fixed
+    * depth × width counter matrix, no vocabulary shuffle. The query is
+    * the accuracy harness (the q97 recall-harness discipline): sketch
+    * the corpus token stream, then grade the 10 true-heaviest tokens —
+    * true count, estimate, overcount. One-sided error (overcount ≥ 0,
+    * collisions only add) and the row hashes are the portable minhash
+    * universal family, so the oracle replays every counter and every
+    * estimate digit — not just the bound. */
+  private def qCmsFreq(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val toks = t.documents.select(
+      explode(GF.wsTokens(Dedup.normalizeText(col("text")))).as("tok"))
+    Sketches.cmsTopKAccuracy(toks, "tok", depth = 4, width = 1024,
+        topK = 10)
+      .withColumnRenamed("value", "tok")
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -4067,6 +4088,7 @@ object SparkEntry {
     "q227_bloom_semi_join" -> (qBloomSemiJoin _),
     "q228_bucketed_join" -> (qBucketedJoin _),
     "q229_observe_metrics" -> (qObserveMetrics _),
+    "q230_cms_freq" -> (qCmsFreq _),
   )
 
   // -------------------------------------------------------------------
@@ -8767,5 +8789,31 @@ object SparkEntry {
         |  round(CAST(count(*) FILTER (WHERE n_chars >= 200) AS DOUBLE)
         |    / count(*), 6) AS kept_ratio
         |FROM documents""".stripMargin,
+
+    // Full CMS replay: same counters, same min-over-rows estimate.
+    // Row i's bucket is ((h*(2i+1) + (101i+17)) % 4294967311) % width,
+    // the GF.universalHash family — h < 2^32 and 2i+1 <= 7, so the
+    // product stays far inside BIGINT.
+    "q230_cms_freq" ->
+      s"""WITH docs_norm AS (SELECT $normTextSql AS norm FROM documents),
+         |toks AS (SELECT unnest(${wsTokensSql("norm")}) AS tok
+         |  FROM docs_norm),
+         |h AS (SELECT tok, ${hash32Sql("tok")} AS h FROM toks),
+         |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS i),
+         |cnt AS (SELECT i,
+         |    ((h * (2*i + 1) + (101*i + 17)) % 4294967311) % 1024 AS b,
+         |    count(*) AS c
+         |  FROM h CROSS JOIN rows_ GROUP BY 1, 2),
+         |top AS (SELECT tok, h, count(*) AS true_cnt FROM h
+         |  GROUP BY 1, 2 ORDER BY true_cnt DESC, tok LIMIT 10),
+         |est AS (SELECT t.tok, t.true_cnt, min(c.c) AS cms_est
+         |  FROM top t JOIN cnt c
+         |    ON c.b = ((t.h * (2*c.i + 1) + (101*c.i + 17))
+         |              % 4294967311) % 1024
+         |  GROUP BY 1, 2)
+         |SELECT tok, CAST(true_cnt AS BIGINT) AS true_cnt,
+         |  CAST(cms_est AS BIGINT) AS cms_est,
+         |  CAST(cms_est - true_cnt AS BIGINT) AS overcount
+         |FROM est ORDER BY true_cnt DESC, tok""".stripMargin,
   )
 }

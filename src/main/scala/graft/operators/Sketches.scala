@@ -223,4 +223,62 @@ object Sketches {
     df.groupBy(col(groupCol))
       .agg(mg(col(tokenCol)).as("candidates"))
   }
+
+  /** Column surface of the native Count-Min Sketch aggregate
+    * ([[graft.functions.CmsSketchAgg]]): folds an already-hashed long
+    * column into a depth × width counter matrix
+    * (`array<array<long>>`). */
+  def cmsAgg(hash: org.apache.spark.sql.Column, depth: Int, width: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.CmsSketchAgg(ColumnBridge.expression(hash),
+        depth, width).toAggregateExpression())
+  }
+
+  /** CMS point query as a PLAIN PROJECTION over a built sketch: the
+    * min across depth rows of each row's universal-hash bucket for the
+    * probe key's hash. One-sided by construction (collisions only
+    * ADD), so `estimate ≥ true count` always, and
+    * `estimate ≤ true + N/width` in expectation per row. The probe
+    * never rescans the corpus — at 100 TB the sketch is built once
+    * (one fixed-size matrix through the exchange) and any number of
+    * keys are scored against the broadcast one-row sketch. */
+  def cmsEstimate(cms: org.apache.spark.sql.Column,
+      hash: org.apache.spark.sql.Column, depth: Int, width: Int)
+      : org.apache.spark.sql.Column = {
+    require(depth >= 1, s"cmsEstimate: depth must be >= 1, got $depth")
+    val perRow = (0 until depth).map { i =>
+      val u = (hash * lit(2L * i + 1) + lit(101L * i + 17)) %
+        lit(GF.MinhashPrime)
+      element_at(element_at(cms, i + 1), (u % width).cast("int") + lit(1))
+    }
+    if (perRow.size == 1) perRow.head else least(perRow: _*)
+  }
+
+  /** CMS measurement harness (the q230 shape, same discipline as the
+    * ANN recall harness): build the sketch over every value, then
+    * score the top-k TRUE-heaviest values against it — true count,
+    * CMS estimate and the (≥ 0) overcount side by side. The exact
+    * per-value groupBy exists only to grade the sketch; the
+    * production path is [[cmsAgg]] + [[cmsEstimate]] with no
+    * value-grain shuffle at all. Deterministic end to end (portable
+    * hashes, counter sums, min over rows), so the SQL oracle replays
+    * every digit. */
+  def cmsTopKAccuracy(df: DataFrame, valueCol: String, depth: Int,
+      width: Int, topK: Int): DataFrame = {
+    val hashed = df.select(col(valueCol).as("value"),
+        GF.hash32(col(valueCol).cast("string")).as("h"))
+      .filter(col("h").isNotNull)
+    val sketch = hashed.agg(cmsAgg(col("h"), depth, width).as("cms"))
+    val top = hashed.groupBy(col("value"), col("h"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("value"))
+      .limit(topK)
+    top.crossJoin(broadcast(sketch))
+      .select(col("value"), col("true_cnt"),
+        cmsEstimate(col("cms"), col("h"), depth, width).as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("value"))
+  }
 }

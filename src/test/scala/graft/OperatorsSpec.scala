@@ -765,6 +765,75 @@ class OperatorsSpec extends SparkSpec {
     assert(row.getLong(1) > 0L)
   }
 
+  test("CMS aggregate: replays the brute sketch, dominates true counts") {
+    import spark.implicits._
+    // zipf-ish multiset: token t_j appears ~200/j times; width 64 is
+    // deliberately small so collisions actually occur and the
+    // one-sided property is tested with real overcounts
+    val (depth, width) = (4, 64)
+    val values = (1 to 40).flatMap(j => Seq.fill(200 / j)(s"tok$j"))
+    val df = values.toDF("v")
+    val out = graft.operators.Sketches
+      .cmsTopKAccuracy(df, "v", depth, width, topK = 10)
+      .collect()
+    assert(out.length == 10)
+    // brute JVM replay: same hash, same universal family, same min
+    val counters = Array.ofDim[Long](depth, width)
+    values.foreach { v =>
+      val h = graft.functions.GF.hash32Jvm(v)
+      for (i <- 0 until depth) {
+        val u = (h * (2L * i + 1) + (101L * i + 17)) % 4294967311L
+        counters(i)((u % width).toInt) += 1L
+      }
+    }
+    val trueCnt = values.groupBy(identity).view.mapValues(_.size.toLong)
+    out.foreach { r =>
+      val (v, t, est, over) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val h = graft.functions.GF.hash32Jvm(v)
+      val brute = (0 until depth).map { i =>
+        val u = (h * (2L * i + 1) + (101L * i + 17)) % 4294967311L
+        counters(i)((u % width).toInt)
+      }.min
+      assert(t == trueCnt(v), s"$v true count")
+      assert(est == brute, s"$v estimate vs brute replay")
+      assert(est >= t && over == est - t, s"$v one-sided error")
+    }
+    // the harness must surface real collisions at this width
+    assert(out.exists(_.getLong(3) > 0L), "expected nonzero overcounts")
+  }
+
+  test("CMS aggregate: matrix is partitioning-invariant (merge = sum)") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => s"t${i % 97}").toDF("v")
+      .withColumn("h", graft.functions.GF.hash32(col("v")))
+    def matrix(d: org.apache.spark.sql.DataFrame): Seq[Seq[Long]] =
+      d.agg(graft.operators.Sketches.cmsAgg(col("h"), 4, 32).as("cms"))
+        .collect().head.getSeq[scala.collection.Seq[Long]](0)
+        .map(_.toSeq)
+    val whole = matrix(df)
+    assert(matrix(df.repartition(13)) == whole)
+    assert(whole.map(_.sum).distinct == Seq(3000L),
+      "every row counts every insert exactly once")
+  }
+
+  test("CMS aggregate: SQL surface and partial-merge plan shape") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = (1 to 500).map(i => s"w${i % 11}").toDF("v")
+    df.createOrReplaceTempView("cms_in")
+    val r = spark.sql(
+      """SELECT graft_cms(CAST(conv(substring(md5(v), 1, 8), 16, 10)
+        |  AS BIGINT), 4, 32) AS cms
+        |FROM cms_in""".stripMargin)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_cms") || plan.contains("graft_cms"),
+      plan)
+    val m = r.collect().head.getSeq[scala.collection.Seq[Long]](0)
+    assert(m.size == 4 && m.forall(_.size == 32))
+    assert(m.map(_.sum).toSet == Set(500L))
+  }
+
   test("bottomK sample: exact k per group, stable under growth") {
     import spark.implicits._
     val base = (1 to 200).map(i => (if (i % 2 == 0) "a" else "b", i.toLong))
