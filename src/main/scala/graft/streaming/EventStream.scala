@@ -520,6 +520,63 @@ object EventStream {
       }.toDF()
   }
 
+  final case class CmsRow(grp: String, h: Long)
+  final case class CmsFreqState(counts: Seq[Long])
+  final case class CmsFreqOut(grp: String, key: String, cms_est: Long,
+      n_seen: Long)
+
+  /** Streaming frequency watchlist: the incremental form of
+    * Sketches.cmsAgg + cmsEstimate — per group, the depth × width
+    * Count-Min counter matrix carried as stream state (FIXED size
+    * forever, however large the vocabulary), with the current
+    * estimate for every WATCHED key emitted each micro-batch (Update
+    * mode), stamped with the running insert count. Counter matrices
+    * are plain sums over inserts, so the emission after batch N is
+    * EXACTLY the batch sketch over the stream's first N batches —
+    * asserted prefix-for-prefix in StreamingSpec. One-sided like the
+    * batch form: est ≥ true count always. Null values are skipped.
+    * Group keys are assumed a small closed set — no timeout evicts
+    * them. */
+  def cmsFreqStream(spark: SparkSession, events: DataFrame,
+      grpCol: String, valueCol: String, watch: Seq[String],
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    import spark.implicits._
+    // watch-key hashes resolved driver-side once (hash32Jvm is the
+    // asserted bit-equal twin of the column hash)
+    val watched = watch.map(w => w -> graft.functions.GF.hash32Jvm(w))
+    events.select(col(grpCol).cast("string").as("grp"),
+        graft.functions.GF.hash32(col(valueCol).cast("string")).as("h"))
+      .filter(col("h").isNotNull).as[CmsRow]
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState[CmsFreqState, CmsFreqOut](OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (grp: String, rows: Iterator[CmsRow],
+            state: GroupState[CmsFreqState]) =>
+          val buf = new graft.functions.CmsBuffer(depth, width)
+          state.getOption.foreach { s =>
+            var i = 0
+            while (i < buf.counts.length) {
+              buf.counts(i) = s.counts(i); i += 1
+            }
+          }
+          rows.foreach(r => buf.add(r.h))
+          state.update(CmsFreqState(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              buf.counts.clone())))
+          // row 0 sums every insert exactly once
+          var n = 0L
+          var j = 0
+          while (j < width) { n += buf.counts(j); j += 1 }
+          watched.iterator.map { case (w, h) =>
+            val est = (0 until depth).map { i =>
+              val u = (h * (2L * i + 1) + (101L * i + 17)) % 4294967311L
+              buf.counts(i * width + (u % width).toInt)
+            }.min
+            CmsFreqOut(grp, w, est, n)
+          }
+      }.toDF()
+  }
+
   final case class PsiVal(grp: String, v: Double)
   final case class PsiState(counts: Seq[Long])
   final case class PsiOut(grp: String, psi: Double, n_cur: Long,

@@ -761,6 +761,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cms watchlist matches the batch sketch on every prefix") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cmsstream").toString
+    def write(rows: Seq[(String, String)]): Unit =
+      rows.toDF("grp", "v").coalesce(1).write.mode("append").parquet(dir)
+    val (depth, width) = (4, 32) // narrow on purpose: collisions real
+    val watch = Seq("alpha", "beta", "ghost") // ghost: never inserted
+    val b1 = (1 to 50).map(_ => ("g", "alpha")) ++
+      (1 to 20).map(_ => ("g", "beta")) ++
+      (1 to 300).map(i => ("g", s"noise${i % 90}"))
+    val b2 = (1 to 25).map(_ => ("g", "beta")) ++
+      (1 to 200).map(i => ("g", s"noise${i % 70}"))
+    write(b1)
+
+    // batch-mode CMS estimate over a prefix, via the JVM twin of the
+    // exact production arithmetic (asserted equal to the Column form
+    // in OperatorsSpec)
+    def batchAnswer(rows: Seq[(String, String)]): Map[String, Long] = {
+      val counters = Array.ofDim[Long](depth * width)
+      rows.foreach { case (_, v) =>
+        val h = graft.functions.GF.hash32Jvm(v)
+        for (i <- 0 until depth) {
+          val u = (h * (2L * i + 1) + (101L * i + 17)) % 4294967311L
+          counters(i * width + (u % width).toInt) += 1L
+        }
+      }
+      watch.map { w =>
+        val h = graft.functions.GF.hash32Jvm(w)
+        w -> (0 until depth).map { i =>
+          val u = (h * (2L * i + 1) + (101L * i + 17)) % 4294967311L
+          counters(i * width + (u % width).toInt)
+        }.min
+      }.toMap
+    }
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStream.cmsFreqStream(spark, stream, "grp", "v", watch,
+        depth, width)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cmsstream").start()
+    try {
+      q.processAllAvailable()
+      // Update mode: latest emission per (grp, key) = max n_seen
+      def latest(): Map[String, Long] =
+        spark.table("cmsstream").collect()
+          .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+          .groupBy(_._1).map { case (k, xs) => k -> xs.maxBy(_._3)._2 }
+      val exp1 = batchAnswer(b1)
+      assert(latest() == exp1, s"prefix 1: ${latest()} vs $exp1")
+      // one-sided even for the never-inserted key
+      assert(exp1("ghost") >= 0L)
+      write(b2)
+      q.processAllAvailable()
+      val exp2 = batchAnswer(b1 ++ b2)
+      assert(latest() == exp2, s"prefix 2: ${latest()} vs $exp2")
+    } finally q.stop()
+  }
+
   test("streaming psi drift matches batch psiDrift on every prefix") {
     import spark.implicits._
     import graft.operators.Profiling
