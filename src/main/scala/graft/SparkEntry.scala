@@ -3854,6 +3854,54 @@ object SparkEntry {
       .withColumnRenamed("value", "tok")
   }
 
+  /** Windowed CMS through the SQL surface: per (event type, day), the
+    * Count-Min estimate of a fixed 5-user watchlist's event counts via
+    * `graft_cms` in PLAIN SPARK SQL (the q201 discipline: the native
+    * aggregate must compose with any SQL workload, not only the Scala
+    * API). depth 2 × width 64 on purpose — busy (type, day) cells
+    * produce real collisions so the one-sided overcount is exercised,
+    * quiet cells stay exact. The watchlist probe is a literal
+    * expression over the broadcast sketch rows: at 100 TB the
+    * per-window sketches are metadata (one 2×64 matrix per cell)
+    * while the raw (user, type, day) grain never shuffles. The true
+    * counts come from one watchlist-filtered exact pass — the
+    * verification half of the harness, same as q230. */
+  private def qCmsWindow(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val t = Tables(s, dir)
+    t.events.select(col("event_type"),
+        col("ts").cast("date").as("day"),
+        GF.hash32(col("user_id").cast("string")).as("h"),
+        col("user_id"))
+      .createOrReplaceTempView("cms_events")
+    s.sql("""
+      WITH sk AS (SELECT event_type, day, graft_cms(h, 2, 64) AS cms
+                  FROM cms_events GROUP BY event_type, day),
+      w AS (SELECT uid, CAST(conv(substring(md5(CAST(uid AS STRING)),
+                1, 8), 16, 10) AS BIGINT) AS uh
+            FROM VALUES (1), (2), (3), (4), (5) AS t(uid)),
+      est AS (SELECT s.event_type, s.day, w.uid,
+          least(
+            element_at(element_at(s.cms, 1),
+              CAST(((w.uh * 1 + 17) % 4294967311) % 64 AS INT) + 1),
+            element_at(element_at(s.cms, 2),
+              CAST(((w.uh * 3 + 118) % 4294967311) % 64 AS INT) + 1))
+            AS cms_est
+        FROM sk s CROSS JOIN w),
+      tru AS (SELECT event_type, day, user_id AS uid,
+            count(*) AS true_cnt
+          FROM cms_events WHERE user_id IN (1, 2, 3, 4, 5)
+          GROUP BY event_type, day, user_id)
+      SELECT e.event_type, e.day, CAST(e.uid AS BIGINT) AS uid,
+        CAST(coalesce(t.true_cnt, 0) AS BIGINT) AS true_cnt,
+        e.cms_est,
+        e.cms_est - CAST(coalesce(t.true_cnt, 0) AS BIGINT) AS overcount
+      FROM est e LEFT JOIN tru t
+        ON e.event_type = t.event_type AND e.day = t.day
+           AND e.uid = t.uid
+      ORDER BY event_type, day, uid""")
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -4089,6 +4137,7 @@ object SparkEntry {
     "q228_bucketed_join" -> (qBucketedJoin _),
     "q229_observe_metrics" -> (qObserveMetrics _),
     "q230_cms_freq" -> (qCmsFreq _),
+    "q231_cms_window" -> (qCmsWindow _),
   )
 
   // -------------------------------------------------------------------
@@ -8815,5 +8864,46 @@ object SparkEntry {
          |  CAST(cms_est AS BIGINT) AS cms_est,
          |  CAST(cms_est - true_cnt AS BIGINT) AS overcount
          |FROM est ORDER BY true_cnt DESC, tok""".stripMargin,
+
+    // Windowed CMS replay: per (event_type, day) counters at (i, bucket)
+    // grain; probe buckets computed from the watchlist hashes with the
+    // same universal family; empty probe buckets coalesce to 0 (the
+    // Spark matrix holds explicit zeros, DuckDB's sparse counts don't).
+    "q231_cms_window" ->
+      s"""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${hash32Sql("CAST(user_id AS VARCHAR)")} AS h, user_id
+         |  FROM events),
+         |rows_ AS (SELECT unnest([0, 1]) AS i),
+         |cnt AS (SELECT event_type, day, i,
+         |    ((h * (2*i + 1) + (101*i + 17)) % 4294967311) % 64 AS b,
+         |    count(*) AS c
+         |  FROM ev CROSS JOIN rows_ GROUP BY 1, 2, 3, 4),
+         |wh AS (SELECT uid,
+         |    ${hash32Sql("CAST(uid AS VARCHAR)")} AS uh
+         |  FROM (SELECT unnest([1, 2, 3, 4, 5]) AS uid)),
+         |grid AS (SELECT DISTINCT event_type, day FROM ev),
+         |probe AS (SELECT g.event_type, g.day, wh.uid, r.i,
+         |    ((wh.uh * (2*r.i + 1) + (101*r.i + 17)) % 4294967311) % 64
+         |      AS b
+         |  FROM grid g CROSS JOIN wh CROSS JOIN rows_ r),
+         |est AS (SELECT p.event_type, p.day, p.uid,
+         |    min(coalesce(c.c, 0)) AS cms_est
+         |  FROM probe p LEFT JOIN cnt c
+         |    ON c.event_type = p.event_type AND c.day = p.day
+         |       AND c.i = p.i AND c.b = p.b
+         |  GROUP BY 1, 2, 3),
+         |tru AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    user_id AS uid, count(*) AS true_cnt
+         |  FROM events WHERE user_id IN (1, 2, 3, 4, 5)
+         |  GROUP BY 1, 2, 3)
+         |SELECT e.event_type, e.day, CAST(e.uid AS BIGINT) AS uid,
+         |  CAST(coalesce(t.true_cnt, 0) AS BIGINT) AS true_cnt,
+         |  CAST(e.cms_est AS BIGINT) AS cms_est,
+         |  CAST(e.cms_est - coalesce(t.true_cnt, 0) AS BIGINT)
+         |    AS overcount
+         |FROM est e LEFT JOIN tru t
+         |  ON e.event_type = t.event_type AND e.day = t.day
+         |     AND e.uid = t.uid
+         |ORDER BY 1, 2, 3""".stripMargin,
   )
 }
