@@ -61,6 +61,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // resetStorage()'s blocking unpersist of locally-checkpointed RDDs
+    // emits one "lineage has been truncated" WARN per checkpointed RDD —
+    // hundreds per run, and they land on stderr AFTER the headline JSON
+    // in a combined-stream tail capture (the r13/r14 driver artifacts'
+    // 2000-char tails were 100% this spam and parsed to nothing). The
+    // unpersist is intentional (storage must reset between timed runs),
+    // so silence the whole rdd package to ERROR for the bench JVM.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 
     // Optional subset filter for local profiling: comma-separated names.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
@@ -221,5 +230,12 @@ object Bench {
     if (line.length > 1800)
       System.err.println(s"bench: WARNING stdout line ${line.length} chars may truncate in a 2000-char tail capture")
     spark.stop()
+    // Re-print the headline AFTER spark.stop(): shutdown itself logs
+    // (ContextCleaner, block manager teardown), and in a combined
+    // stdout+stderr tail capture those lines would otherwise be the
+    // last thing the driver sees. A tail parser takes the last JSON
+    // line either way, so the duplicate is harmless and the guarantee
+    // is absolute: nothing in this JVM prints after this.
+    println(line)
   }
 }

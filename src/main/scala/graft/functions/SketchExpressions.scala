@@ -124,14 +124,22 @@ case class KmvSketchAgg(
 final class CmsBuffer(val depth: Int, val width: Int) {
   val counts = new Array[Long](depth * width)
 
-  /** h must already be the portable 32-bit hash (GF.hash32 ∈ [0, 2³²)).
+  /** h is contractually the portable 32-bit hash (GF.hash32 ∈ [0, 2³²)).
     * Row i's bucket is GF.universalHash(·, i) mod width — the same
     * (2i+1)·h + (101i+17) mod 4294967311 family minhash uses, so the
-    * SQL oracle replays every counter bit-for-bit. */
+    * SQL oracle replays every counter bit-for-bit. The SQL surface
+    * (`graft_cms`) accepts ANY integral column, though: mask to the low
+    * 32 bits BEFORE the arithmetic so an out-of-contract input (a
+    * negative hash, or a full-range long whose h·(2i+1) would overflow)
+    * lands in a valid bucket instead of throwing
+    * ArrayIndexOutOfBoundsException mid-aggregate. In-contract inputs
+    * already satisfy h == (h & 0xFFFFFFFF), so oracle parity is
+    * untouched; after the mask h·31 + c < 2³⁷, far inside Long. */
   def add(h: Long): Unit = {
+    val h32 = h & 0xFFFFFFFFL
     var i = 0
     while (i < depth) {
-      val u = (h * (2L * i + 1) + (101L * i + 17)) % 4294967311L
+      val u = (h32 * (2L * i + 1) + (101L * i + 17)) % 4294967311L
       counts(i * width + (u % width).toInt) += 1L
       i += 1
     }

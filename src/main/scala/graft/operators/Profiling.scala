@@ -840,7 +840,7 @@ object Profiling {
     pairs.map { case (a, b) =>
       df.groupBy(col(a))
         .agg(countDistinct(coalesce(col(b).cast("string"),
-          lit(" null"))).as("_nb"))
+          lit("\u0000null"))).as("_nb"))
         .agg(count(lit(1)).as("n_lhs"),
           sum(when(col("_nb") > 1, 1L).otherwise(0L)).as("n_violating"))
         .select(lit(a).as("lhs"), lit(b).as("rhs"), col("n_lhs"),

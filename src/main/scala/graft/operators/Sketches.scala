@@ -248,12 +248,30 @@ object Sketches {
       hash: org.apache.spark.sql.Column, depth: Int, width: Int)
       : org.apache.spark.sql.Column = {
     require(depth >= 1, s"cmsEstimate: depth must be >= 1, got $depth")
+    require(width >= 2, s"cmsEstimate: width must be >= 2, got $width")
+    // Same low-32-bit mask as CmsBuffer.add: in-contract hashes
+    // (GF.hash32 ∈ [0, 2³²)) are unchanged, out-of-contract longs probe
+    // the same bucket the aggregate counted them in instead of a
+    // negative index.
+    val h32 = hash.bitwiseAND(lit(0xFFFFFFFFL))
     val perRow = (0 until depth).map { i =>
-      val u = (hash * lit(2L * i + 1) + lit(101L * i + 17)) %
+      val u = (h32 * lit(2L * i + 1) + lit(101L * i + 17)) %
         lit(GF.MinhashPrime)
       element_at(element_at(cms, i + 1), (u % width).cast("int") + lit(1))
     }
-    if (perRow.size == 1) perRow.head else least(perRow: _*)
+    val est = if (perRow.size == 1) perRow.head else least(perRow: _*)
+    // The caller's (depth, width) must MATCH the sketch's own
+    // dimensions: a mismatched width probes the wrong buckets and still
+    // returns plausible numbers, a too-large depth turns element_at
+    // into nulls that least() silently skips. Cross-check against the
+    // matrix itself and fail fast — the cost is two size() calls on a
+    // broadcast one-row sketch.
+    when(size(cms) === lit(depth) &&
+        size(element_at(cms, 1)) === lit(width), est)
+      .otherwise(raise_error(format_string(
+        s"graft cmsEstimate: sketch dims %dx%d != caller ($depth" +
+          s"x$width)",
+        size(cms), size(element_at(cms, 1)))).cast("long"))
   }
 
   /** CMS measurement harness (the q230 shape, same discipline as the

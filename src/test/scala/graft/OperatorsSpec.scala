@@ -758,7 +758,7 @@ class OperatorsSpec extends SparkSpec {
         |FROM kmv_in GROUP BY g""".stripMargin)
     // two-phase agg: the sketch must ride a partial_graft_kmv
     val plan = r.queryExecution.executedPlan.toString
-    assert(plan.contains("partial_graft_kmv") || plan.contains("graft_kmv"),
+    assert(plan.contains("partial_graft_kmv"),
       plan)
     val row = r.collect().head.getStruct(1)
     assert(row.getLong(0) == 64L) // n_seen capped at k
@@ -827,7 +827,7 @@ class OperatorsSpec extends SparkSpec {
         |  AS BIGINT), 4, 32) AS cms
         |FROM cms_in""".stripMargin)
     val plan = r.queryExecution.executedPlan.toString
-    assert(plan.contains("partial_graft_cms") || plan.contains("graft_cms"),
+    assert(plan.contains("partial_graft_cms"),
       plan)
     val m = r.collect().head.getSeq[scala.collection.Seq[Long]](0)
     assert(m.size == 4 && m.forall(_.size == 32))
