@@ -17,7 +17,8 @@ import org.apache.spark.sql.SparkSession
   * Usage: ScaleDiag <sfDir> [--skip-retired]  →  one JSON line:
   * {"sf":…,"n_docs":N,"q182_candidates":N,"q204_candidates":N,
   *  "q204_candidates_16bit_bands":N,"q204_candidates_32bit":N,
-  *  "q204_candidates_32bit_bound":N}
+  *  "q204_candidates_32bit_bound":N,"q196_blocked_sims":N,
+  *  "q65_block_pair_bound":N,"q65_neardup_pairs":N}
   * (q204_candidates is the production 2×32-bit radius-1 scheme; the
   * 16-bit-band and 32-bit numbers are the two RETIRED configurations,
   * printed so the artifact can show each fix's headroom side by side). The
@@ -85,6 +86,20 @@ object ScaleDiag {
       .blockedMarginSims(emb.filter(col("label") === 0),
         emb.filter(col("label") === 1), "vec_id", "embedding",
         baseBits = 4, maxBlockSize = 512).count()
+    // q65's SemDeDup stage, through the production path: adaptive LSH
+    // blocks over the embeddings, the analytic intra-block candidate
+    // bound Σ c·(c−1)/2 (O(corpus) at any scale), and the pairs that
+    // actually clear the cosine threshold — the connected-components
+    // input whose growth decides whether q65's wall ratio is pair
+    // volume or fixed overhead
+    val q65Blocks = graft.operators.Similarity
+      .adaptiveLshBlocks(emb, "embedding", "lsh_blk", baseBits = 8)
+    val q65Bound = q65Blocks.groupBy(col("lsh_blk")).count()
+      .selectExpr("CAST(sum(count * (count - 1) DIV 2) AS BIGINT) AS b")
+      .head().getLong(0)
+    val q65Pairs = graft.operators.Similarity
+      .cosineNearDupPairs(q65Blocks, "vec_id", "embedding", "lsh_blk",
+        threshold = 0.2).count()
     println(s"""{"sf":"$sfDir","n_docs":$nDocs,""" +
       s""""q182_candidates":$prefix,""" +
       s""""q182_suffix_survivors":$prefixSurv,""" +
@@ -92,7 +107,9 @@ object ScaleDiag {
       s""""q204_candidates_16bit_bands":$sim64b4,""" +
       s""""q204_candidates_32bit":$sim32,""" +
       s""""q204_candidates_32bit_bound":$bound32,""" +
-      s""""q196_blocked_sims":$q196}""")
+      s""""q196_blocked_sims":$q196,""" +
+      s""""q65_block_pair_bound":$q65Bound,""" +
+      s""""q65_neardup_pairs":$q65Pairs}""")
     spark.stop()
   }
 }

@@ -2718,12 +2718,11 @@ object SparkEntry {
   }
 
   /** Equi-depth binning (Profiling.equiDepthBins): deciles of event
-    * value per event type, deterministic under ties via the event-id
-    * tiebreak. */
+    * value per event type. Per-bin count and envelope are
+    * tiebreak-invariant, so no id column is needed. */
   private def qEquiDepth(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    Profiling.equiDepthBins(t.events, "event_type", "value", "event_id",
-        nBins = 10)
+    Profiling.equiDepthBins(t.events, "event_type", "value", nBins = 10)
       .orderBy(col("event_type"), col("bin"))
   }
 

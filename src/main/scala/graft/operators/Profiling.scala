@@ -574,19 +574,65 @@ object Profiling {
   }
 
   /** Equi-depth (quantile) binning per group: each row lands in one of
-    * `nBins` equal-population bins via ntile over the (value, id) total
-    * order — the id tiebreak makes bin membership deterministic under
-    * ties. Emits per-(group, bin) count and value envelope: the
-    * profile that catches "uniform-width histogram says fine, all the
-    * mass sits in one bin". Group-keyed window, one shuffle. */
+    * `nBins` equal-population bins in value order (ntile semantics:
+    * the first N mod nBins bins hold one extra row). Emits
+    * per-(group, bin) count and value envelope: the profile that
+    * catches "uniform-width histogram says fine, all the mass sits in
+    * one bin".
+    *
+    * Scale shape: the output is a pure function of the per-group VALUE
+    * HISTOGRAM — which rows land in which bin under ties is
+    * tiebreak-dependent, but tied rows share the value, so per-bin
+    * count (fixed by ntile arithmetic) and min/max value are
+    * tiebreak-invariant. So the only row-grain stage is a
+    * partial-aggregatable groupBy to (group, value, count); the rank
+    * window then runs over the value DOMAIN, and bin membership is
+    * closed-form arithmetic on each value's global rank range — no
+    * per-group total-order sort of the raw rows (the old ntile window
+    * put every row of a group through ONE task; at corpus scale a hot
+    * group is a straggler-then-OOM). Value ranks and counts stay exact
+    * in longs; the two floor-divisions run in double but are exact for
+    * counts < 2⁵² (quotient ≤ nBins, operands integer-exact). */
   def equiDepthBins(df: DataFrame, groupCol: String, valCol: String,
-      idCol: String, nBins: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col("_v"), col(idCol))
-    df.select(col(groupCol), col(valCol).as("_v"), col(idCol))
-      .withColumn("bin", ntile(nBins).over(w))
-      .groupBy(col(groupCol), col("bin"))
-      .agg(count(lit(1)).as("n"),
+      nBins: Int): DataFrame = {
+    require(nBins >= 1, s"equiDepthBins: nBins must be >= 1, got $nBins")
+    val hist = df.select(col(groupCol), col(valCol).as("_v"))
+      .groupBy(col(groupCol), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_v"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val k = lit(nBins.toLong)
+    // ntile over N rows: base = N div k rows per bin, the first
+    // rem = N mod k bins take one extra. Rank r (1-based) lands in
+    //   r <= rem·(base+1):  bin = ceil(r / (base+1))
+    //   else:               bin = rem + ceil((r - rem·(base+1)) / base)
+    // (the base = 0 case — fewer rows than bins — never reaches the
+    // second branch: N = rem, so every rank satisfies the first).
+    def ceilDivPos(a: Column, b: Column): Column =
+      floor((a + b - lit(1L)).cast("double") / b.cast("double"))
+        .cast("long")
+    def binOf(r: Column, base: Column, rem: Column): Column =
+      when(r <= rem * (base + lit(1L)), ceilDivPos(r, base + lit(1L)))
+        .otherwise(rem + ceilDivPos(r - rem * (base + lit(1L)), base))
+    val ranked = hist
+      .withColumn("_hi", sum(col("_c")).over(wOrd))
+      .withColumn("_lo", col("_hi") - col("_c") + lit(1L))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+      .withColumn("_base",
+        ((col("_n") - col("_n") % k) / k).cast("long"))
+      .withColumn("_rem", col("_n") % k)
+    // each value overlaps the contiguous bin run [bin(lo), bin(hi)]
+    // (≤ nBins rows out per value; total ≤ |domain| + nBins·|groups|)
+    ranked
+      .withColumn("bin",
+        explode(sequence(binOf(col("_lo"), col("_base"), col("_rem")),
+          binOf(col("_hi"), col("_base"), col("_rem")))))
+      .withColumn("_size",
+        col("_base") + when(col("bin") <= col("_rem"), 1L).otherwise(0L))
+      .groupBy(col(groupCol), col("bin").cast("int").as("bin"))
+      .agg(max(col("_size")).as("n"),
         round(min(col("_v")), 4).as("v_min"),
         round(max(col("_v")), 4).as("v_max"))
   }

@@ -2259,13 +2259,32 @@ class OperatorsSpec extends SparkSpec {
   test("equiDepthBins: bins are equal-population and value-ordered") {
     val df = (1 to 40).map(i => ("g", i.toDouble, i.toLong))
       .toDF("grp", "v", "id")
-    val rows = Profiling.equiDepthBins(df, "grp", "v", "id", nBins = 4)
+    val rows = Profiling.equiDepthBins(df, "grp", "v", nBins = 4)
       .orderBy(col("bin")).collect()
     assert(rows.map(_.getInt(1)).toSeq == Seq(1, 2, 3, 4))
     assert(rows.forall(_.getLong(2) == 10L))
     // consecutive bins partition the value order: max(bin k) < min(bin k+1)
     val env = rows.map(r => (r.getDouble(3), r.getDouble(4)))
     assert(env.sliding(2).forall { case Array(a, b) => a._2 < b._1 })
+    // uneven N (ntile semantics): the first N mod k bins take the extra row
+    val uneven = Profiling.equiDepthBins(
+        (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "v"),
+        "grp", "v", nBins = 4)
+      .orderBy(col("bin")).collect()
+    assert(uneven.map(r => (r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((1, 3L), (2, 3L), (3, 2L), (4, 2L)))
+    assert(uneven.map(r => (r.getDouble(3), r.getDouble(4))).toSeq ==
+      Seq((1.0, 3.0), (4.0, 6.0), (7.0, 8.0), (9.0, 10.0)))
+    // ties spanning bin boundaries: the tied value appears in the
+    // envelope of every bin its rank range touches, counts unchanged
+    val tied = Profiling.equiDepthBins(
+        ((1 to 6).map(_ => ("g", 5.0)) ++ Seq(("g", 1.0), ("g", 9.0)))
+          .toDF("grp", "v"),
+        "grp", "v", nBins = 2)
+      .orderBy(col("bin")).collect()
+    assert(tied.map(r => (r.getInt(1), r.getLong(2),
+      r.getDouble(3), r.getDouble(4))).toSeq ==
+      Seq((1, 4L, 1.0, 5.0), (2, 4L, 5.0, 9.0)))
   }
 
   test("bpeEncode: in-vocab words reproduce the training segmentation; OOV encodes") {

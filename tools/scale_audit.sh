@@ -113,6 +113,9 @@ cc = {
     "q204_simhash_32bit_bound (analytic)":
         [diags[t]["q204_candidates_32bit_bound"] for t in order],
     "q196_blocked_sims": [diags[t]["q196_blocked_sims"] for t in order],
+    "q65_block_pair_bound":
+        [diags[t]["q65_block_pair_bound"] for t in order],
+    "q65_neardup_pairs": [diags[t]["q65_neardup_pairs"] for t in order],
 }
 for name in ("report_sf1.json", "report_sf100.json"):
     path = f"{w}/{name}"
