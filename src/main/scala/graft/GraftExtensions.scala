@@ -139,7 +139,17 @@ object GraftExtensions {
       (children: Seq[Expression]) =>
         graft.functions.CmsSketchAgg(children.head,
           litInt(children(1), "depth", "graft_cms"),
-          litInt(children(2), "width", "graft_cms"))))
+          litInt(children(2), "width", "graft_cms"))),
+    (FunctionIdentifier("graft_hdr"),
+      info("graft_hdr",
+        "graft_hdr(v, sBits) - HDR quantile sketch over a raw long " +
+          "measure (sBits literal): base-2 log buckets with 2^sBits " +
+          "linear sub-buckets, aggregates to the sorted bucket " +
+          "histogram array<struct<bucket,cnt>>; quantile estimates " +
+          "carry a 2^-sBits relative value error"),
+      (children: Seq[Expression]) =>
+        graft.functions.HdrSketchAgg(children.head,
+          litInt(children(1), "sBits", "graft_hdr"))))
 
   /** Install the functions on an ALREADY-RUNNING session (withExtensions
     * only applies to sessions built after it). */

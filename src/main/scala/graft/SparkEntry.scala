@@ -3901,6 +3901,27 @@ object SparkEntry {
       ORDER BY event_type, day, uid""")
   }
 
+  /** HDR quantile-sketch accuracy harness
+    * (Sketches.hdrQuantileAccuracy, the q230/q97 discipline): per
+    * language, grade the sketch's P1/P25/P50/P75/P99 of document text
+    * length against the exact rank-⌈φ·N⌉ values — estimate, relative
+    * error and the 2^−7 in-bound verdict side by side. The exact side
+    * exists only to grade; the production path is one bounded-state
+    * aggregate (map-side mergeable bucket map, ~2^7·log₂(range)
+    * entries) + plain-projection probes — the quantile member of the
+    * sketch family next to KMV/Misra-Gries/CMS, and the 100 TB answer
+    * to q127's exact value-grain quantiles. */
+  private def qHdrQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Sketches.hdrQuantileAccuracy(
+        t.documents.filter(col("text").isNotNull)
+          .select(col("lang"), length(col("text")).cast("long")
+            .as("text_len")),
+        "lang", "text_len", sBits = 7,
+        phis = Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+      .withColumnRenamed("grp", "lang")
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -4137,6 +4158,7 @@ object SparkEntry {
     "q229_observe_metrics" -> (qObserveMetrics _),
     "q230_cms_freq" -> (qCmsFreq _),
     "q231_cms_window" -> (qCmsWindow _),
+    "q232_hdr_quantiles" -> (qHdrQuantiles _),
   )
 
   // -------------------------------------------------------------------
@@ -8904,5 +8926,57 @@ object SparkEntry {
          |  ON e.event_type = t.event_type AND e.day = t.day
          |     AND e.uid = t.uid
          |ORDER BY 1, 2, 3""".stripMargin,
+
+    // Full HDR replay: bucket = (n−7)·128 + (v >> (n−7)) with
+    // n = ⌊log₂ v⌋ from the bin() string length (exact integer ops, no
+    // float log); lower bound inverts with the same shift arithmetic.
+    // Text lengths are non-negative so the sign mirror never fires.
+    // Both the exact and sketch sides pick min(value|bucket) at
+    // cumulative ≥ max(⌈φ·N⌉, 1) — the rank rule the Spark side uses.
+    "q232_hdr_quantiles" ->
+      s"""WITH vals AS (SELECT lang AS grp,
+         |    CAST(length(text) AS BIGINT) AS v
+         |  FROM documents WHERE text IS NOT NULL),
+         |hist AS (SELECT grp, v, count(*) AS c FROM vals GROUP BY 1, 2),
+         |ranked AS (SELECT grp, v,
+         |    sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+         |    sum(c) OVER (PARTITION BY grp) AS n
+         |  FROM hist),
+         |phis AS (SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS phi),
+         |exact AS (SELECT r.grp, p.phi, min(r.v) AS exact_q,
+         |    min(r.n) AS n
+         |  FROM ranked r CROSS JOIN phis p
+         |  WHERE r.cum >= greatest(CAST(ceil(p.phi * r.n) AS BIGINT), 1)
+         |  GROUP BY 1, 2),
+         |bh AS (SELECT grp,
+         |    CASE WHEN v < 128 THEN v
+         |         ELSE (length(bin(v)) - 8) * 128 +
+         |              (v >> (length(bin(v)) - 8)) END AS bucket,
+         |    sum(c) AS bc
+         |  FROM hist GROUP BY 1, 2),
+         |branked AS (SELECT grp, bucket, bc,
+         |    sum(bc) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+         |    sum(bc) OVER (PARTITION BY grp) AS n
+         |  FROM bh),
+         |est AS (SELECT b.grp, p.phi, min(b.bucket) AS qb
+         |  FROM branked b CROSS JOIN phis p
+         |  WHERE b.cum >= greatest(CAST(ceil(p.phi * b.n) AS BIGINT), 1)
+         |  GROUP BY 1, 2),
+         |estv AS (SELECT grp, phi,
+         |    CASE WHEN qb < 256 THEN qb
+         |         ELSE ((qb & 127) + 128) << CAST((qb >> 7) - 1 AS INT)
+         |    END AS hdr_q
+         |  FROM est)
+         |SELECT e.grp AS lang, e.phi, CAST(x.n AS BIGINT) AS n,
+         |  CAST(x.exact_q AS BIGINT) AS exact_q,
+         |  CAST(e.hdr_q AS BIGINT) AS hdr_q,
+         |  round((x.exact_q - e.hdr_q) /
+         |    greatest(abs(e.hdr_q), 1.0), 6) AS rel_err,
+         |  ((sign(e.hdr_q) = sign(x.exact_q) OR e.hdr_q = x.exact_q)
+         |    AND abs(e.hdr_q) <= abs(x.exact_q)
+         |    AND (abs(x.exact_q) - abs(e.hdr_q)) <
+         |        abs(e.hdr_q) / 128.0 + 1.0) AS within_bound
+         |FROM estv e JOIN exact x ON e.grp = x.grp AND e.phi = x.phi
+         |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -252,3 +252,172 @@ case class CmsSketchAgg(
   override protected def withNewChildInternal(newChild: Expression): CmsSketchAgg =
     copy(child = newChild)
 }
+
+/** Shared bucket arithmetic for the HDR quantile sketch — ONE
+  * implementation used by the aggregate's update path, the Column-side
+  * reconstruction ([[graft.operators.Sketches.hdrLowerBound]]) and the
+  * specs, so the three can never drift.
+  *
+  * Base-2 log buckets with `sBits` linear sub-buckets per octave (the
+  * HdrHistogram layout, Tene; same guarantee family as DDSketch,
+  * Masson/Rim/Lee VLDB'19): for a ≥ 2^s with n = ⌊log₂ a⌋,
+  * bucket = (n−s)·2^s + (a >> (n−s)); values below 2^s are exact.
+  * The map is monotone and CONTIGUOUS (level n's last bucket + 1 is
+  * level n+1's first), every bucket spans ≤ 2^(n−s) values, so a
+  * bucket's lower bound under-estimates any member by a factor
+  * ≤ 1 + 2^−s. Negative values mirror through the sign
+  * (bucket(−a) = −bucket(a)), keeping the whole map monotone over the
+  * full signed-long line. All arithmetic is exact integer ops — which
+  * is the point: the SQL oracle replays every bucket id and every
+  * lower bound digit-for-digit, no float log anywhere. */
+object HdrBuckets {
+  def bucketOf(v: Long, sBits: Int): Long = {
+    val neg = v < 0
+    // |Long.MinValue| overflows; clamp to MaxValue — same bucket as
+    // MaxValue, an error of < 2^-s at the extreme of the line
+    val a = if (v == Long.MinValue) Long.MaxValue
+            else if (neg) -v else v
+    val b =
+      if (a < (1L << sBits)) a
+      else {
+        val n = 63 - java.lang.Long.numberOfLeadingZeros(a)
+        ((n - sBits).toLong << sBits) + (a >>> (n - sBits))
+      }
+    if (neg) -b else b
+  }
+
+  /** Inverse: the smallest |value| landing in bucket `b` (sign
+    * mirrored for b < 0 — the bucket endpoint CLOSEST TO ZERO, so the
+    * relative-error bound holds with the same sign convention). */
+  def lowerBound(b: Long, sBits: Int): Long = {
+    val neg = b < 0
+    val ba = if (neg) -b else b
+    val lb =
+      if (ba < (1L << (sBits + 1))) ba
+      else {
+        val nMinusS = (ba >> sBits) - 1
+        val sub = (ba & ((1L << sBits) - 1)) + (1L << sBits)
+        sub << nMinusS.toInt
+      }
+    if (neg) -lb else lb
+  }
+}
+
+/** HDR quantile-sketch state: a sparse bucket → count map. Bounded by
+  * construction: ≤ (64 − s)·2^s + 2^(s+1) buckets over the whole
+  * signed-long line (s = 7 → ~7.5k), in practice ⌈log₂(max/min)⌉·2^s
+  * for the data's actual range — independent of row count AND of the
+  * value domain's cardinality, which is what the exact value-grain
+  * quantile path can't promise. */
+final class HdrBuffer {
+  val counts = new scala.collection.mutable.LongMap[Long]()
+
+  def add(bucket: Long): Unit =
+    counts.update(bucket, counts.getOrElse(bucket, 0L) + 1L)
+}
+
+/** Native HDR quantile sketch as a `TypedImperativeAggregate` — the
+  * quantile member of the sketch family next to [[KmvSketchAgg]]
+  * (distinct counts), `MisraGriesAgg` (heavy hitters) and
+  * [[CmsSketchAgg]] (frequencies). Answers "what value sits at rank
+  * ⌈φ·N⌉?" to within a 2^−sBits RELATIVE VALUE error from
+  * O(2^s · log range) state per group: partials merge map-side
+  * (bucket-wise add), the exchange carries one small map per
+  * (partition, group), and quantile probes are plain projections over
+  * the finished sketch ([[graft.operators.Sketches.hdrQuantile]]) —
+  * the corpus is never rescanned and the value domain is never
+  * shuffled.
+  *
+  * Why fixed log-buckets and not KLL/GK: a compaction-based sketch's
+  * state depends on MERGE ORDER — two runs over the same multiset
+  * with different partitionings give different (equally valid)
+  * sketches, so no SQL oracle can replay it and no run is
+  * reproducible. The fixed-bucket map is a symmetric function of the
+  * input multiset: order- and partition-independent by construction
+  * (the q230 CMS discipline), deterministic to the last digit, at the
+  * cost of a value-relative rather than rank-relative guarantee.
+  *
+  * Input is the raw long measure (token counts, byte lengths, cents —
+  * quantize floats upstream); null skipped. Output is the sorted
+  * bucket histogram `array<struct<bucket:long, cnt:long>>`.
+  *
+  * SQL surface: `graft_hdr(v, sBits)` (sBits literal), registered
+  * through [[graft.GraftExtensions]].
+  */
+case class HdrSketchAgg(
+    child: Expression,
+    sBits: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HdrBuffer] with UnaryLike[Expression] {
+
+  require(sBits >= 1 && sBits <= 12,
+    s"graft_hdr: sBits must be in [1,12], got $sBits")
+
+  override def prettyName: String = "graft_hdr"
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_hdr expects an integral measure column, got ${dt.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("bucket", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): HdrBuffer = new HdrBuffer
+
+  override def update(buf: HdrBuffer, input: InternalRow): HdrBuffer = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.add(HdrBuckets.bucketOf(v.asInstanceOf[Number].longValue, sBits))
+    buf
+  }
+
+  override def merge(buf: HdrBuffer, other: HdrBuffer): HdrBuffer = {
+    other.counts.foreachEntry { (b, c) =>
+      buf.counts.update(b, buf.counts.getOrElse(b, 0L) + c)
+    }
+    buf
+  }
+
+  override def eval(buf: HdrBuffer): Any = {
+    val sorted = buf.counts.toArray.sortBy(_._1)
+    val rows = new Array[Any](sorted.length)
+    var i = 0
+    while (i < sorted.length) {
+      rows(i) = InternalRow(sorted(i)._1, sorted(i)._2)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def serialize(buf: HdrBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.counts.size)
+    bb.putInt(buf.counts.size)
+    buf.counts.foreachEntry { (b, c) => bb.putLong(b); bb.putLong(c) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): HdrBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new HdrBuffer
+    var i = 0
+    while (i < n) { buf.counts.update(bb.getLong, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): HdrSketchAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HdrSketchAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): HdrSketchAgg =
+    copy(child = newChild)
+}

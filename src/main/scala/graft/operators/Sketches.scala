@@ -299,4 +299,148 @@ object Sketches {
       .withColumn("overcount", col("cms_est") - col("true_cnt"))
       .orderBy(col("true_cnt").desc, col("value"))
   }
+
+  /** Column surface of the native HDR quantile sketch
+    * ([[graft.functions.HdrSketchAgg]]): folds a raw long measure into
+    * the sorted bucket histogram `array<struct<bucket,cnt>>`. */
+  def hdrAgg(measure: org.apache.spark.sql.Column, sBits: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.HdrSketchAgg(ColumnBridge.expression(measure),
+        sBits).toAggregateExpression())
+  }
+
+  /** Column twin of [[graft.functions.HdrBuckets.lowerBound]]: the
+    * smallest |value| in bucket `b`, exact integer arithmetic only
+    * (the variable-width shift goes through the Catalyst ShiftLeft
+    * node directly — `functions.shiftleft` only takes a literal
+    * shift). Any member of the bucket is within a 2^−sBits relative
+    * factor of this bound — the sketch's whole guarantee rides on
+    * this reconstruction, so it is asserted against the JVM twin over
+    * the full bucket range in the spec. */
+  def hdrLowerBound(b: org.apache.spark.sql.Column, sBits: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def shl(v: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+          ColumnBridge.expression(v),
+          ColumnBridge.expression(n.cast("int"))))
+    val ba = abs(b)
+    val sub = ba.bitwiseAND(lit((1L << sBits) - 1)) + lit(1L << sBits)
+    val lbAbs = when(ba < lit(1L << (sBits + 1)), ba)
+      .otherwise(shl(sub, shiftright(ba, sBits) - lit(1L)))
+    signum(b).cast("long") * lbAbs
+  }
+
+  /** Quantile probe as a PLAIN PROJECTION over a built sketch: total
+    * N from the bucket counts, rank = max(⌈φ·N⌉, 1), one ordered fold
+    * to the first bucket whose cumulative count reaches the rank,
+    * then the exact-integer lower-bound reconstruction. The estimate
+    * q̂ satisfies q̂ ≤ v* < q̂·(1 + 2^−sBits) against the exact
+    * rank-⌈φ·N⌉ value v* (exact below 2^sBits). Like cmsEstimate: the
+    * corpus is built into the sketch once; any number of φ probes run
+    * against the broadcast one-row histogram. */
+  def hdrQuantile(sk: org.apache.spark.sql.Column, phi: Double,
+      sBits: Int): org.apache.spark.sql.Column = {
+    require(phi > 0.0 && phi <= 1.0,
+      s"hdrQuantile: phi must be in (0,1], got $phi")
+    val n = aggregate(sk, lit(0L), (acc, x) => acc + x.getField("cnt"))
+    // φ is a literal and N < 2⁵²: the double product is exact enough
+    // that ceil never crosses an integer boundary spuriously
+    val rank = greatest(ceil(lit(phi) * n).cast("long"), lit(1L))
+    val bucket = aggregate(sk,
+      struct(lit(0L).as("cum"), lit(null).cast("long").as("b")),
+      (acc, x) => {
+        val cum = acc.getField("cum") + x.getField("cnt")
+        struct(cum.as("cum"),
+          coalesce(acc.getField("b"),
+            when(cum >= rank, x.getField("bucket"))).as("b"))
+      },
+      acc => acc.getField("b"))
+    hdrLowerBound(bucket, sBits)
+  }
+
+  /** Driver/executor-side twin of [[hdrQuantile]] for the streaming
+    * state handler (EventStream.hdrQuantileStream): same rank rule
+    * (max(⌈φ·N⌉, 1)), same ordered cumulative walk, same
+    * [[graft.functions.HdrBuckets.lowerBound]] reconstruction —
+    * asserted equal to the batch Column path prefix-for-prefix in
+    * StreamingSpec. Empty sketch → 0 (the stream never invokes the
+    * handler without rows, but state restores must not throw). */
+  def hdrQuantileJvm(counts: Seq[(Long, Long)], phi: Double,
+      sBits: Int): Long = {
+    if (counts.isEmpty) return 0L
+    val sorted = counts.sortBy(_._1)
+    val n = sorted.iterator.map(_._2).sum
+    val rank = math.max(math.ceil(phi * n).toLong, 1L)
+    var cum = 0L
+    var i = 0
+    var bucket = sorted.last._1
+    var found = false
+    while (i < sorted.length && !found) {
+      cum += sorted(i)._2
+      if (cum >= rank) { bucket = sorted(i)._1; found = true }
+      i += 1
+    }
+    graft.functions.HdrBuckets.lowerBound(bucket, sBits)
+  }
+
+  /** HDR measurement harness (the q230/q97 shape): build the sketch
+    * over the measure, grade its quantile estimates against the EXACT
+    * rank-⌈φ·N⌉ values side by side, with the relative error and the
+    * in-bound verdict. The exact side runs at value grain (the q127
+    * shape: histogram → cumulative → rank lookup), and exists only to
+    * grade the sketch — the production path is [[hdrAgg]] +
+    * [[hdrQuantile]], no value-grain shuffle at all. Deterministic
+    * end to end (integer buckets, counter sums, ordered folds): the
+    * SQL oracle replays every digit. */
+  def hdrQuantileAccuracy(df: DataFrame, groupCol: String,
+      measureCol: String, sBits: Int, phis: Seq[Double]): DataFrame = {
+    require(phis.nonEmpty, "hdrQuantileAccuracy: need at least one phi")
+    val vals = df.select(col(groupCol).as("grp"),
+        col(measureCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val sketch = vals.groupBy(col("grp"))
+      .agg(hdrAgg(col("v"), sBits).as("hdr"))
+    // exact side, value grain: domain histogram + ordered cumulative
+    val wOrd = Window.partitionBy(col("grp")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("grp"))
+    val ranked = vals.groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val perPhi = phis.map { phi =>
+      val rank = greatest(ceil(lit(phi) * col("n")).cast("long"), lit(1L))
+      ranked.filter(col("cum") >= rank)
+        .groupBy(col("grp"))
+        .agg(min(col("v")).as("exact_q"), first(col("n")).as("n"))
+        .withColumn("phi", lit(phi))
+    }.reduce(_ unionByName _)
+    // the probes run on the group-grain sketch frame (tiny), one row
+    // per (group, phi), then broadcast-join back to the exact side
+    val probes = phis.map { phi =>
+      sketch.select(col("grp"), lit(phi).as("phi"),
+        hdrQuantile(col("hdr"), phi, sBits).as("hdr_q"))
+    }.reduce(_ unionByName _)
+    perPhi.join(broadcast(probes), Seq("grp", "phi"))
+      .select(col("grp"), col("phi"), col("n"), col("exact_q"),
+        col("hdr_q"))
+      .withColumn("rel_err",
+        round((col("exact_q") - col("hdr_q")).cast("double") /
+          greatest(abs(col("hdr_q")).cast("double"), lit(1.0)), 6))
+      // |q̂| ≤ |v*| < |q̂|·(1+2^−s) with matching sign (the bound is
+      // magnitude-relative; negative buckets mirror, so the estimate
+      // is the endpoint closest to zero on either side)
+      .withColumn("within_bound",
+        (signum(col("hdr_q")) === signum(col("exact_q")) ||
+          col("hdr_q") === col("exact_q")) &&
+          abs(col("hdr_q")) <= abs(col("exact_q")) &&
+          (abs(col("exact_q")) - abs(col("hdr_q"))).cast("double") <
+            abs(col("hdr_q")).cast("double") / math.pow(2.0, sBits) +
+              lit(1.0))
+      .orderBy(col("grp"), col("phi"))
+  }
 }

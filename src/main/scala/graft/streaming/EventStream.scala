@@ -577,6 +577,52 @@ object EventStream {
       }.toDF()
   }
 
+  final case class HdrRow(grp: String, v: Long)
+  final case class HdrState(buckets: Seq[(Long, Long)])
+  final case class HdrOut(grp: String, phi: Double, hdr_q: Long,
+      n_seen: Long)
+
+  /** Streaming quantile watch: the incremental form of
+    * Sketches.hdrAgg + hdrQuantile — per group, the HDR bucket map
+    * carried as stream state (bounded by 2^sBits · log₂(range)
+    * however many rows flow), with the current φ-quantile estimates
+    * emitted each micro-batch (Update mode), stamped with the running
+    * insert count. Bucket maps are plain sums over inserts, so the
+    * emission after batch N is EXACTLY the batch sketch over the
+    * stream's first N batches — asserted prefix-for-prefix against
+    * the batch Column path in StreamingSpec. Null measures are
+    * skipped. Group keys are assumed a small closed set — no timeout
+    * evicts them. */
+  def hdrQuantileStream(spark: SparkSession, events: DataFrame,
+      grpCol: String, measureCol: String, phis: Seq[Double],
+      sBits: Int = 7): DataFrame = {
+    import spark.implicits._
+    require(phis.nonEmpty, "hdrQuantileStream: need at least one phi")
+    events.select(col(grpCol).cast("string").as("grp"),
+        col(measureCol).cast("long").as("v"))
+      .filter(col("v").isNotNull).as[HdrRow]
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState[HdrState, HdrOut](OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (grp: String, rows: Iterator[HdrRow],
+            state: GroupState[HdrState]) =>
+          val buf = new graft.functions.HdrBuffer
+          state.getOption.foreach(_.buckets.foreach { case (b, c) =>
+            buf.counts.update(b, c)
+          })
+          rows.foreach(r =>
+            buf.add(graft.functions.HdrBuckets.bucketOf(r.v, sBits)))
+          val snapshot = buf.counts.toSeq
+          state.update(HdrState(snapshot))
+          val n = snapshot.iterator.map(_._2).sum
+          phis.iterator.map { phi =>
+            HdrOut(grp, phi,
+              graft.operators.Sketches.hdrQuantileJvm(snapshot, phi,
+                sBits), n)
+          }
+      }.toDF()
+  }
+
   final case class PsiVal(grp: String, v: Double)
   final case class PsiState(counts: Seq[Long])
   final case class PsiOut(grp: String, psi: Double, n_cur: Long,

@@ -834,6 +834,104 @@ class OperatorsSpec extends SparkSpec {
     assert(m.map(_.sum).toSet == Set(500L))
   }
 
+  test("HdrBuckets: monotone, contiguous, lower-bound within 2^-s") {
+    import graft.functions.HdrBuckets._
+    for (s <- Seq(1, 3, 7)) {
+      // dense sweep over small values + every octave boundary ± 1 +
+      // extremes, mirrored negative
+      val pos = (0L to (4L << s)) ++
+        (s until 63).flatMap { n =>
+          Seq((1L << n) - 1, 1L << n, (1L << n) + 1) } ++
+        Seq(Long.MaxValue - 1, Long.MaxValue)
+      val vs = (pos ++ pos.map(-_) :+ Long.MinValue).distinct.sorted
+      val bs = vs.map(bucketOf(_, s))
+      assert(bs.zip(bs.tail).forall { case (a, b) => a <= b },
+        s"bucket map not monotone at s=$s")
+      vs.foreach { v =>
+        if (v != Long.MinValue) {
+          val lb = lowerBound(bucketOf(v, s), s)
+          assert(math.signum(lb.toDouble) == math.signum(v.toDouble) ||
+            lb == v, s"sign lost: v=$v lb=$lb s=$s")
+          val (av, al) = (math.abs(v.toDouble), math.abs(lb.toDouble))
+          assert(al <= av && av < al * (1 + math.pow(2.0, -s)) + 1,
+            s"bound broken: v=$v lb=$lb s=$s")
+        }
+      }
+      // contiguity: every bucket id between two consecutive observed
+      // ids reconstructs inside the gap (no dead ids in an octave)
+      val posBuckets = (1L << s) to bucketOf(Long.MaxValue, s)
+      assert(posBuckets.take(10000).zip(posBuckets.take(10000).tail)
+        .forall { case (a, b) =>
+          lowerBound(a, s) < lowerBound(b, s) },
+        s"lower bounds not strictly increasing at s=$s")
+    }
+  }
+
+  test("HDR aggregate: partition-invariant, merge = bucket-wise add") {
+    import spark.implicits._
+    val vals = ((1 to 1000).map(_.toLong * 37 % 5000) ++
+      Seq(0L, -17L, -500000L, 1L << 40)).toDF("v")
+    def sketch(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      d.agg(graft.operators.Sketches.hdrAgg(col("v"), 7).as("hdr"))
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1)))
+    val whole = sketch(vals)
+    assert(sketch(vals.repartition(13)) == whole)
+    assert(whole.map(_._2).sum == 1004L,
+      "every insert counted exactly once")
+    assert(whole.map(_._1) == whole.map(_._1).sorted,
+      "eval emits buckets sorted")
+  }
+
+  test("hdrLowerBound column matches the JVM twin over every bucket") {
+    import spark.implicits._
+    val s = 5
+    val buckets = ((0L to (4L << s)) ++
+      (1L to 58L).map(n => (n << s) + (n % (1L << s)))).distinct
+    val both = (buckets ++ buckets.map(-_)).distinct.toDF("b")
+      .select(col("b"),
+        graft.operators.Sketches.hdrLowerBound(col("b"), s).as("lb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    both.foreach { case (b, lb) =>
+      assert(lb == graft.functions.HdrBuckets.lowerBound(b, s),
+        s"column/JVM drift at bucket $b")
+    }
+  }
+
+  test("hdrQuantile: exact below 2^s, in-bound everywhere, ties/negatives") {
+    import spark.implicits._
+    val df = ((1 to 400).map(i => ("a", (i * i).toLong)) ++
+      (1 to 300).map(_ => ("a", 7L)) ++            // heavy tie
+      (1 to 200).map(i => ("b", -i * 1000L)) ++    // all negative
+      Seq(("b", 0L))).toDF("grp", "v")
+    val acc = graft.operators.Sketches.hdrQuantileAccuracy(
+      df, "grp", "v", sBits = 7,
+      phis = Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+    val rows = acc.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getBoolean(6)),
+      "within_bound must hold on every (group, phi):\n" +
+        rows.mkString("\n"))
+    // small values are EXACT (bucket = value below 2^s): rank ⌈0.25·700⌉
+    // = 175 lands inside the 300-deep tie at 7
+    val aQ1 = rows.find(r =>
+      r.getString(0) == "a" && r.getDouble(1) == 0.25).get
+    assert(aQ1.getLong(3) == 7L && aQ1.getLong(4) == 7L,
+      s"tie-heavy P25 must be exact: $aQ1")
+  }
+
+  test("HDR aggregate: SQL surface and partial-merge plan shape") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    (1 to 500).map(i => i.toLong * 13).toDF("v")
+      .createOrReplaceTempView("hdr_in")
+    val r = spark.sql("SELECT graft_hdr(v, 7) AS hdr FROM hdr_in")
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_hdr"), plan)
+    val sk = r.collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(sk.map(_.getLong(1)).sum == 500L)
+  }
+
   test("bottomK sample: exact k per group, stable under growth") {
     import spark.implicits._
     val base = (1 to 200).map(i => (if (i % 2 == 0) "a" else "b", i.toLong))

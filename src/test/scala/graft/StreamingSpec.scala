@@ -824,6 +824,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hdr quantiles match the batch column path on every prefix") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-hdrstream").toString
+    def write(rows: Seq[(String, Long)]): Unit =
+      rows.toDF("grp", "v").coalesce(1).write.mode("append").parquet(dir)
+    val sBits = 5 // coarse on purpose: approximation real, bound still 2^-5
+    val phis = Seq(0.25, 0.5, 0.99)
+    val b1 = (1 to 400).map(i => ("g", (i * i).toLong)) ++
+      (1 to 100).map(_ => ("g", 3L))
+    val b2 = (1 to 300).map(i => ("g", (700000 + i * 31).toLong))
+    write(b1)
+
+    // batch answer over a prefix via the PRODUCTION Column path
+    // (hdrAgg + hdrQuantile), so this asserts stream handler ==
+    // aggregate == projection in one go
+    def batchAnswer(rows: Seq[(String, Long)]): Map[Double, Long] = {
+      val sk = rows.toDF("grp", "v")
+        .agg(graft.operators.Sketches.hdrAgg(col("v"), sBits).as("hdr"))
+      phis.map { phi =>
+        phi -> sk.select(graft.operators.Sketches
+          .hdrQuantile(col("hdr"), phi, sBits)).head().getLong(0)
+      }.toMap
+    }
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStream.hdrQuantileStream(spark, stream, "grp", "v",
+        phis, sBits)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("hdrstream").start()
+    try {
+      q.processAllAvailable()
+      // Update mode: latest emission per (grp, phi) = max n_seen
+      def latest(): Map[Double, Long] =
+        spark.table("hdrstream").collect()
+          .map(r => (r.getDouble(1), r.getLong(2), r.getLong(3)))
+          .groupBy(_._1).map { case (p, xs) => p -> xs.maxBy(_._3)._2 }
+      val exp1 = batchAnswer(b1)
+      assert(latest() == exp1, s"prefix 1: ${latest()} vs $exp1")
+      write(b2)
+      q.processAllAvailable()
+      val exp2 = batchAnswer(b1 ++ b2)
+      assert(latest() == exp2, s"prefix 2: ${latest()} vs $exp2")
+    } finally q.stop()
+  }
+
   test("streaming psi drift matches batch psiDrift on every prefix") {
     import spark.implicits._
     import graft.operators.Profiling
