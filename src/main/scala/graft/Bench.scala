@@ -91,6 +91,18 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()
+      // Give the ContextCleaner a beat to DRAIN the reference queue the
+      // gc just populated (broadcasts, shuffle files, accumulators from
+      // the finished query). Cleanup RPCs and shuffle-file deletes are
+      // async; without the pause they land INSIDE the next timed run —
+      // measured at sf0.1 as up to 2-5× inflation on shuffle-heavy
+      // queries late in the suite (q182 2.0s isolated vs 4.5s in a
+      // 30-query suite, 11.6s in the full 232-query suite), and the
+      // debt grows with suite size. 200 ms × 232 queries × 4 runs adds
+      // ~3 min of untimed wall per bench — cheap insurance for a
+      // trustworthy per-query number.
+      Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_RESET_SLEEP_MS", "200")
+        .toLong)
     }
 
     // Host-calibration probe (r8 verdict: the 46s→71s cross-round bench
@@ -115,6 +127,38 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet").count()
       spark.sqlContext.clearCache()
     }
+    // Hypervisor-steal telemetry over the WHOLE timed run: this VM
+    // measured 8.7% steal under full load on a quiet neighbor and
+    // whole-suite heavy-query inflation up to 7× during bad windows
+    // (calib probes at run START looked fine both times — steal is a
+    // co-tenant phenomenon, not a constant). steal_pct in the calib
+    // block lets a reader attribute a slow artifact to the host
+    // without a re-run.
+    def cpuStat(): (Long, Long) =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        val l = try src.getLines().next() finally src.close()
+        val p = l.trim.split("\\s+").drop(1).map(_.toLong)
+        (p.sum, if (p.length > 7) p(7) else 0L)
+      } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
+    val (statTot0, statSteal0) = cpuStat()
+    // Memory-BANDWIDTH probe, start and end of run: this host's
+    // single-thread copy bandwidth measured swinging 0.6 → 1.8 GB/s
+    // minute-to-minute (co-tenant pressure; steal% stays ~0 and the
+    // ALU probe stays flat). Shuffle-heavy queries are bandwidth-bound
+    // and swing 2-7× with it, so totals are comparable across rounds
+    // only at similar mem_gbps — the third leg of the calib triangle.
+    def probeMemGbps(): Double = {
+      val n = 32 * 1024 * 1024 // 32M longs = 256 MB per copy
+      val src = new Array[Long](n)
+      val dst = new Array[Long](n)
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        System.arraycopy(src, 0, dst, 0, n)
+        2.0 * n * 8 / ((System.nanoTime() - t0) / 1e9) / 1e9
+      }.max
+    }
+    val calibMem0 = probeMemGbps()
 
     val times = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     val errs0 = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -194,8 +238,16 @@ object Bench {
     // never fit (r5-r7 each lost 40-76 per-query numbers to
     // truncation). The file is the artifact of record.
     def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val (statTot1, statSteal1) = cpuStat()
+    val stealPct =
+      if (statTot1 > statTot0)
+        100.0 * (statSteal1 - statSteal0) / (statTot1 - statTot0)
+      else 0.0
     val calibJson =
-      s"""{"cpu_sec":${r3(calibCpu)},"scan_sec":${r3(calibScan)}}"""
+      s"""{"cpu_sec":${r3(calibCpu)},"scan_sec":${r3(calibScan)},""" +
+        s""""steal_pct":${r3(stealPct)},""" +
+        s""""mem_gbps":${r3(calibMem0)},""" +
+        s""""mem_gbps_end":${r3(probeMemGbps())}}"""
     val fullLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","passes":$passes,"calib":$calibJson,"queries":$qs,"query_mins":$qmins,"errors":$errsJson,"n_queries":${ok.size},"worst_query":"$worstName","worst":$worstT,"value":$total}"""
     // a single-pass diagnostic artifact must not silently overwrite and
     // impersonate the 3-pass gate artifact (the "passes" field records
