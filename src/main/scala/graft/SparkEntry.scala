@@ -3922,6 +3922,27 @@ object SparkEntry {
       .withColumnRenamed("grp", "lang")
   }
 
+  /** Exact-substring dedup (Dedup.exactSubstrSpans — ExactSubstr
+    * semantics, Lee et al. 2021): every maximal span of >= 8 tokens
+    * repeated verbatim anywhere in the corpus, at arbitrary token
+    * offsets, one row per occurrence with boundaries and the span's
+    * content md5. Pair-free relational reformulation of the
+    * suffix-array algorithm: repeated-L-gram start positions →
+    * gaps-and-islands maximal runs — a boilerplate span repeated m
+    * times costs m position rows, never m² pairs. */
+  private def qExactSubstr(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Dedup.exactSubstrSpans(
+        t.documents.filter(col("text").isNotNull), "text", "doc_id",
+        minTokens = 8)
+      .select(col("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        col("span_tokens").cast("long").as("span_tokens"),
+        col("span_md5"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -4159,6 +4180,7 @@ object SparkEntry {
     "q230_cms_freq" -> (qCmsFreq _),
     "q231_cms_window" -> (qCmsWindow _),
     "q232_hdr_quantiles" -> (qHdrQuantiles _),
+    "q233_exact_substr" -> (qExactSubstr _),
   )
 
   // -------------------------------------------------------------------
@@ -8978,5 +9000,31 @@ object SparkEntry {
          |        abs(e.hdr_q) / 128.0 + 1.0) AS within_bound
          |FROM estv e JOIN exact x ON e.grp = x.grp AND e.phi = x.phi
          |ORDER BY 1, 2""".stripMargin,
+
+    "q233_exact_substr" ->
+      s"""WITH t AS (SELECT doc_id, ${wsTokensSql("text")} AS arr
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id, i AS pos,
+         |    ${hash32Sql("array_to_string(arr[i+1:i+8], ' ')")} AS h1,
+         |    ${hash32Sql("array_to_string(arr[i+1:i+8], ' ')", 9)} AS h2
+         |  FROM t, unnest(range(0, len(arr) - 7)) AS u(i)
+         |  WHERE len(arr) >= 8),
+         |rep AS (SELECT h1, h2 FROM g GROUP BY 1, 2
+         |  HAVING count(*) >= 2),
+         |f AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (h1, h2)),
+         |isl AS (SELECT doc_id, pos, pos - row_number() OVER
+         |    (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM f),
+         |sp AS (SELECT doc_id, min(pos) AS span_start,
+         |    max(pos) + 8 AS span_end
+         |  FROM isl GROUP BY doc_id, grp)
+         |SELECT s.doc_id,
+         |  CAST(s.span_start AS BIGINT) AS span_start,
+         |  CAST(s.span_end AS BIGINT) AS span_end,
+         |  CAST(s.span_end - s.span_start AS BIGINT) AS span_tokens,
+         |  md5(array_to_string(t.arr[s.span_start+1:s.span_end], ' '))
+         |    AS span_md5
+         |FROM sp s JOIN t USING (doc_id)
+         |ORDER BY doc_id, span_start""".stripMargin,
   )
 }

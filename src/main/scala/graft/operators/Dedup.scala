@@ -1201,4 +1201,85 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) > 0L).as("is_dup"),
         coalesce(col("hits_capped"), lit(false)).as("hits_capped"))
   }
+
+  /** Exact-substring dedup (the Lee et al. 2021 "Deduplicating Training
+    * Data Makes Language Models Better" ExactSubstr semantics): every
+    * MAXIMAL span of >= `minTokens` whitespace tokens that appears
+    * verbatim more than once in the corpus — at ARBITRARY token
+    * offsets, across documents or repeated inside one document — is
+    * emitted with its per-occurrence boundaries. The two neighbours in
+    * this file can't express this: [[chunkDedup]] only sees repeats
+    * that land on fixed chunk boundaries, and [[duplicateSpans]]
+    * reports per-doc coverage TOTALS (chars), not span boundaries or
+    * span identity.
+    *
+    * The reference implementation builds a corpus-wide suffix array — a
+    * global sort no Spark job should attempt. The relational
+    * reformulation used here is exact and pair-free: a token position
+    * p in doc d is DUPLICATED iff the L-gram starting at p occurs >= 2
+    * times in the corpus, and the union of all repeated substrings of
+    * length >= L is exactly the union of repeated-L-gram extents — so
+    * maximal spans are maximal RUNS of consecutive duplicated start
+    * positions [p..q] -> span [p, q+L). No per-pair extension step
+    * exists at all, which is the scale story: a boilerplate span
+    * repeated m times costs m position rows here, where
+    * anchor-pair-extend designs cost m² pairs.
+    *
+    * Gram identity is the 64-bit pair of disjoint md5 windows
+    * (GF.hash32 at offsets 1 and 9) over the space-joined gram — both
+    * halves replayable in portable SQL, so the oracle reproduces every
+    * flagged position; a false merge needs a simultaneous 2⁻⁶⁴
+    * collision. The gram STRING never crosses the exchange: positions
+    * shuffle as (id, pos, h1, h2).
+    *
+    * Returns one row per maximal span occurrence:
+    * `(id, span_start, span_end, span_tokens, span_md5)` with 0-based
+    * token offsets, end exclusive; `span_md5` hashes the span's actual
+    * text, so identical spans share it across occurrences (the span_id
+    * for cross-doc grouping) and the gate cross-checks real content,
+    * not just hash-flagged positions.
+    *
+    * Scale shape: one narrow token-grain explode; ONE gram-grain
+    * aggregate (map-side combinable — dup grams collapse before the
+    * wire) + a semi-join back; islands via a doc-partitioned window;
+    * one doc-grain join to re-slice span text for the docs that have
+    * spans (duplicated-content-sized, far smaller than the corpus).
+    * No collect, no global sort, no pair grain anywhere. At crawl
+    * scale raise minTokens to 40-50 (the Lee et al. operating point);
+    * gram-row volume is corpus tokens, independent of L. */
+  def exactSubstrSpans(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 8): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val l = minTokens
+    val toks = docs.select(col(idCol).as("_id"),
+      GF.wsTokens(col(textCol)).as("toks"))
+    // pos from posexplode over sequence(0, n-L) IS the 0-based token
+    // offset; the gram is hashed in the same codegen stage and dropped
+    // before any exchange.
+    val grams = toks.filter(size(col("toks")) >= l)
+      .select(col("_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - l),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(l))))))
+      .select(col("_id"), col("pos"),
+        GF.hash32(col("col")).as("h1"),
+        GF.hash32(col("col"), 9).as("h2"))
+    val reps = grams.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select(col("h1"), col("h2"))
+    val flagged = grams.join(reps, Seq("h1", "h2"), "left_semi")
+    // gaps-and-islands: consecutive duplicated starts share
+    // pos - row_number(); each island is one maximal span.
+    val wDoc = Window.partitionBy(col("_id")).orderBy(col("pos"))
+    val spans = flagged
+      .withColumn("_grp", col("pos") - row_number().over(wDoc))
+      .groupBy(col("_id"), col("_grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + l).as("span_end"))
+      .drop("_grp")
+    spans.join(toks, Seq("_id"))
+      .select(col("_id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), col("span_start") + 1,
+          col("span_end") - col("span_start")))).as("span_md5"))
+  }
 }

@@ -1390,6 +1390,36 @@ class OperatorsSpec extends SparkSpec {
     assert(r(6L) == ((30L, 1L, 20L, 0.6667)), r(6L))
   }
 
+  test("exactSubstrSpans: arbitrary offsets, within-doc repeats, maximal islands") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // 10 tokens
+    val run8 = (1 to 8).map(i => s"r$i").mkString(" ")    // 8 tokens
+    val docs = Seq(
+      (1L, shared + " x1 x2 x3"),            // shared at offset 0
+      (2L, "p1 p2 p3 " + shared),            // same span at offset 3
+      (3L, run8 + " u " + run8),             // repeated WITHIN one doc
+      (4L, (1 to 20).map(i => s"q$i").mkString(" ")), // unique: no spans
+      (5L, Array.fill(9)("w").mkString(" ")) // overlapping self-repeat
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Dedup
+      .exactSubstrSpans(docs, "text", "doc_id", minTokens = 8)
+      .collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getString(4)))
+    val byDoc = r.groupBy(_._1)
+    // cross-doc at different offsets: maximal 10-token span each side
+    assert(byDoc(1L).map(t => (t._2, t._3)).toSet == Set((0, 10)), r.toSeq)
+    assert(byDoc(2L).map(t => (t._2, t._3)).toSet == Set((3, 13)), r.toSeq)
+    // identical content -> identical span_md5 across occurrences
+    assert(byDoc(1L).head._4 == byDoc(2L).head._4)
+    // within-doc repeat: two disjoint maximal spans in the same doc
+    assert(byDoc(3L).map(t => (t._2, t._3)).toSet == Set((0, 8), (9, 17)))
+    assert(byDoc(3L).map(_._4).distinct.size == 1)
+    // unique doc emits nothing
+    assert(!byDoc.contains(4L))
+    // overlapping self-repeat merges into ONE maximal island
+    assert(byDoc(5L).map(t => (t._2, t._3)).toSet == Set((0, 9)))
+  }
+
   test("curriculumPhases: two-pass cumsum equals naive global running sum") {
     import spark.implicits._
     val rows = (1L to 200L).map(i =>

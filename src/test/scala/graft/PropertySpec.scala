@@ -183,6 +183,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("exactSubstrSpans parity: spans == brute-force repeated-gram islands") {
+    // Tiny vocabulary forces heavy verbatim repetition at arbitrary
+    // offsets — the regime exactSubstrSpans exists for. The brute side
+    // groups by gram CONTENT (no hashing), so this also asserts the
+    // 64-bit hash-pair identity never merges distinct grams here.
+    val l = 3
+    val word = Gen.oneOf("aa", "bb", "cc")
+    val cases = for {
+      nDocs <- Gen.choose(1, 7)
+      texts <- Gen.listOfN(nDocs,
+        Gen.choose(1, 20).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" "))))
+    } yield texts
+    samples(cases, 20).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = operators.Dedup
+        .exactSubstrSpans(docs, "text", "doc_id", minTokens = l)
+        .select("doc_id", "span_start", "span_end")
+        .as[(Long, Int, Int)].collect().toSet
+      // brute force: count L-grams by content, flag positions, islands
+      val grams = texts.zipWithIndex.flatMap { case (t, i) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+        (0 to toks.size - l).map(p => (i.toLong, p, toks.slice(p, p + l)))
+      }
+      val counts = grams.groupBy(_._3).map { case (g, xs) => g -> xs.size }
+      val want = grams.filter(g => counts(g._3) >= 2)
+        .groupBy(_._1).flatMap { case (id, xs) =>
+          val ps = xs.map(_._2).sorted
+          // split sorted positions into consecutive runs
+          ps.foldLeft(List.empty[(Int, Int)]) {
+            case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+            case (acc, p) => (p, p) :: acc
+          }.map { case (s, e) => (id, s, e + l) }
+        }.toSet
+      assert(got == want, s"texts=$texts got=$got want=$want")
+    }
+  }
+
   test("PPJoin length/positional filters: same verified pair set as the unfiltered build") {
     // Generated corpora from a tiny vocabulary force heavy shingle
     // overlap — the regime where the filters do real cutting. The
