@@ -149,7 +149,38 @@ object GraftExtensions {
           "carry a 2^-sBits relative value error"),
       (children: Seq[Expression]) =>
         graft.functions.HdrSketchAgg(children.head,
-          litInt(children(1), "sBits", "graft_hdr"))))
+          litInt(children(1), "sBits", "graft_hdr"))),
+    (FunctionIdentifier("graft_kmv_state"),
+      info("graft_kmv_state",
+        "graft_kmv_state(h, k) - persistable KMV state (k literal): " +
+          "the sorted array<long> of the k smallest distinct hashes; " +
+          "store it and roll up later with graft_kmv_merge"),
+      (children: Seq[Expression]) =>
+        graft.functions.KmvStateAgg(children.head,
+          litInt(children(1), "k", "graft_kmv_state"))),
+    (FunctionIdentifier("graft_kmv_merge"),
+      info("graft_kmv_merge",
+        "graft_kmv_merge(state, k) - rollup of stored KMV states " +
+          "(k literal): hash-identical to a direct build over the " +
+          "union of the inputs' raw data"),
+      (children: Seq[Expression]) =>
+        graft.functions.KmvMergeAgg(children.head,
+          litInt(children(1), "k", "graft_kmv_merge"))),
+    (FunctionIdentifier("graft_cms_merge"),
+      info("graft_cms_merge",
+        "graft_cms_merge(cms, depth, width) - rollup of stored CMS " +
+          "counter matrices (literals): element-wise add, exact for " +
+          "any rollup tree; mismatched stored dimensions fail fast"),
+      (children: Seq[Expression]) =>
+        graft.functions.CmsMergeAgg(children.head,
+          litInt(children(1), "depth", "graft_cms_merge"),
+          litInt(children(2), "width", "graft_cms_merge"))),
+    (FunctionIdentifier("graft_hdr_merge"),
+      info("graft_hdr_merge",
+        "graft_hdr_merge(sk) - rollup of stored HDR bucket histograms: " +
+          "bucket-wise count add, exact for any rollup tree"),
+      (children: Seq[Expression]) =>
+        graft.functions.HdrMergeAgg(children.head)))
 
   /** Install the functions on an ALREADY-RUNNING session (withExtensions
     * only applies to sessions built after it). */

@@ -3943,6 +3943,49 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Persistable + re-mergeable sketch columns (the lakehouse rollup
+    * pattern): per-(lang, source) KMV/CMS/HDR sketch states roll up to
+    * lang grain THROUGH THE STORED-STATE MERGE AGGREGATES
+    * (Sketches.kmvMergeState / cmsMerge / hdrMerge) and are compared
+    * hash-exactly against a direct lang-grain build — the q234 gate
+    * for "daily sketches on parquet → monthly rollup without
+    * rescanning raw data". All three states are symmetric multiset
+    * functions, so merged ≡ direct to the digest; the oracle replays
+    * the two-level rollup itself (per-source states merged in SQL),
+    * not just the direct build. */
+  private def qSketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val k = 64; val depth = 2; val width = 64; val sBits = 7
+    val d = t.documents.filter(col("text").isNotNull)
+      .select(col("lang"), col("source"),
+        GF.hash32(col("text")).as("h"),
+        length(col("text")).cast("long").as("len"))
+    val sub = d.groupBy(col("lang"), col("source"))
+      .agg(Sketches.kmvState(col("h"), k).as("kmv"),
+        Sketches.cmsAgg(col("h"), depth, width).as("cms"),
+        Sketches.hdrAgg(col("len"), sBits).as("hdr"))
+    val merged = sub.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sub"),
+        Sketches.kmvMergeState(col("kmv"), k).as("kmv_m"),
+        Sketches.cmsMerge(col("cms"), depth, width).as("cms_m"),
+        Sketches.hdrMerge(col("hdr")).as("hdr_m"))
+    val direct = d.groupBy(col("lang"))
+      .agg(Sketches.kmvState(col("h"), k).as("kmv_d"),
+        Sketches.cmsAgg(col("h"), depth, width).as("cms_d"),
+        Sketches.hdrAgg(col("len"), sBits).as("hdr_d"))
+    merged.join(direct, Seq("lang"))
+      .select(col("lang"), col("n_sub"),
+        (col("kmv_m") === col("kmv_d")).as("kmv_eq"),
+        Sketches.longArrayDigest(col("kmv_m")).as("kmv_digest"),
+        Sketches.kmvEstimateFromState(col("kmv_m"), k).as("kmv_est"),
+        (col("cms_m") === col("cms_d")).as("cms_eq"),
+        Sketches.cmsDigest(col("cms_m")).as("cms_digest"),
+        (col("hdr_m") === col("hdr_d")).as("hdr_eq"),
+        Sketches.hdrDigest(col("hdr_m")).as("hdr_digest"),
+        Sketches.hdrQuantile(col("hdr_m"), 0.5, sBits).as("hdr_p50"))
+      .orderBy(col("lang"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -4181,6 +4224,7 @@ object SparkEntry {
     "q231_cms_window" -> (qCmsWindow _),
     "q232_hdr_quantiles" -> (qHdrQuantiles _),
     "q233_exact_substr" -> (qExactSubstr _),
+    "q234_sketch_rollup" -> (qSketchRollup _),
   )
 
   // -------------------------------------------------------------------
@@ -9026,5 +9070,107 @@ object SparkEntry {
          |    AS span_md5
          |FROM sp s JOIN t USING (doc_id)
          |ORDER BY doc_id, span_start""".stripMargin,
+
+    // q234 replays the ROLLUP itself, not just the direct build: KMV
+    // per-source bottom-64 states merged by re-sorting their union,
+    // CMS/HDR per-source counters summed to lang grain — then compared
+    // (eq booleans + md5 digests) against direct lang-grain builds.
+    "q234_sketch_rollup" ->
+      s"""WITH d AS (SELECT lang, source,
+         |    ${hash32Sql("text")} AS h,
+         |    CAST(length(text) AS BIGINT) AS len
+         |  FROM documents WHERE text IS NOT NULL),
+         |kd AS (SELECT DISTINCT lang, source, h FROM d),
+         |ksub AS (SELECT lang, source, l[1:64] AS st FROM
+         |  (SELECT lang, source, list(h ORDER BY h) AS l
+         |   FROM kd GROUP BY 1, 2)),
+         |ku AS (SELECT DISTINCT lang, u.h FROM ksub,
+         |  unnest(st) AS u(h)),
+         |kmerged AS (SELECT lang, l[1:64] AS st FROM
+         |  (SELECT lang, list(h ORDER BY h) AS l FROM ku GROUP BY 1)),
+         |kdir AS (SELECT lang, l[1:64] AS st FROM
+         |  (SELECT lang, list(h ORDER BY h) AS l FROM
+         |    (SELECT DISTINCT lang, h FROM d) GROUP BY 1)),
+         |rows_i AS (SELECT unnest([0, 1]) AS i),
+         |cells AS (SELECT i.i, unnest(range(0, 64)) AS j FROM rows_i i),
+         |csub AS (SELECT lang, source, i,
+         |    ((h * (2 * i + 1) + (101 * i + 17)) % 4294967311) % 64 AS j,
+         |    count(*) AS c
+         |  FROM d CROSS JOIN rows_i GROUP BY 1, 2, 3, 4),
+         |cmerged AS (SELECT lang, i, j, sum(c) AS c FROM csub
+         |  GROUP BY 1, 2, 3),
+         |cdir AS (SELECT lang, i,
+         |    ((h * (2 * i + 1) + (101 * i + 17)) % 4294967311) % 64 AS j,
+         |    count(*) AS c
+         |  FROM d CROSS JOIN rows_i GROUP BY 1, 2, 3),
+         |grid AS (SELECT l.lang, c.i, c.j FROM
+         |  (SELECT DISTINCT lang FROM d) l CROSS JOIN cells c),
+         |cmdig AS (SELECT g.lang,
+         |    md5(string_agg(CAST(coalesce(m.c, 0) AS VARCHAR), ','
+         |      ORDER BY g.i, g.j)) AS dig
+         |  FROM grid g LEFT JOIN cmerged m
+         |    ON g.lang = m.lang AND g.i = m.i AND g.j = m.j
+         |  GROUP BY 1),
+         |cddig AS (SELECT g.lang,
+         |    md5(string_agg(CAST(coalesce(x.c, 0) AS VARCHAR), ','
+         |      ORDER BY g.i, g.j)) AS dig
+         |  FROM grid g LEFT JOIN cdir x
+         |    ON g.lang = x.lang AND g.i = x.i AND g.j = x.j
+         |  GROUP BY 1),
+         |hb AS (SELECT lang, source,
+         |    CASE WHEN len < 128 THEN len
+         |         ELSE (length(bin(len)) - 8) * 128 +
+         |              (len >> (length(bin(len)) - 8)) END AS bucket,
+         |    count(*) AS c
+         |  FROM d GROUP BY 1, 2, 3),
+         |hmerged AS (SELECT lang, bucket, sum(c) AS c FROM hb
+         |  GROUP BY 1, 2),
+         |hdir AS (SELECT lang,
+         |    CASE WHEN len < 128 THEN len
+         |         ELSE (length(bin(len)) - 8) * 128 +
+         |              (len >> (length(bin(len)) - 8)) END AS bucket,
+         |    count(*) AS c
+         |  FROM d GROUP BY 1, 2),
+         |hmdig AS (SELECT lang, md5(string_agg(
+         |    CAST(bucket AS VARCHAR) || ':' || CAST(c AS VARCHAR), ','
+         |    ORDER BY bucket)) AS dig FROM hmerged GROUP BY 1),
+         |hddig AS (SELECT lang, md5(string_agg(
+         |    CAST(bucket AS VARCHAR) || ':' || CAST(c AS VARCHAR), ','
+         |    ORDER BY bucket)) AS dig FROM hdir GROUP BY 1),
+         |hranked AS (SELECT lang, bucket, c,
+         |    sum(c) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+         |    sum(c) OVER (PARTITION BY lang) AS n
+         |  FROM hmerged),
+         |hp50 AS (SELECT lang, min(bucket) AS qb FROM hranked
+         |  WHERE cum >= greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+         |  GROUP BY 1),
+         |hq AS (SELECT lang,
+         |    CASE WHEN qb < 256 THEN qb
+         |         ELSE ((qb & 127) + 128) << CAST((qb >> 7) - 1 AS INT)
+         |    END AS hdr_p50
+         |  FROM hp50),
+         |nsub AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sub FROM
+         |  (SELECT DISTINCT lang, source FROM d) GROUP BY 1)
+         |SELECT n.lang, n.n_sub,
+         |  km.st = kd2.st AS kmv_eq,
+         |  md5(array_to_string(km.st, ',')) AS kmv_digest,
+         |  CASE WHEN len(km.st) < 64 OR km.st[len(km.st)] <= 0
+         |       THEN CAST(len(km.st) AS DOUBLE)
+         |       ELSE round(63 * 4294967296.0 / km.st[len(km.st)], 2)
+         |  END AS kmv_est,
+         |  cm.dig = cd.dig AS cms_eq,
+         |  cm.dig AS cms_digest,
+         |  hm.dig = hd.dig AS hdr_eq,
+         |  hm.dig AS hdr_digest,
+         |  CAST(hq.hdr_p50 AS BIGINT) AS hdr_p50
+         |FROM nsub n
+         |JOIN kmerged km ON n.lang = km.lang
+         |JOIN kdir kd2 ON n.lang = kd2.lang
+         |JOIN cmdig cm ON n.lang = cm.lang
+         |JOIN cddig cd ON n.lang = cd.lang
+         |JOIN hmdig hm ON n.lang = hm.lang
+         |JOIN hddig hd ON n.lang = hd.lang
+         |JOIN hq ON n.lang = hq.lang
+         |ORDER BY n.lang""".stripMargin,
   )
 }

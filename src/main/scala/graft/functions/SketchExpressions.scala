@@ -341,6 +341,11 @@ final class HdrBuffer {
   * quantize floats upstream); null skipped. Output is the sorted
   * bucket histogram `array<struct<bucket:long, cnt:long>>`.
   *
+  * Guarantee exception: the single input Long.MinValue (|v| = 2⁶³
+  * overflows negation) clamps to Long.MaxValue's bucket, so the
+  * 2^−sBits relative bound does not hold at that one point of the
+  * line — every other long honours it ([[HdrBuckets.bucketOf]]).
+  *
   * SQL surface: `graft_hdr(v, sBits)` (sBits literal), registered
   * through [[graft.GraftExtensions]].
   */
@@ -419,5 +424,370 @@ case class HdrSketchAgg(
   override def withNewInputAggBufferOffset(offset: Int): HdrSketchAgg =
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildInternal(newChild: Expression): HdrSketchAgg =
+    copy(child = newChild)
+}
+
+// ---------------------------------------------------------------------
+// Persistable sketch STATE + stored-state re-merge aggregates.
+//
+// The lakehouse rollup pattern (daily sketches written to parquet,
+// merged into weekly/monthly sketches WITHOUT rescanning raw data)
+// needs two things the in-flight aggregates above don't expose: a
+// full-state output for KMV (struct(n_seen, kth_min) is an ANSWER, not
+// a mergeable state — re-merging needs all k minima), and aggregates
+// whose INPUT is a stored state column. CMS and HDR already emit their
+// full state (counter matrix / bucket histogram), so they only need
+// the merge side. All three states are symmetric functions of the
+// input multiset (k-smallest-distinct set, counter sums, bucket sums),
+// so stored-merge ≡ direct-build EXACTLY — asserted hash-for-hash by
+// the q234 gate and the LakeSpec parquet round-trip.
+// ---------------------------------------------------------------------
+
+/** KMV full-state output: the sorted array of the k smallest distinct
+  * hashes — the PERSISTABLE form of [[KmvSketchAgg]] (same buffer, same
+  * update path). `struct(n_seen, kth_min)` is derivable by projection
+  * (`size(state)`, `element_at(state, -1)`), so this strictly
+  * supersedes it for storage; the answer-shaped twin stays for the
+  * in-flight surfaces that never persist.
+  *
+  * SQL surface: `graft_kmv_state(h, k)`. */
+case class KmvStateAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+
+  require(k >= 1, s"graft_kmv_state: k must be >= 1, got $k")
+
+  override def prettyName: String = "graft_kmv_state"
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_kmv_state expects an integral hash column, got ${dt.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Number].longValue)
+    buf
+  }
+
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    val it = other.mins.iterator()
+    while (it.hasNext) buf.insert(it.next())
+    buf
+  }
+
+  override def eval(buf: KmvBuffer): Any = KmvStateAgg.evalState(buf)
+
+  override def serialize(buf: KmvBuffer): Array[Byte] =
+    KmvStateAgg.serializeState(buf)
+  override def deserialize(bytes: Array[Byte]): KmvBuffer =
+    KmvStateAgg.deserializeState(bytes, k)
+
+  override def withNewMutableAggBufferOffset(offset: Int): KmvStateAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KmvStateAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): KmvStateAgg =
+    copy(child = newChild)
+}
+
+object KmvStateAgg {
+  /** TreeSet iterates ascending, so the emitted state is sorted — the
+    * canonical form both the oracle and the equality gates rely on. */
+  def evalState(buf: KmvBuffer): Any = {
+    val out = new Array[Any](buf.mins.size)
+    val it = buf.mins.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def serializeState(buf: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.mins.size)
+    bb.putInt(buf.mins.size)
+    val it = buf.mins.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  def deserializeState(bytes: Array[Byte], k: Int): KmvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new KmvBuffer(k)
+    var i = 0
+    while (i < n) { buf.mins.add(bb.getLong); i += 1 }
+    buf
+  }
+}
+
+/** Re-merge of STORED KMV states: folds `array<long>` state columns
+  * (from [[KmvStateAgg]], possibly persisted and read back) into the
+  * combined state. Exact by the bottom-k algebra: bottom-k(A ∪ B) =
+  * bottom-k(bottom-k(A) ∪ bottom-k(B)), so any rollup tree gives the
+  * hash-identical state a direct build over the raw data would.
+  *
+  * SQL surface: `graft_kmv_merge(state, k)`. */
+case class KmvMergeAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+
+  require(k >= 1, s"graft_kmv_merge: k must be >= 1, got $k")
+
+  override def prettyName: String = "graft_kmv_merge"
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_kmv_merge expects array<bigint> KMV state, got ${dt.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) { buf.insert(arr.getLong(i)); i += 1 }
+    }
+    buf
+  }
+
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    val it = other.mins.iterator()
+    while (it.hasNext) buf.insert(it.next())
+    buf
+  }
+
+  override def eval(buf: KmvBuffer): Any = KmvStateAgg.evalState(buf)
+
+  override def serialize(buf: KmvBuffer): Array[Byte] =
+    KmvStateAgg.serializeState(buf)
+  override def deserialize(bytes: Array[Byte]): KmvBuffer =
+    KmvStateAgg.deserializeState(bytes, k)
+
+  override def withNewMutableAggBufferOffset(offset: Int): KmvMergeAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KmvMergeAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMergeAgg =
+    copy(child = newChild)
+}
+
+/** Re-merge of STORED CMS matrices: folds `array<array<long>>` state
+  * columns (from [[CmsSketchAgg]], possibly persisted) by element-wise
+  * add. Counters are sums over the input multiset, so any rollup tree
+  * reproduces the direct build exactly. A stored matrix whose
+  * dimensions don't match the declared (depth, width) fails fast —
+  * silently adding misaligned counters would yield plausible garbage.
+  *
+  * SQL surface: `graft_cms_merge(cms, depth, width)`. */
+case class CmsMergeAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CmsBuffer] with UnaryLike[Expression] {
+
+  require(depth >= 1 && depth <= 16,
+    s"graft_cms_merge: depth must be in [1,16], got $depth")
+  require(width >= 2, s"graft_cms_merge: width must be >= 2, got $width")
+
+  override def prettyName: String = "graft_cms_merge"
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(ArrayType(LongType, _), _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_cms_merge expects array<array<bigint>> CMS state, got ${dt.catalogString}")
+    }
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+
+  override def createAggregationBuffer(): CmsBuffer =
+    new CmsBuffer(depth, width)
+
+  override def update(buf: CmsBuffer, input: InternalRow): CmsBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (m.numElements() != depth)
+        throw new IllegalArgumentException(
+          s"graft_cms_merge: stored sketch depth ${m.numElements()} != $depth")
+      var i = 0
+      while (i < depth) {
+        val row = m.getArray(i)
+        if (row.numElements() != width)
+          throw new IllegalArgumentException(
+            s"graft_cms_merge: stored sketch width ${row.numElements()} != $width")
+        var j = 0
+        while (j < width) {
+          buf.counts(i * width + j) += row.getLong(j); j += 1
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: CmsBuffer, other: CmsBuffer): CmsBuffer = {
+    var i = 0
+    while (i < buf.counts.length) {
+      buf.counts(i) += other.counts(i); i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: CmsBuffer): Any = {
+    val rows = new Array[Any](depth)
+    var i = 0
+    while (i < depth) {
+      val row = new Array[Any](width)
+      var j = 0
+      while (j < width) { row(j) = buf.counts(i * width + j); j += 1 }
+      rows(i) =
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def serialize(buf: CmsBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.counts.length)
+    var i = 0
+    while (i < buf.counts.length) { bb.putLong(buf.counts(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CmsBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new CmsBuffer(depth, width)
+    var i = 0
+    while (i < buf.counts.length) { buf.counts(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): CmsMergeAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): CmsMergeAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): CmsMergeAgg =
+    copy(child = newChild)
+}
+
+/** Re-merge of STORED HDR histograms: folds
+  * `array<struct<bucket,cnt>>` state columns (from [[HdrSketchAgg]],
+  * possibly persisted) by bucket-wise count add. Bucket ids are
+  * data-independent (fixed log-bucket map), so no sBits parameter is
+  * needed to merge and any rollup tree reproduces the direct build
+  * exactly.
+  *
+  * SQL surface: `graft_hdr_merge(sk)`. */
+case class HdrMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HdrBuffer] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_hdr_merge"
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(Array(
+          StructField(_, LongType, _, _), StructField(_, LongType, _, _))), _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_hdr_merge expects array<struct<bucket:bigint,cnt:bigint>> HDR state, got ${dt.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("bucket", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): HdrBuffer = new HdrBuffer
+
+  override def update(buf: HdrBuffer, input: InternalRow): HdrBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        val e = arr.getStruct(i, 2)
+        val b = e.getLong(0)
+        buf.counts.update(b, buf.counts.getOrElse(b, 0L) + e.getLong(1))
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: HdrBuffer, other: HdrBuffer): HdrBuffer = {
+    other.counts.foreachEntry { (b, c) =>
+      buf.counts.update(b, buf.counts.getOrElse(b, 0L) + c)
+    }
+    buf
+  }
+
+  override def eval(buf: HdrBuffer): Any = {
+    val sorted = buf.counts.toArray.sortBy(_._1)
+    val rows = new Array[Any](sorted.length)
+    var i = 0
+    while (i < sorted.length) {
+      rows(i) = InternalRow(sorted(i)._1, sorted(i)._2)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def serialize(buf: HdrBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.counts.size)
+    bb.putInt(buf.counts.size)
+    buf.counts.foreachEntry { (b, c) => bb.putLong(b); bb.putLong(c) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): HdrBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new HdrBuffer
+    var i = 0
+    while (i < n) { buf.counts.update(bb.getLong, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): HdrMergeAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HdrMergeAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): HdrMergeAgg =
     copy(child = newChild)
 }

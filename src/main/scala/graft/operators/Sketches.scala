@@ -265,8 +265,11 @@ object Sketches {
     // returns plausible numbers, a too-large depth turns element_at
     // into nulls that least() silently skips. Cross-check against the
     // matrix itself and fail fast — the cost is two size() calls on a
-    // broadcast one-row sketch.
-    when(size(cms) === lit(depth) &&
+    // broadcast one-row sketch. A NULL sketch (e.g. an outer-join miss)
+    // is not a mismatch: it keeps aggregate-style null propagation
+    // (size(NULL) is NULL, which must not fall into the error arm).
+    when(cms.isNull, lit(null).cast("long"))
+      .when(size(cms) === lit(depth) &&
         size(element_at(cms, 1)) === lit(width), est)
       .otherwise(raise_error(format_string(
         s"graft cmsEstimate: sketch dims %dx%d != caller ($depth" +
@@ -340,7 +343,9 @@ object Sketches {
     * to the first bucket whose cumulative count reaches the rank,
     * then the exact-integer lower-bound reconstruction. The estimate
     * q̂ satisfies q̂ ≤ v* < q̂·(1 + 2^−sBits) against the exact
-    * rank-⌈φ·N⌉ value v* (exact below 2^sBits). Like cmsEstimate: the
+    * rank-⌈φ·N⌉ value v* (exact below 2^sBits) — for every v* except
+    * the single point Long.MinValue, which the bucket map clamps to
+    * Long.MaxValue's bucket (see HdrSketchAgg). Like cmsEstimate: the
     * corpus is built into the sketch once; any number of φ probes run
     * against the broadcast one-row histogram. */
   def hdrQuantile(sk: org.apache.spark.sql.Column, phi: Double,
@@ -368,11 +373,12 @@ object Sketches {
     * (max(⌈φ·N⌉, 1)), same ordered cumulative walk, same
     * [[graft.functions.HdrBuckets.lowerBound]] reconstruction —
     * asserted equal to the batch Column path prefix-for-prefix in
-    * StreamingSpec. Empty sketch → 0 (the stream never invokes the
-    * handler without rows, but state restores must not throw). */
+    * StreamingSpec. Empty sketch → None, the exact twin of the Column
+    * path's NULL (aggregate over an empty array finds no bucket), so
+    * the two surfaces cannot diverge on the degenerate case either. */
   def hdrQuantileJvm(counts: Seq[(Long, Long)], phi: Double,
-      sBits: Int): Long = {
-    if (counts.isEmpty) return 0L
+      sBits: Int): Option[Long] = {
+    if (counts.isEmpty) return None
     val sorted = counts.sortBy(_._1)
     val n = sorted.iterator.map(_._2).sum
     val rank = math.max(math.ceil(phi * n).toLong, 1L)
@@ -385,7 +391,7 @@ object Sketches {
       if (cum >= rank) { bucket = sorted(i)._1; found = true }
       i += 1
     }
-    graft.functions.HdrBuckets.lowerBound(bucket, sBits)
+    Some(graft.functions.HdrBuckets.lowerBound(bucket, sBits))
   }
 
   /** HDR measurement harness (the q230/q97 shape): build the sketch
@@ -442,5 +448,135 @@ object Sketches {
             abs(col("hdr_q")).cast("double") / math.pow(2.0, sBits) +
               lit(1.0))
       .orderBy(col("grp"), col("phi"))
+  }
+
+  // -------------------------------------------------------------------
+  // Persistable sketch state + stored-state rollup (the lakehouse
+  // pattern: daily sketches on parquet -> monthly rollup WITHOUT
+  // rescanning raw data). KMV/CMS/HDR states are symmetric multiset
+  // functions, so stored-merge ≡ direct-build hash-exactly (q234 gate,
+  // LakeSpec parquet round-trip); Misra-Gries rolls up with the
+  // mergeable-summaries guarantee instead of exact state equality.
+  // -------------------------------------------------------------------
+
+  /** Column surface of [[graft.functions.KmvStateAgg]]: the PERSISTABLE
+    * KMV form — the sorted `array<long>` of the k smallest distinct
+    * hashes, storable on parquet and re-mergeable by [[kmvMergeState]].
+    */
+  def kmvState(hash: org.apache.spark.sql.Column, k: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.KmvStateAgg(ColumnBridge.expression(hash), k)
+        .toAggregateExpression())
+  }
+
+  /** Column surface of [[graft.functions.KmvMergeAgg]]: folds stored
+    * KMV state columns into the combined state — hash-identical to a
+    * direct build over the union of the inputs' raw data. */
+  def kmvMergeState(state: org.apache.spark.sql.Column, k: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.KmvMergeAgg(ColumnBridge.expression(state), k)
+        .toAggregateExpression())
+  }
+
+  /** The [[kmvEstimate]] pair derived from a STORED state array by
+    * plain projection: n_seen = size(state) (the buffer is bounded at
+    * k), kth_min = last element (the state is sorted ascending). */
+  def kmvEstimateFromState(state: org.apache.spark.sql.Column, k: Int)
+      : org.apache.spark.sql.Column =
+    kmvEstimate(size(state).cast("long"),
+      when(size(state) > 0, element_at(state, -1)), k)
+
+  /** Column surface of [[graft.functions.CmsMergeAgg]]: folds stored
+    * CMS counter matrices (element-wise add) — exact, any rollup tree. */
+  def cmsMerge(cms: org.apache.spark.sql.Column, depth: Int, width: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.CmsMergeAgg(ColumnBridge.expression(cms),
+        depth, width).toAggregateExpression())
+  }
+
+  /** Column surface of [[graft.functions.HdrMergeAgg]]: folds stored
+    * HDR bucket histograms (bucket-wise count add) — exact, any rollup
+    * tree, no sBits needed to merge. */
+  def hdrMerge(sk: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.HdrMergeAgg(ColumnBridge.expression(sk))
+        .toAggregateExpression())
+  }
+
+  /** Canonical content digest of a stored long-array sketch state
+    * (KMV): md5 over the comma-joined decimal values — replayable in
+    * any SQL engine, used by the q234 stored-merge gate. */
+  def longArrayDigest(arr: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    md5(concat_ws(",", transform(arr, x => x.cast("string"))))
+
+  /** Same digest for a CMS matrix (rows flattened in order). */
+  def cmsDigest(cms: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = longArrayDigest(flatten(cms))
+
+  /** Same digest for an HDR histogram (`bucket:cnt` pairs in bucket
+    * order — the aggregates emit sorted histograms). */
+  def hdrDigest(sk: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    md5(concat_ws(",", transform(sk, e =>
+      concat_ws(":", e.getField("bucket").cast("string"),
+        e.getField("cnt").cast("string")))))
+
+  /** Misra-Gries rollup over STORED candidate summaries (the
+    * [[MisraGriesAgg]] output column): pairwise residual-add + cut at
+    * the (k+1)-th largest — the mergeable-summaries form (Agarwal et
+    * al. 2012). Unlike KMV/CMS/HDR the summary is order-sensitive, so
+    * rollup is NOT hash-identical to a direct build; the containment
+    * guarantee (every value with true frequency > N/(k+1) survives)
+    * holds for any merge tree and is what the spec asserts. */
+  class MisraGriesMergeAgg(k: Int)
+      extends Aggregator[Seq[MgCandidate],
+        scala.collection.mutable.HashMap[String, Long], Seq[MgCandidate]] {
+    type Buf = scala.collection.mutable.HashMap[String, Long]
+
+    override def zero: Buf = scala.collection.mutable.HashMap.empty
+
+    private def addAndCut(a: Buf, entries: Iterable[(String, Long)]): Buf = {
+      entries.foreach { case (t, n) => a(t) = a.getOrElse(t, 0L) + n }
+      if (a.size > k) {
+        val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+        a.toList.foreach { case (t, n) =>
+          if (n - cut <= 0L) a.remove(t) else a(t) = n - cut
+        }
+      }
+      a
+    }
+
+    override def reduce(b: Buf, cands: Seq[MgCandidate]): Buf =
+      addAndCut(b, cands.map(c => c.tok -> c.n))
+
+    override def merge(a: Buf, b: Buf): Buf = addAndCut(a, b)
+
+    override def finish(b: Buf): Seq[MgCandidate] =
+      b.toSeq.map { case (t, n) => MgCandidate(t, n) }
+        .sortBy(c => (-c.n, c.tok))
+
+    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+    override def outputEncoder: Encoder[Seq[MgCandidate]] =
+      ExpressionEncoder[Seq[MgCandidate]]()
+  }
+
+  /** Rollup of stored heavy-hitter summaries to a coarser group grain:
+    * one aggregation over `candCol` (a [[heavyHitters]] output column,
+    * possibly persisted and read back). */
+  def mergeHeavyHitters(df: DataFrame, groupCol: String, candCol: String,
+      k: Int): DataFrame = {
+    val mg = udaf(new MisraGriesMergeAgg(k),
+      ExpressionEncoder[Seq[MgCandidate]]())
+    df.groupBy(col(groupCol))
+      .agg(mg(col(candCol)).as("candidates"))
   }
 }

@@ -616,9 +616,11 @@ object EventStream {
           state.update(HdrState(snapshot))
           val n = snapshot.iterator.map(_._2).sum
           phis.iterator.map { phi =>
+            // the handler only fires with rows, so the sketch is never
+            // empty here; .get keeps that invariant loud
             HdrOut(grp, phi,
               graft.operators.Sketches.hdrQuantileJvm(snapshot, phi,
-                sBits), n)
+                sBits).get, n)
           }
       }.toDF()
   }

@@ -67,6 +67,50 @@ class LakeSpec extends SparkSpec {
     assert(m.map(_.getAs[Int]("shard")).forall(s => s >= 0 && s < 4))
   }
 
+  test("corpus lake: persisted sketch states roll up without rescans") {
+    // The lakehouse sketch pattern end-to-end: per-source sketch
+    // states computed over the lake's train split, PERSISTED to
+    // parquet, read back, and rolled up through the stored-state merge
+    // aggregates — asserted bit-identical to a direct build over the
+    // same lake read. The raw corpus is scanned once for the daily
+    // states and once for the verification build; the rollup itself
+    // touches only the sketch table.
+    val dir = Files.createTempDirectory("graft-sketch-lake").toString
+    val docs = Tables(spark, sf()).documents
+      .select("doc_id", "text", "source")
+    CorpusLake.writeShards(docs, "doc_id", dir, epoch = 1, nShards = 2)
+    val S = graft.operators.Sketches
+    val train = CorpusLake.forSplit(spark, dir, "train")
+      .withColumn("h", graft.functions.GF.hash32(col("text")))
+      .withColumn("len", length(col("text")).cast("long"))
+    val states = train.groupBy(col("source"))
+      .agg(S.kmvState(col("h"), 64).as("kmv"),
+        S.cmsAgg(col("h"), 2, 32).as("cms"),
+        S.hdrAgg(col("len"), 7).as("hdr"))
+    val skDir = s"$dir/sketches"
+    states.write.parquet(skDir)
+    val merged = spark.read.parquet(skDir)
+      .agg(S.kmvMergeState(col("kmv"), 64).as("kmv"),
+        S.cmsMerge(col("cms"), 2, 32).as("cms"),
+        S.hdrMerge(col("hdr")).as("hdr"))
+      .select(S.longArrayDigest(col("kmv")).as("k"),
+        S.cmsDigest(col("cms")).as("c"),
+        S.hdrDigest(col("hdr")).as("h"),
+        S.kmvEstimateFromState(col("kmv"), 64).as("est"))
+      .collect().head
+    val direct = train
+      .agg(S.kmvState(col("h"), 64).as("kmv"),
+        S.cmsAgg(col("h"), 2, 32).as("cms"),
+        S.hdrAgg(col("len"), 7).as("hdr"))
+      .select(S.longArrayDigest(col("kmv")).as("k"),
+        S.cmsDigest(col("cms")).as("c"),
+        S.hdrDigest(col("hdr")).as("h"),
+        S.kmvEstimateFromState(col("kmv"), 64).as("est"))
+      .collect().head
+    assert(merged == direct, s"merged=$merged direct=$direct")
+    assert(merged.getDouble(3) > 0.0)
+  }
+
   test("corpus lake: re-sharding preserves the epoch permutation") {
     // the doc contract: nShards is a worker-count (metadata) choice, not
     // a semantic one — the epoch's example order derives only from

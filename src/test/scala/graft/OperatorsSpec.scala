@@ -834,6 +834,151 @@ class OperatorsSpec extends SparkSpec {
     assert(m.map(_.sum).toSet == Set(500L))
   }
 
+  test("sketch rollup: stored-state merge == direct build, exactly") {
+    import spark.implicits._
+    // 3 "days" of overlapping values: rollup of per-day states must
+    // reproduce the direct whole-corpus build bit-for-bit
+    val df = (1 to 900).map(i => (s"d${i % 3}", s"v${i % 173}"))
+      .toDF("day", "v")
+      .withColumn("h", graft.functions.GF.hash32(col("v")))
+      .withColumn("len", (length(col("v")) * 37).cast("long"))
+    val S = graft.operators.Sketches
+    val sub = df.groupBy(col("day"))
+      .agg(S.kmvState(col("h"), 64).as("kmv"),
+        S.cmsAgg(col("h"), 4, 32).as("cms"),
+        S.hdrAgg(col("len"), 7).as("hdr"))
+    val merged = sub.agg(S.kmvMergeState(col("kmv"), 64).as("kmv"),
+      S.cmsMerge(col("cms"), 4, 32).as("cms"),
+      S.hdrMerge(col("hdr")).as("hdr")).collect().head
+    val direct = df.agg(S.kmvState(col("h"), 64).as("kmv"),
+      S.cmsAgg(col("h"), 4, 32).as("cms"),
+      S.hdrAgg(col("len"), 7).as("hdr")).collect().head
+    assert(merged.getSeq[Long](0) == direct.getSeq[Long](0))
+    assert(merged.getSeq[scala.collection.Seq[Long]](1).map(_.toSeq) ==
+      direct.getSeq[scala.collection.Seq[Long]](1).map(_.toSeq))
+    assert(merged.getSeq[org.apache.spark.sql.Row](2) ==
+      direct.getSeq[org.apache.spark.sql.Row](2))
+    // KMV state is sorted ascending and bounded at k
+    val st = merged.getSeq[Long](0)
+    assert(st.size == 64 && st == st.sorted)
+    // estimate-from-state projection == the answer-shaped aggregate
+    val fromState = df.agg(S.kmvState(col("h"), 64).as("kmv"))
+      .select(S.kmvEstimateFromState(col("kmv"), 64).as("e"))
+      .collect().head.getDouble(0)
+    val answer = df.groupBy(lit(1)).agg(S.kmvAgg(col("h"), 64).as("s"))
+      .select(S.kmvEstimate(col("s.n_seen"), col("s.kth_min"), 64))
+      .collect().head.getDouble(0)
+    assert(fromState == answer)
+  }
+
+  test("sketch rollup: SQL surfaces and partial-merge plan shapes") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = (1 to 400).map(i => (s"g${i % 4}", s"w${i % 31}"))
+      .toDF("g", "v")
+    df.createOrReplaceTempView("roll_in")
+    val sub = spark.sql(
+      """SELECT g,
+        |  graft_kmv_state(CAST(conv(substring(md5(v), 1, 8), 16, 10)
+        |    AS BIGINT), 16) AS kmv,
+        |  graft_cms(CAST(conv(substring(md5(v), 1, 8), 16, 10)
+        |    AS BIGINT), 2, 16) AS cms,
+        |  graft_hdr(CAST(length(v) AS BIGINT), 7) AS hdr
+        |FROM roll_in GROUP BY g""".stripMargin)
+    sub.createOrReplaceTempView("roll_sub")
+    val r = spark.sql(
+      """SELECT graft_kmv_merge(kmv, 16) AS kmv,
+        |  graft_cms_merge(cms, 2, 16) AS cms,
+        |  graft_hdr_merge(hdr) AS hdr
+        |FROM roll_sub""".stripMargin)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_kmv_merge"), plan)
+    assert(plan.contains("partial_graft_cms_merge"), plan)
+    assert(plan.contains("partial_graft_hdr_merge"), plan)
+    val row = r.collect().head
+    val direct = spark.sql(
+      """SELECT graft_kmv_state(CAST(conv(substring(md5(v), 1, 8), 16,
+        |    10) AS BIGINT), 16) AS kmv,
+        |  graft_cms(CAST(conv(substring(md5(v), 1, 8), 16, 10)
+        |    AS BIGINT), 2, 16) AS cms,
+        |  graft_hdr(CAST(length(v) AS BIGINT), 7) AS hdr
+        |FROM roll_in""".stripMargin).collect().head
+    assert(row.getSeq[Long](0) == direct.getSeq[Long](0))
+    assert(row.getSeq[scala.collection.Seq[Long]](1).map(_.toSeq) ==
+      direct.getSeq[scala.collection.Seq[Long]](1).map(_.toSeq))
+    assert(row.getSeq[org.apache.spark.sql.Row](2) ==
+      direct.getSeq[org.apache.spark.sql.Row](2))
+  }
+
+  test("cms merge/estimate guards: dim mismatch fails fast, null flows") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => s"x${i % 7}").toDF("v")
+      .withColumn("h", graft.functions.GF.hash32(col("v")))
+    val S = graft.operators.Sketches
+    val sk = df.agg(S.cmsAgg(col("h"), 2, 64).as("cms"))
+    // probe with the sketch's own dims: fine
+    assert(sk.select(S.cmsEstimate(col("cms"),
+      graft.functions.GF.hash32(lit("x1")), 2, 64)).collect()
+      .head.getLong(0) >= 1L)
+    // mismatched caller dims raise with the formatted message
+    val e = intercept[Exception] {
+      sk.select(S.cmsEstimate(col("cms"),
+        graft.functions.GF.hash32(lit("x1")), 2, 32)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("sketch dims 2x64 != caller (2x32)")),
+      msgs(e).mkString(" | "))
+    // a NULL sketch (outer-join miss) propagates null, never raises
+    val nulled = sk.select(lit(null).cast(sk.schema("cms").dataType)
+      .as("cms"))
+    assert(nulled.select(S.cmsEstimate(col("cms"),
+      graft.functions.GF.hash32(lit("x1")), 2, 64)).collect()
+      .head.isNullAt(0))
+    // stored-merge against a sketch of the WRONG shape fails fast too
+    val bad = df.agg(S.cmsAgg(col("h"), 2, 32).as("cms"))
+    val e2 = intercept[Exception] {
+      bad.agg(S.cmsMerge(col("cms"), 2, 64)).collect()
+    }
+    assert(msgs(e2).exists(_.contains("stored sketch width 32 != 64")),
+      msgs(e2).mkString(" | "))
+  }
+
+  test("Misra-Gries rollup: merged stored summaries keep the guarantee") {
+    import spark.implicits._
+    // zipf-ish tokens split across 4 "days"; k chosen so the threshold
+    // N/(k+1) actually separates heavy from light tokens
+    val k = 8
+    val toks = (1 to 2000).map { i =>
+      val tok = if (i % 5 != 0) s"heavy${i % 2}" else s"light${i % 97}"
+      (s"d${i % 4}", tok)
+    }.toDF("day", "tok")
+    val daily = graft.operators.Sketches.heavyHitters(toks, "day", "tok", k)
+      .withColumn("all", lit(1))
+    val rolled = graft.operators.Sketches
+      .mergeHeavyHitters(daily, "all", "candidates", k)
+      .collect().head.getSeq[org.apache.spark.sql.Row](1)
+      .map(_.getString(0)).toSet
+    assert(rolled.size <= k)
+    val total = toks.count()
+    val mustHave = toks.groupBy("tok").count()
+      .filter(col("count") > total / (k + 1))
+      .collect().map(_.getString(0)).toSet
+    assert(mustHave.nonEmpty, "fixture lost its heavy hitters")
+    assert(mustHave.subsetOf(rolled), s"missing ${mustHave.diff(rolled)}")
+  }
+
+  test("hdrQuantileJvm: empty sketch is None, the twin of Column NULL") {
+    import spark.implicits._
+    assert(graft.operators.Sketches.hdrQuantileJvm(Nil, 0.5, 7).isEmpty)
+    // Column twin on an empty histogram: NULL out
+    val empty = Seq(Tuple1(Seq.empty[(Long, Long)])).toDF("raw")
+      .select(transform(col("raw"), e => struct(e.getField("_1")
+        .as("bucket"), e.getField("_2").as("cnt"))).as("hdr"))
+    assert(empty.select(graft.operators.Sketches
+      .hdrQuantile(col("hdr"), 0.5, 7)).collect().head.isNullAt(0))
+  }
+
   test("HdrBuckets: monotone, contiguous, lower-bound within 2^-s") {
     import graft.functions.HdrBuckets._
     for (s <- Seq(1, 3, 7)) {
