@@ -46,6 +46,40 @@ object ScaleDiag {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // --pca-dims: constant-factor probe for the q175 covariance stage
+    // at PRODUCTION embedding dims. The ×10/×100 audits scale rows,
+    // never dims, so a per-row d²/2 constant is invisible to them (the
+    // r15 watch item): this mode times pcaPowerComponent end-to-end at
+    // d = 64/256/768 over a fixed synthetic row count and prints one
+    // JSON line for the audit notes. Deterministic input (murmur-hash
+    // values), materialized before timing so the probe isolates the
+    // operator, not the generator.
+    if (args.contains("--pca-dims")) {
+      import org.apache.spark.sql.functions._
+      val n = 20000L
+      // untimed warmup: JIT + codegen + the aggregate's class loading
+      // land here, not in the first timed dim
+      graft.operators.Profiling.pcaPowerComponent(
+        spark.range(500).select(transform(sequence(lit(0), lit(15)),
+          i => (pmod(hash(col("id") * 31 + i), lit(2000)) - lit(1000))
+            .cast("double") / 1000.0).as("embedding")),
+        "embedding", iters = 3).count()
+      val out = Seq(64, 256, 768).map { d =>
+        val emb = spark.range(n).select(
+          transform(sequence(lit(0), lit(d - 1)),
+            i => (pmod(hash(col("id") * 31 + i), lit(2000)) - lit(1000))
+              .cast("double") / 1000.0).as("embedding"))
+          .localCheckpoint(false)
+        val t0 = System.nanoTime()
+        graft.operators.Profiling
+          .pcaPowerComponent(emb, "embedding", iters = 3).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        f"""{"dims":$d,"n":$n,"sec":$sec%.3f}"""
+      }
+      println(s"""{"pca_dims":${out.mkString("[", ",", "]")}}""")
+      spark.stop()
+      return
+    }
     val docs = Tables(spark, sfDir).documents
     val nDocs = docs.count()
     val prefixParts = graft.operators.Dedup

@@ -652,17 +652,20 @@ object Profiling {
     * Un-normalized iterates grow by ≤ dims·max|covµ| per step:
     * 64 dims × 3 iterations stays far under the 38-digit ceiling.
     *
-    * Scale shape: the outer-product stage explodes only the UPPER
-    * TRIANGLE, as a flat long array — dims(dims+1)/2 primitive longs
-    * per row, no structs — keyed by the triangle position alone (one
-    * int). One partial-aggregatable groupBy at pos grain (map-side
-    * combine collapses each partition to ≤ dims²/2 rows before the
-    * only data-scale shuffle); pos resolves to (i, j) through a
-    * dims²/2-row broadcast AFTER the aggregate, and the lower triangle
-    * mirrors from the same cells (c(i,j) = c(j,i) exactly — identical
-    * products, identical sums). Every iteration afterwards is
-    * metadata-scale (dims² × dims broadcast joins). No self-join of
-    * the table against itself.
+    * Scale shape: count, per-dim sums and the upper-triangle product
+    * sums all come from ONE custom TypedImperativeAggregate
+    * ([[graft.functions.PcaMomentsAgg]], the sketch-family pattern) —
+    * per-row work is d(d+1)/2 multiply-adds into a flat primitive
+    * 128-bit-cell buffer, ZERO row materialization (the previous
+    * flatten+posexplode form created n·d(d+1)/2 UnsafeRows before its
+    * partial aggregate — invisible at test dims, a ~295k-row expansion
+    * per input row at d=768). The exchange carries one 16-byte/cell
+    * buffer per partition partial; the single output row posexplodes
+    * at CELL grain, pos resolves to (i, j) through a dims²/2-row
+    * broadcast, and the lower triangle mirrors from the same cells
+    * (c(i,j) = c(j,i) exactly — identical products, identical sums).
+    * Every iteration afterwards is metadata-scale (dims² × dims
+    * broadcast joins). No self-join of the table against itself.
     *
     * Returns (dim, loading, eigenvalue): loading normalized so the
     * largest-|w| dimension (smallest index on ties) equals 1.0;
@@ -689,28 +692,26 @@ object Profiling {
         .toDF("dim", "loading", "eigenvalue")
     }
     val clean = emb.filter(size(col(vecCol)) === dims)
-    // (i, xq) long rows: 1e-4-unit quantization, one explode
-    val long = clean.select(posexplode(
-        transform(col(vecCol), v => round(v.cast("double") * 1e4)
-          .cast("long"))).as(Seq("i", "xq")))
-    val n = clean.agg(count(lit(1)).as("n"))
-    val sx = long.groupBy(col("i"))
-      .agg(sum(col("xq").cast(dec)).as("sx"))
-    // upper-triangle products as ONE flat long array per row; the
-    // triangle position (array offset) is the aggregation key — (i, j)
-    // attach after the aggregate, at cell grain
-    val upper = clean
-      // quantize ONCE per row — the triangle loop below reads the
-      // long array, never re-rounds (dims² rounds become dims)
-      .select(transform(col(vecCol),
-        v => round(v.cast("double") * 1e4).cast("long")).as("_q"))
-      .select(posexplode(flatten(
-        transform(col("_q"), (qi, i) =>
-          transform(slice(col("_q"), i + 1, lit(dims) - i),
-            qj => qi * qj))))
-        .as(Seq("pos", "p")))
-    val posAgg = upper.groupBy(col("pos"))
-      .agg(sum(col("p").cast(dec)).as("sxy"))
+    // ONE scan: quantize once per row (codegen'd projection), then the
+    // moments aggregate folds count, Σqᵢ and the upper-triangle Σqᵢqⱼ
+    // into a flat 128-bit-cell buffer — exact (same DECIMAL(38,0)
+    // cells as the relational form it replaced), no per-row triangle
+    // materialization. localCheckpoint: the one-row result feeds three
+    // branches (n / sx / sxy) — without it each branch re-scans.
+    val moments = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      clean
+        .select(transform(col(vecCol),
+          v => round(v.cast("double") * 1e4).cast("long")).as("_q"))
+        .agg(ColumnBridge.column(graft.functions.PcaMomentsAgg(
+            ColumnBridge.expression(col("_q")), dims)
+          .toAggregateExpression()).as("m"))
+        .localCheckpoint(false)
+    }
+    val n = moments.select(col("m.n").as("n"))
+    val sx = moments.select(posexplode(col("m.sx")).as(Seq("i", "sx")))
+    val posAgg = moments
+      .select(posexplode(col("m.sxy")).as(Seq("pos", "sxy")))
     // pos -> (i, j) lookup for the row-major upper triangle
     val posIdx = {
       val s = emb.sparkSession
