@@ -5,7 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query against
   * SPARK_GRAFT_SF_DIR. Emits TWO artifacts:
   *  - `BENCH_full.json` (SPARK_GRAFT_BENCH_OUT): the complete record —
-  *    every query's 3-run median and min, errors, totals.
+  *    every query's 3-run median and min, errors, totals, and the
+  *    `window_suspect` list (queries whose median's deciding sample
+  *    ran in a pass whose bracketing memory-bandwidth probes deviated
+  *    >2× from the run median — the number may be co-tenant weather,
+  *    not code).
   *  - ONE stdout JSON line sized to survive a 2000-char tail capture:
   *    `{"metric":"total","unit":"sec","sf":...,"full":"BENCH_full
   *    .json","passes":N,"calib":{...},"queries":{30 slowest medians},
@@ -142,25 +146,40 @@ object Bench {
         (p.sum, if (p.length > 7) p(7) else 0L)
       } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
     val (statTot0, statSteal0) = cpuStat()
-    // Memory-BANDWIDTH probe, start and end of run: this host's
+    // Memory-BANDWIDTH probe, once per pass boundary: this host's
     // single-thread copy bandwidth measured swinging 0.6 → 1.8 GB/s
     // minute-to-minute (co-tenant pressure; steal% stays ~0 and the
     // ALU probe stays flat). Shuffle-heavy queries are bandwidth-bound
     // and swing 2-7× with it, so totals are comparable across rounds
     // only at similar mem_gbps — the third leg of the calib triangle.
+    // 8M longs = 64 MB per copy (not 256 MB: the probe must never
+    // pressure the bench heap), source PATTERN-FILLED once so the
+    // copied pages are real memory rather than never-written zero
+    // pages, and both arrays are probe-local so they're GC-eligible
+    // between boundary probes.
     def probeMemGbps(): Double = {
-      val n = 32 * 1024 * 1024 // 32M longs = 256 MB per copy
-      val src = new Array[Long](n)
+      val n = 8 * 1024 * 1024
+      val src = Array.tabulate(n)(i => i * 0x9E3779B97F4A7C15L)
       val dst = new Array[Long](n)
-      (1 to 3).map { _ =>
+      (1 to 4).map { _ =>
         val t0 = System.nanoTime()
         System.arraycopy(src, 0, dst, 0, n)
         2.0 * n * 8 / ((System.nanoTime() - t0) / 1e9) / 1e9
       }.max
     }
-    val calibMem0 = probeMemGbps()
+    // One probe BEFORE each pass plus one at run end: pass i is
+    // bracketed by probes i-1 and i, so a bandwidth trough during any
+    // pass is visible in at least one bracket. Per-query medians whose
+    // deciding sample ran inside a suspect bracket get flagged
+    // `window_suspect` in both artifacts (r15 verdict: q182's ×100
+    // wall needed a manual attribution paragraph; this makes the
+    // verdict machine-readable instead).
+    val memProbes = scala.collection.mutable.ArrayBuffer[Double]()
 
-    val times = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    // per-sample pass attribution rides along so the median's deciding
+    // sample can be traced to its bandwidth bracket
+    val times =
+      scala.collection.mutable.LinkedHashMap[String, List[(Double, Int)]]()
     val errs0 = scala.collection.mutable.LinkedHashMap[String, String]()
     // Rotate the visit order across passes (forward / reversed / rotated
     // by a third): a sustained noise window that overlaps one REGION of
@@ -177,42 +196,60 @@ object Bench {
     val passes = scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").trim.toInt)
       .getOrElse(3).max(1).min(3)
-    for (pass <- 1 to passes; (name, fn) <- passOrders(pass - 1)
-        if !errs0.contains(name)) {
-      if (pass == 1) {
-        // warm THIS query untimed right before its first timed run
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    for (pass <- 1 to passes) {
+      memProbes += probeMemGbps()
+      for ((name, fn) <- passOrders(pass - 1) if !errs0.contains(name)) {
+        if (pass == 1) {
+          // warm THIS query untimed right before its first timed run
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          resetStorage()
+        }
+        val t0 = System.nanoTime()
+        // a query that throws is recorded as an error marker, never as a
+        // plausible wall time (round-3: no silent swallowing); timing
+        // covers construction + execution together (iterative operators
+        // like q44 legitimately run jobs while the frame is built)
+        try {
+          fn(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          times(name) = times.getOrElse(name, Nil) :+ ((dt, pass))
+        } catch {
+          case e: Throwable => errs0(name) = e.toString.take(200)
+        }
         resetStorage()
       }
-      val t0 = System.nanoTime()
-      // a query that throws is recorded as an error marker, never as a
-      // plausible wall time (round-3: no silent swallowing); timing
-      // covers construction + execution together (iterative operators
-      // like q44 legitimately run jobs while the frame is built)
-      try {
-        fn(spark, sfDir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        times(name) = times.getOrElse(name, Nil) :+ dt
-      } catch {
-        case e: Throwable => errs0(name) = e.toString.take(200)
-      }
-      resetStorage()
     }
+    memProbes += probeMemGbps()
 
+    // A pass is window-suspect when either of its bracketing bandwidth
+    // probes deviates >2× from the run-median probe; a query is
+    // window-suspect when the SAMPLE THAT BECAME ITS MEDIAN ran in a
+    // suspect pass (its recorded number may be the window, not the
+    // code). Flagging, not re-running: at 3 interleaved passes a
+    // re-run would land in the same co-tenant weather anyway, and the
+    // flag is what makes round-over-round diffs machine-comparable.
+    val probeMed = memProbes.sorted.apply(memProbes.size / 2)
+    def passSuspect(p: Int): Boolean =
+      Seq(memProbes(p - 1), memProbes(p)).exists(g =>
+        g < probeMed / 2 || g > probeMed * 2)
     val results = selected.map { case (name, _) =>
       val ts = times.getOrElse(name, Nil)
-      val median = if (ts.isEmpty) 0.0 else ts.sorted.apply(ts.size / 2)
-      val minT = if (ts.isEmpty) 0.0 else ts.min
-      (name, median, minT, errs0.get(name))
+      val medianSample =
+        if (ts.isEmpty) (0.0, 0) else ts.sortBy(_._1).apply(ts.size / 2)
+      val minT = if (ts.isEmpty) 0.0 else ts.map(_._1).min
+      val suspect = ts.nonEmpty && passSuspect(medianSample._2)
+      (name, medianSample._1, minT, errs0.get(name), suspect)
     }
     val ok = results.filter(_._4.isEmpty)
-    val qs = ok.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = ok.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-query MIN alongside the median: a min is robust to sustained
     // slowdowns (it only takes ONE clean pass), so median >> min flags a
     // noise-inflated median without a manual re-run
-    val qmins = ok.map { case (k, _, m, _) => "\"" + k + "\":" + m }
+    val qmins = ok.map { case (k, _, m, _, _) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
+    val suspects = ok.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     // Escape backslash, quote AND control characters: Spark analysis
     // exceptions carry newlines/tabs even after take(200), which would
     // otherwise break the one-line JSON contract.
@@ -226,7 +263,7 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       }
-    val errsJson = results.collect { case (k, _, _, Some(e)) =>
+    val errsJson = results.collect { case (k, _, _, Some(e), _) =>
       "\"" + k + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
@@ -246,9 +283,11 @@ object Bench {
     val calibJson =
       s"""{"cpu_sec":${r3(calibCpu)},"scan_sec":${r3(calibScan)},""" +
         s""""steal_pct":${r3(stealPct)},""" +
-        s""""mem_gbps":${r3(calibMem0)},""" +
-        s""""mem_gbps_end":${r3(probeMemGbps())}}"""
-    val fullLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","passes":$passes,"calib":$calibJson,"queries":$qs,"query_mins":$qmins,"errors":$errsJson,"n_queries":${ok.size},"worst_query":"$worstName","worst":$worstT,"value":$total}"""
+        s""""mem_gbps":${r3(memProbes.head)},""" +
+        s""""mem_gbps_end":${r3(memProbes.last)},""" +
+        s""""mem_gbps_passes":${
+          memProbes.map(r3).mkString("[", ",", "]")}}"""
+    val fullLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","passes":$passes,"calib":$calibJson,"queries":$qs,"query_mins":$qmins,"window_suspect":$suspects,"errors":$errsJson,"n_queries":${ok.size},"worst_query":"$worstName","worst":$worstT,"value":$total}"""
     // a single-pass diagnostic artifact must not silently overwrite and
     // impersonate the 3-pass gate artifact (the "passes" field records
     // it either way, but a distinct default filename prevents the mixup)
@@ -270,14 +309,17 @@ object Bench {
     // ("full" field). Headline fields stay LAST so even a truncated
     // capture keeps them.
     val slow = ok.sortBy(-_._2).take(30)
-      .map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // stdout carries only the FAILING QUERY NAMES — full error strings
     // (escaped, up to ~200 chars each) live in BENCH_full.json; a few
     // failures would otherwise blow the 2000-char tail budget
-    val errNames = results.collect { case (k, _, _, Some(_)) => "\"" + k + "\"" }
+    val errNames = results.collect { case (k, _, _, Some(_), _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","full":"$outPath","passes":$passes,"calib":$calibJson,"queries":$slow,"failed":$errNames,"n_queries":${ok.size},"worst_query":"$worstName","worst":${r3(worstT)},"value":${r3(total)}}"""
+    // window_suspect on stdout carries a COUNT (names live in the full
+    // artifact): a bad weather window could flag dozens of queries and
+    // the tail budget is 2000 chars
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","full":"$outPath","passes":$passes,"calib":$calibJson,"queries":$slow,"failed":$errNames,"n_window_suspect":${ok.count(_._5)},"n_queries":${ok.size},"worst_query":"$worstName","worst":${r3(worstT)},"value":${r3(total)}}"""
     println(line)
     if (line.length > 1800)
       System.err.println(s"bench: WARNING stdout line ${line.length} chars may truncate in a 2000-char tail capture")
