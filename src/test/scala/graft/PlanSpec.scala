@@ -662,4 +662,30 @@ class PlanSpec extends SparkSpec {
           df.queryExecution.executedPlan.toString)
     }
   }
+
+  test("q233 exact substr: gram agg partial, semi join, no pair grain") {
+    val p = plan("q233_exact_substr")
+    // repeated-gram detection must be a map-side-combinable aggregate
+    // followed by a LeftSemi back onto positions — never any join that
+    // could manufacture doc-pair rows
+    assert(p.contains("LeftSemi"), s"semi join lost:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"gram counts not map-side combined:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"cartesian in exact-substr:\n$p")
+  }
+
+  test("q234 sketch rollup: both levels ride partial aggregates") {
+    val df = SparkEntry.queries("q234_sketch_rollup")(spark, sf("sf0.001"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // in-flight builds AND stored-state merges must both plan as
+    // two-phase aggregates (buffer-sized partials through the exchange)
+    for (fn <- Seq("partial_graft_kmv_state", "partial_graft_cms",
+        "partial_graft_hdr", "partial_graft_kmv_merge",
+        "partial_graft_cms_merge", "partial_graft_hdr_merge"))
+      assert(p.contains(fn), s"$fn missing:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"cartesian in sketch rollup:\n$p")
+  }
 }
