@@ -3986,6 +3986,26 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenizer training
+    * (TextAnalysis.unigramLmTrain): 2 rounds of full soft EM — the
+    * forward-backward recursions over every segmentation of every
+    * word — with every double sum order-pinned, so the DuckDB oracle
+    * replays the whole training loop bit-for-bit (recursive CTEs walk
+    * the same α/β recursions in the same l-ascending term order).
+    * Output: the top-40 pieces by final probability. */
+  private def qUnigramTokenizer(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val probs = TextAnalysis.unigramLmTrain(
+      t.documents.filter(col("text").isNotNull), "text", "doc_id",
+      maxPieceLen = 4, emIters = 2, minFreq = 2L)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("p").desc, col("piece"))
+    probs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 40)
+      .select(col("rank"), col("piece"), round(col("p"), 8).as("p"))
+      .orderBy(col("rank"))
+  }
+
   // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
@@ -4225,6 +4245,7 @@ object SparkEntry {
     "q232_hdr_quantiles" -> (qHdrQuantiles _),
     "q233_exact_substr" -> (qExactSubstr _),
     "q234_sketch_rollup" -> (qSketchRollup _),
+    "q235_unigram_tok" -> (qUnigramTokenizer _),
   )
 
   // -------------------------------------------------------------------
@@ -4248,6 +4269,93 @@ object SparkEntry {
   /** DuckDB equivalent of GF.wsTokens. */
   private def wsTokensSql(x: String): String =
     s"list_filter(string_split_regex($x, '\\s+'), t -> len(t) > 0)"
+
+  /** DuckDB replay of TextAnalysis.unigramLmTrain — the WHOLE training
+    * loop, program-generated per EM round so the two sides cannot
+    * drift: recursive CTEs walk the α/β recursions carrying a 4-slot
+    * window of previous values, the 4 l-terms sum in the same
+    * left-associated order as the Scala chain, expected counts fold
+    * over (word, i, l)-sorted lists with an explicit 0.0 seed
+    * (list_prepend) exactly like Spark's aggregate(…, 0.0, +), and
+    * the normalizer folds piece-sorted. Bit-exact, not just
+    * rounded-digit-exact. */
+  private def unigramLmOracleSql(emIters: Int): String = {
+    // the 4-term α/β step at new index n, joined piece probs c1..c4:
+    // (((t1 + t2) + t3) + t4), t_l = coalesce(c_l.p, 0) * win[5-l]
+    val step = "(((coalesce(c1.p, 0) * r.win[4] + " +
+      "coalesce(c2.p, 0) * r.win[3]) + " +
+      "coalesce(c3.p, 0) * r.win[2]) + " +
+      "coalesce(c4.p, 0) * r.win[1])"
+    def recCte(k: Int, name: String, iExpr: Int => String): String = {
+      val joins = (1 to 4).map { l =>
+        s"  LEFT JOIN cand$k c$l ON c$l.word = r.word AND c$l.l = $l " +
+          s"AND c$l.i = ${iExpr(l)}"
+      }.mkString("\n")
+      s"""$name$k(word, len, j, v, win) AS (
+         |  SELECT word, len, 0, CAST(1.0 AS DOUBLE),
+         |    CAST([0.0, 0.0, 0.0, 1.0] AS DOUBLE[])
+         |  FROM words
+         |  UNION ALL
+         |  SELECT r.word, r.len, r.j + 1, $step,
+         |    [r.win[2], r.win[3], r.win[4], $step]
+         |  FROM $name$k r
+         |$joins
+         |  WHERE r.j < r.len)""".stripMargin
+    }
+    val iters = (1 to emIters).map { k =>
+      val prev = if (k == 1) "probs0" else s"probs${k - 1}"
+      // α at new index n = r.j + 1: piece starts at i = n - l;
+      // β (reversed, γ[t]): piece starts at i = len - n, all four l
+      val alpha = recCte(k, "alpha", l => s"r.j + 1 - $l")
+      val beta = recCte(k, "beta", _ => "r.len - r.j - 1")
+      s"""cand$k AS (SELECT o.word, o.freq, o.len, o.i, o.l, o.piece, p.p
+         |  FROM occ o JOIN $prev p USING (piece)),
+         |$alpha,
+         |$beta,
+         |ev$k AS (SELECT c.piece, c.word, c.i, c.l,
+         |    c.freq * ai.v * c.p * bj.v / al.v AS contrib
+         |  FROM cand$k c
+         |  JOIN alpha$k ai ON ai.word = c.word AND ai.j = c.i
+         |  JOIN alpha$k al ON al.word = c.word AND al.j = c.len
+         |  JOIN beta$k bj ON bj.word = c.word
+         |    AND bj.j = c.len - (c.i + c.l)),
+         |ec$k AS (SELECT piece, list_reduce(
+         |    list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+         |      list(struct_pack(w := word, i := i, l := l, c := contrib)
+         |        ORDER BY word, i, l), x -> x.c)),
+         |    (a, b) -> a + b) AS ec
+         |  FROM ev$k GROUP BY piece),
+         |tot$k AS (SELECT list_reduce(
+         |    list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+         |      list(struct_pack(p := piece, e := ec) ORDER BY piece),
+         |      x -> x.e)),
+         |    (a, b) -> a + b) AS t FROM ec$k),
+         |probs$k AS (SELECT piece, ec / t AS p FROM ec$k, tot$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE w0 AS (SELECT
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+       |  FROM documents WHERE text IS NOT NULL),
+       |words AS (SELECT word, count(*) AS freq,
+       |    CAST(length(word) AS INT) AS len
+       |  FROM w0 GROUP BY 1),
+       |occ AS (SELECT word, freq, len, CAST(u.i AS INT) AS i,
+       |    CAST(v.l AS INT) AS l,
+       |    substr(word, CAST(u.i AS INT) + 1, CAST(v.l AS INT)) AS piece
+       |  FROM words, unnest(range(0, len)) AS u(i),
+       |    unnest(range(1, 5)) AS v(l)
+       |  WHERE u.i + v.l <= len),
+       |pf AS (SELECT piece, sum(freq) AS pfreq FROM occ GROUP BY 1),
+       |vocab AS (SELECT piece, pfreq FROM pf
+       |  WHERE pfreq >= 2 OR length(piece) = 1),
+       |tot0 AS (SELECT sum(pfreq) AS t FROM vocab),
+       |probs0 AS (SELECT piece, CAST(pfreq AS DOUBLE) / t AS p
+       |  FROM vocab, tot0),
+       |$iters
+       |SELECT CAST(row_number() OVER (ORDER BY p DESC, piece) AS BIGINT)
+       |    AS rank,
+       |  piece, round(p, 8) AS p
+       |FROM probs$emIters ORDER BY p DESC, piece LIMIT 40""".stripMargin
+  }
 
   /** DuckDB equivalent of Similarity.cosine (sequential fold order). */
   private def cosineSql(a: String, b: String): String = {
@@ -9172,5 +9280,7 @@ object SparkEntry {
          |JOIN hddig hd ON n.lang = hd.lang
          |JOIN hq ON n.lang = hq.lang
          |ORDER BY n.lang""".stripMargin,
+
+    "q235_unigram_tok" -> unigramLmOracleSql(2),
   )
 }

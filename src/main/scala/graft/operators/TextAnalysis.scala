@@ -570,6 +570,128 @@ object TextAnalysis {
       .withColumn("n_tokens", size(split(col("seg"), " ")).cast("long"))
   }
 
+  /** Unigram-LM (SentencePiece-style, Kudo 2018) subword tokenizer
+    * training — the OTHER mainstream subword family next to BPE
+    * ([[bpeLearn]]): piece probabilities estimated by full soft EM
+    * over every segmentation of every word, via the forward-backward
+    * recursions. BPE greedily merges; the unigram model scores — the
+    * two families cover the tokenizer-training surface an LLM data
+    * pipeline needs.
+    *
+    * Model core (deterministic, oracle-replayable):
+    *  - Seed vocabulary: every substring of length 1..`maxPieceLen`
+    *    with corpus frequency >= `minFreq` (single chars always kept,
+    *    so every word segments); p₀ ∝ frequency.
+    *  - Each EM round, per word w: forward α[j] = Σ_l p(w[j-l..j])·
+    *    α[j-l] and backward β mirror; expected count of an occurrence
+    *    (i, l) is freq(w)·α[i]·p·β[i+l]/α[len] (posterior over ALL
+    *    segmentations — no Viterbi argmax, no backtracking); M-step
+    *    renormalizes. The vocabulary stays fixed across rounds
+    *    (SentencePiece's loss-ranked pruning is a selection on the
+    *    output table; callers take top-k).
+    *
+    * Determinism discipline (floating EM across two engines): every
+    * double sum has ONE pinned order — the α/β recursions sum their
+    * ≤ maxPieceLen terms in fixed l-ascending chains, expected counts
+    * fold per piece over (word, i, l)-sorted contribution arrays, and
+    * the normalizer folds over piece-sorted arrays — so the DuckDB
+    * oracle replays every bit, not just every rounded digit.
+    *
+    * Scale shape: ALL state is distinct-word / vocabulary grain, never
+    * corpus grain — words aggregate once (one corpus-grain shuffle),
+    * then occurrences, the per-word (i,l)→p maps, the α/β arrays (one
+    * `aggregate` HOF projection each — no per-position shuffle) and
+    * the expected-count folds are vocabulary-sized frames with the
+    * piece table broadcast each round (the bpeLearn round discipline).
+    * The two driver scalars per round (seed total, nothing else) are
+    * metadata-plane by contract.
+    *
+    * Returns the final piece table (piece, p) — full vocabulary,
+    * unrounded. */
+  def unigramLmTrain(df: DataFrame, textCol: String, idCol: String,
+      maxPieceLen: Int = 4, emIters: Int = 2, minFreq: Long = 2L)
+      : DataFrame = {
+    require(maxPieceLen >= 2 && maxPieceLen <= 8,
+      s"maxPieceLen must be in [2,8], got $maxPieceLen")
+    require(emIters >= 1, s"emIters must be >= 1, got $emIters")
+    val m = maxPieceLen
+    val words = bpeWords(df, textCol, idCol)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("len", length(col("word")).cast("int"))
+      .localCheckpoint(false)
+    // every occurrence (word, i 0-based, l, piece) — one projection
+    val occ = words
+      .select(col("word"), col("freq"), col("len"),
+        explode(flatten(transform(sequence(lit(0), col("len") - 1), i =>
+          transform(sequence(lit(1), least(lit(m), col("len") - i)), l =>
+            struct(i.as("i"), l.as("l"),
+              col("word").substr(i + 1, l).as("piece")))))).as("o"))
+      .select(col("word"), col("freq"), col("len"),
+        col("o.i").as("i"), col("o.l").as("l"), col("o.piece").as("piece"))
+      .localCheckpoint(false)
+    val pieceFreq = occ.groupBy(col("piece"))
+      .agg(sum(col("freq")).as("pfreq"))
+      .filter(col("pfreq") >= minFreq || length(col("piece")) === 1)
+    // integer total over the seed vocabulary: order-free, driver scalar
+    val totalSeed = pieceFreq.agg(sum(col("pfreq"))).head().getLong(0)
+    var probs = pieceFreq.select(col("piece"),
+        (col("pfreq").cast("double") / totalSeed).as("p"))
+      .localCheckpoint(false)
+    // the fixed l-ascending term chain both recursions share:
+    // term_l = p(piece keyed (start, l)) * acc[prev], summed
+    // ((t1+t2)+t3)+... so the IEEE total has exactly one order
+    def chain(acc: Column, pm: Column, j: Column,
+        key: Int => Column, accIdx: Int => Column): Column =
+      (1 to m).map { l =>
+        when(j >= l,
+          coalesce(element_at(pm, key(l)), lit(0.0)) *
+            element_at(acc, accIdx(l)))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _)
+    for (_ <- 1 to emIters) {
+      val cand = occ.join(broadcast(probs), Seq("piece"))
+      val wmap = cand.groupBy(col("word"), col("freq"), col("len"))
+        .agg(map_from_entries(collect_list(struct(
+          (col("i") * (m + 1) + col("l")).as("k"),
+          col("p").as("v")))).as("pm"))
+      // α[0..len] and the REVERSED β (γ[t] = β[len−t]) as arrays —
+      // pure per-word expression work, no shuffle per position
+      val ab = wmap
+        .withColumn("alpha",
+          aggregate(sequence(lit(1), col("len")), array(lit(1.0)),
+            (acc, j) => concat(acc, array(chain(acc, col("pm"), j,
+              l => (j - l) * (m + 1) + l,
+              l => j - l + 1)))))
+        .withColumn("brev",
+          aggregate(sequence(lit(1), col("len")), array(lit(1.0)),
+            (acc, t) => concat(acc, array(chain(acc, col("pm"), t,
+              l => (col("len") - t) * (m + 1) + l,
+              l => t - l + 1)))))
+        .select(col("word"), col("alpha"), col("brev"))
+      // posterior expected count of each occurrence, then the pinned
+      // per-piece fold over (word, i, l)-sorted contributions
+      val ev = cand.join(ab, Seq("word"))
+        .select(col("piece"), col("word"), col("i"), col("l"),
+          (col("freq") * element_at(col("alpha"), col("i") + 1) *
+            col("p") *
+            element_at(col("brev"),
+              col("len") - (col("i") + col("l")) + 1) /
+            element_at(col("alpha"), col("len") + 1)).as("contrib"))
+      val ec = ev.groupBy(col("piece"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("word"), col("i"),
+            col("l"), col("contrib")))),
+          lit(0.0), (a, x) => a + x.getField("contrib")).as("ec"))
+      val tot = ec.agg(aggregate(
+        array_sort(collect_list(struct(col("piece"), col("ec")))),
+        lit(0.0), (a, x) => a + x.getField("ec")).as("t"))
+      probs = ec.crossJoin(broadcast(tot))
+        .select(col("piece"), (col("ec") / col("t")).as("p"))
+        .localCheckpoint(false)
+    }
+    probs
+  }
+
   def ngramNovelty(cur: DataFrame, ref: DataFrame, textCol: String,
       idCol: String, n: Int = 3): DataFrame = {
     val curSh = Dedup.shingleRows(cur, textCol, idCol, n).distinct()

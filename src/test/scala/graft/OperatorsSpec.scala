@@ -979,6 +979,41 @@ class OperatorsSpec extends SparkSpec {
       .hdrQuantile(col("hdr"), 0.5, 7)).collect().head.isNullAt(0))
   }
 
+  test("unigramLmTrain: EM posteriors match hand-computed fractions") {
+    import spark.implicits._
+    // corpus: word "ab" x3, word "b" x1; M=2, minFreq=2, 1 EM round.
+    // Seed freqs a:3 b:4 ab:3 -> p0 = (0.3, 0.4, 0.3).
+    // "ab": alpha = [1, 0.3, 0.42]; expected counts
+    //   a: 3*1*0.3*0.4/0.42 = 6/7, b: 3*0.3*0.4*1/0.42 = 6/7,
+    //   ab: 3*1*0.3*1/0.42 = 15/7; "b" adds 1 to b.
+    // totals: (6/7, 13/7, 15/7), sum 34/7 -> p = (3/17, 13/34, 15/34).
+    val docs = Seq((1L, "ab ab b"), (2L, "ab")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .unigramLmTrain(docs, "text", "doc_id", maxPieceLen = 2,
+        emIters = 1, minFreq = 2L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set("a", "b", "ab"))
+    assert(math.abs(got("a") - 3.0 / 17) < 1e-12, got)
+    assert(math.abs(got("b") - 13.0 / 34) < 1e-12, got)
+    assert(math.abs(got("ab") - 15.0 / 34) < 1e-12, got)
+    // invariants on a larger fixture: p is a distribution after every
+    // round, the vocabulary is stable, repetition moves mass to the
+    // repeated piece
+    val corpus = Seq((1L, "hello hello hello world"),
+      (2L, "hello help held"), (3L, "world word")).toDF("doc_id", "text")
+    for (iters <- Seq(1, 2, 3)) {
+      val ps = graft.operators.TextAnalysis
+        .unigramLmTrain(corpus, "text", "doc_id", maxPieceLen = 4,
+          emIters = iters)
+        .collect().map(r => r.getString(0) -> r.getDouble(1))
+      assert(math.abs(ps.map(_._2).sum - 1.0) < 1e-9)
+      assert(ps.forall(_._2 >= 0.0))
+      // "hell" occurs in 5 word-occurrences (freq-weighted): it must
+      // hold real mass once EM runs
+      assert(ps.toMap.getOrElse("hell", 0.0) > 0.01, ps.toSeq.sortBy(-_._2).take(8))
+    }
+  }
+
   test("HdrBuckets: monotone, contiguous, lower-bound within 2^-s") {
     import graft.functions.HdrBuckets._
     for (s <- Seq(1, 3, 7)) {
