@@ -1255,14 +1255,20 @@ object Dedup {
       GF.wsTokens(col(textCol)).as("toks"))
     // pos from posexplode over sequence(0, n-L) IS the 0-based token
     // offset; the gram is hashed in the same codegen stage and dropped
-    // before any exchange.
+    // before any exchange. ONE md5 per gram (both 32-bit windows come
+    // from the same digest — GF.hash32 at offsets 1 and 9), and the
+    // 4-narrow-column gram frame is checkpointed because BOTH the
+    // repeat count and the semi-join probe read it: without the
+    // checkpoint the tokenize+gram+md5 projection runs twice.
     val grams = toks.filter(size(col("toks")) >= l)
       .select(col("_id"),
         posexplode(transform(sequence(lit(0), size(col("toks")) - l),
           i => concat_ws(" ", slice(col("toks"), i + 1, lit(l))))))
+      .withColumn("_d", md5(col("col")))
       .select(col("_id"), col("pos"),
-        GF.hash32(col("col")).as("h1"),
-        GF.hash32(col("col"), 9).as("h2"))
+        conv(substring(col("_d"), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(col("_d"), 9, 8), 16, 10).cast("long").as("h2"))
+      .localCheckpoint(false)
     val reps = grams.groupBy(col("h1"), col("h2"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
       .select(col("h1"), col("h2"))
