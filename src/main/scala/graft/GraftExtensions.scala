@@ -162,7 +162,9 @@ object GraftExtensions {
       info("graft_kmv_merge",
         "graft_kmv_merge(state, k) - rollup of stored KMV states " +
           "(k literal): hash-identical to a direct build over the " +
-          "union of the inputs' raw data"),
+          "union of the inputs' raw data PROVIDED the stored states " +
+          "were built with k' >= k (merging down is exact; merging up " +
+          "is silently biased - the state cannot carry its k)"),
       (children: Seq[Expression]) =>
         graft.functions.KmvMergeAgg(children.head,
           litInt(children(1), "k", "graft_kmv_merge"))),

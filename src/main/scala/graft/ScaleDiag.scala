@@ -65,11 +65,14 @@ object ScaleDiag {
             .cast("double") / 1000.0).as("embedding")),
         "embedding", iters = 3).count()
       val out = Seq(64, 256, 768).map { d =>
+        // EAGER checkpoint: the generator and the checkpoint write run
+        // here, BEFORE t0 — a lazy checkpoint would put both inside
+        // the timed window and the probe would measure the generator
         val emb = spark.range(n).select(
           transform(sequence(lit(0), lit(d - 1)),
             i => (pmod(hash(col("id") * 31 + i), lit(2000)) - lit(1000))
               .cast("double") / 1000.0).as("embedding"))
-          .localCheckpoint(false)
+          .localCheckpoint()
         val t0 = System.nanoTime()
         graft.operators.Profiling
           .pcaPowerComponent(emb, "embedding", iters = 3).count()

@@ -538,7 +538,16 @@ object KmvStateAgg {
   * bottom-k(bottom-k(A) ∪ bottom-k(B)), so any rollup tree gives the
   * hash-identical state a direct build over the raw data would.
   *
-  * SQL surface: `graft_kmv_merge(state, k)`. */
+  * PRECONDITION (contractual — the state array cannot carry its k, so
+  * unlike [[CmsMergeAgg]]'s dimension check this cannot fail fast):
+  * stored states must have been built with k' >= this merge's k.
+  * Merging DOWN (k <= k') is exact — bottom-k of bottom-k' unions is
+  * the true bottom-k. Merging UP (k > k') is silently wrong: each
+  * stored array already dropped values ranked past k' that may belong
+  * in the union's bottom-k, so the merged state saturates with the
+  * wrong members and the estimate biases low. A stored array LONGER
+  * than k is accepted (that is the k' > k case); keeping one k across
+  * the whole lake is the simple safe policy. */
 case class KmvMergeAgg(
     child: Expression,
     k: Int,

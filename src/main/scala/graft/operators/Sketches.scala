@@ -154,6 +154,28 @@ object Sketches {
   /** One surviving (token, residual-count) candidate. */
   case class MgCandidate(tok: String, n: Long)
 
+  /** The ONE Misra-Gries residual-add + cut implementation, shared by
+    * [[MisraGriesAgg]]'s partial merge and [[MisraGriesMergeAgg]]'s
+    * stored-summary rollup so the cut rule cannot drift: fold
+    * `entries` into `a`, then subtract the (k+1)-th largest residual —
+    * at most k entries stay strictly positive. Snapshot before
+    * mutating (in-flight mutation of a mutable.HashMap under iteration
+    * is undefined behavior even when value-only updates happen to
+    * work today). */
+  private def mgAddAndCut(
+      a: scala.collection.mutable.HashMap[String, Long],
+      entries: Iterable[(String, Long)], k: Int)
+      : scala.collection.mutable.HashMap[String, Long] = {
+    entries.foreach { case (t, n) => a(t) = a.getOrElse(t, 0L) + n }
+    if (a.size > k) {
+      val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      a.toList.foreach { case (t, n) =>
+        if (n - cut <= 0L) a.remove(t) else a(t) = n - cut
+      }
+    }
+    a
+  }
+
   /** Misra-Gries heavy-hitters summary: a BOUNDED (k entries) candidate
     * map per group, guaranteed to contain every value with true
     * frequency > N/(k+1) (Misra & Gries 1982; mergeable form per
@@ -192,19 +214,7 @@ object Sketches {
       b
     }
 
-    override def merge(a: Buf, b: Buf): Buf = {
-      b.foreach { case (t, n) => a(t) = a.getOrElse(t, 0L) + n }
-      if (a.size > k) {
-        // subtract the (k+1)-th largest residual from everything; at
-        // most k entries stay strictly positive. Snapshot before
-        // mutating (same discipline as reduce).
-        val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
-        a.toList.foreach { case (t, n) =>
-          if (n - cut <= 0L) a.remove(t) else a(t) = n - cut
-        }
-      }
-      a
-    }
+    override def merge(a: Buf, b: Buf): Buf = mgAddAndCut(a, b, k)
 
     override def finish(b: Buf): Seq[MgCandidate] =
       b.toSeq.map { case (t, n) => MgCandidate(t, n) }
@@ -473,7 +483,10 @@ object Sketches {
 
   /** Column surface of [[graft.functions.KmvMergeAgg]]: folds stored
     * KMV state columns into the combined state — hash-identical to a
-    * direct build over the union of the inputs' raw data. */
+    * direct build over the union of the inputs' raw data, PROVIDED
+    * the stored states were built with k' >= this k (see the
+    * aggregate's precondition note: merging down is exact, merging up
+    * silently biases low, and the state cannot carry its k). */
   def kmvMergeState(state: org.apache.spark.sql.Column, k: Int)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -544,21 +557,10 @@ object Sketches {
 
     override def zero: Buf = scala.collection.mutable.HashMap.empty
 
-    private def addAndCut(a: Buf, entries: Iterable[(String, Long)]): Buf = {
-      entries.foreach { case (t, n) => a(t) = a.getOrElse(t, 0L) + n }
-      if (a.size > k) {
-        val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
-        a.toList.foreach { case (t, n) =>
-          if (n - cut <= 0L) a.remove(t) else a(t) = n - cut
-        }
-      }
-      a
-    }
-
     override def reduce(b: Buf, cands: Seq[MgCandidate]): Buf =
-      addAndCut(b, cands.map(c => c.tok -> c.n))
+      mgAddAndCut(b, cands.map(c => c.tok -> c.n), k)
 
-    override def merge(a: Buf, b: Buf): Buf = addAndCut(a, b)
+    override def merge(a: Buf, b: Buf): Buf = mgAddAndCut(a, b, k)
 
     override def finish(b: Buf): Seq[MgCandidate] =
       b.toSeq.map { case (t, n) => MgCandidate(t, n) }
