@@ -3943,6 +3943,19 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** The ExactSubstr REMOVAL transform (Dedup.exactSubstrDedup): the
+    * corpus with every token covered by a repeated >= 8-token span
+    * dropped from every occurrence — one row per document with the
+    * surviving-text md5, so the gate checks the actual cleaned
+    * content, untouched docs and whole-doc drops included. */
+  private def qExactSubstrDedup(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Dedup.exactSubstrDedup(
+        t.documents.filter(col("text").isNotNull), "text", "doc_id",
+        minTokens = 8)
+      .orderBy(col("doc_id"))
+  }
+
   /** Persistable + re-mergeable sketch columns (the lakehouse rollup
     * pattern): per-(lang, source) KMV/CMS/HDR sketch states roll up to
     * lang grain THROUGH THE STORED-STATE MERGE AGGREGATES
@@ -4246,6 +4259,7 @@ object SparkEntry {
     "q233_exact_substr" -> (qExactSubstr _),
     "q234_sketch_rollup" -> (qSketchRollup _),
     "q235_unigram_tok" -> (qUnigramTokenizer _),
+    "q236_exact_substr_dedup" -> (qExactSubstrDedup _),
   )
 
   // -------------------------------------------------------------------
@@ -4269,6 +4283,28 @@ object SparkEntry {
   /** DuckDB equivalent of GF.wsTokens. */
   private def wsTokensSql(x: String): String =
     s"list_filter(string_split_regex($x, '\\s+'), t -> len(t) > 0)"
+
+  /** Shared CTE chain replaying Dedup.exactSubstrSpans (tokenize →
+    * stride-1 8-gram hash pairs → repeated grams → gaps-and-islands
+    * maximal spans `sp`), used by both the q233 span gate and the
+    * q236 removal-transform gate. */
+  private lazy val exactSubstrCtesSql: String =
+    s"""t AS (SELECT doc_id, ${wsTokensSql("text")} AS arr
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT doc_id, i AS pos,
+       |    ${hash32Sql("array_to_string(arr[i+1:i+8], ' ')")} AS h1,
+       |    ${hash32Sql("array_to_string(arr[i+1:i+8], ' ')", 9)} AS h2
+       |  FROM t, unnest(range(0, len(arr) - 7)) AS u(i)
+       |  WHERE len(arr) >= 8),
+       |rep AS (SELECT h1, h2 FROM g GROUP BY 1, 2
+       |  HAVING count(*) >= 2),
+       |f AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (h1, h2)),
+       |isl AS (SELECT doc_id, pos, pos - row_number() OVER
+       |    (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM f),
+       |sp AS (SELECT doc_id, min(pos) AS span_start,
+       |    max(pos) + 8 AS span_end
+       |  FROM isl GROUP BY doc_id, grp)""".stripMargin
 
   /** DuckDB replay of TextAnalysis.unigramLmTrain — the WHOLE training
     * loop, program-generated per EM round so the two sides cannot
@@ -9154,22 +9190,7 @@ object SparkEntry {
          |ORDER BY 1, 2""".stripMargin,
 
     "q233_exact_substr" ->
-      s"""WITH t AS (SELECT doc_id, ${wsTokensSql("text")} AS arr
-         |  FROM documents WHERE text IS NOT NULL),
-         |g AS (SELECT doc_id, i AS pos,
-         |    ${hash32Sql("array_to_string(arr[i+1:i+8], ' ')")} AS h1,
-         |    ${hash32Sql("array_to_string(arr[i+1:i+8], ' ')", 9)} AS h2
-         |  FROM t, unnest(range(0, len(arr) - 7)) AS u(i)
-         |  WHERE len(arr) >= 8),
-         |rep AS (SELECT h1, h2 FROM g GROUP BY 1, 2
-         |  HAVING count(*) >= 2),
-         |f AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (h1, h2)),
-         |isl AS (SELECT doc_id, pos, pos - row_number() OVER
-         |    (PARTITION BY doc_id ORDER BY pos) AS grp
-         |  FROM f),
-         |sp AS (SELECT doc_id, min(pos) AS span_start,
-         |    max(pos) + 8 AS span_end
-         |  FROM isl GROUP BY doc_id, grp)
+      s"""WITH $exactSubstrCtesSql
          |SELECT s.doc_id,
          |  CAST(s.span_start AS BIGINT) AS span_start,
          |  CAST(s.span_end AS BIGINT) AS span_end,
@@ -9282,5 +9303,27 @@ object SparkEntry {
          |ORDER BY n.lang""".stripMargin,
 
     "q235_unigram_tok" -> unigramLmOracleSql(2),
+
+    "q236_exact_substr_dedup" ->
+      s"""WITH $exactSubstrCtesSql,
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(span_end - span_start) AS BIGINT) AS n_dropped
+         |  FROM sp GROUP BY doc_id),
+         |cover AS (SELECT doc_id, u.p AS pos
+         |  FROM sp, unnest(range(span_start, span_end)) AS u(p)),
+         |tok AS (SELECT doc_id, i - 1 AS pos, arr[i] AS tok
+         |  FROM t, unnest(range(1, len(arr) + 1)) AS u(i)),
+         |clean AS (SELECT k.doc_id,
+         |    md5(string_agg(k.tok, ' ' ORDER BY k.pos)) AS m
+         |  FROM tok k LEFT JOIN cover c
+         |    ON k.doc_id = c.doc_id AND k.pos = c.pos
+         |  WHERE c.pos IS NULL GROUP BY k.doc_id)
+         |SELECT t.doc_id, CAST(len(t.arr) AS BIGINT) AS n_tokens,
+         |  coalesce(a.n_spans, 0) AS n_spans,
+         |  coalesce(a.n_dropped, 0) AS n_dropped,
+         |  coalesce(c2.m, md5('')) AS clean_md5
+         |FROM t LEFT JOIN agg a USING (doc_id)
+         |LEFT JOIN clean c2 USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
   )
 }

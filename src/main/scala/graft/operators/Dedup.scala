@@ -1288,4 +1288,47 @@ object Dedup {
         md5(concat_ws(" ", slice(col("toks"), col("span_start") + 1,
           col("span_end") - col("span_start")))).as("span_md5"))
   }
+
+  /** The REMOVAL transform over [[exactSubstrSpans]] — the output Lee
+    * et al.'s ExactSubstr tool actually produces: every token covered
+    * by a repeated span of >= `minTokens` tokens is dropped from every
+    * occurrence, and the surviving tokens reassemble in document
+    * order. (Keeping one canonical copy instead is a policy layer the
+    * caller can build from the spans' `span_md5` identity; the
+    * remove-all form is the tool's default and the one with clean
+    * relational semantics.)
+    *
+    * Returns one row per input document — including documents with no
+    * spans (untouched: n_dropped 0) and documents dropped WHOLE
+    * (clean_md5 of the empty string): `(id, n_tokens, n_spans,
+    * n_dropped, clean_md5)`.
+    *
+    * Scale shape: [[exactSubstrSpans]]'s shape plus one doc-grain
+    * aggregate of the (duplicated-content-sized) span frame and one
+    * left join back to the token arrays; the in-doc filter is a
+    * per-row HOF over (token, span) with spans-per-doc small by
+    * construction (maximal islands are disjoint). */
+  def exactSubstrDedup(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 8): DataFrame = {
+    val spans = exactSubstrSpans(docs, textCol, idCol, minTokens)
+    val byDoc = spans.groupBy(col(idCol).as("_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).as("n_dropped"),
+        sort_array(collect_list(struct(col("span_start"),
+          col("span_end")))).as("sp"))
+    docs.select(col(idCol).as("_id"), GF.wsTokens(col(textCol)).as("toks"))
+      .join(byDoc, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dropped"), lit(0L)).cast("long").as("n_dropped"),
+        md5(concat_ws(" ", transform(filter(
+          // (pos, token) pairs; keep those no island covers (exists
+          // over a NULL span array is null -> coalesce keeps the token)
+          transform(col("toks"), (t, i) => struct(i.as("i"), t.as("t"))),
+          p => !coalesce(exists(col("sp"), s =>
+            p.getField("i") >= s.getField("span_start") &&
+              p.getField("i") < s.getField("span_end")), lit(false))),
+          p => p.getField("t")))).as("clean_md5"))
+  }
 }

@@ -1598,6 +1598,26 @@ class OperatorsSpec extends SparkSpec {
     assert(!byDoc.contains(4L))
     // overlapping self-repeat merges into ONE maximal island
     assert(byDoc(5L).map(t => (t._2, t._3)).toSet == Set((0, 9)))
+
+    // the removal transform over the same corpus: spans drop from
+    // every occurrence, survivors reassemble in order, untouched and
+    // fully-dropped docs both keep a row
+    val clean = graft.operators.Dedup
+      .exactSubstrDedup(docs, "text", "doc_id", minTokens = 8)
+      .collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4))))
+      .toMap
+    def m(s: String) = docs.sparkSession
+      .sql(s"SELECT md5('$s')").collect()(0).getString(0)
+    assert(clean(1L) == ((13L, 1L, 10L, m("x1 x2 x3"))), clean(1L))
+    assert(clean(2L) == ((13L, 1L, 10L, m("p1 p2 p3"))), clean(2L))
+    assert(clean(3L) == ((17L, 2L, 16L, m("u"))), clean(3L))
+    // no spans: full text survives, zero dropped
+    assert(clean(4L)._2 == 0L && clean(4L)._3 == 0L &&
+      clean(4L)._4 == m((1 to 20).map(i => s"q$i").mkString(" ")))
+    // whole doc repeated: everything drops, row stays
+    assert(clean(5L) == ((9L, 1L, 9L, m(""))), clean(5L))
   }
 
   test("curriculumPhases: two-pass cumsum equals naive global running sum") {
