@@ -3847,7 +3847,7 @@ object SparkEntry {
   private def qCmsFreq(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val toks = t.documents.select(
-      explode(GF.wsTokens(Dedup.normalizeText(col("text")))).as("tok"))
+      explode(Dedup.normTokens(col("text"))).as("tok"))
     Sketches.cmsTopKAccuracy(toks, "tok", depth = 4, width = 1024,
         topK = 10)
       .withColumnRenamed("value", "tok")

@@ -24,9 +24,17 @@ object GF {
   // int. conv() returns a decimal string; cast to long.
   // ---------------------------------------------------------------------
 
-  /** Unsigned 32-bit hash of a string column: int(md5(s)[off..off+8), 16). */
-  def hash32(c: Column, hexOffset: Int = 1): Column =
-    conv(substring(md5(c), hexOffset, 8), 16, 10).cast("long")
+  /** Unsigned 32-bit hash of a string column: int(md5(s)[off..off+8), 16).
+    * Native single-digest expression (Md5Hash32Expr) — bit-equal to the
+    * composed `conv(substring(md5(c), off, 8), 16, 10)::long` form it
+    * replaces (GFSpec pins it against [[hash32Jvm]]) without
+    * materializing and re-parsing the 32-char hex string per row; the
+    * SQL oracle keeps replaying the hex/conv form. */
+  def hash32(c: Column, hexOffset: Int = 1): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      Md5Hash32Expr(ColumnBridge.expression(c), hexOffset))
+  }
 
   /** Driver-side twin of [[hash32]] (same md5 window, same value) for
     * metadata-plane routing — e.g. mapping literal query terms to their

@@ -28,9 +28,25 @@ object Dedup {
   val DefaultMaxBucketSize: Int = 1024
 
   /** Canonical text normalization applied before hashing: lowercase,
-    * strip non-alphanumerics to spaces, collapse whitespace. */
-  def normalizeText(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9]+", " "), "\\s+", " "))
+    * strip non-alphanumerics to spaces, collapse whitespace. Native
+    * one-pass expression — byte-equal to the regex chain
+    * `trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9]+", " "),
+    * "\\s+", " "))` it replaces (OperatorsSpec pins the equality); the
+    * SQL oracle keeps replaying the regex form. */
+  def normalizeText(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.NormTextExpr(ColumnBridge.expression(c)))
+  }
+
+  /** Normalized whitespace tokens — the one-pass native form of
+    * `GF.wsTokens(normalizeText(c))` (same array, same order, same
+    * type), used by every shingle / token-stream operator. */
+  def normTokens(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.NormTokensExpr(ColumnBridge.expression(c)))
+  }
 
   /** Exact duplicate groups: md5 over normalized text; returns one row
     * per duplicated digest with group size and the kept (min) id. */
@@ -125,7 +141,7 @@ object Dedup {
     * corpus-scale jobs should use the projection-split [[shingleRows]];
     * this exists so SQL-only users can reach the same semantics. */
   def shinglesCol(text: Column, n: Int): Column =
-    shinglesFromTokens(GF.wsTokens(normalizeText(text)), n)
+    shinglesFromTokens(normTokens(text), n)
 
   /** Scalar Column form of [[simhash]] (registered as `graft_simhash`):
     * one aggregate fold over the token-hash array carrying the nBits
@@ -133,7 +149,7 @@ object Dedup {
     * into the hash — bit-identical to the DataFrame operator (parity
     * in ExtensionsSpec). */
   def simhashCol(text: Column, nBits: Int = 32): Column = {
-    val hs = transform(GF.wsTokens(normalizeText(text)),
+    val hs = transform(normTokens(text),
       t => GF.hash32(t))
     aggregate(hs,
       array_repeat(lit(0L), nBits),
@@ -185,7 +201,7 @@ object Dedup {
       base0.repartition(parts) else base0
     base
       .select(col(idCol),
-        GF.wsTokens(normalizeText(col(textCol))).as("toks"))
+        normTokens(col(textCol)).as("toks"))
       .select(col(idCol), explode(shinglesFromTokens(col("toks"), n))
         .as("shingle"))
   }
@@ -632,7 +648,7 @@ object Dedup {
   def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
       chunkTokens: Int = 8): DataFrame = {
     val toks = docs.select(col(idCol).as("_id"),
-      GF.wsTokens(normalizeText(col(textCol))).as("toks"))
+      normTokens(col(textCol)).as("toks"))
     val nChunks = greatest(lit(1),
       ceil(size(col("toks")) / lit(chunkTokens.toDouble)).cast("int"))
     val chunks = toks
@@ -896,7 +912,7 @@ object Dedup {
       nBits: Int = 32): DataFrame = {
     require(nBits >= 1 && nBits <= 64, s"nBits=$nBits out of [1, 64]")
     val toks = docs.select(col(idCol),
-      explode(GF.wsTokens(normalizeText(col(textCol)))).as("tok"))
+      explode(normTokens(col(textCol))).as("tok"))
       .withColumn("h", GF.hash32(col("tok")))
       .withColumn("h2",
         if (nBits > 32) GF.hash32(col("tok"), 9) else lit(0L))

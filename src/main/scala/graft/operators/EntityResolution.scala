@@ -40,7 +40,12 @@ object EntityResolution {
     * (id_a, id_b, name_a, name_b, sim) with sim rounded to 4. */
   def blockedNamePairs(df: DataFrame, idCol: String, nameCol: String,
       blockCol: String, minSim: Double, k: Int): DataFrame = {
-    val a = df.select(col(blockCol).as("_block"), col(idCol).as("id_a"),
+    // pair scoring is CPU-dense per-row work that runs UNDER the
+    // broadcast join, i.e. inside the scan stage — spread a few-file
+    // scan first or one core scores every pair (guide §2.5; measured
+    // 1.9 s single-task vs ~0.3 s spread at sf0.1)
+    val in = Spread.fewFileScan(df)
+    val a = in.select(col(blockCol).as("_block"), col(idCol).as("id_a"),
       col(nameCol).as("name_a"))
     val b = df.select(col(blockCol).as("_block"), col(idCol).as("id_b"),
       col(nameCol).as("name_b"))

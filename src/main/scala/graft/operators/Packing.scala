@@ -85,7 +85,7 @@ object Packing {
     require(overlap >= 0 && overlap < chunkSize,
       "overlap must be in [0, chunkSize)")
     val stride = chunkSize - overlap
-    val arr = GF.wsTokens(Dedup.normalizeText(col(textCol)))
+    val arr = Dedup.normTokens(col(textCol))
     docs
       .withColumn("__arr", arr)
       .filter(size(col("__arr")) > 0)

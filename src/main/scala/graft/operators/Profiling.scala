@@ -508,7 +508,11 @@ object Profiling {
       cols.map(n => sum(fx(n)).as(s"s_$n")) ++
       cols.map(n => sum(fx(n) * fx(n)).as(s"ss_$n")) ++
       pairs.map { case (a, b) => sum(fx(a) * fx(b)).as(s"sp_${a}_$b") }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // the O(k²) decimal power sums are the map-side cost — spread a
+    // few-file scan or one core computes them all (guide §2.5); sums
+    // are exact decimals, so partitioning cannot move a bit
+    val one = Spread.fewFileScan(df.select(cols.map(col): _*))
+      .agg(aggs.head, aggs.tail: _*)
     val rows = pairs.map { case (a, b) =>
       val num = col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")
       def d(n: String) =

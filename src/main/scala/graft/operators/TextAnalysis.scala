@@ -131,7 +131,7 @@ object TextAnalysis {
         round(lit(1.0) - col("n_distinct_grams").cast("double") /
           col("n_grams"), 6))
     val toks = docs.select(col(idCol),
-        GF.wsTokens(Dedup.normalizeText(col(textCol))).as("toks"))
+        Dedup.normTokens(col(textCol)).as("toks"))
       .select(col(idCol), explode(col("toks")).as("tok"))
     val topWord = toks.groupBy(col(idCol), col("tok"))
       .agg(count(lit(1)).as("c"))
@@ -246,7 +246,7 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, textCol: String, langCol: String,
       idCol: String, k: Int = 5): DataFrame = {
     val toks = docs.select(col(langCol).as("lang"), col(idCol).as("_id"),
-      explode(GF.wsTokens(Dedup.normalizeText(col(textCol)))).as("tok"))
+      explode(Dedup.normTokens(col(textCol))).as("tok"))
     val nDocs = docs.groupBy(col(langCol).as("lang"))
       .agg(countDistinct(col(idCol)).as("n_docs"))
     // tf and df in ONE pass over the exploded tokens (count-distinct
@@ -282,7 +282,7 @@ object TextAnalysis {
   def unigramLogProb(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("_id"),
-      posexplode(GF.wsTokens(Dedup.normalizeText(col(textCol))))
+      posexplode(Dedup.normTokens(col(textCol)))
         .as(Seq("pos", "tok")))
     val lm = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = lm.agg(sum(col("cnt")).as("total"))
@@ -306,7 +306,7 @@ object TextAnalysis {
   def winnowingFingerprints(docs: DataFrame, textCol: String, idCol: String,
       shingleW: Int = 4, windowSize: Int = 4): DataFrame = {
     val toks = docs.select(col(idCol),
-      posexplode(GF.wsTokens(Dedup.normalizeText(col(textCol))))
+      posexplode(Dedup.normTokens(col(textCol)))
         .as(Seq("pos", "tok")))
     val sh = toks
       .withColumn("shingle",
@@ -395,7 +395,7 @@ object TextAnalysis {
   def topTokens(docs: DataFrame, textCol: String, strataCol: String,
       k: Int): DataFrame = {
     val toks = docs.select(col(strataCol).as("stratum"),
-      explode(GF.wsTokens(Dedup.normalizeText(col(textCol)))).as("tok"))
+      explode(Dedup.normTokens(col(textCol))).as("tok"))
     val counts = toks.groupBy(col("stratum"), col("tok"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("stratum"))
@@ -435,7 +435,7 @@ object TextAnalysis {
   def pmiCollocations(docs: DataFrame, textCol: String,
       minCount: Long = 5, k: Int = 50): DataFrame = {
     val toks = docs.select(
-      GF.wsTokens(Dedup.normalizeText(col(textCol))).as("arr"))
+      Dedup.normTokens(col(textCol)).as("arr"))
     val uc = toks.select(explode(col("arr")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
     val bc = toks.select(explode(
@@ -728,7 +728,7 @@ object TextAnalysis {
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val toks = docs.select(col(idCol).as("_id"),
-      explode(GF.wsTokens(Dedup.normalizeText(col(textCol)))).as("tok"))
+      explode(Dedup.normTokens(col(textCol))).as("tok"))
     val dl = toks.groupBy(col("_id")).agg(count(lit(1)).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val qToks = toks.filter(col("tok").isin(queryTerms: _*))
@@ -768,7 +768,7 @@ object TextAnalysis {
   def writeBm25Index(docs: DataFrame, textCol: String, idCol: String,
       path: String, nBuckets: Int = 64): Unit = {
     val toks = docs.select(col(idCol).as("doc_id"),
-      explode(GF.wsTokens(Dedup.normalizeText(col(textCol)))).as("tok"))
+      explode(Dedup.normTokens(col(textCol))).as("tok"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     dl.write.mode("overwrite").parquet(s"$path/doclen")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
@@ -809,7 +809,7 @@ object TextAnalysis {
     }
     val fresh = fresh0.localCheckpoint(false)
     val toks = fresh.select(col(idCol).as("doc_id"),
-      explode(GF.wsTokens(Dedup.normalizeText(col(textCol)))).as("tok"))
+      explode(Dedup.normTokens(col(textCol))).as("tok"))
       .localCheckpoint(false)
     // a BM25 corpus is docs with >= 1 token: zero-token docs can never
     // match a query and are SKIPPED (not counted) so re-crawling a feed
@@ -959,18 +959,32 @@ object TextAnalysis {
     * NULL score rather than vanishing. */
   def bigramLogProb(docs: DataFrame, textCol: String, idCol: String,
       lambda: Double = 0.7): DataFrame = {
-    val w = Window.partitionBy(col("_id")).orderBy(col("pos"))
-    // tokenize ONCE; the unigram table and the bigram stream both read
-    // the same materialized token frame (the normalize+tokenize pass is
-    // the corpus-grain cost here)
-    val toks = docs.select(col(idCol).as("_id"),
-        posexplode(GF.wsTokens(Dedup.normalizeText(col(textCol))))
-          .as(Seq("pos", "tok")))
-      .localCheckpoint(false)
-    val bi = toks
-      .withColumn("prev", lag(col("tok"), 1).over(w))
-      .filter(col("prev").isNotNull)
-    val c1 = toks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    // tokenize ONCE into an ARRAY frame (document grain, not token
+    // grain) and build bigrams array-side: element-indexed struct rows
+    // replace the per-token lag window the r16 form used — same (pos,
+    // prev, tok) rows (posexplode's 0-based pos of the second token is
+    // 1..n−1, exactly `sequence(1, n−1)`), no window sort, no
+    // token-grain cache, and the checkpoint holds 1 row per document
+    // EAGER checkpoint: the three consumers below (unigram counts,
+    // bigram counts, scoring) are materialized CONCURRENTLY by AQE —
+    // a lazy checkpoint would let each race ahead and tokenize the
+    // corpus independently (measured 3× the tokenize CPU); eager pays
+    // one materialization barrier and every consumer reads blocks
+    val toksArr = Spread.fewFileScan(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("_id"),
+        Dedup.normTokens(col(textCol)).as("arr"))
+      .localCheckpoint()
+    val biStructs = when(size(col("arr")) >= 2,
+      transform(sequence(lit(1), size(col("arr")) - 1),
+        i => struct(i.as("pos"),
+          element_at(col("arr"), i).as("prev"),
+          element_at(col("arr"), i + 1).as("tok"))))
+      .otherwise(array().cast("array<struct<pos:int,prev:string,tok:string>>"))
+    val bi = toksArr.select(col("_id"), explode(biStructs).as("b"))
+      .select(col("_id"), col("b.pos").as("pos"),
+        col("b.prev").as("prev"), col("b.tok").as("tok"))
+    val c1 = toksArr.select(explode(col("arr")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
     val total = c1.agg(sum(col("c1")).as("total"))
     val c2 = bi.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c2"))
     val scored = bi.join(c2, Seq("prev", "tok"))
@@ -1011,7 +1025,7 @@ object TextAnalysis {
       targetCol: Column): DataFrame = {
     val toks = docs.withColumn("__target", targetCol)
       .select(col(idCol).as("_id"), col("__target"),
-        posexplode(GF.wsTokens(Dedup.normalizeText(col(textCol))))
+        posexplode(Dedup.normTokens(col(textCol)))
           .as(Seq("pos", "tok")))
     val cCorpus = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_c"))
     val cTarget = toks.filter(col("__target"))
@@ -1054,7 +1068,7 @@ object TextAnalysis {
   def boilerplateSpans(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minDf: Int = 3): DataFrame = {
     val toks = docs.select(col(idCol).as("_id"),
-      posexplode(GF.wsTokens(Dedup.normalizeText(col(textCol))))
+      posexplode(Dedup.normTokens(col(textCol)))
         .as(Seq("pos", "tok")))
     val w = Window.partitionBy(col("_id")).orderBy(col("pos"))
     val starts = toks
@@ -1235,7 +1249,7 @@ object TextAnalysis {
       topN: Int = 100): DataFrame = {
     require(topN >= 2, "need at least two ranks to fit")
     val freq = docs
-      .select(explode(GF.wsTokens(Dedup.normalizeText(col(textCol))))
+      .select(explode(Dedup.normTokens(col(textCol)))
         .as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("tok")).limit(topN)

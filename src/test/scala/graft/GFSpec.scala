@@ -83,4 +83,53 @@ class GFSpec extends SparkSpec {
       assert(GF.hash32Jvm(s) == fromCol(s), s"mismatch for '$s'")
     }
   }
+
+  // ---- r17 native hot-path expressions: the optimized forms must be
+  // bit-equal to the composed built-in chains they replaced ----
+
+  private val normFixtures = Seq(
+    "", " ", "\t\n", "Hello, World!", "  a  b\t c ", "a", "7",
+    "ünïcode MÉGA test", "x9---y0", "ALL CAPS 123", "çà-va? s.d. n/d",
+    "tabs\tand\nnewlines\r\nmixed", "trailing space ", " leading",
+    "double  space", "éléphant über ñandú 世界 mixed09",
+    "punct!@#$%^&*()[]{}<>;:'\"`~", "İstanbul Kelvin K test",
+    "a0b1c2 d3e4", "-", "----", "0", "00  11  22")
+
+  test("hash32 native equals the composed md5/conv chain (incl. offset 9)") {
+    val df = normFixtures.toDF("s")
+    for (off <- Seq(1, 9)) {
+      val rows = df.select(
+          GF.hash32(col("s"), off).as("fast"),
+          conv(substring(md5(col("s")), off, 8), 16, 10).cast("long")
+            .as("slow"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"hash32 offset $off diverged: $r"))
+    }
+    // null propagates like the composed chain
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(GF.hash32(col("s"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("normalizeText/normTokens native equal the regex chains") {
+    import graft.operators.Dedup
+    val df = normFixtures.toDF("s")
+    val regexNorm = trim(regexp_replace(
+      regexp_replace(lower(col("s")), "[^a-z0-9]+", " "), "\\s+", " "))
+    val rows = df.select(
+        Dedup.normalizeText(col("s")).as("fastN"), regexNorm.as("slowN"),
+        Dedup.normTokens(col("s")).as("fastT"),
+        GF.wsTokens(regexNorm).as("slowT"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"normText diverged: $r")
+      assert(r.getSeq[String](2) == r.getSeq[String](3),
+        s"normTokens diverged: $r")
+    }
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(Dedup.normalizeText(col("s")), Dedup.normTokens(col("s")))
+      .head()
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
 }
