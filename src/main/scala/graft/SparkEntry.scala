@@ -553,12 +553,19 @@ object SparkEntry {
     * (k, bands) tuning measurement. */
   private def qLshRecall(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    val sig = Dedup.minhashSignature(t.documents, "text", "doc_id", k = 8)
+    // ONE shared shingle pass (lazy, distinct) feeds both the minhash
+    // signature and the exact-Jaccard truth arm — the r16 form
+    // tokenized + shingled the corpus twice (r17 plan audit); the
+    // signature is identical from distinct shingles (min is
+    // multiset-insensitive)
+    val shD = Dedup.shingleRows(t.documents, "text", "doc_id", 3)
+      .distinct().localCheckpoint(false)
+    val sig = Dedup.minhashSignatureFromShingles(shD, "doc_id", k = 8)
     val cand = Dedup.candidatePairs(
       Dedup.lshBuckets(sig, "doc_id", k = 8, bands = 4), "doc_id")
     val window = langBlockedPairs(t, 10).localCheckpoint(false)
     val candW = cand.join(window, Seq("id1", "id2"), "left_semi")
-    val truth = Dedup.ngramJaccard(t.documents, window, "text", "doc_id")
+    val truth = Dedup.ngramJaccardFromShingles(shD, window, "doc_id")
       .filter(col("jaccard") >= 0.01)
       .select(col("id1"), col("id2"))
     Dedup.lshPairRecall(candW, truth)
@@ -962,7 +969,12 @@ object SparkEntry {
     // 3.5M groups at sf0.1 (ulp-boundary values round differently
     // across engines); at 12 dp the boundary window is 10^8 narrower
     // and the subsequent decimal round(…,4) is exact in both.
-    val supply = t.lineitem
+    // min is exact, so a few-file scan spreads before the (part, supp)
+    // collapse — the per-row division + 500k-group partial agg would
+    // otherwise run on the single row-group's one core (guide §2.5)
+    val supply = Spread.fewFileScan(t.lineitem
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_quantity")))
       .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
       .agg(round(min(col("l_extendedprice") / col("l_quantity"))
           .cast("decimal(30,12)"), 4).cast("double")

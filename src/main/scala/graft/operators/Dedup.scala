@@ -400,13 +400,22 @@ object Dedup {
     * portable hash is computed ONCE per shingle; the k universal hashes
     * are cheap arithmetic over it. */
   def minhashSignature(docs: DataFrame, textCol: String, idCol: String,
-      k: Int, shingleN: Int = 3): DataFrame = {
-    val sh = shingleRows(docs, textCol, idCol, shingleN)
-      .select(col(idCol), GF.hash32(col("shingle")).as("h"))
+      k: Int, shingleN: Int = 3): DataFrame =
+    minhashSignatureFromShingles(
+      shingleRows(docs, textCol, idCol, shingleN), idCol, k)
+
+  /** [[minhashSignature]] over a PRECOMPUTED (idCol, shingle) frame —
+    * callers that also exact-verify the same corpus (q126's recall
+    * harness) share ONE shingle pass instead of tokenizing twice.
+    * Distinct or occurrence grain both give the same signature (min is
+    * multiset-insensitive). */
+  def minhashSignatureFromShingles(sh: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    val h = sh.select(col(idCol), GF.hash32(col("shingle")).as("h"))
     val aggs = (0 until k).map(i =>
       min((col("h") * lit(2L * i + 1) + lit(101L * i + 17))
         % lit(GF.MinhashPrime)).as(s"mh$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    h.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: (band, bucket) pairs per doc; docs sharing a bucket in
@@ -506,12 +515,22 @@ object Dedup {
     * Explodes each side's shingle set once and counts intersections —
     * never materializes a cross product. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String,
-      idCol: String, n: Int = 3): DataFrame = {
+      idCol: String, n: Int = 3): DataFrame =
     // lazy local checkpoint, not cache(): three downstream shuffles
     // reference sh; blocks are GC-released instead of living in the
-    // session CacheManager forever.
-    val sh = shingleRows(docs, textCol, idCol, n).distinct()
-      .withColumnRenamed(idCol, "_id").localCheckpoint(false)
+    // session CacheManager forever (an eager barrier here measured
+    // SLOWER — the racing consumers use otherwise-idle cores)
+    ngramJaccardFromShingles(
+      shingleRows(docs, textCol, idCol, n).distinct()
+        .localCheckpoint(false),
+      pairs, idCol)
+
+  /** [[ngramJaccard]] over a PRECOMPUTED, already-materialized DISTINCT
+    * (idCol, shingle) frame — the shared-shingle-pass form (see
+    * [[minhashSignatureFromShingles]]). */
+  def ngramJaccardFromShingles(shD: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val sh = shD.withColumnRenamed(idCol, "_id")
     val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("n_sh"))
     // shingle equality goes INTO the join keys (id2, shingle) — an
     // equi-join producing only intersecting rows, never the

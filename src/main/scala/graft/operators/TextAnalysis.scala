@@ -965,15 +965,10 @@ object TextAnalysis {
     // prev, tok) rows (posexplode's 0-based pos of the second token is
     // 1..n−1, exactly `sequence(1, n−1)`), no window sort, no
     // token-grain cache, and the checkpoint holds 1 row per document
-    // EAGER checkpoint: the three consumers below (unigram counts,
-    // bigram counts, scoring) are materialized CONCURRENTLY by AQE —
-    // a lazy checkpoint would let each race ahead and tokenize the
-    // corpus independently (measured 3× the tokenize CPU); eager pays
-    // one materialization barrier and every consumer reads blocks
     val toksArr = Spread.fewFileScan(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).as("_id"),
         Dedup.normTokens(col(textCol)).as("arr"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val biStructs = when(size(col("arr")) >= 2,
       transform(sequence(lit(1), size(col("arr")) - 1),
         i => struct(i.as("pos"),
