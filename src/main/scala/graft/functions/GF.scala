@@ -36,6 +36,16 @@ object GF {
       Md5Hash32Expr(ColumnBridge.expression(c), hexOffset))
   }
 
+  /** Both md5 hex windows from ONE digest, as struct<h1, h2> — for the
+    * two-band fingerprints (simhash ≥ 33 bits, exact-substr grams)
+    * that would otherwise digest twice. Field i is bit-equal to
+    * [[hash32]] at the corresponding offset. */
+  def hash32Pair(c: Column, off1: Int = 1, off2: Int = 9): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      Md5Hash32PairExpr(ColumnBridge.expression(c), off1, off2))
+  }
+
   /** Driver-side twin of [[hash32]] (same md5 window, same value) for
     * metadata-plane routing — e.g. mapping literal query terms to their
     * posting-index buckets without a Spark job. Asserted bit-equal to

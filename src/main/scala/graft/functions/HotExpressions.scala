@@ -58,6 +58,29 @@ object HotExpressions {
     v
   }
 
+  /** Both hex windows of ONE md5 digest — the two-band fingerprint
+    * form ([[Md5Hash32Expr]] twice would digest twice). */
+  def md5Window32Pair(s: UTF8String, off1: Int,
+      off2: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val md = mdPool.get()
+    md.reset()
+    val digest = md.digest(s.getBytes)
+    def window(off: Int): Long = {
+      var v = 0L
+      var k = off - 1
+      val end = off + 7
+      while (k < end) {
+        val b = digest(k >> 1) & 0xff
+        val nib = if ((k & 1) == 0) b >>> 4 else b & 0xf
+        v = (v << 4) | nib
+        k += 1
+      }
+      v
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](window(off1), window(off2)))
+  }
+
   private def isKeep(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
 
@@ -133,6 +156,37 @@ case class Md5Hash32Expr(child: Expression, hexOffset: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Md5Hash32Expr =
     copy(child = newChild)
+}
+
+/** Two hex windows of one md5 digest as struct<h1:long, h2:long> —
+  * bit-equal to (conv(substring(md5(s), off1, 8), 16, 10),
+  * conv(substring(md5(s), off2, 8), 16, 10)) with a single digest and
+  * no hex round-trip. */
+case class Md5Hash32PairExpr(child: Expression, off1: Int, off2: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "graft_hash32_pair"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h1", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("h2", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.typeName == "string" &&
+        off1 >= 1 && off1 <= 25 && off2 >= 1 && off2 <= 25)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument and 1 <= offsets <= 25")
+
+  override def nullSafeEval(input: Any): Any =
+    HotExpressions.md5Window32Pair(input.asInstanceOf[UTF8String], off1, off2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HotExpressions.md5Window32Pair($c, $off1, $off2)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Md5Hash32PairExpr = copy(child = newChild)
 }
 
 /** One-pass canonical text normalization (lowercase, non-[a-z0-9] runs

@@ -930,11 +930,18 @@ object Dedup {
   def simhash(docs: DataFrame, textCol: String, idCol: String,
       nBits: Int = 32): DataFrame = {
     require(nBits >= 1 && nBits <= 64, s"nBits=$nBits out of [1, 64]")
-    val toks = docs.select(col(idCol),
-      explode(normTokens(col(textCol))).as("tok"))
-      .withColumn("h", GF.hash32(col("tok")))
-      .withColumn("h2",
-        if (nBits > 32) GF.hash32(col("tok"), 9) else lit(0L))
+    // > 32 bits: both windows from ONE digest (hash32Pair) — two
+    // hash32 calls would digest the token twice
+    val toks =
+      if (nBits > 32)
+        docs.select(col(idCol), explode(normTokens(col(textCol))).as("tok"))
+          .withColumn("_hh", GF.hash32Pair(col("tok")))
+          .select(col(idCol), col("tok"),
+            col("_hh.h1").as("h"), col("_hh.h2").as("h2"))
+      else
+        docs.select(col(idCol), explode(normTokens(col(textCol))).as("tok"))
+          .withColumn("h", GF.hash32(col("tok")))
+          .withColumn("h2", lit(0L))
     val votes = (0 until nBits).map { j =>
       sum(when(shiftright(if (j < 32) col("h") else col("h2"), j % 32)
         .bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"_s$j")
@@ -1291,7 +1298,7 @@ object Dedup {
     // pos from posexplode over sequence(0, n-L) IS the 0-based token
     // offset; the gram is hashed in the same codegen stage and dropped
     // before any exchange. ONE md5 per gram (both 32-bit windows come
-    // from the same digest — GF.hash32 at offsets 1 and 9), and the
+    // from the same digest — GF.hash32Pair, no hex round-trip), and the
     // 4-narrow-column gram frame is checkpointed because BOTH the
     // repeat count and the semi-join probe read it: without the
     // checkpoint the tokenize+gram+md5 projection runs twice.
@@ -1299,10 +1306,9 @@ object Dedup {
       .select(col("_id"),
         posexplode(transform(sequence(lit(0), size(col("toks")) - l),
           i => concat_ws(" ", slice(col("toks"), i + 1, lit(l))))))
-      .withColumn("_d", md5(col("col")))
+      .withColumn("_hh", GF.hash32Pair(col("col")))
       .select(col("_id"), col("pos"),
-        conv(substring(col("_d"), 1, 8), 16, 10).cast("long").as("h1"),
-        conv(substring(col("_d"), 9, 8), 16, 10).cast("long").as("h2"))
+        col("_hh.h1").as("h1"), col("_hh.h2").as("h2"))
       .localCheckpoint(false)
     val reps = grams.groupBy(col("h1"), col("h2"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
