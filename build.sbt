@@ -36,5 +36,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // BETWEEN queries where the pause is untimed; MaxGCPauseMillis still
   // bounds the implicit young pauses that do land inside queries.
   "-XX:-ExplicitGCInvokesConcurrent",
-  "-XX:MaxGCPauseMillis=200",
+  // Throughput collector (r17 A/B, two interleaved rounds): the bench's
+  // allocation profile is short-lived codegen-row garbage in bursts;
+  // ParallelGC measured consistently faster than G1+MaxGCPauseMillis
+  // (q103 2.8-5.2s -> 2.3-2.6s, q182 2.0-2.6s -> 1.7-2.1s at sf0.1) —
+  // there is no latency SLO inside a batch query, so the throughput
+  // collector is the right default for this workload.
+  "-XX:+UseParallelGC",
 )

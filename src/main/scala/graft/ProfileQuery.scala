@@ -80,6 +80,16 @@ object ProfileQuery {
         .foreach(_.unpersist(blocking = true))
       System.gc(); Thread.sleep(200)
       for (rep <- 1 to reps) {
+        // true A/B interleaving: SPARK_GRAFT_AB_CONF="k=v;k=v" applies
+        // on EVEN reps and reverts on odd, inside one JVM, so host
+        // drift hits both arms equally
+        sys.env.get("SPARK_GRAFT_AB_CONF").foreach { ab =>
+          ab.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
+            val i = kv.indexOf('=')
+            if (rep % 2 == 0) spark.conf.set(kv.take(i), kv.drop(i + 1))
+            else spark.conf.unset(kv.take(i))
+          }
+        }
         stages.clear(); jobs.clear(); jobStart.clear()
         spark.sparkContext.addSparkListener(listener)
         val t0 = System.nanoTime()
