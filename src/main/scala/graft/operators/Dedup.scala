@@ -562,13 +562,15 @@ object Dedup {
   def lshPairRecall(candidates: DataFrame, truth: DataFrame): DataFrame = {
     val cand = candidates.select(col("id1"), col("id2")).distinct()
       .localCheckpoint(false)
-    val tru = truth.select(col("id1"), col("id2")).distinct()
-      .localCheckpoint(false)
-    val hit = tru.join(cand, Seq("id1", "id2"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
+    // n_true and n_hit come from ONE pass: a left join against the
+    // distinct candidate set (marker counted) replaces the r16 form's
+    // separate semi-join + count — one truth materialization and one
+    // fewer checkpoint, same three numbers
+    val truAgg = truth.select(col("id1"), col("id2")).distinct()
+      .join(cand.withColumn("_hit", lit(1)), Seq("id1", "id2"), "left")
+      .agg(count(lit(1)).as("n_true"), count(col("_hit")).as("n_hit"))
     cand.agg(count(lit(1)).as("n_candidates"))
-      .crossJoin(tru.agg(count(lit(1)).as("n_true")))
-      .crossJoin(hit)
+      .crossJoin(broadcast(truAgg))
       .select(col("n_candidates"), col("n_true"), col("n_hit"),
         round(col("n_hit") / nullif(col("n_true").cast("double"), lit(0.0)),
           6).as("recall"),

@@ -112,6 +112,22 @@ class GFSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("hash32Pair fields equal hash32 at each offset (one digest)") {
+    val rows = normFixtures.toDF("s")
+      .select(GF.hash32Pair(col("s")).as("p"),
+        GF.hash32(col("s"), 1).as("h1"), GF.hash32(col("s"), 9).as("h2"))
+      .select(col("p.h1").as("p1"), col("p.h2").as("p2"),
+        col("h1"), col("h2"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2) && r.getLong(1) == r.getLong(3),
+        s"hash32Pair diverged: $r")
+    }
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(GF.hash32Pair(col("s"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("normalizeText/normTokens native equal the regex chains") {
     import graft.operators.Dedup
     val df = normFixtures.toDF("s")
