@@ -1295,8 +1295,11 @@ object Dedup {
       minTokens: Int = 8): DataFrame = {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
     val l = minTokens
-    val toks = docs.select(col(idCol).as("_id"),
-      GF.wsTokens(col(textCol)).as("toks"))
+    // gram hashing + island detection are exact — spread a few-file
+    // scan before the corpus-grain gram pass (guide §2.5)
+    val toks = Spread.fewFileScan(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("_id"),
+        GF.wsTokens(col(textCol)).as("toks"))
     // pos from posexplode over sequence(0, n-L) IS the 0-based token
     // offset; the gram is hashed in the same codegen stage and dropped
     // before any exchange. ONE md5 per gram (both 32-bit windows come

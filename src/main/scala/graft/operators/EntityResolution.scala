@@ -71,10 +71,17 @@ object EntityResolution {
   def fkAudit(check: String, fact: DataFrame, fkCol: String,
       dim: DataFrame, pkCol: String): DataFrame = {
     val keyed = fact.select(col(fkCol).as("_fk")).filter(col("_fk").isNotNull)
-    val orphan = keyed.join(dim.select(col(pkCol).as("_fk")), Seq("_fk"),
-      "left_anti")
-    keyed.agg(count(lit(1)).as("rows"))
-      .crossJoin(orphan.agg(count(lit(1)).as("orphans")))
+    // ONE fact pass: left join against the distinct PK set and count
+    // rows + unmatched rows together — the r16 form scanned the fact
+    // twice (total count + anti-join count) and crossJoined the two
+    // 1-row frames. Distinct PKs keep the left join fanout-free, so
+    // `rows` is exact and `orphans` ≡ the anti-join count.
+    keyed
+      .join(dim.select(col(pkCol).as("_fk")).distinct()
+          .withColumn("_hit", lit(1)),
+        Seq("_fk"), "left")
+      .agg(count(lit(1)).as("rows"),
+        (count(lit(1)) - count(col("_hit"))).as("orphans"))
       .select(lit(check).as("check"), col("rows"), col("orphans"))
   }
 
