@@ -959,27 +959,20 @@ object TextAnalysis {
     * NULL score rather than vanishing. */
   def bigramLogProb(docs: DataFrame, textCol: String, idCol: String,
       lambda: Double = 0.7): DataFrame = {
-    // tokenize ONCE into an ARRAY frame (document grain, not token
-    // grain) and build bigrams array-side: element-indexed struct rows
-    // replace the per-token lag window the r16 form used — same (pos,
-    // prev, tok) rows (posexplode's 0-based pos of the second token is
-    // 1..n−1, exactly `sequence(1, n−1)`), no window sort, no
-    // token-grain cache, and the checkpoint holds 1 row per document
-    val toksArr = Spread.fewFileScan(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol).as("_id"),
-        Dedup.normTokens(col(textCol)).as("arr"))
+    val w = Window.partitionBy(col("_id")).orderBy(col("pos"))
+    // tokenize ONCE; the unigram table and the bigram stream both read
+    // the same materialized token frame. (r17 note: an array-side
+    // bigram build via transform/element_at structs was tried and
+    // measured 3-6× the CPU — higher-order functions are interpreted,
+    // not codegen'd; the explode + lag window stays.)
+    val toks = docs.select(col(idCol).as("_id"),
+        posexplode(Dedup.normTokens(col(textCol)))
+          .as(Seq("pos", "tok")))
       .localCheckpoint(false)
-    val biStructs = when(size(col("arr")) >= 2,
-      transform(sequence(lit(1), size(col("arr")) - 1),
-        i => struct(i.as("pos"),
-          element_at(col("arr"), i).as("prev"),
-          element_at(col("arr"), i + 1).as("tok"))))
-      .otherwise(array().cast("array<struct<pos:int,prev:string,tok:string>>"))
-    val bi = toksArr.select(col("_id"), explode(biStructs).as("b"))
-      .select(col("_id"), col("b.pos").as("pos"),
-        col("b.prev").as("prev"), col("b.tok").as("tok"))
-    val c1 = toksArr.select(explode(col("arr")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val bi = toks
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val c1 = toks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
     val total = c1.agg(sum(col("c1")).as("total"))
     val c2 = bi.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c2"))
     val scored = bi.join(c2, Seq("prev", "tok"))
