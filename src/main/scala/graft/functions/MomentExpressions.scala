@@ -37,6 +37,13 @@ import org.apache.spark.sql.types._
   * whose length differs from `dims` are SKIPPED — same
   * decline-to-null discipline as the caller's ragged-input filter,
   * enforced again here so a mis-wired caller can't mis-key cells.
+  * NOTE (r16 advisor): this is an n-semantics change vs the relational
+  * form it replaced — a row whose vector contains a NULL element was
+  * previously counted in n (its null cells skipped by sum); this
+  * aggregate drops the whole row from n, sx and sxy. Intended: a
+  * partially-null vector is a malformed input, not a sparse one. A
+  * future null-bearing fixture diverging here is this contract, not a
+  * regression.
   * Output: `struct(n:long, sx:array<decimal(38,0)>,
   * sxy:array<decimal(38,0)>)` with sxy in row-major upper-triangle
   * order (the caller's pos → (i,j) map).

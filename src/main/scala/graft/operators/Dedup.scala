@@ -1279,9 +1279,13 @@ object Dedup {
     * Returns one row per maximal span occurrence:
     * `(id, span_start, span_end, span_tokens, span_md5)` with 0-based
     * token offsets, end exclusive; `span_md5` hashes the span's actual
-    * text, so identical spans share it across occurrences (the span_id
-    * for cross-doc grouping) and the gate cross-checks real content,
-    * not just hash-flagged positions.
+    * text, so the gate cross-checks real content, not just
+    * hash-flagged positions. Occurrences share a span_md5 only when
+    * the MAXIMAL span itself repeats verbatim: gaps-and-islands can
+    * merge two adjacent independently-repeated substrings into one
+    * maximal span whose concatenation occurs nowhere else, so
+    * grouping by span_md5 undercounts occurrences of duplicated
+    * content (removal/coverage semantics are unaffected).
     *
     * Scale shape: one narrow token-grain explode; ONE gram-grain
     * aggregate (map-side combinable — dup grams collapse before the
