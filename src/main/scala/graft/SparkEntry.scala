@@ -969,12 +969,10 @@ object SparkEntry {
     // 3.5M groups at sf0.1 (ulp-boundary values round differently
     // across engines); at 12 dp the boundary window is 10^8 narrower
     // and the subsequent decimal round(…,4) is exact in both.
-    // min is exact, so a few-file scan spreads before the (part, supp)
-    // collapse — the per-row division + 500k-group partial agg would
-    // otherwise run on the single row-group's one core (guide §2.5)
-    val supply = Spread.fewFileScan(t.lineitem
-        .select(col("l_partkey"), col("l_suppkey"),
-          col("l_extendedprice"), col("l_quantity")))
+    // (r17: a guarded scan spread before this agg was tried and
+    // measured SLOWER — the extra full-row exchange outweighs the
+    // parallel partial agg, the q208 lesson repeated)
+    val supply = t.lineitem
       .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
       .agg(round(min(col("l_extendedprice") / col("l_quantity"))
           .cast("decimal(30,12)"), 4).cast("double")
