@@ -47,6 +47,23 @@ object PlanDump {
         } catch { case e: Throwable =>
           System.err.println(s"[plandump] $name failed: ${e.getMessage}")
         }
+        // Second capture with lineage-truncation disabled (graftCp ==
+        // identity): checkpointed subtrees collapse to `Scan
+        // ExistingRDD` in the as-executed plan above, hiding the very
+        // expressions an optimization claim is about; the _lineage
+        // artifact shows the full tree end-to-end. Queries whose
+        // CONSTRUCTION depends on materialized state (iterative loops
+        // recomputing lineage) may be slow or fail here — best-effort,
+        // the as-executed plan is the artifact of record.
+        try {
+          System.setProperty(KeepLineageProp, "true")
+          val plan = fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          Files.writeString(Paths.get(s"$outDir/${name}_${tag}_lineage.txt"),
+            plan)
+        } catch { case e: Throwable =>
+          System.err.println(s"[plandump] $name lineage failed: ${e.getMessage}")
+        } finally System.clearProperty(KeepLineageProp)
       }
     spark.stop()
   }

@@ -559,11 +559,11 @@ object SparkEntry {
     // signature is identical from distinct shingles (min is
     // multiset-insensitive)
     val shD = Dedup.shingleRows(t.documents, "text", "doc_id", 3)
-      .distinct().localCheckpoint(false)
+      .distinct().graftCp(false)
     val sig = Dedup.minhashSignatureFromShingles(shD, "doc_id", k = 8)
     val cand = Dedup.candidatePairs(
       Dedup.lshBuckets(sig, "doc_id", k = 8, bands = 4), "doc_id")
-    val window = langBlockedPairs(t, 10).localCheckpoint(false)
+    val window = langBlockedPairs(t, 10).graftCp(false)
     val candW = cand.join(window, Seq("id1", "id2"), "left_semi")
     val truth = Dedup.ngramJaccardFromShingles(shD, window, "doc_id")
       .filter(col("jaccard") >= 0.01)
@@ -581,7 +581,7 @@ object SparkEntry {
     val t = Tables(s, dir)
     val sig = Dedup.minhashSignature(t.documents, "text", "doc_id", k = 8)
     val buckets = Dedup.lshBuckets(sig, "doc_id", k = 8, bands = 4)
-      .localCheckpoint(false)
+      .graftCp(false)
     val unc = Dedup.candidatePairs(buckets, "doc_id",
       maxBucketSize = Int.MaxValue)
     val capped = Dedup.candidatePairs(buckets, "doc_id", maxBucketSize = 2)
@@ -654,7 +654,7 @@ object SparkEntry {
     * known-good seeds. The seed collect is metadata-plane (3 ids). */
   private def qPprExpand(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    val sym = shingleGraph(t).localCheckpoint(false)
+    val sym = shingleGraph(t).graftCp(false)
     val seeds = sym.select(col("id1").as("id"))
       .union(sym.select(col("id2").as("id")))
       .distinct().orderBy(col("id")).limit(3)
@@ -672,7 +672,7 @@ object SparkEntry {
     val t = Tables(s, dir)
     val fx = MultiModal.syntheticImage(
       t.documents.select("doc_id"), "doc_id", "png")
-    val hs = MultiModal.imageAHash(fx).localCheckpoint(false)
+    val hs = MultiModal.imageAHash(fx).graftCp(false)
     val a = hs.select(col("doc_id").as("id1"), col("ahash").as("h1"))
       .withColumn("blk", explode(array(
         floor(col("id1") / lit(8)).cast("long"),
@@ -697,7 +697,7 @@ object SparkEntry {
     val t = Tables(s, dir)
     val fx = MultiModal.syntheticImage(
       t.documents.select("doc_id"), "doc_id", "png")
-    val hs = MultiModal.imageDHash(fx).localCheckpoint(false)
+    val hs = MultiModal.imageDHash(fx).graftCp(false)
     val a = hs.select(col("doc_id").as("id1"), col("dhash").as("h1"))
       .withColumn("blk", explode(array(
         floor(col("id1") / lit(8)).cast("long"),
@@ -751,7 +751,7 @@ object SparkEntry {
     val t = Tables(s, dir)
     val fx = MultiModal.syntheticImage(
       t.documents.select("doc_id"), "doc_id", "png")
-      .localCheckpoint(false) // encode once, hash twice
+      .graftCp(false) // encode once, hash twice
     def pairsOf(hs: DataFrame, hcol: String): DataFrame = {
       val a = hs.select(col("doc_id").as("id1"), col(hcol).as("h1"))
         .withColumn("blk", explode(array(
@@ -1006,7 +1006,7 @@ object SparkEntry {
     val rev = t.lineitem.groupBy(col("l_partkey"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("v"))
-      .localCheckpoint(false)
+      .graftCp(false)
     val tot = rev.agg(sum(col("v")).as("total"),
       count(lit(1)).as("n_parts"))
     rev.crossJoin(broadcast(tot))
@@ -2873,7 +2873,7 @@ object SparkEntry {
       .groupBy(col("l_suppkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("total_revenue"))
-      .localCheckpoint(false)
+      .graftCp(false)
     val best = rev.agg(max(col("total_revenue")).as("max_revenue"))
     rev.crossJoin(broadcast(best))
       .filter(col("total_revenue") === col("max_revenue"))
@@ -2968,7 +2968,7 @@ object SparkEntry {
         col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(col("l_quantity")).as("qty"))
-      .localCheckpoint(false)
+      .graftCp(false)
     val bar = spQty.agg((avg(col("qty")) * 1.5).as("qty_bar"))
     val bulky = spQty.crossJoin(broadcast(bar))
       .filter(col("qty") > col("qty_bar"))
@@ -2998,7 +2998,7 @@ object SparkEntry {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
           .as("late"))
-      .localCheckpoint(false)
+      .graftCp(false)
     val orderStats = lines.groupBy(col("l_orderkey"))
       .agg(countDistinct(col("l_suppkey")).as("n_supp"),
         countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
@@ -3410,7 +3410,7 @@ object SparkEntry {
         min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
           .as("p_us"))
       .filter(col("s_us").isNotNull)
-      .localCheckpoint(false)
+      .graftCp(false)
     val total = firsts.agg(count(lit(1)).as("n_signup"))
     val lags = firsts.filter(col("p_us").isNotNull)
       .select(greatest(
@@ -3467,7 +3467,7 @@ object SparkEntry {
   private def qAudienceOverlap(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val ut = t.events.select(col("user_id"), col("event_type")).distinct()
-      .localCheckpoint(false)
+      .graftCp(false)
     val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     val both = ut.select(col("user_id"), col("event_type").as("g1"))
       .join(ut.select(col("user_id"), col("event_type").as("g2")),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -242,7 +243,7 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1]")
     val sh = shingleRows(docs, textCol, idCol, shingleN)
-      .distinct().localCheckpoint(false)
+      .distinct().graftCp(false)
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -461,7 +462,7 @@ object Dedup {
     * [[overCapBuckets]] reports what was demoted. */
   def candidatePairs(buckets: DataFrame, idCol: String,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val b = buckets.localCheckpoint(false)
+    val b = buckets.graftCp(false)
     if (maxBucketSize == Int.MaxValue) {
       val l = b.select(col("band"), col("bucket"), col(idCol).as("id1"))
       val r = b.select(col("band"), col("bucket"), col(idCol).as("id2"))
@@ -481,7 +482,7 @@ object Dedup {
       val overCap = b.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("_n"), min(col(idCol)).as("_hub"))
         .filter(col("_n") > maxBucketSize)
-        .localCheckpoint(false)
+        .graftCp(false)
       val overKeys = overCap.select(col("band"), col("bucket"))
       val small = b.join(broadcast(overKeys), Seq("band", "bucket"),
         "left_anti")
@@ -522,7 +523,7 @@ object Dedup {
     // SLOWER — the racing consumers use otherwise-idle cores)
     ngramJaccardFromShingles(
       shingleRows(docs, textCol, idCol, n).distinct()
-        .localCheckpoint(false),
+        .graftCp(false),
       pairs, idCol)
 
   /** [[ngramJaccard]] over a PRECOMPUTED, already-materialized DISTINCT
@@ -561,7 +562,7 @@ object Dedup {
     * pair-keyed semi-joins — nothing quadratic. Returns one row. */
   def lshPairRecall(candidates: DataFrame, truth: DataFrame): DataFrame = {
     val cand = candidates.select(col("id1"), col("id2")).distinct()
-      .localCheckpoint(false)
+      .graftCp(false)
     // n_true and n_hit come from ONE pass: a left join against the
     // distinct candidate set (marker counted) replaces the r16 form's
     // separate semi-join + count — one truth materialization and one
@@ -588,7 +589,7 @@ object Dedup {
   def sharedShingleEdges(docs: DataFrame, pairs: DataFrame, textCol: String,
       idCol: String, n: Int = 3): DataFrame = {
     val sh = shingleRows(docs, textCol, idCol, n)
-      .withColumnRenamed(idCol, "_id").localCheckpoint(false)
+      .withColumnRenamed(idCol, "_id").graftCp(false)
     pairs
       .join(sh.select(col("_id").as("id1"), col("shingle")), Seq("id1"))
       .join(sh.select(col("_id").as("id2"), col("shingle")),
@@ -634,7 +635,7 @@ object Dedup {
   def shingleContainment(docs: DataFrame, pairs: DataFrame, textCol: String,
       idCol: String, n: Int = 3): DataFrame = {
     val sh = shingleRows(docs, textCol, idCol, n).distinct()
-      .withColumnRenamed(idCol, "_id").localCheckpoint(false)
+      .withColumnRenamed(idCol, "_id").graftCp(false)
     val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("n_sh"))
     val inter = pairs
       .join(sh.withColumnRenamed("_id", "id1"), Seq("id1"))
@@ -809,7 +810,7 @@ object Dedup {
     val idType = pairs.schema(idCol1).dataType
     val p2 = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
       .distinct()
-      .localCheckpoint(false)
+      .graftCp(false)
     val nEdges = p2.count()
     val integralIds = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType
@@ -855,11 +856,11 @@ object Dedup {
     val edges = p2
       .union(p2.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint(false)
+      .graftCp(false)
     // fused round 0: min over self and direct neighbors, one groupBy
     var labels = edges.groupBy(col("a").as("id"))
       .agg(min(least(col("a"), col("b"))).as("label"))
-      .localCheckpoint(false)
+      .graftCp(false)
     // one metadata-scale count decides the loop's join strategy; it
     // also materializes the edge/label checkpoints before iterating
     val smallEnough = labels.count() <= broadcastMaxNodes
@@ -879,7 +880,7 @@ object Dedup {
       // would otherwise recompute the propagation lineage per side
       val propagated = labels.union(neighborLabels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(false)
+        .graftCp(false)
       // pointer jumping: every label is itself a node id present in the
       // label map (labels cover all edge endpoints and only move to
       // smaller endpoint ids), so follow it one step — label paths
@@ -890,7 +891,7 @@ object Dedup {
           col("label").as("_jump"))), Seq("label"), "left")
         .select(col("id"),
           coalesce(col("_jump"), col("label")).as("label"))
-        .localCheckpoint(false)
+        .graftCp(false)
       val s = Option(updated.agg(sum(col("label"))).head().get(0))
         .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
       converged = prevSum.contains(s)
@@ -1016,7 +1017,7 @@ object Dedup {
     require(nBits % bands == 0, s"bands=$bands must divide nBits=$nBits")
     val r = nBits / bands
     val mask = if (r == 64) -1L else (1L << r) - 1
-    val sh = simhash(docs, textCol, idCol, nBits).localCheckpoint(false)
+    val sh = simhash(docs, textCol, idCol, nBits).graftCp(false)
     val banded = sh.select(col(idCol), explode(array(
         (0 until bands).map(b => struct(lit(b).as("bi"),
           expr(s"shiftright(simhash, ${b * r})").bitwiseAND(lit(mask))
@@ -1105,11 +1106,11 @@ object Dedup {
         .select(col("corpus_id"))
         .join(broadcast(ids), Seq("corpus_id"))
         .distinct()
-        .localCheckpoint(true) // materialize BEFORE touching the index
+        .graftCp(true) // materialize BEFORE touching the index
       batch.join(existing.withColumnRenamed("corpus_id", idCol),
         Seq(idCol), "left_anti")
     }
-    val fresh = fresh0.localCheckpoint(false)
+    val fresh = fresh0.graftCp(false)
     val nAdded = fresh.count()
     if (nAdded > 0)
       lshBuckets(minhashSignature(fresh, textCol, idCol, k, shingleN),
@@ -1215,7 +1216,7 @@ object Dedup {
           .agg(count(lit(1)).as("_n"))
           .filter(col("_n") > maxBucketSize)
           .select(col("band"), col("bucket"))
-          .localCheckpoint(true) // metadata-scale; decides the plan
+          .graftCp(true) // metadata-scale; decides the plan
         if (oc.isEmpty) None else Some(oc)
       }
     val postings = overCap match {
@@ -1296,12 +1297,19 @@ object Dedup {
     * scale raise minTokens to 40-50 (the Lee et al. operating point);
     * gram-row volume is corpus tokens, independent of L. */
   def exactSubstrSpans(docs: DataFrame, textCol: String, idCol: String,
-      minTokens: Int = 8): DataFrame = {
+      minTokens: Int = 8, spreadScan: Boolean = true): DataFrame = {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
     val l = minTokens
     // gram hashing + island detection are exact — spread a few-file
-    // scan before the corpus-grain gram pass (guide §2.5)
-    val toks = Spread.fewFileScan(docs.select(col(idCol), col(textCol)))
+    // scan before the corpus-grain gram pass (guide §2.5). The spread
+    // pays only when the downstream span machinery amortizes the
+    // corpus-grain exchange: the span-occurrence caller (q233: per-
+    // occurrence md5 re-slice + global sort) gains 1.7×, but the
+    // removal-transform caller ([[exactSubstrDedup]]) is doc-grain
+    // cheap past the gram head and the exchange is a measured net
+    // LOSS there (r17: q236 min 0.19 → 0.28 s) — it opts out.
+    val in = docs.select(col(idCol), col(textCol))
+    val toks = (if (spreadScan) Spread.fewFileScan(in) else in)
       .select(col(idCol).as("_id"),
         GF.wsTokens(col(textCol)).as("toks"))
     // pos from posexplode over sequence(0, n-L) IS the 0-based token
@@ -1318,7 +1326,7 @@ object Dedup {
       .withColumn("_hh", GF.hash32Pair(col("col")))
       .select(col("_id"), col("pos"),
         col("_hh.h1").as("h1"), col("_hh.h2").as("h2"))
-      .localCheckpoint(false)
+      .graftCp(false)
     val reps = grams.groupBy(col("h1"), col("h2"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
       .select(col("h1"), col("h2"))
@@ -1360,7 +1368,11 @@ object Dedup {
     * construction (maximal islands are disjoint). */
   def exactSubstrDedup(docs: DataFrame, textCol: String, idCol: String,
       minTokens: Int = 8): DataFrame = {
-    val spans = exactSubstrSpans(docs, textCol, idCol, minTokens)
+    // spreadScan=false: past the gram head this path is doc-grain
+    // cheap, so the corpus round-robin exchange the spread adds never
+    // amortizes here (see exactSubstrSpans)
+    val spans = exactSubstrSpans(docs, textCol, idCol, minTokens,
+      spreadScan = false)
     val byDoc = spans.groupBy(col(idCol).as("_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("span_tokens")).as("n_dropped"),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -56,7 +57,7 @@ object GraphOps {
     require(iters >= 1, "iters must be >= 1")
     require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(false)
+      .graftCp(false)
     // ONE degree aggregation yields the vertex set, out-degrees and the
     // no-in-edge set together — one shuffle and one materialization
     // where three separate derivations would each pay their own
@@ -65,12 +66,12 @@ object GraphOps {
         lit(1L).as("ind")))
       .groupBy(col("id"))
       .agg(sum(col("od")).as("outdeg"), sum(col("ind")).as("indeg"))
-      .localCheckpoint(false)
+      .graftCp(false)
     val n = deg.count() // metadata-plane scalar (rank normalization)
     val verts = deg.select(col("id"))
     val ew = e.join(deg.select(col("id").as("src"), col("outdeg")),
         Seq("src"))
-      .localCheckpoint(false) // edges + degrees materialize ONCE
+      .graftCp(false) // edges + degrees materialize ONCE
     val base = (1.0 - damping) / n
     // Loop-invariant: a vertex with NO in-edges holds rank (1−d)/N
     // after every round. Materializing that set once removes the
@@ -94,7 +95,7 @@ object GraphOps {
       // rounds of join depth is cheap to re-derive, while a checkpoint
       // costs a full materialization barrier each time.
       if (i % checkpointInterval == 0 && i < iters)
-        ranks = ranks.localCheckpoint(false)
+        ranks = ranks.graftCp(false)
     }
     ranks.select(col("id"), round(col("r"), 6).as("pagerank"))
   }
@@ -119,26 +120,26 @@ object GraphOps {
     require(iters >= 1, "iters must be >= 1")
     require(seedIds.nonEmpty, "seedIds must be non-empty")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(false)
+      .graftCp(false)
     val deg = e.select(col("src").as("id"), lit(1L).as("od"))
       .unionByName(e.select(col("dst").as("id"), lit(0L).as("od")))
       .groupBy(col("id")).agg(sum(col("od")).as("outdeg"))
-      .localCheckpoint(false)
+      .graftCp(false)
     val verts = deg.select(col("id"))
     val seedV = deg.filter(col("id").isin(seedIds: _*)).select(col("id"))
-      .localCheckpoint(false)
+      .graftCp(false)
     val nS = seedV.count()
     require(nS > 0, "no seed is a vertex of the graph")
     val resetVal = (1.0 - damping) / nS
     val ew = e.join(deg.select(col("id").as("src"), col("outdeg")),
         Seq("src"))
-      .localCheckpoint(false)
+      .graftCp(false)
     // the restart mass lands on every seed every round, whether or not
     // the seed received walk mass this round — a constant frame unioned
     // in and re-aggregated (the two summands per vertex commute, so the
     // deterministic-fold contract is preserved bit-for-bit)
     val seedsConst = seedV.select(col("id"), lit(resetVal).as("r"))
-      .localCheckpoint(false)
+      .graftCp(false)
     var ranks = seedV.select(col("id"), lit(1.0 / nS).as("r"))
     for (i <- 1 to iters) {
       val contribs = ew
@@ -151,7 +152,7 @@ object GraphOps {
         .unionByName(seedsConst)
         .groupBy(col("id")).agg(sum(col("r")).as("r"))
       if (i % checkpointInterval == 0 && i < iters)
-        ranks = ranks.localCheckpoint(false)
+        ranks = ranks.graftCp(false)
     }
     verts.join(ranks, Seq("id"), "left")
       .select(col("id"),
@@ -188,7 +189,7 @@ object GraphOps {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(false)
+      .graftCp(false)
     val wedges = e.select(col("a"), col("b"))
       .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
     val tris = wedges.join(e.select(col("a"), col("b").as("c")),

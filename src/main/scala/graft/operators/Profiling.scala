@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
@@ -468,7 +469,7 @@ object Profiling {
       .withColumn("cos_centroid",
         round(Similarity.cosine(col(vecCol).cast("array<double>"),
           col("centroid")), 6))
-      .localCheckpoint(false)
+      .graftCp(false)
     val thresholds = exactQuantilesByValue(
         scored.select(col(grpCol), col("cos_centroid")),
         "cos_centroid", grpCol, Seq(q),
@@ -542,7 +543,7 @@ object Profiling {
     val cells = df.groupBy(col(xCol).cast("string").as("x"),
         col(yCol).cast("string").as("y"))
       .agg(count(lit(1)).as("cxy"))
-      .localCheckpoint(false)
+      .graftCp(false)
     val xs = cells.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
     val ys = cells.groupBy(col("y")).agg(sum(col("cxy")).as("cy"))
     val tot = cells.agg(sum(col("cxy")).as("n"))
@@ -710,7 +711,7 @@ object Profiling {
         .agg(ColumnBridge.column(graft.functions.PcaMomentsAgg(
             ColumnBridge.expression(col("_q")), dims)
           .toAggregateExpression()).as("m"))
-        .localCheckpoint(false)
+        .graftCp(false)
     }
     val n = moments.select(col("m.n").as("n"))
     val sx = moments.select(posexplode(col("m.sx")).as(Seq("i", "sx")))
@@ -742,7 +743,7 @@ object Profiling {
             col("sxi").cast("double") * col("sxj").cast("double") /
               col("n") / col("n")) / 100.0)
           .cast(dec).as("c"))
-      .localCheckpoint(false)
+      .graftCp(false)
     // integer power iteration from the all-ones vector
     var w = cov.groupBy(col("i")).agg(sum(col("c")).as("w"))
     var wPrev = w

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -149,14 +150,14 @@ object Similarity {
       lshBucketExpr(col(vecCol), bits, dims) + lit(bits.toLong << 24)
     var done: Option[DataFrame] = None
     var rest = vectors.withColumn(blkCol, key(baseBits))
-      .localCheckpoint(false)
+      .graftCp(false)
     var bits = baseBits
     while (rest != null) {
       val overCap = rest.groupBy(col(blkCol))
         .agg(count(lit(1)).as("_n"))
         .filter(col("_n") > maxBlockSize)
         .select(col(blkCol))
-        .localCheckpoint(true) // metadata-scale; decides refinement
+        .graftCp(true) // metadata-scale; decides refinement
       val under = rest.join(broadcast(overCap), Seq(blkCol), "left_anti")
       done = Some(done.map(_.unionByName(under)).getOrElse(under))
       if (overCap.isEmpty || bits >= maxBits) {
@@ -169,7 +170,7 @@ object Similarity {
         bits = math.min(bits + refineStep, maxBits)
         rest = rest.join(broadcast(overCap), Seq(blkCol), "left_semi")
           .withColumn(blkCol, key(bits))
-          .localCheckpoint(false)
+          .graftCp(false)
       }
     }
     done.get
@@ -187,7 +188,7 @@ object Similarity {
       .withColumn("bucket", lshBucketExpr(col(vecCol), nBits, dims))
       .select(col(idCol), col(vecCol), col("bucket"),
         norm(col(vecCol)).as("nrm"))
-      .localCheckpoint(false)
+      .graftCp(false)
     val cand = withSig.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
       col("bucket"), col("nrm").as("cn"))
     val q = queries.select(col(idCol))
@@ -227,7 +228,7 @@ object Similarity {
       .withColumn("bucket", lshBucketExpr(col(vecCol), nBits, dims))
       .select(col(idCol), col(vecCol), col("bucket"),
         norm(col(vecCol)).as("nrm"))
-      .localCheckpoint(false)
+      .graftCp(false)
     val cand = withSig.select(col(idCol).as("cand_id"),
       col(vecCol).as("cv"), col("bucket"), col("nrm").as("cn"))
     // per-query probe masks: 0 (the home bucket) plus single-bit flips
@@ -294,7 +295,7 @@ object Similarity {
   private def toCentArr(rows: DataFrame): DataFrame =
     rows.agg(array_sort(collect_list(struct(col("cell"),
         col("centroid"), col("cnrm")))).as("cents"))
-      .localCheckpoint(false)
+      .graftCp(false)
 
   /** Scored (csim, cell) structs per centroid, materialized in their
     * own projection so the cosine fold runs once per centroid, not per
@@ -471,7 +472,7 @@ object Similarity {
     val collisions = if (!postingsExists) null else
       spark.read.parquet(postings).select(col(idCol), col("cell"))
         .join(broadcast(batchIds), Seq(idCol))
-        .distinct().localCheckpoint(true)
+        .distinct().graftCp(true)
     val staleCells: Array[Any] =
       if (collisions == null || !replace) Array.empty
       else collisions.select(col("cell")).distinct().collect().map(_.get(0))
@@ -574,7 +575,7 @@ object Similarity {
     val q = qAssigned
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"),
         norm(col(vecCol)).as("qn"))
-      .localCheckpoint(false)
+      .graftCp(false)
     val probed = q.select(col("cell")).distinct().collect().map(_.get(0))
     val cand = spark.read.parquet(s"$path/postings")
       .filter(col("cell").isin(probed: _*))
@@ -621,7 +622,7 @@ object Similarity {
     rows.groupBy(col("sub"))
       .agg(array_sort(collect_list(struct(col("cell"), col("centroid"),
         col("cnrm")))).as("cents"))
-      .localCheckpoint(false)
+      .graftCp(false)
 
   private def assignSubCells(sliced: DataFrame, idCol: String,
       cents: DataFrame): DataFrame =
@@ -825,7 +826,7 @@ object Similarity {
     val q = qAssigned
       .select(col(idCol).as("query_id"), col("cell"),
         pqLut(vecCol, books).as("lut"), norm(col(vecCol)).as("qn"))
-      .localCheckpoint(false)
+      .graftCp(false)
     val probed = q.select(col("cell")).distinct().collect().map(_.get(0))
     val cand = spark.read.parquet(s"$path/postings")
       .filter(col("cell").isin(probed: _*))
@@ -901,7 +902,7 @@ object Similarity {
     val blk = adaptiveLshBlocks(pop, vecCol, "_blk", baseBits,
         maxBlockSize)
       .withColumn("_nrm", norm(col(vecCol)))
-      .localCheckpoint(false)
+      .graftCp(false)
     val s = blk.filter(col("_side") === 0).select(col("_blk"),
       col(idCol).as("sid"), col(vecCol).as("sv"), col("_nrm").as("sn"))
     val t = blk.filter(col("_side") === 1).select(col("_blk"),
@@ -920,7 +921,7 @@ object Similarity {
     def simInt(c: Column): Column = round(c * 1e6, 0).cast("long")
     val sims = blockedMarginSims(src, tgt, idCol, vecCol, baseBits,
         maxBlockSize)
-      .localCheckpoint(false)
+      .graftCp(false)
     val wf = Window.partitionBy(col("sid"))
       .orderBy(col("sim").desc, col("tid"))
     val wb = Window.partitionBy(col("tid"))
@@ -976,7 +977,7 @@ object Similarity {
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     val normed = vectors.select(col(blockCol).as("blk"), col(idCol),
-      col(vecCol), norm(col(vecCol)).as("nrm")).localCheckpoint(false)
+      col(vecCol), norm(col(vecCol)).as("nrm")).graftCp(false)
     val l = normed.select(col("blk"), col(idCol).as("id1"),
       col(vecCol).as("v1"), col("nrm").as("n1"))
     val r = normed.select(col("blk"), col(idCol).as("id2"),
@@ -1211,7 +1212,7 @@ object Similarity {
     val pool = bruteForceKnn(queries, candidates, idCol, vecCol, poolK)
       .select(col("query_id"), col("cand_id"), col("sim").as("rel"),
         round(col("sim") * 1e6).cast("long").as("rel6"), col("rank"))
-      .localCheckpoint(false)
+      .graftCp(false)
     val vecs = candidates.select(col(idCol).as("cand_id"),
       col(vecCol).as("v"), norm(col(vecCol)).as("vn"))
     val pv = pool.join(vecs, Seq("cand_id"))
@@ -1224,7 +1225,7 @@ object Similarity {
         round(dot(col("a.v"), col("b.v")) /
           nullif(col("a.vn") * col("b.vn"), lit(0.0)) * 1e6)
           .cast("long").as("csim6"))
-      .localCheckpoint(false)
+      .graftCp(false)
     var selected = pool.filter(col("rank") === 1)
       .select(col("query_id"), col("cand_id"), lit(1).as("mmr_rank"),
         col("rel"), lit(0.0).as("max_sim_sel"),
@@ -1251,7 +1252,7 @@ object Similarity {
           lit(step).as("mmr_rank"), col("rel"),
           (col("ms6").cast("double") / 1e6).as("max_sim_sel"),
           (col("_score").cast("double") / 1e7).as("mmr_score"))
-        .localCheckpoint(false)
+        .graftCp(false)
       selected = selected.unionByName(pick)
       remaining = remaining.join(
         pick.select(col("query_id"), col("cand_id")),

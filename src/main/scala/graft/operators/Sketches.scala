@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftCheckpointOps
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.{Aggregator, Window}
@@ -122,7 +123,7 @@ object Sketches {
     val w = Window.partitionBy(col("g")).orderBy(col("h"))
     val bk = h.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).select(col("g"), col("h"))
-      .localCheckpoint(false)
+      .graftCp(false)
     val groups = bk.select(col("g")).distinct()
     val pairs = groups.select(col("g").as("g1"))
       .crossJoin(broadcast(groups.select(col("g").as("g2"))))

@@ -15,21 +15,38 @@ import org.apache.spark.sql.{Column, DataFrame}
   * this since r12; this is the same guard as a shared helper for the
   * other CPU-dense operator heads.
   *
-  * The guard is layout-adaptive, not a local[32] constant: a scan
-  * backed by fewer files than `defaultParallelism` is spread (hash by
-  * `keys` when the consumer wants co-location, round-robin otherwise);
-  * a many-file production scan — already parallel — passes through
-  * untouched, so no corpus-grain shuffle is added at cluster scale.
-  * Callers must be order-insensitive (exact aggregates, pinned-order
-  * folds, per-row scalars): everything downstream of a shuffle already
-  * holds that by the engine's determinism discipline. */
+  * The guard is layout-adaptive, not a local[32] constant, and decides
+  * from the frame's actual SCAN SPLITS (`df.rdd.getNumPartitions`),
+  * not its file count: a single-file production table with many row
+  * groups splits into many scan partitions under `maxPartitionBytes`
+  * and passes through untouched — no corpus-grain shuffle is added at
+  * cluster scale — while the fixtures' single-row-group files split
+  * into a handful of partitions (only one non-empty) and get spread.
+  *
+  * Caller contract: pass a SCAN-ADJACENT frame — a file scan plus
+  * per-row projections/filters only, no exchanges, no checkpointed
+  * inputs. Two reasons: (a) a frame with zero input files (derived /
+  * in-memory relation) cannot be classified by layout, so it passes
+  * through; (b) `df.rdd` on an exchange-bearing frame would force AQE
+  * stage materialization at plan-construction time. All three call
+  * sites (EntityResolution.blockedNamePairs, Profiling
+  * .correlationMatrix, Dedup.exactSubstrSpans) pass bare
+  * scan+project frames. Callers must be order-insensitive (exact
+  * aggregates, pinned-order folds, per-row scalars): everything
+  * downstream of a shuffle already holds that by the engine's
+  * determinism discipline. */
 object Spread {
   def fewFileScan(df: DataFrame, keys: Seq[Column] = Nil): DataFrame = {
     val parts = df.sparkSession.sparkContext.defaultParallelism
-    val nFiles = df.inputFiles.length
-    if (nFiles > 0 && nFiles < parts) {
-      if (keys.nonEmpty) df.repartition(parts, keys: _*)
-      else df.repartition(parts)
-    } else df
+    // inputFiles == 0 ⇒ not a classifiable scan (checkpointed or
+    // in-memory input): pass through rather than guess.
+    if (df.inputFiles.isEmpty) df
+    else {
+      val splits = df.rdd.getNumPartitions
+      if (splits < parts) {
+        if (keys.nonEmpty) df.repartition(parts, keys: _*)
+        else df.repartition(parts)
+      } else df
+    }
   }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -355,17 +356,62 @@ object TextAnalysis {
     * per-stratum percentile aggregation (rows = #strata, metadata
     * scale) broadcast back onto the corpus — the big side never
     * shuffles. Threshold rounds to 6 dp BEFORE the comparison so the
-    * keep decision is engine-portable. */
+    * keep decision is engine-portable.
+    *
+    * The threshold is computed DISTRIBUTED, not via the builtin
+    * `percentile` aggregate: `Percentile` is a TypedImperativeAggregate
+    * (ObjectHashAggregate, no codegen) that ships one value→count map
+    * per stratum to a single reducer and sorts the whole distinct-value
+    * domain there — at 100 TB a stratum's score map is executor-OOM
+    * scale. Here the corpus collapses to (stratum, value, count) rows
+    * through an ordinary codegen'd partial-agg shuffle (parallel), and
+    * only the value-grain cumulative scan runs per-stratum. The
+    * interpolation replays Spark's Percentile.getPercentile arithmetic
+    * step for step — position = q·(n−1) on doubles, lower/higher keys
+    * selected by cumulative count, `(higher − pos)·lowerKey +
+    * (pos − lower)·higherKey` — so the threshold is BIT-EQUAL to the
+    * builtin's (OperatorsSpec pins it on ties/nulls/single-value
+    * strata; the sf0.01 oracle gate covers q68/q155 end-to-end). */
   def qualityQuantileGate(scored: DataFrame, strataCol: String,
       scoreCol: String, q: Double): DataFrame = {
     // lazy-checkpointed: the threshold agg AND the gate join both
     // consume `scored`, whose lineage is typically the expensive part
     // (the full scoring battery) — without this it evaluates twice,
     // which the ×100 scaling run measured as ~2× the whole query
-    val s = scored.localCheckpoint(false)
-    val thresholds = s.groupBy(col(strataCol))
-      .agg(round(percentile(col(scoreCol), lit(q)), 6).as("threshold"))
-    s.join(broadcast(thresholds), Seq(strataCol))
+    val s = scored.graftCp(false)
+    // value-grain counts (nulls excluded, as the builtin skips them)
+    val counts = s.filter(col(scoreCol).isNotNull)
+      .groupBy(col(strataCol), col(scoreCol).cast("double").as("_v"))
+      .agg(count(lit(1)).as("_cnt"))
+    val cumW = Window.partitionBy(col(strataCol)).orderBy(col("_v"))
+    val totW = Window.partitionBy(col(strataCol))
+    // Percentile.getPercentile replayed in column arithmetic: every
+    // double op appears in the same order as the builtin's Scala code,
+    // so the result is IEEE-bit-equal, not just close.
+    val pos = lit(q) * (col("_n") - lit(1L)).cast("double")
+    val lower = floor(pos) // bigint, like position.floor.toLong
+    val higher = ceil(pos)
+    val thresholds = counts
+      .withColumn("_cum", sum(col("_cnt")).over(cumW))
+      .withColumn("_n", sum(col("_cnt")).over(totW))
+      .groupBy(col(strataCol))
+      .agg(
+        min(when(col("_cum") > lower, col("_v"))).as("_lo"),
+        min(when(col("_cum") > higher, col("_v"))).as("_hi"),
+        first(pos).as("_pos"), first(lower).as("_lower"),
+        first(higher).as("_higher"))
+      .select(col(strataCol),
+        round(
+          when(col("_higher") === col("_lower") ||
+              col("_lo") === col("_hi"), col("_lo"))
+            .otherwise(
+              (col("_higher") - col("_pos")) * col("_lo") +
+                (col("_pos") - col("_lower")) * col("_hi")), 6)
+          .as("threshold"))
+    // LEFT join: a stratum whose scores are all null has no counts row;
+    // the builtin form gave it a null threshold (kept = null), not a
+    // dropped row — preserve that.
+    s.join(broadcast(thresholds), Seq(strataCol), "left")
       .withColumn("kept", col(scoreCol) >= col("threshold"))
   }
 
@@ -514,22 +560,36 @@ object TextAnalysis {
     val merges = scala.collection.mutable.ArrayBuffer.empty[String]
     var cur = base
     var done = false
-    for (_ <- 1 to nMerges if !done) {
-      val arr = split(col("seg"), " ")
-      val top = cur.select(col("freq"),
-          explode(zip_with(
-            slice(arr, lit(1), size(arr) - 1),
-            slice(arr, lit(2), size(arr) - 1),
-            (l, r) => concat(l, lit(" "), r))).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("freq")).as("c"))
-        .orderBy(col("c").desc, col("pair"))
-        .limit(1).collect()
-      if (top.isEmpty) done = true
-      else {
-        val pair = top.head.getString(0)
-        merges += pair
-        cur = cur.withColumn("seg",
-          replace(col("seg"), lit(pair), lit(pair.replace("> <", ""))))
+    // The per-round job is a top-1 over a VOCABULARY-grain aggregate
+    // of the persisted word table — a few thousand rows. Under AQE
+    // each round costs materialize-shuffle-stage → replan → final
+    // stage (two scheduler round-trips); with nMerges rounds the wall
+    // is driver latency, not compute (r17 ProfileQuery: 35–50 % of the
+    // BPE queries' wall was driver gap, 33 jobs/query). AQE is
+    // disabled for exactly these in-loop actions — the count sum is a
+    // long (partitioning-insensitive), and the in-loop state stays
+    // vocabulary-grain at any corpus scale, so the fixed
+    // `spark.sql.shuffle.partitions` fallback is bounded the same
+    // way. The corpus-grain stages before (base) and after (the
+    // returned table's consumers) run outside the scope and keep AQE.
+    Rounds.withoutAqe(df.sparkSession) {
+      for (_ <- 1 to nMerges if !done) {
+        val arr = split(col("seg"), " ")
+        val top = cur.select(col("freq"),
+            explode(zip_with(
+              slice(arr, lit(1), size(arr) - 1),
+              slice(arr, lit(2), size(arr) - 1),
+              (l, r) => concat(l, lit(" "), r))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("pair"))
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val pair = top.head.getString(0)
+          merges += pair
+          cur = cur.withColumn("seg",
+            replace(col("seg"), lit(pair), lit(pair.replace("> <", ""))))
+        }
       }
     }
     (merges.toSeq,
@@ -618,7 +678,7 @@ object TextAnalysis {
     val words = bpeWords(df, textCol, idCol)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .withColumn("len", length(col("word")).cast("int"))
-      .localCheckpoint(false)
+      .graftCp(false)
     // every occurrence (word, i 0-based, l, piece) — one projection
     val occ = words
       .select(col("word"), col("freq"), col("len"),
@@ -628,7 +688,7 @@ object TextAnalysis {
               col("word").substr(i + 1, l).as("piece")))))).as("o"))
       .select(col("word"), col("freq"), col("len"),
         col("o.i").as("i"), col("o.l").as("l"), col("o.piece").as("piece"))
-      .localCheckpoint(false)
+      .graftCp(false)
     val pieceFreq = occ.groupBy(col("piece"))
       .agg(sum(col("freq")).as("pfreq"))
       .filter(col("pfreq") >= minFreq || length(col("piece")) === 1)
@@ -636,7 +696,7 @@ object TextAnalysis {
     val totalSeed = pieceFreq.agg(sum(col("pfreq"))).head().getLong(0)
     var probs = pieceFreq.select(col("piece"),
         (col("pfreq").cast("double") / totalSeed).as("p"))
-      .localCheckpoint(false)
+      .graftCp(false)
     // the fixed l-ascending term chain both recursions share:
     // term_l = p(piece keyed (start, l)) * acc[prev], summed
     // ((t1+t2)+t3)+... so the IEEE total has exactly one order
@@ -687,7 +747,7 @@ object TextAnalysis {
         lit(0.0), (a, x) => a + x.getField("ec")).as("t"))
       probs = ec.crossJoin(broadcast(tot))
         .select(col("piece"), (col("ec") / col("t")).as("p"))
-        .localCheckpoint(false)
+        .graftCp(false)
     }
     probs
   }
@@ -803,14 +863,14 @@ object TextAnalysis {
         .select(col("doc_id"))
         .join(broadcast(ids), Seq("doc_id"))
         .distinct()
-        .localCheckpoint(true) // materialize BEFORE touching the index
+        .graftCp(true) // materialize BEFORE touching the index
       batch.join(existing.withColumnRenamed("doc_id", idCol),
         Seq(idCol), "left_anti")
     }
-    val fresh = fresh0.localCheckpoint(false)
+    val fresh = fresh0.graftCp(false)
     val toks = fresh.select(col(idCol).as("doc_id"),
       explode(Dedup.normTokens(col(textCol))).as("tok"))
-      .localCheckpoint(false)
+      .graftCp(false)
     // a BM25 corpus is docs with >= 1 token: zero-token docs can never
     // match a query and are SKIPPED (not counted) so re-crawling a feed
     // that contains them still converges to nAdded == 0
@@ -892,7 +952,7 @@ object TextAnalysis {
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("tok").isin(queryTerms: _*))
       .groupBy(col("tok"), col("doc_id")).agg(max(col("tf")).as("tf"))
-      .localCheckpoint(false) // df + scoring both read the pruned set
+      .graftCp(false) // df + scoring both read the pruned set
     val dfreq = postings.groupBy(col("tok"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val dl = spark.read.parquet(s"$path/doclen")
@@ -968,7 +1028,7 @@ object TextAnalysis {
     val toks = docs.select(col(idCol).as("_id"),
         posexplode(Dedup.normTokens(col(textCol)))
           .as(Seq("pos", "tok")))
-      .localCheckpoint(false)
+      .graftCp(false)
     val bi = toks
       .withColumn("prev", lag(col("tok"), 1).over(w))
       .filter(col("prev").isNotNull)

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.GraftCheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -797,7 +798,7 @@ object EventStream {
             .withColumn("__key", concat_ws("#",
               col(idCol).cast("string"), col("__digest")))
             .dropDuplicates("__key")
-            .localCheckpoint(true) // one stable snapshot
+            .graftCp(true) // one stable snapshot
           // capped probe (default on): duplicate rows carry n_hits +
           // hits_capped into dupPath, so a degenerate-signature surge
           // in the index shows up in the audit table per batch
@@ -816,7 +817,7 @@ object EventStream {
             .withColumn("is_dup", col("is_dup") || col("__rn") > 1)
             .drop("__rn")
             .withColumn("batch_id", lit(batchId))
-            .localCheckpoint(true) // settle BEFORE the index mutates
+            .graftCp(true) // settle BEFORE the index mutates
           flagged.filter(col("is_dup"))
             .drop("__digest", "__key")
             .write.mode("append").parquet(dupPath)

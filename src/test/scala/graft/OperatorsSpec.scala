@@ -286,6 +286,87 @@ class OperatorsSpec extends SparkSpec {
     assert(q(1L) > q(2L))
   }
 
+  test("Spread.fewFileScan guards on scan splits, not file count") {
+    val dir = java.nio.file.Files.createTempDirectory("spread").toString
+    // ONE parquet file, ~1 MB of rows
+    spark.range(150000L).selectExpr("id", "repeat('x', 8) as pad")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prior = spark.conf.get(key)
+    try {
+      // small splits: the single file splits into >= defaultParallelism
+      // scan partitions (the many-row-group production shape) — the
+      // guard must PASS THROUGH, file count notwithstanding
+      spark.conf.set(key, (64 * 1024).toString)
+      val manySplit = spark.read.parquet(dir)
+      assert(manySplit.rdd.getNumPartitions >=
+        spark.sparkContext.defaultParallelism)
+      assert(Spread.fewFileScan(manySplit) eq manySplit)
+      // huge splits: one scan partition — the guard spreads
+      spark.conf.set(key, (512 * 1024 * 1024).toString)
+      val oneSplit = spark.read.parquet(dir)
+      assert(oneSplit.rdd.getNumPartitions <
+        spark.sparkContext.defaultParallelism)
+      val spread = Spread.fewFileScan(oneSplit)
+      assert(!(spread eq oneSplit))
+      assert(spread.rdd.getNumPartitions ==
+        spark.sparkContext.defaultParallelism)
+      // identical row multiset either way
+      assert(spread.orderBy("id").collect().toSeq ==
+        oneSplit.orderBy("id").collect().toSeq)
+      // derived frame (no input files): not classifiable — pass through
+      val derived = oneSplit.localCheckpoint(false)
+      assert(Spread.fewFileScan(derived) eq derived)
+    } finally spark.conf.set(key, prior)
+  }
+
+  test("qualityQuantileGate: distributed threshold bit-equal to builtin percentile") {
+    // randomized-but-deterministic corpus: ties, near-boundary values,
+    // integral scores, null scores, a single-row stratum and an
+    // all-null stratum — every branch of the interpolation replay
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 400).map { i =>
+      val lang = s"l${i % 5}"
+      val score: java.lang.Double =
+        if (i % 17 == 0) null
+        else if (i % 3 == 0) (rnd.nextInt(8) + 1).toDouble // heavy ties
+        else math.floor(rnd.nextDouble() * 1e7) / 1e3
+      (i.toLong, lang, score)
+    } ++ Seq((401L, "solo", java.lang.Double.valueOf(3.25)),
+      (402L, "allnull", null.asInstanceOf[java.lang.Double]),
+      (403L, "allnull", null.asInstanceOf[java.lang.Double]))
+    val df = rows.toDF("doc_id", "lang", "sc")
+    for (q <- Seq(0.25, 0.5, 0.75, 0.99)) {
+      val got = TextAnalysis.qualityQuantileGate(df, "lang", "sc", q)
+        .select("doc_id", "threshold", "kept")
+        .as[(Long, Option[Double], Option[Boolean])].collect().toSeq.sorted
+      val want = {
+        val th = df.groupBy(col("lang"))
+          .agg(round(percentile(col("sc"), lit(q)), 6).as("threshold"))
+        df.join(broadcast(th), Seq("lang"))
+          .withColumn("kept", col("sc") >= col("threshold"))
+          .select("doc_id", "threshold", "kept")
+          .as[(Long, Option[Double], Option[Boolean])].collect().toSeq.sorted
+      }
+      assert(got == want, s"q=$q")
+    }
+    // integral score column (no cast on the caller side)
+    val intDf = (1 to 100).map(i => (i.toLong, s"g${i % 3}", (i * 7) % 23))
+      .toDF("doc_id", "g", "sc")
+    val gotI = TextAnalysis.qualityQuantileGate(intDf, "g", "sc", 0.6)
+      .select("doc_id", "threshold", "kept")
+      .as[(Long, Double, Boolean)].collect().toSeq.sorted
+    val wantI = {
+      val th = intDf.groupBy(col("g"))
+        .agg(round(percentile(col("sc"), lit(0.6)), 6).as("threshold"))
+      intDf.join(broadcast(th), Seq("g"))
+        .withColumn("kept", col("sc") >= col("threshold"))
+        .select("doc_id", "threshold", "kept")
+        .as[(Long, Double, Boolean)].collect().toSeq.sorted
+    }
+    assert(gotI == wantI)
+  }
+
   test("winnowing fingerprints overlap for overlapping docs") {
     val t = Seq(
       (1L, "a b c d e f g h i j k l m n o p"),
