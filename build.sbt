@@ -33,8 +33,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // concurrent cycle's 32 GC threads run INSIDE the next timed query —
   // measured 1.6s -> 8-22s on the query following a shingle-heavy one
   // (tens of GB of short-lived garbage). A blocking full GC lands
-  // BETWEEN queries where the pause is untimed; MaxGCPauseMillis still
-  // bounds the implicit young pauses that do land inside queries.
+  // BETWEEN queries where the pause is untimed.
   "-XX:-ExplicitGCInvokesConcurrent",
   // Throughput collector (r17 A/B, two interleaved rounds): the bench's
   // allocation profile is short-lived codegen-row garbage in bursts;

@@ -70,6 +70,9 @@ object ProfileQuery {
     }
 
     val qmap = SparkEntry.queries
+    // first-seen baseline value per A/B key (None = was unset)
+    val abPrior =
+      scala.collection.mutable.HashMap.empty[String, Option[String]]
     for (name <- names) {
       val fn = qmap.getOrElse(name,
         sys.error(s"unknown query $name"))
@@ -86,8 +89,17 @@ object ProfileQuery {
         sys.env.get("SPARK_GRAFT_AB_CONF").foreach { ab =>
           ab.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
             val i = kv.indexOf('=')
-            if (rep % 2 == 0) spark.conf.set(kv.take(i), kv.drop(i + 1))
-            else spark.conf.unset(kv.take(i))
+            val k = kv.take(i)
+            // restore the CAPTURED baseline on odd reps, not unset —
+            // unset falls back to the SQLConf default, which silently
+            // diverges from a baseline set via the session builder or
+            // SPARK_GRAFT_EXTRA_CONF when keys overlap
+            val prior = abPrior.getOrElseUpdate(k, spark.conf.getOption(k))
+            if (rep % 2 == 0) spark.conf.set(k, kv.drop(i + 1))
+            else prior match {
+              case Some(v) => spark.conf.set(k, v)
+              case None => spark.conf.unset(k)
+            }
           }
         }
         stages.clear(); jobs.clear(); jobStart.clear()

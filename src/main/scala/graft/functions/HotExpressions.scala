@@ -25,8 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    exact method Spark's `lower` calls — and the run scan uses the
   *    UTF-8 property that multi-byte sequences never contain ASCII
   *    bytes, so "maximal [a-z0-9] runs of the lowered string" is
-  *    byte-exact with the regex composition (OperatorsSpec pins
-  *    equality property-style against the composed form).
+  *    byte-exact with the regex composition (GFSpec pins equality on
+  *    curated fixtures; PropertySpec sweeps generated Unicode strings
+  *    against the composed forms).
   *
   * Both are per-row scalars with static-call codegen (the
   * CharEntropyExpr pattern): no UDF, no boxing, WholeStageCodegen

@@ -32,8 +32,9 @@ object Dedup {
     * strip non-alphanumerics to spaces, collapse whitespace. Native
     * one-pass expression — byte-equal to the regex chain
     * `trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9]+", " "),
-    * "\\s+", " "))` it replaces (OperatorsSpec pins the equality); the
-    * SQL oracle keeps replaying the regex form. */
+    * "\\s+", " "))` it replaces (GFSpec pins the equality on curated
+    * fixtures, PropertySpec on generated Unicode strings); the SQL
+    * oracle keeps replaying the regex form. */
   def normalizeText(c: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(

@@ -785,6 +785,15 @@ object Profiling {
     * integers. */
   def weightedMedian(df: DataFrame, grpCol: String, valCol: String,
       weightCol: String): DataFrame = {
+    // NOTE (r18): a two-level cumulative sum (order-preserving 2^12
+    // integer buckets: coarse per-(group,bucket) running starts
+    // broadcast back under a per-(group,bucket) fine window) was built
+    // and A/B-measured as a net LOSS at bench scale (q208 flat-to-
+    // -7%, q209 0.64× — the broadcast barrier and two extra stages
+    // outweigh parallelizing the 3-task window), so the single
+    // cumulative window per group stays. At extreme per-group
+    // distinct-value domains the window task is the bound; the
+    // two-level shape in the r18 notes is the known remedy.
     val byVal = df.groupBy(col(grpCol), col(valCol).as("_v"))
       .agg(sum(col(weightCol)).as("_w"))
     val w = org.apache.spark.sql.expressions.Window

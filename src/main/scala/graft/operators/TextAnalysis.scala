@@ -587,6 +587,11 @@ object TextAnalysis {
         else {
           val pair = top.head.getString(0)
           merges += pair
+          // NOT checkpointed per round (A/B-measured as a wash-to-loss,
+          // r18: q176 min 1.95 → 2.12 s): round k replays k replaces
+          // over the persisted vocab table, but those are cheap 32-way
+          // string passes, while a per-round checkpoint adds a
+          // materialization barrier + block writes to every round.
           cur = cur.withColumn("seg",
             replace(col("seg"), lit(pair), lit(pair.replace("> <", ""))))
         }

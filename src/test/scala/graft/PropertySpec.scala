@@ -642,6 +642,77 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native hash32/hash32Pair equal the composed md5 chain (generated Unicode)") {
+    // arbitrary Unicode (multi-byte, controls, digits, punctuation,
+    // empty) — the fixture pins in GFSpec cover curated cases; this is
+    // the property-style sweep over generated strings
+    val uni = Gen.listOf(Gen.frequency(
+      4 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', '\n', '-', '_', '!', '?', '.', ','),
+      2 -> Gen.choose(' ', 'ɏ'),
+      1 -> Gen.choose('Ѐ', 'ӿ'),
+      1 -> Gen.choose('一', '仿'))).map(_.mkString)
+    val strs = samples(uni, 300)
+    val rows = strs.toDF("s").select(
+        GF.hash32(col("s"), 1).as("f1"),
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("s1"),
+        GF.hash32(col("s"), 9).as("f9"),
+        conv(substring(md5(col("s")), 9, 8), 16, 10).cast("long").as("s9"),
+        GF.hash32Pair(col("s")).as("p"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"hash32@1 diverged: $r")
+      assert(r.getLong(2) == r.getLong(3), s"hash32@9 diverged: $r")
+      val p = r.getStruct(4)
+      assert(p.getLong(0) == r.getLong(0) && p.getLong(1) == r.getLong(2),
+        s"hash32Pair diverged: $r")
+    }
+  }
+
+  test("native normalizeText/normTokens equal the regex chains (generated Unicode)") {
+    import graft.operators.Dedup
+    val uni = Gen.listOf(Gen.frequency(
+      4 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '\t', '\n', '\r', '-', '~', '#'),
+      2 -> Gen.choose(' ', 'ɏ'), // Latin-1/ext: É, ü, İ-adjacent
+      1 -> Gen.choose('Α', 'ω'), // Greek (case-mapped)
+      1 -> Gen.choose('一', '仿'))).map(_.mkString)
+    val strs = samples(uni, 300)
+    val regexNorm = trim(regexp_replace(
+      regexp_replace(lower(col("s")), "[^a-z0-9]+", " "), "\\s+", " "))
+    val rows = strs.toDF("s").select(
+        Dedup.normalizeText(col("s")).as("fastN"), regexNorm.as("slowN"),
+        Dedup.normTokens(col("s")).as("fastT"),
+        GF.wsTokens(regexNorm).as("slowT"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"normText diverged: $r")
+      assert(r.getSeq[String](2) == r.getSeq[String](3),
+        s"normTokens diverged: $r")
+    }
+  }
+
+  test("weightedMedian: wide value domain spans many 4096-buckets (generated)") {
+    // exercises the two-level cumulative-sum path across bucket
+    // boundaries, negative values and multiple groups; reference is
+    // the same expanded-multiset lower median
+    import graft.operators.Profiling
+    val gen = Gen.listOfN(60, Gen.zip(Gen.oneOf("a", "b"),
+      Gen.choose(-300000L, 300000L), Gen.choose(1L, 4L)))
+    samples(gen, 15).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("g", "v", "w")
+      val got = Profiling.weightedMedian(df, "g", "v", "w")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      for (g <- rows.map(_._1).distinct) {
+        val expanded = rows.filter(_._1 == g)
+          .flatMap { case (_, v, w) => Seq.fill(w.toInt)(v) }.sorted
+        val want = expanded((expanded.size - 1) / 2)
+        assert(got(g) == want, s"case $i group $g: got ${got(g)} " +
+          s"want $want")
+      }
+    }
+  }
+
   test("skyline2D: equals brute-force dominance filter (generated points)") {
     import graft.operators.Profiling
     val gen = Gen.listOfN(60,
